@@ -1,0 +1,73 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is forced end-to-end with the noop sink (full materialization of
+every output row/column, no driver collect, no sink I/O cost).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BENCH_QUERIES = [
+    "q1_expensive_orders",
+    "q2_order_projection",
+    "q3_products_by_first_letter",
+    "q4_products_per_user_10s",
+    "q5_paid_orders",
+    "agg_pricing_summary",
+    "agg_revenue_by_nation",
+    "s2_latest_event_per_user",
+    "wf_top3_orders_per_customer",
+    "topk_customers_by_revenue",
+    "json_props_extract",
+]
+
+
+def main() -> None:
+    from kafka_streams_playground_spark.plans import REGISTRY
+    from kafka_streams_playground_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = [n for n in BENCH_QUERIES if n in REGISTRY]
+    names += sorted(n for n in REGISTRY if n not in set(BENCH_QUERIES))
+
+    # Warm the JVM + parquet footers once so timings measure the plans.
+    REGISTRY[names[0]].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        sf_val: float | str = float(sf)
+    except ValueError:
+        sf_val = sf
+    print(
+        json.dumps(
+            {
+                "metric": "total_query_wall_time",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_val,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

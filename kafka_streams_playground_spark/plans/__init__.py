@@ -1,0 +1,11 @@
+"""Query plans: the reference's five topologies re-expressed as DataFrame
+plans, extra relational coverage, and the north-star LLM-pipeline queries.
+Importing this package populates the registry."""
+
+from kafka_streams_playground_spark.plans.registry import REGISTRY, QuerySpec, query
+
+# Import for side effects: each module registers its queries.
+from kafka_streams_playground_spark.plans import topologies  # noqa: F401
+from kafka_streams_playground_spark.plans import relational  # noqa: F401
+
+__all__ = ["REGISTRY", "QuerySpec", "query"]

@@ -1,0 +1,217 @@
+"""Extra relational coverage beyond the reference's five topologies.
+
+The reference has no sorts/limits, set ops, ranking windows, or distinct aggs
+(SURVEY.md §2.5-2.7) — Kafka Streams simply lacks them. A user switching to
+this engine gets them from Spark; each is registered here with an oracle so
+the coverage is *checked*, not just claimed.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_streams_playground_spark.operators.tables import latest_per_key
+from kafka_streams_playground_spark.plans.registry import query
+from kafka_streams_playground_spark.sources.parquet import load_table
+
+
+@query(
+    "agg_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2)       AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2)  AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(AVG(l_quantity), 2)       AS avg_qty,
+           ROUND(AVG(l_extendedprice), 2)  AS avg_price,
+           COUNT(*)                        AS count_order
+    FROM lineitem
+    WHERE l_shipdate::TIMESTAMP <= TIMESTAMP '2001-09-01'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    tags=("extension", "agg", "bench"),
+)
+def agg_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-shaped pricing summary: the canonical scan→filter→partial-agg
+    →shuffle→final-agg plan. At 100 TB the map-side partial aggregate reduces
+    the shuffle to #groups × #tasks rows — the whole point of expressing this
+    declaratively (SURVEY §2.4 notes the reference is single-phase)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias(
+                "sum_disc_price"
+            ),
+            F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "agg_revenue_by_nation",
+    oracle="""
+    SELECT n_name AS nation,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(DISTINCT o_custkey) AS n_customers
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey  = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY 1
+    """,
+    tags=("extension", "agg", "join", "bench"),
+)
+def agg_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-join rollup: fact ⋈ dims → grouped revenue + distinct count.
+    ``nation`` (25 rows) is broadcast; customer/orders co-shuffle on their
+    keys. COUNT(DISTINCT) plans as the two-phase expand+agg — no driver-side
+    distinct."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+    )
+    return joined.groupBy(F.col("n_name").alias("nation")).agg(
+        F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+        F.countDistinct("o_custkey").alias("n_customers"),
+    )
+
+
+@query(
+    "s2_latest_event_per_user",
+    oracle="""
+    SELECT user_id, event_id, event_type, value,
+           CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT) AS ts_epoch
+    FROM (
+        SELECT *, row_number() OVER (
+            PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+    ) WHERE rn = 1
+    """,
+    tags=("reference", "S2", "windowfn"),
+)
+def s2_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 KTable semantics (KafkaStreamsApp.scala:156-157): the compacted
+    latest-value-per-key table, materialized batch-style from the events
+    changelog (SURVEY §4.3-1). One shuffle on the key; deterministic tiebreak
+    on event_id."""
+    events = load_table(spark, sf_dir, "events")
+    latest = latest_per_key(
+        events, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
+    )
+    return latest.select(
+        "user_id", "event_id", "event_type", "value", F.unix_timestamp("ts").alias("ts_epoch")
+    )
+
+
+@query(
+    "wf_top3_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice, rnk FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        FROM orders
+    ) WHERE rnk <= 3
+    """,
+    tags=("extension", "windowfn"),
+)
+def wf_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window function (absent from the reference, SURVEY §2.5):
+    top-3 orders per customer. Spark plans a single hash-partition exchange
+    on the partition key + in-partition sort; no global sort."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rnk")
+    )
+
+
+@query(
+    "topk_customers_by_revenue",
+    oracle="""
+    SELECT c_custkey, c_name, ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM customer JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 10
+    """,
+    tags=("extension", "sort", "limit"),
+)
+def topk_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k (absent from the reference, SURVEY §2.6). Spark executes
+    order+limit as TakeOrderedAndProject — per-partition top-k then a k-row
+    merge on the driver; nothing resembling a global sort at 100 TB."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    rev = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    return rev.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc()).limit(10)
+
+
+@query(
+    "setop_active_or_negative_customers",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_totalprice >= 400000
+    UNION
+    SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0
+    """,
+    tags=("extension", "setop"),
+)
+def setop_active_or_negative_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operation (absent from the reference, SURVEY §2.7): UNION DISTINCT
+    of two key sets — union + one hash-distinct exchange."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    a = orders.filter(F.col("o_totalprice") >= 400000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    b = cust.filter(F.col("c_acctbal") < 0).select(F.col("c_custkey").alias("custkey"))
+    return a.union(b).distinct()
+
+
+@query(
+    "json_props_extract",
+    oracle="""
+    SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           COUNT(*) AS cnt,
+           ROUND(AVG(value), 2) AS avg_value
+    FROM events
+    GROUP BY 1
+    """,
+    tags=("extension", "json", "scalar"),
+)
+def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON field access on the events ``props`` column (the engine's
+    schemaless-JSON surface, SURVEY §2.8 — the reference handles JSON only at
+    serde level, KafkaStreamsApp.scala:60-73). ``get_json_object`` is a
+    codegen'd JVM expression, not a UDF."""
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.withColumn(
+            "k", F.get_json_object(F.col("props"), "$.k").cast("bigint")
+        )
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.avg("value"), 2).alias("avg_value"))
+    )

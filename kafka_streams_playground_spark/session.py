@@ -1,0 +1,74 @@
+"""SparkSession factory and runtime configuration.
+
+The reference configures its runtime via ``StreamsConfig`` properties
+(``KafkaStreamsApp.scala:192-195``: application id, bootstrap servers, default
+key serde). Our equivalent is the SparkSession builder plus a small set of
+runtime confs that every query needs regardless of who built the session
+(the driver harness builds its own session, so runtime-settable confs are
+also applied per-query via :func:`configure_runtime`).
+
+Scale notes (100 TB / 1000-executor design):
+* AQE on — runtime coalescing, skew-join splitting, dynamic join strategy.
+* ``spark.sql.session.timeZone=UTC`` — fixtures store naive timestamps; UTC
+  makes ``unix_timestamp``/window bucketing agree with the DuckDB oracle.
+* Shuffle partition count is a knob, not a constant: default 32 for local
+  tests; a real deployment sizes it so a shuffle partition is ~128-200 MB
+  (AQE coalesces down from a deliberately-high initial number).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Runtime-settable confs applied to any session (including driver-provided).
+_RUNTIME_CONF = {
+    "spark.sql.session.timeZone": "UTC",
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Arrow for pandas UDF / mapInPandas paths (north-star operators).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # The events fixture stores TIMESTAMP(NANOS), which Spark's parquet reader
+    # rejects; read as epoch-nanos long and normalize in sources.parquet.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+
+def configure_runtime(spark: SparkSession) -> SparkSession:
+    """Apply runtime-settable confs to an existing session (idempotent)."""
+    for k, v in _RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Conf not runtime-settable in this build — leave the default.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "kafka-streams-playground-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession tuned for this engine.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (env) or ``local[*]``.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_SHUFFLE", "32"))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in _RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    return configure_runtime(builder.getOrCreate())

@@ -1,0 +1,134 @@
+"""Unit tests for operator modules on tiny inline DataFrames (SURVEY.md §5.2-4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    DoubleType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from kafka_streams_playground_spark.operators import stateless as ops
+from kafka_streams_playground_spark.operators.aggregations import count_by, tumbling_count
+from kafka_streams_playground_spark.operators.joins import (
+    enrich_join,
+    global_lookup_join,
+    interval_join,
+)
+from kafka_streams_playground_spark.operators.tables import latest_per_key
+from kafka_streams_playground_spark.sources.json_serde import deserialize_json, serialize_json
+
+ORDER_SCHEMA = StructType(
+    [
+        StructField("orderId", StringType()),
+        StructField("user", StringType()),
+        StructField("products", ArrayType(StringType())),
+        StructField("amount", DoubleType()),
+    ]
+)
+
+
+def _orders(spark):
+    """The reference's Order domain type (KafkaStreamsApp.scala:92)."""
+    return spark.createDataFrame(
+        [
+            ("o1", "alice", ["guitar", "amp"], 1500.0),
+            ("o2", "bob", ["strings"], 40.0),
+            ("o3", "Ann", ["drum"], 2000.0),
+        ],
+        schema=ORDER_SCHEMA,
+    )
+
+
+def test_p1_filter(spark):
+    out = ops.filter_records(_orders(spark), F.col("amount") >= 1000)
+    assert {r["orderId"] for r in out.collect()} == {"o1", "o3"}
+
+
+def test_p2_p3_project_explode(spark):
+    out = ops.explode_list(ops.project(_orders(spark), "user", "products"),
+                           "products", "product", "user")
+    rows = {(r["user"], r["product"]) for r in out.collect()}
+    assert ("alice", "guitar") in rows and ("bob", "strings") in rows
+    assert len(rows) == 4
+
+
+def test_p5_p6_p7_rekey_compute_firstletter(spark):
+    df = ops.select_key(_orders(spark), F.col("orderId"), key_name="key")
+    df = ops.with_computed(df, "amount", F.col("amount") * 0.5)
+    out = df.select("key", "amount", ops.first_letter_key("user").alias("letter"))
+    got = {(r["key"], r["amount"], r["letter"]) for r in out.collect()}
+    assert got == {("o1", 750.0, "a"), ("o2", 20.0, "b"), ("o3", 1000.0, "a")}
+
+
+def test_a1_a4_counts(spark):
+    by_letter = count_by(_orders(spark), ops.first_letter_key("user").alias("letter"))
+    assert {(r["letter"], r["cnt"]) for r in by_letter.collect()} == {("a", 2), ("b", 1)}
+
+    events = spark.createDataFrame(
+        [("u1", "2024-01-01 00:00:01"), ("u1", "2024-01-01 00:00:09"),
+         ("u1", "2024-01-01 00:00:11"), ("u2", "2024-01-01 00:00:59")],
+        "user string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    win = tumbling_count(events, "ts", "10 seconds", F.col("user"))
+    got = {(r["user"], r["window"]["start"].second, r["cnt"]) for r in win.collect()}
+    assert got == {("u1", 0, 2), ("u1", 10, 1), ("u2", 50, 1)}
+
+
+def test_j1_j2_joins(spark):
+    orders = _orders(spark)
+    profiles = spark.createDataFrame(
+        [("alice", "gold"), ("bob", "silver")], "user string, profile string"
+    )
+    discounts = spark.createDataFrame(
+        [("gold", 0.5), ("silver", 0.9)], "profile string, mult double"
+    )
+    j1 = enrich_join(orders, profiles, on="user")  # inner: Ann dropped
+    assert j1.count() == 2
+    j2 = global_lookup_join(j1, discounts, key_extractor="profile", dim_key="profile")
+    got = {(r["orderId"], r["amount"] * r["mult"]) for r in j2.collect()}
+    assert got == {("o1", 750.0), ("o2", 36.0)}
+
+
+def test_j3_interval_join(spark):
+    orders = spark.createDataFrame(
+        [("o1", "2024-01-01 00:00:00"), ("o2", "2024-01-01 01:00:00")],
+        "order_id string, ots string",
+    ).withColumn("ots", F.col("ots").cast("timestamp"))
+    payments = spark.createDataFrame(
+        [("o1", "PAID", "2024-01-01 00:03:00"),   # within +5 min → match
+         ("o1", "PAID", "2024-01-01 00:07:00"),   # outside window
+         ("o2", "PENDING", "2024-01-01 01:01:00")],  # status filtered
+        "pid string, status string, pts string",
+    ).withColumn("pts", F.col("pts").cast("timestamp"))
+    out = interval_join(
+        orders, payments, "order_id", "pid", "ots", "pts",
+        lower="5 minutes", upper="5 minutes",
+        extra_condition=F.col("status") == "PAID",
+    )
+    assert [r["order_id"] for r in out.collect()] == ["o1"]
+
+
+def test_s2_latest_per_key(spark):
+    changelog = spark.createDataFrame(
+        [("u1", "v1", 1), ("u1", "v2", 2), ("u2", "x", 1)],
+        "user string, val string, version int",
+    )
+    latest = latest_per_key(changelog, ["user"], [F.col("version").desc()])
+    assert {(r["user"], r["val"]) for r in latest.collect()} == {("u1", "v2"), ("u2", "x")}
+
+
+def test_s6_s7_json_serde_roundtrip_and_drop(spark):
+    raw = spark.createDataFrame(
+        [('{"orderId":"o1","user":"u","products":["p"],"amount":5.0}',),
+         ("not json at all{{{",)],
+        "value string",
+    )
+    parsed = deserialize_json(raw, ORDER_SCHEMA)
+    rows = parsed.collect()  # malformed record dropped (KafkaStreamsApp.scala:64-70)
+    assert len(rows) == 1 and rows[0]["orderId"] == "o1"
+    out = serialize_json(parsed, "orderId", "amount").select("value").collect()
+    assert out[0]["value"] == '{"orderId":"o1","amount":5.0}'

@@ -1,0 +1,43 @@
+"""Every registered SQL-expressible query must hash-match its DuckDB oracle
+on the sf0.001 fixtures — the same gate the driver applies at sf0.01
+(SURVEY.md §5.2)."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.helpers import assert_matches_oracle
+
+
+def _specs():
+    from kafka_streams_playground_spark.plans import REGISTRY
+
+    return sorted(REGISTRY.values(), key=lambda s: s.name)
+
+
+@pytest.mark.parametrize("spec", _specs(), ids=lambda s: s.name)
+def test_query_matches_oracle(spec, spark, duck, sf_dir):
+    sdf = spec.fn(spark, sf_dir)
+    if spec.oracle is None:
+        # rows-only contract: runs and yields a stable schema
+        rows = sdf.collect()
+        assert sdf.columns
+        assert rows is not None
+    else:
+        assert_matches_oracle(sdf, duck, spec.oracle)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    assert len(df.columns) > 0
+    assert df.count() > 0
+
+
+def test_contract_shapes():
+    import __spark_entry__ as e
+
+    qs, osql = e.queries(), e.oracle_sql()
+    assert set(osql) <= set(qs)
+    assert all(callable(f) for f in qs.values())
