@@ -7,5 +7,6 @@ from kafka_streams_playground_spark.plans.registry import REGISTRY, QuerySpec, q
 # Import for side effects: each module registers its queries.
 from kafka_streams_playground_spark.plans import topologies  # noqa: F401
 from kafka_streams_playground_spark.plans import relational  # noqa: F401
+from kafka_streams_playground_spark.streaming import queries as _streaming_queries  # noqa: F401
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]

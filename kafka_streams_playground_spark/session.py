@@ -33,6 +33,15 @@ _RUNTIME_CONF = {
     # The events fixture stores TIMESTAMP(NANOS), which Spark's parquet reader
     # rejects; read as epoch-nanos long and normalize in sources.parquet.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Read naive parquet timestamps as TIMESTAMP (session-tz UTC), not NTZ:
+    # watermarks/windows require TimestampType, and UTC keeps epoch math
+    # identical to the DuckDB oracle.
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
+    # Driver-built sessions default to 200 shuffle partitions; on local[32]
+    # that costs ~200 state-store tasks per tiny streaming micro-batch. AQE
+    # coalesces batch plans but not streaming state, so pin a sane local
+    # value (env-overridable). A real cluster deployment sizes this to data.
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_SHUFFLE", "32"),
 }
 
 
@@ -65,10 +74,14 @@ def get_spark(
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
     for k, v in _RUNTIME_CONF.items():
         builder = builder.config(k, v)
-    return configure_runtime(builder.getOrCreate())
+    # Explicit argument wins over the _RUNTIME_CONF default.
+    builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    spark = builder.getOrCreate()
+    configure_runtime(spark)
+    spark.conf.set("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    return spark

@@ -1,0 +1,147 @@
+"""Streaming twins of the reference topologies, registered as queries.
+
+Each runs the *streaming* execution path (micro-batches, state stores,
+watermarks, update/append emission) over a file-stream replay of the
+fixtures, drained with availableNow — so the final state is deterministic
+and, for the single-file fixtures, equal to the batch result. That lets the
+flagship streaming forms carry the same DuckDB oracle as their batch twins
+(strong check), instead of the weaker rows-only contract.
+
+Watermark choice: the fixtures are replayed in file order (≈ts order,
+monotone-ish, FIXTURES.md); a generous watermark mirrors the reference's
+24 h default grace (``TimeWindows.of`` at KafkaStreamsApp.scala:142) so no
+fixture row is ever late-dropped — SURVEY §7.4-3's documented stance.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_streams_playground_spark.operators.aggregations import tumbling_count
+from kafka_streams_playground_spark.operators.joins import interval_join
+from kafka_streams_playground_spark.plans.registry import REGISTRY, query
+from kafka_streams_playground_spark.sources.parquet import load_table
+from kafka_streams_playground_spark.streaming.ktable import latest_per_key_stream
+from kafka_streams_playground_spark.streaming.replay import read_stream_table, run_to_completion
+
+WATERMARK = "24 hours"  # mirrors the reference's default grace (:142)
+
+
+@query(
+    "stream_q4_products_per_user_10s",
+    oracle=None,  # set below: shares q4's oracle (single-batch drain ⇒ final state)
+    tags=("reference", "streaming", "A4", "A5", "S1"),
+)
+def stream_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q4's true streaming form (KafkaStreamsApp.scala:135-153): events
+    replayed as a stream → watermark → 10 s tumbling count → **update-mode**
+    changelog emission (``toStream`` ``:150``) drained to final state."""
+    events = read_stream_table(spark, sf_dir, "events").withWatermark("ts", WATERMARK)
+    win = tumbling_count(events, "ts", "10 seconds", F.col("user_id"), out="cnt")
+    out = win.select("user_id", F.unix_timestamp("window.start").alias("window_start"), "cnt")
+    return run_to_completion(out, output_mode="update", spark=spark)
+
+
+@query(
+    "stream_s2_latest_event_per_user",
+    oracle=None,  # set below: shares s2's oracle
+    tags=("reference", "streaming", "S2", "A5"),
+)
+def stream_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 KTable as live streaming state (``builder.table`` ``:156-157``):
+    max_by keyed state holds exactly one row per user; update mode emits the
+    changelog. State size = #keys — the same bound as the reference's
+    compacted-topic store."""
+    events = read_stream_table(spark, sf_dir, "events")
+    latest = latest_per_key_stream(
+        events,
+        keys=["user_id"],
+        value_cols=["event_id", "event_type", "value", "ts"],
+        version_col=F.struct("ts", "event_id"),
+    )
+    out = latest.select(
+        "user_id", "event_id", "event_type", "value", F.unix_timestamp("ts").alias("ts_epoch")
+    )
+    return run_to_completion(out, output_mode="update", spark=spark)
+
+
+@query(
+    "stream_q5_paid_orders",
+    oracle=None,  # set below: shares q5's oracle
+    tags=("reference", "streaming", "flagship", "J1", "J2", "J3"),
+)
+def stream_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5's streaming form (KafkaStreamsApp.scala:155-189): orders replayed
+    as a stream, enriched via **stream-static** join with the profile table
+    (J1) and **broadcast** discount dim (J2), then a watermarked
+    **stream-stream interval join** with the payments stream (J3,
+    ``JoinWindows`` ``:182``), append-mode output.
+
+    Physical: the stream-stream join is StreamingSymmetricHashJoinExec keyed
+    on orderkey; watermarks bound both state stores exactly like the
+    reference's join-window retention."""
+    orders = read_stream_table(spark, sf_dir, "orders").withWatermark("o_orderdate", WATERMARK)
+    payments = (
+        read_stream_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_linestatus")
+        .withWatermark("l_shipdate", WATERMARK)
+    )
+    profiles = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment"
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    dim = nation.select(
+        "n_nationkey",
+        "n_name",
+        (F.lit(1.0) - F.lit(0.01) * (F.col("n_nationkey") % 5)).alias("discount_mult"),
+    )
+
+    enriched = orders.join(profiles, orders["o_custkey"] == profiles["c_custkey"])
+    with_discount = enriched.join(
+        F.broadcast(dim), enriched["c_nationkey"] == dim["n_nationkey"]
+    ).withColumn(
+        "discounted_amount", F.round(F.col("o_totalprice") * F.col("discount_mult"), 2)
+    )
+    rekeyed = with_discount.withColumn("order_key", F.col("o_orderkey"))
+
+    paid = interval_join(
+        rekeyed,
+        payments,
+        left_key="order_key",
+        right_key="l_orderkey",
+        left_ts="o_orderdate",
+        right_ts="l_shipdate",
+        lower="0 days",
+        upper="30 days",
+        extra_condition=payments["l_linestatus"] == "F",
+    )
+    out = paid.select(
+        "o_orderkey",
+        "l_linenumber",
+        "o_custkey",
+        F.col("c_mktsegment").alias("profile"),
+        F.col("n_name").alias("nation"),
+        "discounted_amount",
+        F.unix_timestamp("l_shipdate").alias("paid_epoch"),
+    )
+    return run_to_completion(out, output_mode="append", spark=spark)
+
+
+def _share_oracles() -> None:
+    """Streaming twins drain to the same final state as their batch forms on
+    the single-file fixtures, so they share the batch oracles (registry
+    entries are frozen dataclasses — re-register with the oracle filled)."""
+    from dataclasses import replace
+
+    for stream_name, batch_name in [
+        ("stream_q4_products_per_user_10s", "q4_products_per_user_10s"),
+        ("stream_s2_latest_event_per_user", "s2_latest_event_per_user"),
+        ("stream_q5_paid_orders", "q5_paid_orders"),
+    ]:
+        REGISTRY[stream_name] = replace(
+            REGISTRY[stream_name], oracle=REGISTRY[batch_name].oracle
+        )
+
+
+_share_oracles()

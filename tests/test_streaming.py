@@ -1,0 +1,105 @@
+"""Streaming-semantics tests (SURVEY.md §2.9): multi-micro-batch state,
+update-mode changelog emission, and watermark late-data handling — the
+behaviors the batch oracle cannot see."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+from kafka_streams_playground_spark.streaming.ktable import latest_per_key_stream
+from kafka_streams_playground_spark.streaming.replay import run_to_completion
+
+
+def _write_batches(spark, rows_per_batch, schema):
+    """Write each batch as its own parquet file so maxFilesPerTrigger=1
+    replays them as separate micro-batches in file order."""
+    d = tempfile.mkdtemp(prefix="ksp_stream_src_")
+    for i, rows in enumerate(rows_per_batch):
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            os.path.join(d, f"b{i}")
+        )
+    return [os.path.join(d, f"b{i}") for i in range(len(rows_per_batch))]
+
+
+def test_ktable_state_across_microbatches(spark):
+    """latest_per_key_stream must carry keyed state across micro-batches and
+    emit a changelog row per update (KTable semantics, KafkaStreamsApp.scala
+    :156-157 + toStream :150)."""
+    schema = "user string, val string, version int"
+    paths = _write_batches(
+        spark,
+        [
+            [("u1", "v1", 1), ("u2", "x1", 1)],
+            [("u1", "v2", 2)],  # update for u1 arrives in a later batch
+        ],
+        schema,
+    )
+    src_dir = os.path.dirname(paths[0])
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src_dir, "b*"))
+    )
+    latest = latest_per_key_stream(
+        sdf, keys=["user"], value_cols=["val"], version_col=F.col("version")
+    )
+    out = run_to_completion(latest, output_mode="update", spark=spark)
+    rows = [(r["user"], r["val"]) for r in out.collect()]
+    # changelog: u1→v1 and u2→x1 from batch 1, then the u1→v2 update
+    assert ("u1", "v2") in rows and ("u2", "x1") in rows
+    # final state per key = last emission per key
+    final = {}
+    for u, v in rows:
+        final[u] = v
+    assert final == {"u1": "v2", "u2": "x1"}
+
+
+def test_watermark_finalizes_windows_exactly_once(spark):
+    """Append-mode windowed agg: once the watermark finalizes a window it is
+    emitted exactly once, and later-arriving rows for it are dropped, not
+    re-emitted — the documented semantic delta vs the reference's 24 h grace
+    (SURVEY §7.4-3). (Spark's watermark lags one micro-batch for input
+    filtering, so the drop is only guaranteed for rows arriving after the
+    finalizing batch — hence two late batches here.)"""
+    from datetime import datetime
+
+    schema = "user string, ts timestamp"
+    paths = _write_batches(
+        spark,
+        [
+            [("u1", datetime(2024, 1, 1, 0, 0, 5))],
+            [("u1", datetime(2024, 1, 1, 2, 0, 0))],  # advances watermark far past w1
+            [("u1", datetime(2024, 1, 1, 2, 0, 1))],  # watermark now committed at ~01:50
+            [("u1", datetime(2024, 1, 1, 0, 0, 7))],  # very late → must be dropped
+        ],
+        schema,
+    )
+    src_dir = os.path.dirname(paths[0])
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("latestFirst", "false")
+        .parquet(os.path.join(src_dir, "b*"))
+        .withWatermark("ts", "10 minutes")
+    )
+    win = sdf.groupBy(F.window("ts", "10 seconds"), "user").count()
+    out = run_to_completion(win, output_mode="append", spark=spark)
+    rows = [(r["window"]["start"].isoformat(), r["count"]) for r in out.collect()]
+    first_window = [c for s, c in rows if s == "2024-01-01T00:00:00"]
+    # finalized exactly once, with only the pre-finalization row
+    assert first_window == [1]
+
+
+def test_streaming_matches_batch_q4(spark, sf_dir):
+    """End-to-end: the streaming Q4 twin drains to the batch Q4 result."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+
+    batch = {tuple(r) for r in REGISTRY["q4_products_per_user_10s"].fn(spark, sf_dir).collect()}
+    stream = {
+        tuple(r)
+        for r in REGISTRY["stream_q4_products_per_user_10s"].fn(spark, sf_dir).collect()
+    }
+    assert batch == stream
