@@ -16,6 +16,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+# Headline set: the five reference topologies + representative extension and
+# north-star operators. Quadratic baselines (dedup_ngram_jaccard,
+# dedup_simhash pair join, dedup_embedding_cosine) are deliberately excluded:
+# they exist as ground-truth checks, not as operators that survive scale-up.
 BENCH_QUERIES = [
     "q1_expensive_orders",
     "q2_order_projection",
@@ -28,6 +32,13 @@ BENCH_QUERIES = [
     "wf_top3_orders_per_customer",
     "topk_customers_by_revenue",
     "json_props_extract",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "sim_topk_bruteforce",
+    "sim_lsh_bucket_stats",
+    "text_token_stats",
+    "text_quality_score",
+    "mm_decoded_feature_checksum",
 ]
 
 
@@ -40,7 +51,6 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     names = [n for n in BENCH_QUERIES if n in REGISTRY]
-    names += sorted(n for n in REGISTRY if n not in set(BENCH_QUERIES))
 
     # Warm the JVM + parquet footers once so timings measure the plans.
     REGISTRY[names[0]].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -1,0 +1,86 @@
+"""Multimodal column handling (north star): opaque ``binary`` payloads with
+typed metadata, and Arrow-batched decode/feature-extract plumbing.
+
+The container has no image/audio libraries, so the *decode* step is a
+clearly-marked deterministic stub (``_decode_stub``); everything around it —
+schema, Arrow batch shape, ``mapInPandas`` signature, partitioning — is the
+real 100 TB plumbing: binary columns never pass through Python row-at-a-time,
+only as Arrow buffers, and feature extraction emits a narrow typed frame so
+downstream joins don't drag blob bytes through shuffles.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+FEATURE_DIM = 8
+
+FEATURES_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("n_bytes", LongType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def attach_binary_payload(docs: DataFrame) -> DataFrame:
+    """Model a multimodal table: utf-8 text bytes stand in for an encoded
+    image; metadata is a typed struct (media_type, width, height) the way a
+    real ingest would carry container-format headers. Derivations are
+    deterministic so the oracle can recompute them."""
+    return docs.select(
+        "doc_id",
+        F.encode(F.col("text"), "UTF-8").alias("content"),
+        F.struct(
+            F.lit("image/fake").alias("media_type"),
+            (F.col("n_chars") % 640 + 1).cast("int").alias("width"),
+            ((F.col("doc_id") * 37) % 480 + 1).cast("int").alias("height"),
+        ).alias("meta"),
+    )
+
+
+def _decode_stub(buf: bytes) -> list[float]:
+    """STUB decoder — stands in for PIL/ffmpeg/torchvision, which are not in
+    this container. Deterministic fake "pixel features": the first
+    FEATURE_DIM bytes scaled to [0,1]. A real deployment swaps only this
+    function; the Arrow plumbing around it is production-shaped."""
+    head = buf[:FEATURE_DIM]
+    feats = [b / 255.0 for b in head]
+    feats += [0.0] * (FEATURE_DIM - len(feats))
+    return feats
+
+
+def decode_features(mm: DataFrame) -> DataFrame:
+    """Arrow-batched decode/feature-extract over (doc_id, content, meta).
+
+    ``mapInPandas``: each Arrow batch arrives as a pandas frame; the stub
+    decoder maps the binary column to a fixed-dim float vector. Output is the
+    narrow FEATURES_SCHEMA — blob bytes stay in the scan stage and never
+    shuffle. At scale, size batches via
+    ``spark.sql.execution.arrow.maxRecordsPerBatch`` to bound decoder memory.
+    """
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pdf["content"].map(len).astype("int64"),
+                    "features": pdf["content"].map(_decode_stub),
+                }
+            )
+
+    return mm.select("doc_id", "content").mapInPandas(decode, FEATURES_SCHEMA)

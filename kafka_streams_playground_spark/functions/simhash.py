@@ -1,0 +1,68 @@
+"""SimHash fingerprinting with a dialect-parametrized SQL generator.
+
+SimHash: each token votes ±1 on 63 bit positions according to its hash; the
+fingerprint sets bit b iff the (frequency-weighted) vote sum is positive.
+Near-duplicate docs differ in few tokens → few flipped votes → small Hamming
+distance between fingerprints.
+
+The entire computation is generated as ANSI-ish SQL from ONE generator and
+executed by BOTH engines (Spark via ``spark.sql`` over a parquet table ref,
+DuckDB via the driver's views) — guaranteeing bit-for-bit oracle parity.
+The only dialect differences are the explode and split spellings and the
+bigint-xor form; everything else (md5, instr, substr, floor arithmetic) is
+shared text. Bit b of token hash = nibble ``instr(hex, md5[b/4]) - 1``
+shifted by ``b%4`` — done with FLOOR/% arithmetic because ``>>`` spelling
+differs across engines.
+
+Scale: one explode + one groupBy(doc) with 63 SUM aggregates (partial aggs
+map-side), then a self-join on fingerprint distance — the join is the
+quadratic part; at 100 TB you'd pre-bucket by fingerprint prefix exactly
+like the MinHash band trick (noted in the module's query docstring).
+"""
+
+from __future__ import annotations
+
+N_BITS = 63  # fits a signed BIGINT
+
+
+def _bit_vote(b: int) -> str:
+    """±1 vote expression for bit ``b`` of md5 hex string column ``h``."""
+    nibble = f"(instr('0123456789abcdef', substr(h, {b // 4 + 1}, 1)) - 1)"
+    bit = f"(CAST(FLOOR({nibble} / {2 ** (b % 4)}.0) AS BIGINT) % 2)"
+    return f"(2 * {bit} - 1)"
+
+
+def simhash_fingerprint_sql(table_ref: str, dialect: str) -> str:
+    """SQL producing (doc_id, fp BIGINT) — SimHash fingerprints for a
+    documents table. ``dialect`` in {'spark', 'duckdb'}."""
+    if dialect == "spark":
+        tok = f"SELECT doc_id, explode(split(text, ' ')) AS token FROM {table_ref}"
+    else:
+        tok = f"SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM {table_ref}"
+    votes = ",\n      ".join(f"SUM({_bit_vote(b)}) AS s{b}" for b in range(N_BITS))
+    fp = " + ".join(f"(CASE WHEN s{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(N_BITS))
+    return f"""
+    WITH tok AS ({tok}),
+    th AS (SELECT doc_id, md5(token) AS h FROM tok),
+    votes AS (
+      SELECT doc_id,
+      {votes}
+      FROM th GROUP BY doc_id
+    )
+    SELECT doc_id, CAST({fp} AS BIGINT) AS fp FROM votes
+    """
+
+
+def simhash_pairs_sql(table_ref: str, dialect: str, max_hamming: int = 8) -> str:
+    """SQL producing near-dup pairs (doc_a, doc_b, hamming) with fingerprint
+    Hamming distance ≤ ``max_hamming``."""
+    fp_sql = simhash_fingerprint_sql(table_ref, dialect)
+    ham = (
+        "bit_count(a.fp ^ b.fp)" if dialect == "spark" else "bit_count(xor(a.fp, b.fp))"
+    )
+    return f"""
+    WITH fps AS ({fp_sql})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST({ham} AS BIGINT) AS hamming
+    FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+    WHERE {ham} <= {max_hamming}
+    """

@@ -8,5 +8,9 @@ from kafka_streams_playground_spark.plans.registry import REGISTRY, QuerySpec, q
 from kafka_streams_playground_spark.plans import topologies  # noqa: F401
 from kafka_streams_playground_spark.plans import relational  # noqa: F401
 from kafka_streams_playground_spark.streaming import queries as _streaming_queries  # noqa: F401
+from kafka_streams_playground_spark.plans import northstar_dedup  # noqa: F401
+from kafka_streams_playground_spark.plans import northstar_similarity  # noqa: F401
+from kafka_streams_playground_spark.plans import northstar_text  # noqa: F401
+from kafka_streams_playground_spark.plans import northstar_multimodal  # noqa: F401
 
 __all__ = ["REGISTRY", "QuerySpec", "query"]

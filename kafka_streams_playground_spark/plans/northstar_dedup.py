@@ -1,0 +1,221 @@
+"""Deduplication operators over the ``documents`` table (north star).
+
+Five dedup families, each a registered query with a DuckDB oracle:
+
+* exact — hash-groupBy (the 100 TB workhorse: one shuffle on a 16-byte key)
+* MinHash + LSH — shingle → signature → band → bucket-join: the *scale path*
+  for near-dup at 100 TB (candidates ∝ collisions, not N²)
+* n-gram Jaccard — the quadratic baseline the LSH path is checked against
+* SimHash — bit-fingerprint + Hamming ball
+* embedding cosine — near-dup in vector space
+
+The fixtures contain planted near-dup pairs (3-gram shingle Jaccard ≈ 0.99
+probed at sf0.01), so thresholds below select real structure, not noise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_streams_playground_spark.functions import text as T
+from kafka_streams_playground_spark.functions.simhash import simhash_pairs_sql
+from kafka_streams_playground_spark.plans.registry import query
+from kafka_streams_playground_spark.sources.parquet import load_table
+
+JACCARD_THRESHOLD = 0.8
+MINHASH_K = 16
+ROWS_PER_BAND = 4
+# embeddings have no planted near-dups (max pairwise cosine ≈ 0.51 at
+# sf0.01), so the "near-dup" cut sits just under that to stay non-trivial.
+COSINE_DUP_THRESHOLD = 0.45
+
+
+@query(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+    tags=("northstar", "dedup"),
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup: group by content hash, keep the smallest doc_id as the
+    canonical representative. At 100 TB: hashing happens map-side in the
+    scan, the shuffle carries (16-byte hash, id) pairs only — this is the
+    cheapest possible full-corpus dedup and the first pass of any pipeline."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies"))
+    )
+
+
+def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return docs.select("doc_id", T.shingles(T.tokens("text")).alias("sh"))
+
+
+_MINHASH_ORACLE = f"""
+    WITH {T.duck_shingles_cte()},
+    sig AS (
+      SELECT doc_id, sh,
+        {T.duck_minhash_select(MINHASH_K)}
+      FROM sh
+    ),
+    bands AS (
+      SELECT doc_id, sh,
+        {T.duck_band_select(MINHASH_K, ROWS_PER_BAND)}
+      FROM sig
+    ),
+    pairs AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sha, b.sh AS shb
+      FROM bands a JOIN bands b ON a.doc_id < b.doc_id
+        AND ({" OR ".join(f"a.b{j} = b.b{j}" for j in range(MINHASH_K // ROWS_PER_BAND))})
+    )
+    SELECT doc_a, doc_b,
+      ROUND(len(list_intersect(sha, shb)) * 1.0
+            / (len(sha) + len(shb) - len(list_intersect(sha, shb))), 4) AS jaccard
+    FROM pairs
+    WHERE len(list_intersect(sha, shb)) * 1.0
+          / (len(sha) + len(shb) - len(list_intersect(sha, shb))) >= {JACCARD_THRESHOLD}
+"""
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE, tags=("northstar", "dedup", "bench"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup: shingle → 16-hash MinHash signature → 4 bands of
+    4 → band-bucket join for candidates → exact-Jaccard verification.
+
+    Scale shape (the whole point vs the quadratic baseline): candidates come
+    from ``groupBy(band, bucket)`` collisions, so compare cost tracks the
+    number of *colliding* pairs. The band explode is 4 rows/doc; the bucket
+    join shuffles on (band_idx, bucket-hash) — at 100 TB add a bucket-size
+    cap to guard degenerate buckets (constant-content corpora).
+
+    All hashing is md5 (cross-engine deterministic, functions/text.py); the
+    oracle recomputes signatures bit-for-bit in DuckDB."""
+    sh = _shingled(spark, sf_dir)
+    sig = sh.select("doc_id", "sh", *[
+        c.alias(f"h{i}") for i, c in enumerate(T.minhash_signature(F.col("sh"), MINHASH_K))
+    ])
+    bands = sig.select(
+        "doc_id",
+        "sh",
+        F.posexplode(F.array(*T.band_hashes("h", MINHASH_K, ROWS_PER_BAND))).alias(
+            "band_idx", "bucket"
+        ),
+    )
+    left = bands.alias("a")
+    right = bands.alias("b")
+    cand = (
+        left.join(
+            right,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.sh").alias("sha"),
+            F.col("b.sh").alias("shb"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    jac = T.jaccard(F.col("sha"), F.col("shb"))
+    return (
+        cand.filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+_NGRAM_ORACLE = f"""
+    WITH {T.duck_shingles_cte()}
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      ROUND(len(list_intersect(a.sh, b.sh)) * 1.0
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= {JACCARD_THRESHOLD}
+"""
+
+
+@query("dedup_ngram_jaccard", oracle=_NGRAM_ORACLE, tags=("northstar", "dedup", "quadratic"))
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quadratic all-pairs n-gram Jaccard — the ground-truth baseline that
+    validates the LSH path's recall (their outputs are compared in tests).
+    Deliberately NOT in the bench headline set: O(N²) does not survive a
+    100× scale-up; it exists to measure what LSH trades away (nothing, at
+    threshold 0.8 with these band parameters)."""
+    sh = _shingled(spark, sf_dir)
+    a, b = sh.alias("a"), sh.alias("b")
+    pairs = a.join(b, F.col("a.doc_id") < F.col("b.doc_id")).select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("b.doc_id").alias("doc_b"),
+        F.col("a.sh").alias("sha"),
+        F.col("b.sh").alias("shb"),
+    )
+    jac = T.jaccard(F.col("sha"), F.col("shb"))
+    return (
+        pairs.filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+@query(
+    "dedup_simhash",
+    oracle=simhash_pairs_sql("documents", "duckdb"),
+    tags=("northstar", "dedup"),
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 63-bit frequency-weighted fingerprints, pairs within
+    Hamming distance 8. Spark and DuckDB run SQL from the SAME generator
+    (functions/simhash.py) so the fingerprints match bit-for-bit. At 100 TB
+    the pair join is pre-bucketed by fingerprint prefix (same banding idea as
+    MinHash-LSH); here the corpus is small enough to join directly."""
+    path = f"{sf_dir}/documents.parquet"
+    return spark.sql(simhash_pairs_sql(f"parquet.`{path}`", "spark"))
+
+
+@query(
+    "dedup_embedding_cosine",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           ROUND(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 4) AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {COSINE_DUP_THRESHOLD}
+    """,
+    tags=("northstar", "dedup", "embedding"),
+)
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs. Dot products via ``zip_with`` +
+    ``aggregate`` in **double** (cast before multiply — both engines then do
+    the identical sequential fold, so doubles agree bit-for-bit with the
+    oracle). Norms computed once per vector before the pair join — O(N·d) not
+    O(N²·d); the join itself is the quadratic part, which the LSH-bucketed
+    ANN variant (northstar_similarity) replaces at scale."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+
+    def dot(a, b):
+        return F.aggregate(
+            F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+        )
+
+    n = emb.select("vec_id", "v", F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"))
+    a, b = n.alias("a"), n.alias("b")
+    cos = dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .filter(cos >= COSINE_DUP_THRESHOLD)
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            F.round(cos, 4).alias("cosine"),
+        )
+    )

@@ -1,0 +1,114 @@
+"""Multimodal-column queries (north star): binary payloads + typed metadata,
+stub decode via Arrow-batched mapInPandas, frame sampling.
+
+The stub decoder reads the first bytes of the payload; since the payload is
+the utf-8 encoding of ``text``, the oracle recomputes the identical features
+from ``ascii(substr(text, i, 1))`` — the Python path is cross-checked by SQL.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_streams_playground_spark.functions.multimodal import (
+    FEATURE_DIM,
+    attach_binary_payload,
+    decode_features,
+)
+from kafka_streams_playground_spark.plans.registry import query
+from kafka_streams_playground_spark.sources.parquet import load_table
+
+FRAME_STRIDE = 4
+CHARS_PER_FRAME = 16
+
+
+@query(
+    "mm_image_metadata",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           CAST(n_chars % 640 + 1 AS INT) AS width,
+           CAST((doc_id * 37) % 480 + 1 AS INT) AS height,
+           ROUND((n_chars % 640 + 1) * 1.0 / ((doc_id * 37) % 480 + 1), 4)
+               AS aspect_ratio
+    FROM documents
+    """,
+    tags=("northstar", "multimodal"),
+)
+def mm_image_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata pass over a multimodal table: blob size + header-style
+    fields, no decode. Column pruning keeps the blob out of this scan
+    entirely at the parquet level when metadata is a separate column — the
+    reason metadata travels as a typed struct, not inside the payload."""
+    mm = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return mm.select(
+        "doc_id",
+        F.octet_length("content").cast("bigint").alias("n_bytes"),
+        F.col("meta.width").alias("width"),
+        F.col("meta.height").alias("height"),
+        F.round(F.col("meta.width") / F.col("meta.height"), 4).alias("aspect_ratio"),
+    )
+
+
+_FEATSUM_SQL = " + ".join(
+    f"(ascii(substr(text, {i + 1}, 1)) / 255.0)" for i in range(FEATURE_DIM)
+)
+
+
+@query(
+    "mm_decoded_feature_checksum",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           ROUND({_FEATSUM_SQL}, 4) AS feat_sum
+    FROM documents
+    """,
+    tags=("northstar", "multimodal"),
+)
+def mm_decoded_feature_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drives the Arrow-batched ``mapInPandas`` decode path end-to-end and
+    reduces the feature vector to a checksum the SQL oracle can recompute
+    (stub decode = first bytes / 255; text is ASCII so bytes == codepoints).
+    Floats are summed in doc order in both engines → doubles agree."""
+    mm = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    feats = decode_features(mm)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.round(
+            F.aggregate(
+                "features", F.lit(0.0), lambda acc, x: acc + x.cast("double")
+            ),
+            4,
+        ).alias("feat_sum"),
+    )
+
+
+@query(
+    "mm_frame_sample",
+    oracle=f"""
+    WITH v AS (
+      SELECT doc_id, CAST(n_chars // {CHARS_PER_FRAME} AS BIGINT) AS n_frames
+      FROM documents
+    )
+    SELECT doc_id, CAST(unnest(range(0, n_frames, {FRAME_STRIDE})) AS BIGINT) AS frame_idx
+    FROM v WHERE n_frames > 0
+    """,
+    tags=("northstar", "multimodal"),
+)
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling for video-shaped payloads: every FRAME_STRIDE-th frame
+    index, one output row per sampled frame (the explode pattern that feeds
+    per-frame decode). Frame count is derived deterministically from payload
+    size; real containers read it from the header struct."""
+    docs = load_table(spark, sf_dir, "documents")
+    v = docs.select(
+        "doc_id", (F.col("n_chars") / CHARS_PER_FRAME).cast("bigint").alias("n_frames")
+    ).filter(F.col("n_frames") > 0)
+    return v.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), F.col("n_frames") - 1, F.lit(FRAME_STRIDE))
+        ).alias("frame_idx"),
+    )

@@ -1,0 +1,200 @@
+"""Similarity search over the ``embeddings`` table (north star).
+
+Two paths, both registered with oracles:
+
+* brute-force cosine top-k — the exact baseline; O(Q·N·d) with all math in
+  Catalyst array expressions (zip_with/aggregate in double so the oracle's
+  sequential fold agrees bit-for-bit);
+* random-hyperplane LSH buckets + bucketed ANN top-k — the scale path:
+  candidates share a 16-bit hyperplane sign bucket, so compare cost tracks
+  bucket occupancy, not N. Hyperplane weights are integer-arithmetic
+  pseudo-randoms (Knuth multiplicative hash), so both engines derive the
+  exact same planes with no float or RNG portability hazards.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_streams_playground_spark.plans.registry import query
+from kafka_streams_playground_spark.sources.parquet import load_table
+
+TOP_K = 10
+N_QUERIES = 5  # vec_id < 5 play the query set
+N_PLANES = 16
+DIM = 64
+KNUTH = 2654435761  # 2^32 / golden ratio; classic multiplicative hash
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    return emb.select("vec_id", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"))
+
+
+@query(
+    "sim_topk_bruteforce",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+      FROM n q JOIN n c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+    """,
+    tags=("northstar", "similarity", "bench"),
+)
+def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k: queries (vec_id < 5) × all candidates, ranked per
+    query. Ranking orders by ROUNDED cosine with neighbor_id tiebreak in both
+    engines, so rank boundaries are deterministic cross-engine. Scale shape:
+    the query set broadcasts (Q ≪ N); candidates never shuffle — each
+    partition scores its vectors and TakeOrdered merges k·Q rows."""
+    n = _vectors(spark, sf_dir)
+    q = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    c = n.select(F.col("vec_id").alias("neighbor_id"), "v", "nrm")
+    scored = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6).alias(
+                "cosine"
+            ),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+def _plane_weight_sql(p: int, d: int) -> str:
+    """Integer pseudo-random hyperplane weight, portable SQL: centered
+    Knuth-hash of the (plane, dim) index."""
+    return f"(({p * DIM + d} * {KNUTH}) % 2147483648 - 1073741824)"
+
+
+def _bucket_expr_spark() -> Column:
+    """16-bit sign bucket of v against the integer hyperplanes (column v)."""
+    total = F.lit(0).cast("long")
+    for p in range(N_PLANES):
+        proj = F.aggregate(
+            F.zip_with(
+                F.col("v"),
+                F.array(*[F.expr(f"CAST({_plane_weight_sql(p, d)} AS DOUBLE)") for d in range(DIM)]),
+                lambda x, w: x * w,
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        total = total + F.when(proj >= 0, F.lit(2**p)).otherwise(F.lit(0))
+    return total
+
+
+def _bucket_sql_duck() -> str:
+    terms = []
+    for p in range(N_PLANES):
+        weights = ", ".join(f"CAST({_plane_weight_sql(p, d)} AS DOUBLE)" for d in range(DIM))
+        terms.append(
+            f"(CASE WHEN list_dot_product(v, [{weights}]) >= 0 THEN {2**p} ELSE 0 END)"
+        )
+    return " + ".join(terms)
+
+
+@query(
+    "sim_lsh_bucket_stats",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    b AS (SELECT vec_id, CAST({'{bucket}'} AS BIGINT) AS bucket FROM e)
+    SELECT bucket, COUNT(*) AS n_vectors, MIN(vec_id) AS min_vec_id
+    FROM b GROUP BY bucket
+    """.replace("{bucket}", _bucket_sql_duck()),
+    tags=("northstar", "similarity"),
+)
+def sim_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH bucketing: every vector lands in a 16-bit sign
+    bucket; this query materializes bucket occupancy (the index build +
+    health check of the ANN scale path). One narrow map + one groupBy on the
+    bucket id — at 100 TB this is the partitioning key for the ANN index."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    b = emb.select("vec_id", _bucket_expr_spark().alias("bucket"))
+    return b.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("n_vectors"), F.min("vec_id").alias("min_vec_id")
+    )
+
+
+@query(
+    "sim_ann_lsh_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+                 CAST({'{bucket}'} AS BIGINT) AS bucket FROM e),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+      FROM n q JOIN n c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+    """.replace("{bucket}", _bucket_sql_duck()),
+    tags=("northstar", "similarity"),
+)
+def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k: candidates restricted to the query's LSH bucket,
+    then exact cosine rank within the bucket. The equi-join on ``bucket``
+    replaces the brute-force cross join — at 100 TB this is a co-partitioned
+    shuffle on bucket id (widen recall with multi-probe: also join the
+    Hamming-1 neighbor buckets; single-probe here keeps the oracle simple)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    n = emb.select(
+        "vec_id", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"),
+        _bucket_expr_spark().alias("bucket"),
+    )
+    q = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("bucket").alias("qb"),
+    )
+    c = n.select(F.col("vec_id").alias("neighbor_id"), "v", "nrm", "bucket")
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("qb")) & (F.col("neighbor_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

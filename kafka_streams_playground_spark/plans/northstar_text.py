@@ -1,0 +1,181 @@
+"""Text-analysis operators over the ``documents`` table (north star):
+language-ID heuristic, quality scoring, token counting, fingerprinting.
+All pure Catalyst expressions — no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_streams_playground_spark.functions import text as T
+from kafka_streams_playground_spark.plans.registry import query
+from kafka_streams_playground_spark.sources.parquet import load_table
+
+# Tiny fixed stopword list for ratio features (order irrelevant; both engines
+# use the same literal array).
+STOPWORDS = ("the", "a", "of", "and", "to", "in")
+# BPE-ish pre-tokenizer: letter runs, digit runs, or single non-space symbol —
+# the shape GPT-style byte-pair pre-splitting produces on ASCII text.
+BPE_RE = "[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+@query(
+    "text_token_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, text FROM documents)
+    SELECT doc_id,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks)) AS n_distinct,
+           CAST(len(regexp_extract_all(text, '{BPE_RE}')) AS BIGINT) AS n_bpe_pieces,
+           ROUND(length(replace(text, ' ', '')) * 1.0 / len(toks), 4) AS avg_token_len
+    FROM t
+    """,
+    tags=("northstar", "text", "bench"),
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace tokens, distinct tokens, BPE-ish regex
+    pieces, mean token length. One narrow projection over the scan — the
+    per-document feature pass every corpus pipeline starts with."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_RE), F.lit(0))).cast("bigint").alias(
+            "n_bpe_pieces"
+        ),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / F.size(toks), 4
+        ).alias("avg_token_len"),
+    )
+
+
+_STOP_SQL = ", ".join(f"'{s}'" for s in STOPWORDS)
+
+
+@query(
+    "text_quality_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks FROM documents),
+    f AS (
+      SELECT doc_id, n_chars,
+             len(toks) AS n_tokens,
+             len(list_distinct(toks)) * 1.0 / len(toks) AS ttr,
+             len([x for x in toks if list_contains([{_STOP_SQL}], x)]) * 1.0
+                 / len(toks) AS stop_ratio
+      FROM t
+    )
+    SELECT doc_id,
+           ROUND(ttr, 4) AS type_token_ratio,
+           ROUND(stop_ratio, 4) AS stopword_ratio,
+           ROUND(0.5 * ttr + 0.3 * stop_ratio
+                 + 0.2 * LEAST(n_tokens / 256.0, 1.0), 4) AS quality_score
+    FROM f
+    """,
+    tags=("northstar", "text"),
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: type-token ratio, stopword ratio, length saturation,
+    combined into one [0,1] score (the classic cheap-filter stage before
+    expensive model-based scoring). Same literal arithmetic in both engines
+    so doubles agree bit-for-bit."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    base = docs.select(
+        "doc_id",
+        "n_chars",
+        F.size(toks).alias("n_tokens"),
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("ttr"),
+        (F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))) / F.size(toks)).alias(
+            "stop_ratio"
+        ),
+    )
+    return base.select(
+        "doc_id",
+        F.round("ttr", 4).alias("type_token_ratio"),
+        F.round("stop_ratio", 4).alias("stopword_ratio"),
+        F.round(
+            0.5 * F.col("ttr")
+            + 0.3 * F.col("stop_ratio")
+            + 0.2 * F.least(F.col("n_tokens") / 256.0, F.lit(1.0)),
+            4,
+        ).alias("quality_score"),
+    )
+
+
+@query(
+    "text_langid",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+    f AS (
+      SELECT doc_id, lang,
+             len([x for x in toks if list_contains([{_STOP_SQL}], x)]) * 1.0
+                 / len(toks) AS stop_ratio,
+             CAST(regexp_matches(array_to_string(toks, ' '),
+                                 '[\\x{{4e00}}-\\x{{9fff}}]') AS INT) AS has_cjk
+      FROM t
+    )
+    SELECT doc_id, lang AS lang_label,
+           CASE WHEN has_cjk = 1 THEN 'zh'
+                WHEN stop_ratio >= 0.05 THEN 'en'
+                ELSE 'und' END AS lang_pred
+    FROM f
+    """,
+    tags=("northstar", "text"),
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID heuristic: CJK codepoint presence → zh, else
+    English-stopword density → en, else undetermined. (The synthetic corpus
+    shares one ASCII vocabulary across its ``lang`` labels, so the heuristic
+    mostly answers en/und — the *operator* is the deliverable: the same
+    n-gram/codepoint scoring extends to real profiles. Unit tests exercise
+    real multilingual strings.) Returns the label column too so downstream
+    can compute agreement."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = T.tokens("text")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    stop_ratio = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))) / F.size(toks)
+    has_cjk = F.col("text").rlike("[\\x{4e00}-\\x{9fff}]")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        F.when(has_cjk, "zh")
+        .when(stop_ratio >= 0.05, "en")
+        .otherwise("und")
+        .alias("lang_pred"),
+    )
+
+
+@query(
+    "text_fingerprint",
+    oracle=f"""
+    WITH {T.duck_shingles_cte()},
+    sig AS (
+      SELECT doc_id,
+        {T.duck_minhash_select(8)}
+      FROM sh
+    )
+    SELECT doc_id,
+           md5(concat_ws('|', h0, h1, h2, h3, h4, h5, h6, h7)) AS fingerprint
+    FROM sig
+    """,
+    tags=("northstar", "text"),
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: md5 over an 8-component MinHash signature — a
+    compact content id that is stable under token reordering-free edits
+    (near-dup docs share signature components, exact dups share the whole
+    fingerprint). The rolling-hash family lives in functions/text.py."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sh = docs.select("doc_id", T.shingles(T.tokens("text")).alias("sh"))
+    sig = sh.select(
+        "doc_id",
+        *[c.alias(f"h{i}") for i, c in enumerate(T.minhash_signature(F.col("sh"), 8))],
+    )
+    return sig.select(
+        "doc_id",
+        F.md5(F.concat_ws("|", *[F.col(f"h{i}") for i in range(8)])).alias("fingerprint"),
+    )

@@ -1,0 +1,132 @@
+"""Unit tests for the north-star operators: known-value hashing, LSH recall
+vs the quadratic ground truth, multilingual langid, multimodal plumbing."""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import functions as F
+
+from kafka_streams_playground_spark.functions import text as T
+from kafka_streams_playground_spark.functions.multimodal import (
+    FEATURE_DIM,
+    attach_binary_payload,
+    decode_features,
+)
+
+
+def _md5(s: str) -> str:
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def test_minhash_known_values(spark):
+    """Signature components must equal a pure-Python recomputation — guards
+    the transform-lambda index trap (a second lambda arg is the array index)."""
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id int, text string")
+    sh = df.select("doc_id", T.shingles(T.tokens("text")).alias("sh"))
+    row = sh.select(
+        "sh", *[c.alias(f"h{i}") for i, c in enumerate(T.minhash_signature(F.col("sh"), 3))]
+    ).collect()[0]
+    assert sorted(row["sh"]) == ["a b c", "b c d"]
+    for i in range(3):
+        expected = min(_md5(f"{i}|a b c"), _md5(f"{i}|b c d"))
+        assert row[f"h{i}"] == expected, f"component {i}"
+
+
+def test_short_doc_shingle_fallback(spark):
+    df = spark.createDataFrame([(1, "a b")], "doc_id int, text string")
+    row = df.select(T.shingles(T.tokens("text")).alias("sh")).collect()[0]
+    assert row["sh"] == ["a b"]
+
+
+def test_lsh_recall_equals_quadratic(spark, sf_dir):
+    """MinHash-LSH must find the same ≥0.8-jaccard pairs as the exhaustive
+    baseline on the fixtures (planted near-dups make this non-vacuous)."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+
+    lsh = {
+        (r["doc_a"], r["doc_b"]) for r in REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir).collect()
+    }
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in REGISTRY["dedup_ngram_jaccard"].fn(spark, sf_dir).collect()
+    }
+    assert exact, "fixtures should contain planted near-dup pairs"
+    assert lsh == exact
+
+
+def test_simhash_identical_and_near(spark):
+    from kafka_streams_playground_spark.functions.simhash import simhash_fingerprint_sql
+
+    df = spark.createDataFrame(
+        [
+            (1, "w1 w2 w3 w4 w5 w6 w7 w8"),
+            (2, "w1 w2 w3 w4 w5 w6 w7 w8"),   # identical → hamming 0
+            (3, "w1 w2 w3 w4 w5 w6 w7 zzz"),  # one token swapped → small
+        ],
+        "doc_id long, text string",
+    )
+    df.createOrReplaceTempView("sim_docs")
+    fps = {
+        r["doc_id"]: r["fp"]
+        for r in spark.sql(simhash_fingerprint_sql("sim_docs", "spark")).collect()
+    }
+    assert fps[1] == fps[2]
+    ham = bin(fps[1] ^ fps[3]).count("1")
+    assert 0 < ham <= 20
+
+
+def test_langid_multilingual(spark, sf_dir):
+    """The heuristic must work on real multilingual content, not only the
+    synthetic soup: CJK → zh, English stopwords → en."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+
+    df = spark.createDataFrame(
+        [
+            (1, "the cat sat on the mat and looked at the dog", "en"),
+            (2, "你好世界 数据 处理", "zh"),
+            (3, "xyzzy plugh qwerty", "??"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    import tempfile, os
+
+    d = tempfile.mkdtemp()
+    df.write.parquet(os.path.join(d, "documents.parquet"))
+    out = {
+        r["doc_id"]: r["lang_pred"] for r in REGISTRY["text_langid"].fn(spark, d).collect()
+    }
+    assert out == {1: "en", 2: "zh", 3: "und"}
+
+
+def test_multimodal_decode_plumbing(spark):
+    docs = spark.createDataFrame(
+        [(7, "AB", 2), (8, "", 0)], "doc_id long, text string, n_chars long"
+    )
+    mm = attach_binary_payload(docs)
+    feats = {r["doc_id"]: r for r in decode_features(mm).collect()}
+    assert feats[7]["n_bytes"] == 2
+    got = feats[7]["features"]
+    assert len(got) == FEATURE_DIM
+    assert abs(got[0] - ord("A") / 255.0) < 1e-6
+    assert abs(got[1] - ord("B") / 255.0) < 1e-6
+    assert got[2:] == [0.0] * (FEATURE_DIM - 2)
+    # empty payload → all-zero features, not a crash
+    assert feats[8]["features"] == [0.0] * FEATURE_DIM
+
+
+def test_ann_subset_of_bruteforce(spark, sf_dir):
+    """Single-probe LSH ANN results must be a subset of the exact top-k
+    candidate scores (per query, every returned neighbor appears in the
+    brute-force scored set with the same cosine)."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+
+    bf = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in REGISTRY["sim_topk_bruteforce"].fn(spark, sf_dir).collect()
+    }
+    ann = REGISTRY["sim_ann_lsh_topk"].fn(spark, sf_dir).collect()
+    for r in ann:
+        key = (r["query_id"], r["neighbor_id"])
+        if key in bf:  # ANN hit that also made exact top-k: cosine must agree
+            assert abs(bf[key] - r["cosine"]) < 1e-9
