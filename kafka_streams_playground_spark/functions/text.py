@@ -2,21 +2,34 @@
 
 Design constraint: every hash must be **cross-engine deterministic** so the
 DuckDB oracle can recompute it bit-for-bit. Engine-native hashes differ
-(Spark murmur3 vs DuckDB's), so all hashing here goes through ``md5`` —
-identical lowercase-hex output in both engines — and MinHash minimizes the
-*hex string* (lexicographic min of uniformly-distributed hashes is a valid
-min-wise permutation; k independent permutations come from prefixing the
-hash input with the function index).
+(Spark murmur3 vs DuckDB's), so base hashing goes through ``md5`` —
+identical lowercase-hex output in both engines. Each shingle is md5'd
+exactly ONCE into a 32-bit integer; the k MinHash permutations are then
+cheap integer affine maps ``(a_i·h + b_i) mod P`` (P = 2^61−1, products
+bounded below 2^63 so plain BIGINT arithmetic agrees in both engines).
+This is ~k× cheaper than k independent md5 passes and is the classic
+universal-hash MinHash construction.
 
 Scale notes: everything is a Catalyst array expression — no UDFs, no
-shuffles until the explicit band/group stage; per-row cost is O(tokens × k)
-inside whole-stage codegen.
+shuffles until the explicit band/group stage; per-row cost is
+O(tokens) md5 + O(tokens × k) integer ops inside whole-stage codegen.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column
 from pyspark.sql import functions as F
+
+MERSENNE_P = (1 << 61) - 1  # prime modulus; a·h+b < 2^62 fits BIGINT
+
+
+def _affine_params(i: int) -> tuple[int, int]:
+    """Deterministic per-function odd multiplier a < 2^30 and offset b —
+    derived from the Knuth multiplicative constant so Spark and DuckDB SQL
+    are generated from the same literals."""
+    a = ((2 * i + 1) * 2654435761) % (1 << 30) | 1
+    b = (i * 40503 + 12345) % (1 << 30)
+    return a, b
 
 
 def tokens(col: Column | str) -> Column:
@@ -42,11 +55,21 @@ def shingles(tokens_col: Column, n: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingles_col: Column, k: int = 16) -> list[Column]:
-    """k-function MinHash signature over a shingle set.
+def shingle_hashes(shingles_col: Column) -> Column:
+    """One 32-bit integer hash per shingle: the first 8 hex digits of its
+    md5, as BIGINT. The single md5 pass all MinHash permutations reuse."""
+    return F.transform(
+        shingles_col,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+    )
 
-    ``sig_i = min_{s in shingles} md5(i || '|' || s)`` — a min-wise hash per
-    prefixed family member. Returns k Columns (caller aliases them h0..h{k-1}).
+
+def minhash_signature(hashes_col: Column, k: int = 16) -> list[Column]:
+    """k-function MinHash signature over pre-hashed shingles
+    (:func:`shingle_hashes` output).
+
+    ``sig_i = min_h (a_i·h + b_i) mod P`` — universal-hash permutations over
+    the 32-bit base hash. Returns k BIGINT Columns (caller aliases h0..h{k-1}).
 
     NB: the per-``i`` closure must be built by a helper, not a two-parameter
     lambda — ``F.transform`` treats a second lambda parameter as the array
@@ -54,21 +77,25 @@ def minhash_signature(shingles_col: Column, k: int = 16) -> list[Column]:
     """
 
     def _component(i: int):
-        prefix = F.lit(f"{i}|")
-        return F.array_min(F.transform(shingles_col, lambda s: F.md5(F.concat(prefix, s))))
+        a, b = _affine_params(i)
+        return F.array_min(
+            F.transform(hashes_col, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MERSENNE_P))
+        )
 
     return [_component(i) for i in range(k)]
 
 
 def band_hashes(sig_prefix: str, k: int = 16, rows_per_band: int = 4) -> list[Column]:
-    """LSH banding: hash each band of ``rows_per_band`` signature components
-    (columns ``{sig_prefix}{i}``) to one bucket id. b = k/r bands; two docs
-    collide iff some band agrees — the classic S-curve selectivity."""
+    """LSH banding: concatenate each band of ``rows_per_band`` signature
+    components (columns ``{sig_prefix}{i}``) to one bucket id. Plain
+    ``'|'``-joined decimal strings — grouping only needs equality, so no
+    extra hash pass. b = k/r bands; two docs collide iff some band agrees —
+    the classic S-curve selectivity."""
     assert k % rows_per_band == 0
     out = []
     for j in range(k // rows_per_band):
         cols = [F.col(f"{sig_prefix}{j * rows_per_band + t}") for t in range(rows_per_band)]
-        out.append(F.md5(F.concat_ws("|", *cols)))
+        out.append(F.concat_ws("|", *cols))
     return out
 
 
@@ -100,12 +127,20 @@ def duck_shingles_cte(table: str = "documents", n: int = 3) -> str:
     )"""
 
 
+def duck_shingle_hashes() -> str:
+    """DuckDB expression for ``hs`` — the twin of :func:`shingle_hashes`
+    (applies to a CTE exposing ``sh``)."""
+    return "[(('0x' || substr(md5(s), 1, 8)))::BIGINT for s in sh]"
+
+
 def duck_minhash_select(k: int = 16) -> str:
     """DuckDB select-list items h0..h{k-1} — the twin of
-    :func:`minhash_signature` (applies to a CTE exposing ``sh``)."""
-    return ",\n        ".join(
-        f"list_min([md5(concat('{i}|', s)) for s in sh]) AS h{i}" for i in range(k)
-    )
+    :func:`minhash_signature` (applies to a CTE exposing ``hs``)."""
+    items = []
+    for i in range(k):
+        a, b = _affine_params(i)
+        items.append(f"list_min([({a} * h + {b}) % {MERSENNE_P} for h in hs]) AS h{i}")
+    return ",\n        ".join(items)
 
 
 def duck_band_select(k: int = 16, rows_per_band: int = 4) -> str:
@@ -113,5 +148,5 @@ def duck_band_select(k: int = 16, rows_per_band: int = 4) -> str:
     items = []
     for j in range(k // rows_per_band):
         cols = ", ".join(f"h{j * rows_per_band + t}" for t in range(rows_per_band))
-        items.append(f"md5(concat_ws('|', {cols})) AS b{j}")
+        items.append(f"concat_ws('|', {cols}) AS b{j}")
     return ",\n        ".join(items)

@@ -59,27 +59,30 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _MINHASH_ORACLE = f"""
     WITH {T.duck_shingles_cte()},
+    hv AS (
+      SELECT doc_id, list_distinct({T.duck_shingle_hashes()}) AS hs FROM sh
+    ),
     sig AS (
-      SELECT doc_id, sh,
+      SELECT doc_id,
         {T.duck_minhash_select(MINHASH_K)}
-      FROM sh
+      FROM hv
     ),
     bands AS (
-      SELECT doc_id, sh,
+      SELECT doc_id,
         {T.duck_band_select(MINHASH_K, ROWS_PER_BAND)}
       FROM sig
     ),
     pairs AS (
-      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sha, b.sh AS shb
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b ON a.doc_id < b.doc_id
         AND ({" OR ".join(f"a.b{j} = b.b{j}" for j in range(MINHASH_K // ROWS_PER_BAND))})
     )
     SELECT doc_a, doc_b,
-      ROUND(len(list_intersect(sha, shb)) * 1.0
-            / (len(sha) + len(shb) - len(list_intersect(sha, shb))), 4) AS jaccard
-    FROM pairs
-    WHERE len(list_intersect(sha, shb)) * 1.0
-          / (len(sha) + len(shb) - len(list_intersect(sha, shb))) >= {JACCARD_THRESHOLD}
+      ROUND(len(list_intersect(a.hs, b.hs)) * 1.0
+            / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))), 4) AS jaccard
+    FROM pairs JOIN hv a ON doc_a = a.doc_id JOIN hv b ON doc_b = b.doc_id
+    WHERE len(list_intersect(a.hs, b.hs)) * 1.0
+          / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) >= {JACCARD_THRESHOLD}
 """
 
 
@@ -90,41 +93,52 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape (the whole point vs the quadratic baseline): candidates come
     from ``groupBy(band, bucket)`` collisions, so compare cost tracks the
-    number of *colliding* pairs. The band explode is 4 rows/doc; the bucket
-    join shuffles on (band_idx, bucket-hash) — at 100 TB add a bucket-size
-    cap to guard degenerate buckets (constant-content corpora).
+    number of *colliding* pairs. Four deliberate choices for 100 TB:
 
-    All hashing is md5 (cross-engine deterministic, functions/text.py); the
-    oracle recomputes signatures bit-for-bit in DuckDB."""
+    * each shingle is md5'd ONCE into a 32-bit int; the k permutations are
+      integer affine maps (functions/text.py) — hashing cost is O(tokens),
+      not O(tokens × k);
+    * the hashed-shingle index (doc_id, hs) is **persisted** — it is the
+      MinHash index a production pipeline would build once and reuse; every
+      downstream branch (signatures, both verification sides) reads it
+      instead of re-scanning + re-hashing the corpus;
+    * the band self-join carries only (doc_id, band_idx, bucket) — the
+      shingle arrays never ride the candidate shuffle; they are joined back
+      for exactly the (few) surviving candidate pairs;
+    * verification Jaccard runs over the int arrays (array_intersect on
+      longs), not the shingle strings — same set semantics, ~10× less data.
+
+    The oracle recomputes signatures bit-for-bit in DuckDB (same literals,
+    same BIGINT arithmetic)."""
     sh = _shingled(spark, sf_dir)
-    sig = sh.select("doc_id", "sh", *[
-        c.alias(f"h{i}") for i, c in enumerate(T.minhash_signature(F.col("sh"), MINHASH_K))
+    hv = sh.select(
+        "doc_id", F.array_distinct(T.shingle_hashes(F.col("sh"))).alias("hs")
+    ).persist()
+    sig = hv.select("doc_id", *[
+        c.alias(f"h{i}") for i, c in enumerate(T.minhash_signature(F.col("hs"), MINHASH_K))
     ])
     bands = sig.select(
         "doc_id",
-        "sh",
         F.posexplode(F.array(*T.band_hashes("h", MINHASH_K, ROWS_PER_BAND))).alias(
             "band_idx", "bucket"
         ),
     )
-    left = bands.alias("a")
-    right = bands.alias("b")
-    cand = (
-        left.join(
-            right,
+    pairs = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
             (F.col("a.band_idx") == F.col("b.band_idx"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.sh").alias("sha"),
-            F.col("b.sh").alias("shb"),
-        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    jac = T.jaccard(F.col("sha"), F.col("shb"))
+    cand = (
+        pairs.join(hv.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hsa")), "doc_a")
+        .join(hv.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hsb")), "doc_b")
+    )
+    jac = T.jaccard(F.col("hsa"), F.col("hsb"))
     return (
         cand.filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))

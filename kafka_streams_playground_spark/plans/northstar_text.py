@@ -153,10 +153,13 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     "text_fingerprint",
     oracle=f"""
     WITH {T.duck_shingles_cte()},
+    hv AS (
+      SELECT doc_id, {T.duck_shingle_hashes()} AS hs FROM sh
+    ),
     sig AS (
       SELECT doc_id,
         {T.duck_minhash_select(8)}
-      FROM sh
+      FROM hv
     )
     SELECT doc_id,
            md5(concat_ws('|', h0, h1, h2, h3, h4, h5, h6, h7)) AS fingerprint
@@ -173,7 +176,10 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh = docs.select("doc_id", T.shingles(T.tokens("text")).alias("sh"))
     sig = sh.select(
         "doc_id",
-        *[c.alias(f"h{i}") for i, c in enumerate(T.minhash_signature(F.col("sh"), 8))],
+        *[
+            c.alias(f"h{i}")
+            for i, c in enumerate(T.minhash_signature(T.shingle_hashes(F.col("sh")), 8))
+        ],
     )
     return sig.select(
         "doc_id",

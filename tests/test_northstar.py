@@ -21,15 +21,22 @@ def _md5(s: str) -> str:
 
 def test_minhash_known_values(spark):
     """Signature components must equal a pure-Python recomputation — guards
-    the transform-lambda index trap (a second lambda arg is the array index)."""
+    the transform-lambda index trap (a second lambda arg is the array index)
+    and the affine-permutation arithmetic (overflow, modulus)."""
     df = spark.createDataFrame([(1, "a b c d")], "doc_id int, text string")
     sh = df.select("doc_id", T.shingles(T.tokens("text")).alias("sh"))
     row = sh.select(
-        "sh", *[c.alias(f"h{i}") for i, c in enumerate(T.minhash_signature(F.col("sh"), 3))]
+        "sh",
+        *[
+            c.alias(f"h{i}")
+            for i, c in enumerate(T.minhash_signature(T.shingle_hashes(F.col("sh")), 3))
+        ],
     ).collect()[0]
     assert sorted(row["sh"]) == ["a b c", "b c d"]
+    base = [int(_md5(s)[:8], 16) for s in row["sh"]]
     for i in range(3):
-        expected = min(_md5(f"{i}|a b c"), _md5(f"{i}|b c d"))
+        a, b = T._affine_params(i)
+        expected = min((a * h + b) % T.MERSENNE_P for h in base)
         assert row[f"h{i}"] == expected, f"component {i}"
 
 
