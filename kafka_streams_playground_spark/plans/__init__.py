@@ -7,6 +7,7 @@ from kafka_streams_playground_spark.plans.registry import REGISTRY, QuerySpec, q
 # Import for side effects: each module registers its queries.
 from kafka_streams_playground_spark.plans import topologies  # noqa: F401
 from kafka_streams_playground_spark.plans import relational  # noqa: F401
+from kafka_streams_playground_spark.plans import temporal  # noqa: F401
 from kafka_streams_playground_spark.streaming import queries as _streaming_queries  # noqa: F401
 from kafka_streams_playground_spark.plans import northstar_dedup  # noqa: F401
 from kafka_streams_playground_spark.plans import northstar_similarity  # noqa: F401

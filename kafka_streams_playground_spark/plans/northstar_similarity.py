@@ -198,3 +198,100 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+N_CENTROID_MOD = 25  # centroids = vec_id % 25 == 0 → ~N/25 coarse cells
+
+
+@query(
+    "sim_ivf_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    cents AS (
+      SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n
+      WHERE vec_id % {N_CENTROID_MOD} = 0
+    ),
+    cscore AS (
+      SELECT n.vec_id, cent_id,
+             ROUND(list_dot_product(n.v, cv) / (n.nrm * cnrm), 6) AS cs
+      FROM n CROSS JOIN cents
+    ),
+    assign AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY cs DESC, cent_id ASC) AS rn
+        FROM cscore
+      ) WHERE rn = 1
+    ),
+    members AS (
+      SELECT a.vec_id, a.cent_id, n.v, n.nrm FROM assign a JOIN n USING (vec_id)
+    ),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+      FROM members q JOIN members c
+        ON q.cent_id = c.cent_id AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+    """,
+    tags=("northstar", "similarity", "ivf"),
+)
+def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN: a deterministic coarse quantizer (every 25th vector is
+    a centroid) assigns each vector to its nearest centroid cell; queries
+    search only their own cell. The 100 TB shape of a vector index:
+
+    * the centroid table is tiny → **broadcast**; assignment is a map-side
+      cross-score + per-vector argmin (one shuffle for the row_number, or
+      none with a partial ``min_by``) — O(N·C/25) flops, no N×N anywhere;
+    * the cell search is an equi-join on cent_id — co-partitioned shuffle,
+      candidates ∝ cell occupancy (multi-probe = also join runner-up cells
+      for recall; single-probe keeps the oracle compact).
+
+    Real IVF learns centroids with k-means; the deterministic modulus stands
+    in so both engines derive identical cells (no RNG portability hazard).
+    """
+    n = _vectors(spark, sf_dir)
+    cents = n.filter(F.col("vec_id") % N_CENTROID_MOD == 0).select(
+        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
+    )
+    cscore = n.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "v",
+        "nrm",
+        "cent_id",
+        F.round(_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 6).alias("cs"),
+    )
+    wassign = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("cent_id").asc())
+    members = (
+        cscore.withColumn("rn", F.row_number().over(wassign))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cent_id", "v", "nrm")
+    )
+    q = members.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("cent_id").alias("qcent"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    scored = members.join(
+        F.broadcast(q),
+        (F.col("cent_id") == F.col("qcent")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -215,3 +215,112 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("k")
         .agg(F.count(F.lit(1)).alias("cnt"), F.round(F.avg("value"), 2).alias("avg_value"))
     )
+
+
+@query(
+    "join_semi_urgent_customers",
+    oracle="""
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE EXISTS (
+      SELECT 1 FROM orders
+      WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT'
+    )
+    """,
+    tags=("extension", "join", "semi"),
+)
+def join_semi_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT SEMI join (EXISTS): customers with at least one urgent order.
+    Semi join keeps only left columns and short-circuits on first match —
+    the build side carries just the key, so at 100 TB the shuffle moves
+    (custkey) pairs, never order payloads."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name", "c_mktsegment")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey")
+    return cust.join(urgent, cust["c_custkey"] == urgent["o_custkey"], "left_semi")
+
+
+@query(
+    "join_anti_parts_never_shipped",
+    oracle="""
+    SELECT p_partkey, p_name, p_retailprice
+    FROM part
+    WHERE NOT EXISTS (
+      SELECT 1 FROM lineitem WHERE l_partkey = p_partkey AND l_quantity >= 45
+    )
+    """,
+    tags=("extension", "join", "anti"),
+)
+def join_anti_parts_never_shipped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT ANTI join (NOT EXISTS): parts that never ship in bulk (no
+    lineitem with quantity ≥ 45). The right side's filter + distinct-key
+    reduction happens before the probe; same single-shuffle shape as the
+    semi join."""
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_name", "p_retailprice")
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") >= 45).select(
+        "l_partkey"
+    )
+    return part.join(li, part["p_partkey"] == li["l_partkey"], "left_anti")
+
+
+@query(
+    "join_left_order_lineitem_counts",
+    oracle="""
+    SELECT o.o_orderkey, o.o_orderstatus,
+           COUNT(l.l_orderkey) AS n_lines,
+           ROUND(COALESCE(SUM(l.l_extendedprice), 0), 2) AS line_total
+    FROM orders o
+    LEFT JOIN lineitem l
+      ON o.o_orderkey = l.l_orderkey AND l.l_quantity >= 25
+    GROUP BY 1, 2
+    """,
+    tags=("extension", "join", "outer"),
+)
+def join_left_order_lineitem_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT OUTER join with an ON-clause predicate (kept on the join, not a
+    post-filter — outer-join semantics make the difference observable:
+    orders with no qualifying line survive with count 0). COUNT over the
+    nullable right key and COALESCE'd SUM exercise null-aware aggregation."""
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    joined = orders.join(
+        li,
+        (orders["o_orderkey"] == li["l_orderkey"]) & (li["l_quantity"] >= 25),
+        "left",
+    )
+    return joined.groupBy("o_orderkey", "o_orderstatus").agg(
+        F.count("l_orderkey").alias("n_lines"),
+        F.round(F.coalesce(F.sum("l_extendedprice"), F.lit(0.0)), 2).alias("line_total"),
+    )
+
+
+@query(
+    "agg_rollup_nation_segment",
+    oracle="""
+    SELECT n_name AS nation, c_mktsegment AS segment,
+           COUNT(*) AS n_customers,
+           ROUND(SUM(c_acctbal), 2) AS total_balance
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP (n_name, c_mktsegment)
+    """,
+    tags=("extension", "agg", "rollup"),
+)
+def agg_rollup_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy aggregate (nation → segment → grand total). Spark
+    plans this as a single Expand + hash aggregate — each input row fans out
+    to its grouping sets map-side, one shuffle total; subtotal rows carry
+    NULL group keys identically in both engines."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = cust.join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+    return joined.rollup(
+        F.col("n_name").alias("nation"), F.col("c_mktsegment").alias("segment")
+    ).agg(
+        F.count(F.lit(1)).alias("n_customers"),
+        F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
+    )
