@@ -128,6 +128,128 @@ def stream_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(out, output_mode="append", spark=spark)
 
 
+@query(
+    "stream_q1_expensive_orders",
+    oracle=None,  # set below: shares q1's oracle (stateless ⇒ same rows)
+    tags=("reference", "streaming", "S1", "P1", "S4"),
+)
+def stream_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q1's streaming form (KafkaStreamsApp.scala:106-111): the stateless
+    source → filter → sink pipeline on the streaming execution path. No
+    state store, no watermark — one fused micro-batch stage, the same
+    whole-stage-codegen'd filter as the batch plan (SURVEY §3.2)."""
+    from kafka_streams_playground_spark.plans.topologies import EXPENSIVE
+
+    orders = read_stream_table(spark, sf_dir, "orders")
+    out = orders.filter(F.col("o_totalprice") >= EXPENSIVE).select(
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        F.unix_timestamp("o_orderdate").alias("order_epoch"),
+        "o_orderpriority",
+    )
+    return run_to_completion(out, output_mode="append", spark=spark)
+
+
+@query(
+    "stream_session_windows_per_user",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, event_id, ts, value,
+        CASE WHEN lag(ts) OVER w IS NULL
+                  OR epoch(ts::TIMESTAMP) - epoch((lag(ts) OVER w)::TIMESTAMP)
+                     >= {6 * 3600}
+             THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+      SELECT *, SUM(new_session) OVER (
+        PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
+      ) AS session_no
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(floor(epoch(MIN(ts)::TIMESTAMP)) AS BIGINT) AS session_start,
+           CAST(floor(epoch(MAX(ts)::TIMESTAMP)) AS BIGINT) AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM numbered GROUP BY user_id, session_no
+    """,
+    tags=("extension", "streaming", "session"),
+)
+def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming session windows: ``session_window(ts, gap)`` merges
+    events closer than 6 h into one session held in the state store; the
+    watermark closes sessions. Session end is reported as the last event's
+    time (``max(ts)``), not Spark's internal last+gap bound, so the oracle
+    is the precise-epoch gaps-and-islands twin (strict ``>= gap`` opens a
+    new session — session_window's boundary semantics). Complete output
+    mode: session aggregations don't do update mode, and append would hold
+    back sessions still inside the watermark horizon — complete re-emits
+    the whole (closed + open) session table, whose final batch is the
+    drained state the oracle checks."""
+    events = read_stream_table(spark, sf_dir, "events").withWatermark("ts", WATERMARK)
+    ses = events.groupBy(
+        F.session_window("ts", "6 hours").alias("sw"), "user_id"
+    ).agg(
+        F.min("ts").alias("min_ts"),
+        F.max("ts").alias("max_ts"),
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    out = ses.select(
+        "user_id",
+        F.unix_timestamp("min_ts").alias("session_start"),
+        F.unix_timestamp("max_ts").alias("session_end"),
+        "n_events",
+        "sum_value",
+    )
+    return run_to_completion(out, output_mode="complete", spark=spark)
+
+
+@query(
+    "stream_dedup_exact",
+    oracle="SELECT DISTINCT md5(text) AS text_hash FROM documents",
+    tags=("northstar", "streaming", "dedup"),
+)
+def stream_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup: ``dropDuplicates`` on the content hash keeps
+    first-arrival per hash in the state store — the online form of
+    ``dedup_exact`` (state = one entry per distinct hash; bound it with
+    ``dropDuplicatesWithinWatermark`` when the corpus is unbounded). Output
+    projects only the hash: which copy wins is arrival-order-dependent
+    across partitions, the hash set itself is deterministic."""
+    docs = read_stream_table(spark, sf_dir, "documents")
+    deduped = docs.select(F.md5("text").alias("text_hash")).dropDuplicates(["text_hash"])
+    return run_to_completion(deduped, output_mode="append", spark=spark)
+
+
+@query(
+    "stream_running_count_per_user",
+    oracle="""
+    SELECT user_id, event_id,
+           row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+               AS running_cnt
+    FROM events
+    """,
+    tags=("reference", "streaming", "A2", "A5", "stateful"),
+)
+def stream_running_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's custom fold with per-record changelog emission
+    (KafkaStreamsApp.scala:146-152) as a custom keyed stateful operator
+    (``applyInPandasWithState``, streaming/stateful.py): every event emits
+    the post-update running count for its user — one output row per input
+    record, the exact Kafka Streams emission cadence that update-mode
+    aggregates only approximate. The oracle is the batch row_number twin."""
+    from kafka_streams_playground_spark.streaming.stateful import running_count_per_key
+
+    events = read_stream_table(spark, sf_dir, "events")
+    out = running_count_per_key(events)
+    return run_to_completion(out, output_mode="append", spark=spark)
+
+
 def _share_oracles() -> None:
     """Streaming twins drain to the same final state as their batch forms on
     the single-file fixtures, so they share the batch oracles (registry
@@ -138,6 +260,7 @@ def _share_oracles() -> None:
         ("stream_q4_products_per_user_10s", "q4_products_per_user_10s"),
         ("stream_s2_latest_event_per_user", "s2_latest_event_per_user"),
         ("stream_q5_paid_orders", "q5_paid_orders"),
+        ("stream_q1_expensive_orders", "q1_expensive_orders"),
     ]:
         REGISTRY[stream_name] = replace(
             REGISTRY[stream_name], oracle=REGISTRY[batch_name].oracle

@@ -103,3 +103,32 @@ def test_streaming_matches_batch_q4(spark, sf_dir):
         for r in REGISTRY["stream_q4_products_per_user_10s"].fn(spark, sf_dir).collect()
     }
     assert batch == stream
+
+
+def test_running_count_state_across_microbatches(spark):
+    """The custom stateful operator (applyInPandasWithState) must carry its
+    per-key counter across micro-batches — the per-record changelog cadence
+    of the reference's fold (KafkaStreamsApp.scala:146-152)."""
+    from datetime import datetime
+
+    from kafka_streams_playground_spark.streaming.stateful import running_count_per_key
+
+    schema = "event_id long, ts timestamp, user_id long"
+    t = datetime(2024, 1, 1)
+    paths = _write_batches(
+        spark,
+        [
+            [(1, t, 7), (2, t, 8)],
+            [(3, t, 7), (4, t, 7)],  # u7's counter must resume at 2
+        ],
+        schema,
+    )
+    src_dir = os.path.dirname(paths[0])
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src_dir, "b*"))
+    )
+    out = run_to_completion(running_count_per_key(sdf), output_mode="append", spark=spark)
+    got = {r["event_id"]: r["running_cnt"] for r in out.collect()}
+    assert got == {1: 1, 2: 1, 3: 2, 4: 3}
