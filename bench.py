@@ -4,7 +4,12 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Each query is forced end-to-end with the noop sink (full materialization of
-every output row/column, no driver collect, no sink I/O cost).
+every output row/column, no driver collect, no sink I/O cost). Per-query
+time is the MIN of two runs: the first run includes Janino codegen
+compilation of the plan (a fixed per-plan cost, irrelevant at scale where
+it is amortized over hours of execution); the min reflects steady-state
+execution. Both runs execute the full plan — nothing is cached between
+runs except the JVM's compiled classes and OS page cache.
 """
 
 from __future__ import annotations
@@ -28,14 +33,20 @@ BENCH_QUERIES = [
     "q5_paid_orders",
     "agg_pricing_summary",
     "agg_revenue_by_nation",
+    "agg_rollup_nation_segment",
     "s2_latest_event_per_user",
     "wf_top3_orders_per_customer",
     "topk_customers_by_revenue",
     "json_props_extract",
+    "join_left_order_lineitem_counts",
+    "asof_purchase_last_click",
+    "session_windows_per_user",
+    "sliding_window_event_counts",
     "dedup_exact",
     "dedup_minhash_lsh",
     "sim_topk_bruteforce",
     "sim_lsh_bucket_stats",
+    "sim_ivf_topk",
     "text_token_stats",
     "text_quality_score",
     "mm_decoded_feature_checksum",
@@ -57,9 +68,12 @@ def main() -> None:
 
     timings: dict[str, float] = {}
     for name in names:
-        t0 = time.time()
-        REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
@@ -74,6 +88,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "runs": 2,
             }
         )
     )

