@@ -53,6 +53,26 @@ def simhash_fingerprint_sql(table_ref: str, dialect: str) -> str:
     """
 
 
+def band_bounds(n_bands: int = 5, n_bits: int = N_BITS) -> list[tuple[int, int]]:
+    """Split the fingerprint's bit range into ``n_bands`` contiguous bands
+    (lo, width). Pigeonhole: two fingerprints with Hamming distance
+    < n_bands must agree on at least one whole band — banding at
+    ``n_bands = max_hamming + 1`` is *exact*, not approximate."""
+    base, rem = divmod(n_bits, n_bands)
+    out, lo = [], 0
+    for j in range(n_bands):
+        width = base + (1 if j < rem else 0)
+        out.append((lo, width))
+        lo += width
+    return out
+
+
+def band_value_sql(fp_expr: str, lo: int, width: int) -> str:
+    """Band-extraction expression ``(fp >> lo) % 2^width`` spelled with
+    FLOOR/% arithmetic (portable across both engines, like _bit_vote)."""
+    return f"(CAST(FLOOR({fp_expr} / {2 ** lo}.0) AS BIGINT) % {2 ** width})"
+
+
 def simhash_pairs_sql(table_ref: str, dialect: str, max_hamming: int = 8) -> str:
     """SQL producing near-dup pairs (doc_a, doc_b, hamming) with fingerprint
     Hamming distance ≤ ``max_hamming``."""
@@ -64,5 +84,35 @@ def simhash_pairs_sql(table_ref: str, dialect: str, max_hamming: int = 8) -> str
     WITH fps AS ({fp_sql})
     SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, CAST({ham} AS BIGINT) AS hamming
     FROM fps a JOIN fps b ON a.doc_id < b.doc_id
+    WHERE {ham} <= {max_hamming}
+    """
+
+
+def simhash_banded_pairs_sql(table_ref: str, dialect: str, max_hamming: int = 4) -> str:
+    """SQL producing near-dup pairs (doc_a, doc_b, hamming ≤ ``max_hamming``)
+    through LSH banding: ``max_hamming + 1`` bands guarantee (pigeonhole)
+    that every qualifying pair collides in some band — identical output to
+    :func:`simhash_pairs_sql` at the same threshold, without the all-pairs
+    scan. The OR-of-band-equalities join below is the *semantic* spec (fine
+    for the DuckDB oracle at fixture scale); the Spark engine path explodes
+    bands to rows and equi-joins on (band, value) — see
+    plans/northstar_dedup.py::dedup_simhash_banded."""
+    fp_sql = simhash_fingerprint_sql(table_ref, dialect)
+    ham = (
+        "bit_count(a.fp ^ b.fp)" if dialect == "spark" else "bit_count(xor(a.fp, b.fp))"
+    )
+    bounds = band_bounds(max_hamming + 1)
+    band_cols = ",\n      ".join(
+        f"{band_value_sql('fp', lo, w)} AS bd{j}" for j, (lo, w) in enumerate(bounds)
+    )
+    collide = " OR ".join(f"a.bd{j} = b.bd{j}" for j in range(len(bounds)))
+    return f"""
+    WITH fps AS ({fp_sql}),
+    bands AS (SELECT doc_id, fp,
+      {band_cols}
+      FROM fps)
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST({ham} AS BIGINT) AS hamming
+    FROM bands a JOIN bands b ON a.doc_id < b.doc_id AND ({collide})
     WHERE {ham} <= {max_hamming}
     """

@@ -19,7 +19,10 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_streams_playground_spark.functions import text as T
-from kafka_streams_playground_spark.functions.simhash import simhash_pairs_sql
+from kafka_streams_playground_spark.functions.simhash import (
+    simhash_banded_pairs_sql,
+    simhash_pairs_sql,
+)
 from kafka_streams_playground_spark.plans.registry import query
 from kafka_streams_playground_spark.sources.parquet import load_table
 
@@ -232,4 +235,107 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("vec_b"),
             F.round(cos, 4).alias("cosine"),
         )
+    )
+
+
+SIMHASH_BANDED_MAX_HAMMING = 4
+
+
+@query(
+    "dedup_simhash_banded",
+    oracle=simhash_banded_pairs_sql("documents", "duckdb", SIMHASH_BANDED_MAX_HAMMING),
+    tags=("northstar", "dedup", "bench"),
+)
+def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup through LSH banding — the scale path the direct pair
+    join (``dedup_simhash``) documents but doesn't take. 5 bands over the
+    63-bit fingerprint: by pigeonhole every pair within Hamming ≤ 4 agrees on
+    a whole band, so banding is EXACT at this threshold (recall proven, not
+    sampled — tests/test_northstar.py equates it with the filtered direct
+    join). Spark plan: fingerprints (one explode + grouped bit votes), bands
+    exploded to (doc_id, band, value, fp) rows, equi-join on (band, value) —
+    a co-partitioned hash join whose candidate count tracks band collisions,
+    not N²; fp (8 bytes) rides the shuffle for the Hamming verification."""
+    from kafka_streams_playground_spark.functions.simhash import (
+        band_bounds,
+        simhash_fingerprint_sql,
+    )
+
+    path = f"{sf_dir}/documents.parquet"
+    fps = spark.sql(simhash_fingerprint_sql(f"parquet.`{path}`", "spark"))
+    bounds = band_bounds(SIMHASH_BANDED_MAX_HAMMING + 1)
+    bands = fps.select(
+        "doc_id",
+        "fp",
+        F.posexplode(
+            F.array(
+                *[
+                    F.floor(F.col("fp") / F.lit(float(2**lo))).cast("long") % (2**w)
+                    for lo, w in bounds
+                ]
+            )
+        ).alias("band_idx", "bv"),
+    )
+    pairs = (
+        bands.alias("a")
+        .join(
+            bands.alias("b"),
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.bv") == F.col("b.bv"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))).cast("long").alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return pairs.filter(F.col("hamming") <= SIMHASH_BANDED_MAX_HAMMING)
+
+
+@query(
+    "dedup_keep_best_by_quality",
+    oracle="""
+    WITH t AS (SELECT doc_id, md5(text) AS text_hash,
+                      string_split(text, ' ') AS toks FROM documents),
+    scored AS (
+      SELECT doc_id, text_hash,
+             ROUND(len(list_distinct(toks)) * 1.0 / len(toks), 6) AS q
+      FROM t
+    )
+    SELECT text_hash,
+           MIN(doc_id) FILTER (WHERE rnk = 1) AS keep_id,
+           COUNT(*) AS n_copies,
+           ROUND(MAX(q), 6) AS best_quality
+    FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY text_hash ORDER BY q DESC, doc_id ASC) AS rnk
+      FROM scored
+    ) GROUP BY text_hash
+    """,
+    tags=("northstar", "dedup", "quality"),
+)
+def dedup_keep_best_by_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical selection: among exact-duplicate copies keep the highest-
+    quality one (type-token ratio; doc_id tiebreak) — the standard "dedup
+    keeps the best copy, not an arbitrary one" pipeline stage. One narrow
+    scoring projection + one shuffle on the 16-byte hash; ``max_by`` over a
+    (quality, -doc_id) struct would fold the window away entirely — the
+    window form is kept for cross-engine tiebreak parity."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    scored = docs.select(
+        "doc_id",
+        F.md5("text").alias("text_hash"),
+        F.round(F.size(F.array_distinct(toks)) / F.size(toks), 6).alias("q"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("text_hash").orderBy(F.col("q").desc(), F.col("doc_id").asc())
+    ranked = scored.withColumn("rnk", F.row_number().over(w))
+    return ranked.groupBy("text_hash").agg(
+        F.min(F.when(F.col("rnk") == 1, F.col("doc_id"))).alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.round(F.max("q"), 6).alias("best_quality"),
     )

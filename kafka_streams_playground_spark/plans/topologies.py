@@ -212,3 +212,26 @@ def q5_paid_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         "discounted_amount",
         F.unix_timestamp("l_shipdate").alias("paid_epoch"),
     )
+
+
+@query(
+    "orders_products_array",
+    oracle="""
+    SELECT l_orderkey AS order_key,
+           list_sort(list(l_partkey)) AS products,
+           CAST(len(list(l_partkey)) AS BIGINT) AS n_products
+    FROM lineitem GROUP BY 1
+    """,
+    tags=("reference", "P3-inverse", "agg"),
+)
+def orders_products_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebuild the reference's ``Order.products: List[String]`` array shape
+    (KafkaStreamsApp.scala:92) from the exploded lineitem rows — the inverse
+    of P3's flatMapValues (:121-123). ``collect_list`` is sorted in both
+    engines because collection order is partition-dependent; at 100 TB this
+    is one shuffle on the order key with array assembly reduce-side."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return li.groupBy(F.col("l_orderkey").alias("order_key")).agg(
+        F.sort_array(F.collect_list("l_partkey")).alias("products"),
+        F.count(F.lit(1)).alias("n_products"),
+    )

@@ -137,3 +137,20 @@ def test_ann_subset_of_bruteforce(spark, sf_dir):
         key = (r["query_id"], r["neighbor_id"])
         if key in bf:  # ANN hit that also made exact top-k: cosine must agree
             assert abs(bf[key] - r["cosine"]) < 1e-9
+
+
+def test_simhash_banded_equals_direct(spark, sf_dir):
+    """Pigeonhole exactness: 5-band SimHash LSH must return exactly the
+    direct all-pairs result filtered to Hamming <= 4."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+
+    banded = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in REGISTRY["dedup_simhash_banded"].fn(spark, sf_dir).collect()
+    }
+    direct = {
+        (r["doc_a"], r["doc_b"], r["hamming"])
+        for r in REGISTRY["dedup_simhash"].fn(spark, sf_dir).collect()
+        if r["hamming"] <= 4
+    }
+    assert banded == direct
