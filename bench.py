@@ -44,6 +44,9 @@ BENCH_QUERIES = [
     "sliding_window_event_counts",
     "dedup_exact",
     "dedup_minhash_lsh",
+    "dedup_simhash_banded",
+    "dedup_keep_best_by_quality",
+    "orders_products_array",
     "sim_topk_bruteforce",
     "sim_lsh_bucket_stats",
     "sim_ivf_topk",

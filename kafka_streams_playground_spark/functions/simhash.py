@@ -34,20 +34,37 @@ def _bit_vote(b: int) -> str:
 
 def simhash_fingerprint_sql(table_ref: str, dialect: str) -> str:
     """SQL producing (doc_id, fp BIGINT) — SimHash fingerprints for a
-    documents table. ``dialect`` in {'spark', 'duckdb'}."""
+    documents table. ``dialect`` in {'spark', 'duckdb'}.
+
+    Votes are computed per **distinct token** (the vocabulary), then joined
+    back to token occurrences and summed per doc. The 63 nibble-arithmetic
+    vote expressions run |vocab| times instead of |corpus-tokens| times —
+    vocabulary ≪ corpus is the standard SimHash optimization (on the
+    fixtures: 31 distinct vs 270k occurrences at sf0.1; on a real corpus the
+    vocab table is still millions vs trillions). The vocab side carries an
+    explicit BROADCAST hint — post-DISTINCT cardinality is unknown to the
+    planner, which otherwise broadcasts the (estimate-wise "small", actually
+    huge) exploded corpus side. The per-doc SUMs are map-side partial
+    aggregates of plain int columns."""
     if dialect == "spark":
         tok = f"SELECT doc_id, explode(split(text, ' ')) AS token FROM {table_ref}"
     else:
         tok = f"SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM {table_ref}"
-    votes = ",\n      ".join(f"SUM({_bit_vote(b)}) AS s{b}" for b in range(N_BITS))
+    vote_cols = ",\n      ".join(f"{_bit_vote(b)} AS v{b}" for b in range(N_BITS))
+    sums = ",\n      ".join(f"SUM(v{b}) AS s{b}" for b in range(N_BITS))
     fp = " + ".join(f"(CASE WHEN s{b} > 0 THEN {2 ** b} ELSE 0 END)" for b in range(N_BITS))
     return f"""
     WITH tok AS ({tok}),
-    th AS (SELECT doc_id, md5(token) AS h FROM tok),
+    vocab AS (SELECT token, md5(token) AS h FROM (SELECT DISTINCT token FROM tok) d),
+    tv AS (
+      SELECT token,
+      {vote_cols}
+      FROM vocab
+    ),
     votes AS (
-      SELECT doc_id,
-      {votes}
-      FROM th GROUP BY doc_id
+      SELECT {"/*+ BROADCAST(tv) */" if dialect == "spark" else ""} doc_id,
+      {sums}
+      FROM tok JOIN tv USING (token) GROUP BY doc_id
     )
     SELECT doc_id, CAST({fp} AS BIGINT) AS fp FROM votes
     """

@@ -262,7 +262,9 @@ def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     path = f"{sf_dir}/documents.parquet"
-    fps = spark.sql(simhash_fingerprint_sql(f"parquet.`{path}`", "spark"))
+    # Persisted: the fingerprint index is built once and read by both sides
+    # of the band self-join (at 100 TB it is a materialized index table).
+    fps = spark.sql(simhash_fingerprint_sql(f"parquet.`{path}`", "spark")).persist()
     bounds = band_bounds(SIMHASH_BANDED_MAX_HAMMING + 1)
     bands = fps.select(
         "doc_id",
