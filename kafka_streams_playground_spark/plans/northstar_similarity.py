@@ -33,6 +33,30 @@ def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
 
 
+def _dot_fn(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Arrow-batched dot product with an explicit dimension-ordered
+    sequential fold — bit-identical IEEE-754 to :func:`_dot` (Catalyst
+    ``aggregate(zip_with(...))``) and to DuckDB's ``list_dot_product``.
+    Catalyst higher-order functions are interpreted per element; on the
+    N×C / N×Q pair-scoring hot paths this UDF replaces them with DIM
+    vectorized numpy ops per batch."""
+    import numpy as np
+
+    if len(a) == 0:
+        return pd.Series([], dtype="float64")
+    av = np.stack(a.to_numpy())
+    bv = np.stack(b.to_numpy())
+    acc = np.zeros(len(a), dtype=np.float64)
+    for d in range(av.shape[1]):
+        acc = acc + av[:, d] * bv[:, d]
+    return pd.Series(acc)
+
+
+def _dot_udf(a: Column, b: Column) -> Column:
+    """Lazy pandas_udf wrapper (type parse needs an active session)."""
+    return F.pandas_udf(_dot_fn, "double")(a, b)
+
+
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
@@ -75,9 +99,9 @@ def sim_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "neighbor_id",
-            F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6).alias(
-                "cosine"
-            ),
+            F.round(
+                _dot_udf(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
+            ).alias("cosine"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
@@ -212,7 +236,7 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "query_id",
         "neighbor_id",
-        F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6).alias("cosine"),
+        F.round(_dot_udf(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (
@@ -289,13 +313,16 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         "nrm",
         "cent_id",
-        F.round(_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 6).alias("cs"),
+        F.round(_dot_udf(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 6).alias("cs"),
     )
     wassign = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("cent_id").asc())
+    # Persisted: the cell assignment IS the IVF index — built once, read by
+    # both the query-side and candidate-side branches of the probe join.
     members = (
         cscore.withColumn("rn", F.row_number().over(wassign))
         .filter(F.col("rn") == 1)
         .select("vec_id", "cent_id", "v", "nrm")
+        .persist()
     )
     q = members.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -309,7 +336,7 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6).alias("cosine"),
+        F.round(_dot_udf(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return (

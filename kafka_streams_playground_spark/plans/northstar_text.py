@@ -185,3 +185,32 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.md5(F.concat_ws("|", *[F.col(f"h{i}") for i in range(8)])).alias("fingerprint"),
     )
+
+
+@query(
+    "text_vocabulary",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    )
+    SELECT token,
+           COUNT(*) AS term_freq,
+           COUNT(DISTINCT doc_id) AS doc_freq
+    FROM tok GROUP BY token
+    """,
+    tags=("northstar", "text", "vocab"),
+)
+def text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary with term and document frequencies — the counting
+    pass behind tokenizer training (BPE merges start from exactly this
+    table) and TF-IDF weighting. Explode → two-phase aggregate: partial
+    counts are map-side, the shuffle carries one row per (partition, token)
+    — bounded by vocabulary, not corpus size. COUNT(DISTINCT doc_id) plans
+    as Spark's two-shuffle expand; at web scale swap in
+    approx_count_distinct and document the error bound."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    return tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("term_freq"),
+        F.countDistinct("doc_id").alias("doc_freq"),
+    )

@@ -1,0 +1,77 @@
+"""Physical-plan property tests: the scale guarantees SCALE.md documents
+must hold in the actual plans, not just in prose. A regression that drops a
+pushed filter, un-broadcasts the GlobalKTable dim, or turns the as-of join
+into a range join changes these strings."""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+
+from kafka_streams_playground_spark.plans import REGISTRY
+
+
+def _plan(spark, sf_dir, name: str) -> str:
+    df = REGISTRY[name].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_q1_filter_pushed_to_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "q1_expensive_orders")
+    assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(o_totalprice", plan), plan
+
+
+def test_q1_column_pruning(spark, sf_dir):
+    """Only the six projected columns may reach the scan ReadSchema."""
+    plan = _plan(spark, sf_dir, "q1_expensive_orders")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    cols = {c.split(":")[0] for c in m.group(1).split(",")}
+    assert cols == {
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority",
+    }
+
+
+def test_q5_globalktable_is_broadcast(spark, sf_dir):
+    """The GlobalKTable dim (J2) must be a broadcast join — the semantic
+    contract of full replication (KafkaStreamsApp.scala:159-160)."""
+    plan = _plan(spark, sf_dir, "q5_paid_orders")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q5_linestatus_filter_pushed(spark, sf_dir):
+    """The joiner's status=='PAID' predicate (:179-180) must reach the
+    payments scan, not run post-join."""
+    plan = _plan(spark, sf_dir, "q5_paid_orders")
+    assert re.search(r"PushedFilters:.*EqualTo\(l_linestatus,F\)", plan), plan
+
+
+def test_asof_join_is_not_a_range_join(spark, sf_dir):
+    """The as-of join must plan as exchange+sort+window, never as a
+    nested-loop/cartesian candidate join."""
+    plan = _plan(spark, sf_dir, "asof_purchase_last_click")
+    assert "Window" in plan, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_aggregates_have_partial_final_split(spark, sf_dir):
+    """Map-side partial aggregation must precede the exchange (the shuffle
+    carries per-group partials, not raw rows)."""
+    plan = _plan(spark, sf_dir, "agg_pricing_summary")
+    assert plan.count("HashAggregate") >= 2, plan
+    assert "Exchange" in plan, plan
+
+
+def test_minhash_band_join_carries_no_arrays(spark, sf_dir):
+    """The LSH candidate self-join must not shuffle the shingle arrays —
+    only (doc_id, band_idx, bucket) rides the exchange."""
+    plan = _plan(spark, sf_dir, "dedup_minhash_lsh")
+    joins = re.findall(r"SortMergeJoin.*|ShuffledHashJoin.*|BroadcastHashJoin.*", plan)
+    assert joins, plan
+    # the band-collision join keys are (band_idx, bucket)
+    assert re.search(r"band_idx.*bucket|bucket.*band_idx", plan), plan
