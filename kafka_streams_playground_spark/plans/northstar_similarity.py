@@ -344,3 +344,70 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+@query(
+    "sim_ann_multiprobe_topk",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+                 CAST({'{bucket}'} AS BIGINT) AS bucket FROM e),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+      FROM n q JOIN n c
+        ON bit_count(xor(q.bucket, c.bucket)) <= 1 AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+    """.replace("{bucket}", _bucket_sql_duck()),
+    tags=("northstar", "similarity", "multiprobe"),
+)
+def sim_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH ANN: each query searches its own bucket plus all 16
+    Hamming-1 neighbor buckets — the standard recall lever for sign-bucket
+    LSH (a vector near a hyperplane falls on the wrong side of exactly that
+    bit). Spark shape: the query side explodes its 17 probe bucket ids and
+    equi-joins members on the bucket — still a co-partitioned hash join
+    (probes × Q rows, tiny), never a Hamming-distance theta join; the
+    oracle states the same set declaratively via bit_count(xor) <= 1."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    n = emb.select(
+        "vec_id", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"),
+        _bucket_expr_spark().alias("bucket"),
+    )
+    probes = F.array(
+        F.col("qb"), *[F.col("qb").bitwiseXOR(F.lit(1 << p)) for p in range(N_PLANES)]
+    )
+    q = (
+        n.filter(F.col("vec_id") < N_QUERIES)
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+            F.col("bucket").alias("qb"),
+        )
+        .select("query_id", "qv", "qn", F.explode(probes).alias("probe"))
+    )
+    c = n.select(F.col("vec_id").alias("neighbor_id"), "v", "nrm", "bucket")
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("probe")) & (F.col("neighbor_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(_dot_udf(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )

@@ -154,3 +154,26 @@ def test_simhash_banded_equals_direct(spark, sf_dir):
         if r["hamming"] <= 4
     }
     assert banded == direct
+
+
+def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
+    """Multi-probe searches a strict superset of single-probe candidates, so
+    per query it must return at least as many neighbors and a best-cosine at
+    least as good."""
+    from collections import defaultdict
+
+    from kafka_streams_playground_spark.plans import REGISTRY
+
+    def per_query(name):
+        best, cnt = defaultdict(lambda: -2.0), defaultdict(int)
+        for r in REGISTRY[name].fn(spark, sf_dir).collect():
+            q = r["query_id"]
+            cnt[q] += 1
+            best[q] = max(best[q], r["cosine"])
+        return best, cnt
+
+    sb, sc = per_query("sim_ann_lsh_topk")
+    mb, mc = per_query("sim_ann_multiprobe_topk")
+    for q in sc:
+        assert mc[q] >= sc[q]
+        assert mb[q] >= sb[q] - 1e-12

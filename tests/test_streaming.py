@@ -132,3 +132,60 @@ def test_running_count_state_across_microbatches(spark):
     out = run_to_completion(running_count_per_key(sdf), output_mode="append", spark=spark)
     got = {r["event_id"]: r["running_cnt"] for r in out.collect()}
     assert got == {1: 1, 2: 1, 3: 2, 4: 3}
+
+
+def test_stream_stream_left_outer_join_emits_unmatched(spark):
+    """Watermarked stream-stream LEFT OUTER join: matched rows emit
+    immediately; an unmatched left row is held in state and emitted with
+    null right columns only once the watermark passes its join horizon —
+    the eviction semantics that bound state at scale (SCALE.md §2)."""
+    from datetime import datetime
+
+    lschema = "order_id string, lts timestamp"
+    rschema = "pay_id string, order_ref string, rts timestamp"
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    # Both sides must advance: state eviction uses the GLOBAL watermark
+    # (min over all inputs), so far-future rows ride both streams.
+    ldir = _write_batches(
+        spark,
+        [
+            [("o1", t0), ("o2", t0)],
+            [("o_late1", datetime(2024, 1, 1, 3, 0, 0))],
+            [("o_late2", datetime(2024, 1, 1, 6, 0, 0))],
+        ],
+        lschema,
+    )
+    rdir = _write_batches(
+        spark,
+        [
+            [("p1", "o1", datetime(2024, 1, 1, 0, 1, 0))],
+            # far-future payment rows advance the right watermark so o2's
+            # horizon (lts + 5 min) is passed and the null-match emits
+            [("px", "zz", datetime(2024, 1, 1, 3, 0, 0))],
+            [("py", "zz", datetime(2024, 1, 1, 6, 0, 0))],
+        ],
+        rschema,
+    )
+    left = (
+        spark.readStream.schema(lschema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(os.path.dirname(ldir[0]), "b*"))
+        .withWatermark("lts", "0 seconds")
+    )
+    right = (
+        spark.readStream.schema(rschema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(os.path.dirname(rdir[0]), "b*"))
+        .withWatermark("rts", "0 seconds")
+    )
+    joined = left.join(
+        right,
+        F.expr(
+            "order_id = order_ref AND rts BETWEEN lts AND lts + INTERVAL 5 MINUTES"
+        ),
+        "leftOuter",
+    )
+    out = run_to_completion(joined, output_mode="append", spark=spark)
+    rows = {r["order_id"]: r["pay_id"] for r in out.collect()}
+    assert rows.get("o1") == "p1"          # matched within the window
+    assert "o2" in rows and rows["o2"] is None  # evicted → emitted with nulls
