@@ -50,7 +50,9 @@ BENCH_QUERIES = [
     "sim_topk_bruteforce",
     "sim_lsh_bucket_stats",
     "sim_ivf_topk",
+    "sim_ann_multiprobe_topk",
     "text_token_stats",
+    "text_vocabulary",
     "text_quality_score",
     "mm_decoded_feature_checksum",
 ]

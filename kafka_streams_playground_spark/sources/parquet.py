@@ -46,3 +46,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
     """Scan several fixture tables; defaults to all of :data:`TABLES`."""
     return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register fixture tables as temp views — the SQL front door: after
+    this, ``spark.sql("SELECT ... FROM lineitem JOIN orders ...")`` works
+    directly (the reference has no SQL surface at all; Catalyst gives us one
+    for free). Views share the loaders' scan normalization, so SQL and
+    DataFrame queries see identical schemas."""
+    for n in names or TABLES:
+        load_table(spark, sf_dir, n).createOrReplaceTempView(n)

