@@ -49,3 +49,38 @@ def tumbling_count(
     """A4 specialization — the reference's fold ``(counter + 1)`` starting at
     ``0L`` (``:148``) is exactly COUNT."""
     return tumbling_window_agg(df, ts_col, duration, list(keys), [F.count(F.lit(1)).alias(out)])
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[Column | str],
+    aggs: dict[str, tuple[str, Column]],
+    n_salts: int = 16,
+) -> DataFrame:
+    """Two-level (salted) aggregation — the skew mitigation SCALE.md §4
+    documents, as a reusable operator.
+
+    When one group key carries a pathological share of rows (a bot user, an
+    empty-string key), the single final-agg task for that key becomes the
+    straggler. Salting splits each group into ``n_salts`` sub-groups on a
+    random salt, aggregates partially per (key, salt), then combines the
+    sub-aggregates per key — two small shuffles instead of one skewed one.
+
+    ``aggs`` maps output column → (combine_fn_name, partial_agg_column);
+    combine_fn must be decomposable (sum→sum, count→sum, max→max, min→min).
+    AQE's skew handling covers sort-merge joins; for aggregations this
+    operator is the explicit tool.
+    """
+    salt = (F.rand(seed=42) * n_salts).cast("int").alias("_salt")
+    partial = df.withColumn("_salt", salt).groupBy(*keys, F.col("_salt")).agg(
+        *[c.alias(f"_p_{name}") for name, (_, c) in aggs.items()]
+    )
+    combine = {
+        "sum": F.sum,
+        "count": F.sum,  # counts combine by summing partial counts
+        "max": F.max,
+        "min": F.min,
+    }
+    return partial.groupBy(*keys).agg(
+        *[combine[fn](f"_p_{name}").alias(name) for name, (fn, _) in aggs.items()]
+    )

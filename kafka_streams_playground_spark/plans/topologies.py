@@ -143,8 +143,8 @@ def _discount_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o.o_orderkey, l.l_linenumber, o.o_custkey,
            c.c_mktsegment AS profile, n.n_name AS nation,
-           ROUND(o.o_totalprice * (1 - 0.01 * (n.n_nationkey % 5)), 2)
-               AS discounted_amount,
+           FLOOR(o.o_totalprice * (1 - 0.01 * (n.n_nationkey % 5)) * 100 + 0.5)
+               / 100 AS discounted_amount,
            CAST(epoch(l.l_shipdate::TIMESTAMP) AS BIGINT) AS paid_epoch
     FROM orders o
     JOIN customer c ON o.o_custkey = c.c_custkey
@@ -185,10 +185,14 @@ def q5_paid_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_discount = global_lookup_join(
         enriched, dim, key_extractor=F.col("c_nationkey"), dim_key="n_nationkey"
     )
+    # Money rounding as explicit floor(x*100 + 0.5)/100 — pure IEEE double
+    # ops both engines execute identically. ROUND(…, 2) differs between
+    # Spark (exact-decimal HALF_UP) and DuckDB on tie-boundary doubles —
+    # observed as 1-cent mismatches at sf0.1.
     discounted = ops.with_computed(
         with_discount,
         "discounted_amount",
-        F.round(F.col("o_totalprice") * F.col("discount_mult"), 2),
+        F.floor(F.col("o_totalprice") * F.col("discount_mult") * 100 + 0.5) / 100,
     )
     rekeyed = ops.select_key(discounted, F.col("o_orderkey"), key_name="order_key")
 

@@ -101,7 +101,10 @@ def stream_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     with_discount = enriched.join(
         F.broadcast(dim), enriched["c_nationkey"] == dim["n_nationkey"]
     ).withColumn(
-        "discounted_amount", F.round(F.col("o_totalprice") * F.col("discount_mult"), 2)
+        # floor(x*100+0.5)/100 — cross-engine-deterministic money rounding
+        # (see plans/topologies.py::q5_paid_orders)
+        "discounted_amount",
+        F.floor(F.col("o_totalprice") * F.col("discount_mult") * 100 + 0.5) / 100,
     )
     rekeyed = with_discount.withColumn("order_key", F.col("o_orderkey"))
 

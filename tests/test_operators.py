@@ -179,3 +179,35 @@ def _explain_str(df):
     with redirect_stdout(buf):
         df.explain("formatted")
     return buf.getvalue()
+
+
+def test_salted_agg_equals_plain(spark, sf_dir):
+    """Two-level salted aggregation must produce exactly the plain groupBy
+    result (decomposable combine fns), whatever the salt distribution."""
+    from kafka_streams_playground_spark.operators.aggregations import salted_agg
+    from kafka_streams_playground_spark.sources.parquet import load_table
+
+    events = load_table(spark, sf_dir, "events")
+    plain = {
+        (r["user_id"],): (r["cnt"], round(r["total"], 6), r["mx"])
+        for r in events.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("value").alias("total"),
+            F.max("value").alias("mx"),
+        )
+        .collect()
+    }
+    salted = {
+        (r["user_id"],): (r["cnt"], round(r["total"], 6), r["mx"])
+        for r in salted_agg(
+            events,
+            ["user_id"],
+            {
+                "cnt": ("count", F.count(F.lit(1))),
+                "total": ("sum", F.sum("value")),
+                "mx": ("max", F.max("value")),
+            },
+        ).collect()
+    }
+    assert salted == plain

@@ -1,0 +1,106 @@
+"""Property-based tests (hypothesis) for the operator library: invariants
+that must hold on arbitrary inputs, not just the fixtures."""
+
+from __future__ import annotations
+
+import hashlib
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from kafka_streams_playground_spark.functions import text as T
+from kafka_streams_playground_spark.functions.simhash import band_bounds
+
+_token = st.text(alphabet="abcdefgh", min_size=1, max_size=4)
+_doc = st.lists(_token, min_size=1, max_size=12).map(" ".join)
+
+
+def _py_shingles(text: str, n: int = 3) -> list[str]:
+    toks = text.split(" ")
+    if len(toks) < n:
+        return [" ".join(toks)]
+    seen, out = set(), []
+    for i in range(len(toks) - n + 1):
+        s = " ".join(toks[i : i + n])
+        if s not in seen:
+            seen.add(s)
+            out.append(s)
+    return out
+
+
+def _py_signature(text: str, k: int) -> list[int]:
+    hs = [int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in _py_shingles(text)]
+    out = []
+    for i in range(k):
+        a, b = T._affine_params(i)
+        out.append(min((a * h + b) % T.MERSENNE_P for h in hs))
+    return out
+
+
+@settings(max_examples=30, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(docs=st.lists(_doc, min_size=1, max_size=8))
+def test_minhash_signature_matches_pure_python(spark, docs):
+    """The Spark MinHash signature pipeline equals an independent pure-Python
+    recomputation on arbitrary token soups (shingle fallback included)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(list(enumerate(docs)), "doc_id int, text string")
+    sh = df.select("doc_id", T.shingles(T.tokens("text")).alias("sh"))
+    sig = sh.select(
+        "doc_id",
+        *[
+            c.alias(f"h{i}")
+            for i, c in enumerate(T.minhash_signature(T.shingle_hashes(F.col("sh")), 4))
+        ],
+    )
+    got = {r["doc_id"]: [r[f"h{i}"] for i in range(4)] for r in sig.collect()}
+    for doc_id, text in enumerate(docs):
+        assert got[doc_id] == _py_signature(text, 4), text
+
+
+@given(n_bands=st.integers(min_value=1, max_value=16))
+@settings(max_examples=16, deadline=None)
+def test_simhash_band_bounds_partition_the_bits(n_bands):
+    """Bands must tile [0, 63) exactly: contiguous, non-overlapping, total."""
+    bounds = band_bounds(n_bands)
+    assert len(bounds) == n_bands
+    pos = 0
+    for lo, width in bounds:
+        assert lo == pos and width >= 1
+        pos += width
+    assert pos == 63
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    vals=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(-1000, 1000)), min_size=1, max_size=30
+    )
+)
+def test_salted_agg_property(spark, vals):
+    """salted_agg == plain groupBy on arbitrary keyed integer data."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_playground_spark.operators.aggregations import salted_agg
+
+    df = spark.createDataFrame(vals, "k int, v long")
+    plain = {
+        r["k"]: (r["cnt"], r["s"], r["mn"])
+        for r in df.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("v").alias("s"), F.min("v").alias("mn"))
+        .collect()
+    }
+    salted = {
+        r["k"]: (r["cnt"], r["s"], r["mn"])
+        for r in salted_agg(
+            df,
+            ["k"],
+            {
+                "cnt": ("count", F.count(F.lit(1))),
+                "s": ("sum", F.sum("v")),
+                "mn": ("min", F.min("v")),
+            },
+            n_salts=4,
+        ).collect()
+    }
+    assert salted == plain
