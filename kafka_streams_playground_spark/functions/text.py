@@ -17,6 +17,8 @@ O(tokens) md5 + O(tokens × k) integer ops inside whole-stage codegen.
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column
 from pyspark.sql import functions as F
 
@@ -150,3 +152,49 @@ def duck_band_select(k: int = 16, rows_per_band: int = 4) -> str:
         cols = ", ".join(f"h{j * rows_per_band + t}" for t in range(rows_per_band))
         items.append(f"concat_ws('|', {cols}) AS b{j}")
     return ",\n        ".join(items)
+
+
+def shingle_sig_fn(k: int = 16, n: int = 3):
+    """Arrow-batched twin of ``shingles → shingle_hashes → minhash_signature``:
+    one pandas-UDF body computing, per document text, the distinct 32-bit
+    shingle hashes (``hs``) and the k-component MinHash signature (``sig``).
+
+    Bit-identical to the Catalyst pipeline (hashlib md5 == JVM md5 == DuckDB
+    md5 on the same bytes; the affine mins are order-free), but the md5+mins
+    run in one Python pass instead of interpreted Catalyst higher-order
+    expressions (~2× on the LSH hot path). Returned ``hs`` is sorted
+    (np.unique) — downstream uses are set-semantics only.
+
+    Use with ``F.pandas_udf(shingle_sig_fn(k), "hs array<bigint>,
+    sig array<bigint>")`` built lazily at query time.
+    """
+
+    def fn(texts: pd.Series) -> pd.DataFrame:
+        import hashlib
+
+        import numpy as np
+
+        a = np.array([_affine_params(i)[0] for i in range(k)], dtype=np.int64)
+        b = np.array([_affine_params(i)[1] for i in range(k)], dtype=np.int64)
+        hs_out, sig_out = [], []
+        for t in texts:
+            toks = t.split(" ")
+            if len(toks) >= n:
+                sh = dict.fromkeys(
+                    " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+                )
+            else:
+                sh = {" ".join(toks): None}
+            h = np.unique(
+                np.array(
+                    [int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in sh],
+                    dtype=np.int64,
+                )
+            )
+            # a·h + b < 2^30·2^32 + 2^30 < 2^63: no overflow in int64.
+            sig = ((h[None, :] * a[:, None] + b[:, None]) % MERSENNE_P).min(axis=1)
+            hs_out.append(h)
+            sig_out.append(sig)
+        return pd.DataFrame({"hs": hs_out, "sig": sig_out})
+
+    return fn

@@ -112,19 +112,35 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       longs), not the shingle strings — same set semantics, ~10× less data.
 
     The oracle recomputes signatures bit-for-bit in DuckDB (same literals,
-    same BIGINT arithmetic)."""
-    sh = _shingled(spark, sf_dir)
-    hv = sh.select(
-        "doc_id", F.array_distinct(T.shingle_hashes(F.col("sh"))).alias("hs")
-    ).persist()
-    sig = hv.select("doc_id", *[
-        c.alias(f"h{i}") for i, c in enumerate(T.minhash_signature(F.col("hs"), MINHASH_K))
-    ])
-    bands = sig.select(
+    same BIGINT arithmetic). Shingling + hashing + signatures run in ONE
+    Arrow-batched UDF pass (functions/text.py::shingle_sig_fn — hashlib md5
+    == JVM md5 == DuckDB md5; Catalyst higher-order expressions are
+    interpreted per element, the UDF is ~2× faster at identical bits; the
+    Catalyst twin remains the reference implementation, equated by
+    tests/test_northstar.py::test_udf_matches_catalyst_pipeline)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ss = F.pandas_udf(T.shingle_sig_fn(MINHASH_K), "hs: array<bigint>, sig: array<bigint>")
+    hv = (
+        docs.select("doc_id", ss("text").alias("ss"))
+        .select("doc_id", "ss.hs", "ss.sig")
+        .persist()
+    )
+    bands = hv.select(
         "doc_id",
-        F.posexplode(F.array(*T.band_hashes("h", MINHASH_K, ROWS_PER_BAND))).alias(
-            "band_idx", "bucket"
-        ),
+        F.posexplode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        "|",
+                        *[
+                            F.col("sig")[j * ROWS_PER_BAND + t]
+                            for t in range(ROWS_PER_BAND)
+                        ],
+                    )
+                    for j in range(MINHASH_K // ROWS_PER_BAND)
+                ]
+            )
+        ).alias("band_idx", "bucket"),
     )
     pairs = (
         bands.alias("a")

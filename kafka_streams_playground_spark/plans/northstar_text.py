@@ -171,19 +171,15 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: md5 over an 8-component MinHash signature — a
     compact content id that is stable under token reordering-free edits
     (near-dup docs share signature components, exact dups share the whole
-    fingerprint). The rolling-hash family lives in functions/text.py."""
+    fingerprint). The rolling-hash family lives in functions/text.py;
+    signatures come from the Arrow-batched shingle_sig_fn pass (same bits as
+    the Catalyst pipeline, see dedup_minhash_lsh)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    sh = docs.select("doc_id", T.shingles(T.tokens("text")).alias("sh"))
-    sig = sh.select(
-        "doc_id",
-        *[
-            c.alias(f"h{i}")
-            for i, c in enumerate(T.minhash_signature(T.shingle_hashes(F.col("sh")), 8))
-        ],
-    )
+    ss = F.pandas_udf(T.shingle_sig_fn(8), "hs: array<bigint>, sig: array<bigint>")
+    sig = docs.select("doc_id", ss("text").alias("ss"))
     return sig.select(
         "doc_id",
-        F.md5(F.concat_ws("|", *[F.col(f"h{i}") for i in range(8)])).alias("fingerprint"),
+        F.md5(F.concat_ws("|", *[F.col("ss.sig")[i] for i in range(8)])).alias("fingerprint"),
     )
 
 

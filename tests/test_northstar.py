@@ -177,3 +177,30 @@ def test_multiprobe_recall_dominates_single_probe(spark, sf_dir):
     for q in sc:
         assert mc[q] >= sc[q]
         assert mb[q] >= sb[q] - 1e-12
+
+
+def test_udf_matches_catalyst_pipeline(spark, sf_dir):
+    """The Arrow shingle_sig_fn pass must produce the same hash sets and
+    signatures as the Catalyst reference pipeline on real fixture text."""
+    from kafka_streams_playground_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").limit(50)
+    ss = F.pandas_udf(T.shingle_sig_fn(4), "hs: array<bigint>, sig: array<bigint>")
+    udf_rows = {
+        r["doc_id"]: (sorted(r["ss"]["hs"]), list(r["ss"]["sig"]))
+        for r in docs.select("doc_id", ss("text").alias("ss")).collect()
+    }
+    sh = docs.select("doc_id", T.shingles(T.tokens("text")).alias("sh"))
+    cat = sh.select(
+        "doc_id",
+        F.array_distinct(T.shingle_hashes(F.col("sh"))).alias("hs"),
+        *[
+            c.alias(f"h{i}")
+            for i, c in enumerate(T.minhash_signature(T.shingle_hashes(F.col("sh")), 4))
+        ],
+    )
+    cat_rows = {
+        r["doc_id"]: (sorted(r["hs"]), [r[f"h{i}"] for i in range(4)])
+        for r in cat.collect()
+    }
+    assert udf_rows == cat_rows
