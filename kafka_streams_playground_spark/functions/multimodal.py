@@ -84,3 +84,40 @@ def decode_features(mm: DataFrame) -> DataFrame:
             )
 
     return mm.select("doc_id", "content").mapInPandas(decode, FEATURES_SCHEMA)
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("orig_bytes", LongType()),
+        StructField("resized_bytes", LongType()),
+    ]
+)
+
+
+def _resize_stub(buf: bytes, target_w: int, target_h: int) -> bytes:
+    """STUB resize — stands in for PIL's ``Image.resize``. Deterministic
+    fake: keep the first target_w×target_h bytes ("downsampled pixels").
+    Same swap-only contract as :func:`_decode_stub`."""
+    return buf[: target_w * target_h]
+
+
+def resize_images(mm: DataFrame, target_w: int, target_h: int) -> DataFrame:
+    """Arrow-batched resize over (doc_id, content, meta) — the
+    decode→transform→re-encode pattern for image normalization before
+    feature extraction. Emits byte-count accounting (the narrow audit frame
+    a pipeline monitors); the resized payload itself would be written
+    straight to a partitioned sink (sources/sinks.py), never shuffled."""
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            resized = pdf["content"].map(lambda b: _resize_stub(b, target_w, target_h))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "orig_bytes": pdf["content"].map(len).astype("int64"),
+                    "resized_bytes": resized.map(len).astype("int64"),
+                }
+            )
+
+    return mm.select("doc_id", "content").mapInPandas(resize, RESIZED_SCHEMA)

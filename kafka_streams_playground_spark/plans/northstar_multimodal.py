@@ -112,3 +112,29 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sequence(F.lit(0).cast("bigint"), F.col("n_frames") - 1, F.lit(FRAME_STRIDE))
         ).alias("frame_idx"),
     )
+
+
+RESIZE_W, RESIZE_H = 16, 16
+
+
+@query(
+    "mm_resize_audit",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS orig_bytes,
+           CAST(LEAST(octet_length(encode(text)), {RESIZE_W * RESIZE_H}) AS BIGINT)
+               AS resized_bytes
+    FROM documents
+    """,
+    tags=("northstar", "multimodal", "resize"),
+)
+def mm_resize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-resize pass (decode → resize → re-encode) with byte accounting.
+    The resize itself is the documented stub (functions/multimodal.py:
+    _resize_stub — no image libs in this container); the mapInPandas
+    plumbing, audit schema, and blob-stays-map-side discipline are the real
+    100 TB pattern."""
+    from kafka_streams_playground_spark.functions.multimodal import resize_images
+
+    mm = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return resize_images(mm, RESIZE_W, RESIZE_H)
