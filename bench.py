@@ -8,8 +8,10 @@ every output row/column, no driver collect, no sink I/O cost). Per-query
 time is the MIN of two runs: the first run includes Janino codegen
 compilation of the plan (a fixed per-plan cost, irrelevant at scale where
 it is amortized over hours of execution); the min reflects steady-state
-execution. Both runs execute the full plan — nothing is cached between
-runs except the JVM's compiled classes and OS page cache.
+execution. ``spark.catalog.clearCache()`` runs before every run, so
+queries that persist an internal index (MinHash, SimHash, IVF) rebuild it
+from scratch each run — nothing carries over between runs except the JVM's
+compiled classes and OS page cache.
 """
 
 from __future__ import annotations
@@ -75,6 +77,9 @@ def main() -> None:
     for name in names:
         best = float("inf")
         for _ in range(2):
+            # Drop persisted indexes from prior runs/queries: every timed run
+            # must execute the full plan, including index builds.
+            spark.catalog.clearCache()
             t0 = time.time()
             REGISTRY[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)

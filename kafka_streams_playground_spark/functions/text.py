@@ -87,20 +87,6 @@ def minhash_signature(hashes_col: Column, k: int = 16) -> list[Column]:
     return [_component(i) for i in range(k)]
 
 
-def band_hashes(sig_prefix: str, k: int = 16, rows_per_band: int = 4) -> list[Column]:
-    """LSH banding: concatenate each band of ``rows_per_band`` signature
-    components (columns ``{sig_prefix}{i}``) to one bucket id. Plain
-    ``'|'``-joined decimal strings — grouping only needs equality, so no
-    extra hash pass. b = k/r bands; two docs collide iff some band agrees —
-    the classic S-curve selectivity."""
-    assert k % rows_per_band == 0
-    out = []
-    for j in range(k // rows_per_band):
-        cols = [F.col(f"{sig_prefix}{j * rows_per_band + t}") for t in range(rows_per_band)]
-        out.append(F.concat_ws("|", *cols))
-    return out
-
-
 def jaccard(a: Column, b: Column) -> Column:
     """Exact Jaccard similarity of two array-set columns (verification step
     after LSH candidate generation)."""

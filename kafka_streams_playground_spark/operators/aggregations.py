@@ -53,7 +53,7 @@ def tumbling_count(
 
 def salted_agg(
     df: DataFrame,
-    keys: list[Column | str],
+    keys: list[str],
     aggs: dict[str, tuple[str, Column]],
     n_salts: int = 16,
 ) -> DataFrame:
@@ -68,8 +68,11 @@ def salted_agg(
 
     ``aggs`` maps output column → (combine_fn_name, partial_agg_column);
     combine_fn must be decomposable (sum→sum, count→sum, max→max, min→min).
-    AQE's skew handling covers sort-merge joins; for aggregations this
-    operator is the explicit tool.
+    ``keys`` must be plain column NAMES: the combine phase groups the
+    partial aggregate by the same names, so an expression key would be
+    re-evaluated against columns that no longer exist — compute expression
+    keys with ``withColumn`` first. AQE's skew handling covers sort-merge
+    joins; for aggregations this operator is the explicit tool.
     """
     salt = (F.rand(seed=42) * n_salts).cast("int").alias("_salt")
     partial = df.withColumn("_salt", salt).groupBy(*keys, F.col("_salt")).agg(

@@ -282,16 +282,14 @@ def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     # of the band self-join (at 100 TB it is a materialized index table).
     fps = spark.sql(simhash_fingerprint_sql(f"parquet.`{path}`", "spark")).persist()
     bounds = band_bounds(SIMHASH_BANDED_MAX_HAMMING + 1)
+    # Integer shiftright, NOT float division: fp has up to 63 significant
+    # bits, beyond float64's mantissa — a float quotient can corrupt band
+    # values and silently drop qualifying pairs (pigeonhole broken).
     bands = fps.select(
         "doc_id",
         "fp",
         F.posexplode(
-            F.array(
-                *[
-                    F.floor(F.col("fp") / F.lit(float(2**lo))).cast("long") % (2**w)
-                    for lo, w in bounds
-                ]
-            )
+            F.array(*[F.shiftright(F.col("fp"), lo) % (2**w) for lo, w in bounds])
         ).alias("band_idx", "bv"),
     )
     pairs = (

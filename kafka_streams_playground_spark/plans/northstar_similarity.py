@@ -219,10 +219,13 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
+    # Persisted: the bucketed-vector index feeds BOTH join branches (query
+    # side and candidate side); without it the full-corpus bucket UDF pass
+    # runs twice per execution.
     n = emb.select(
         "vec_id", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"),
         _bucket_expr_spark().alias("bucket"),
-    )
+    ).persist()
     q = n.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -379,10 +382,13 @@ def sim_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
+    # Persisted: the bucketed-vector index feeds BOTH join branches (query
+    # side and candidate side); without it the full-corpus bucket UDF pass
+    # runs twice per execution.
     n = emb.select(
         "vec_id", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"),
         _bucket_expr_spark().alias("bucket"),
-    )
+    ).persist()
     probes = F.array(
         F.col("qb"), *[F.col("qb").bitwiseXOR(F.lit(1 << p)) for p in range(N_PLANES)]
     )

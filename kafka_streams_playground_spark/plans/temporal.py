@@ -107,9 +107,9 @@ def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH flagged AS (
       SELECT user_id, event_id, ts, value,
         CASE WHEN lag(ts) OVER w IS NULL
-                  OR floor(epoch(ts::TIMESTAMP))
-                     - floor(epoch((lag(ts) OVER w)::TIMESTAMP))
-                     > {SESSION_GAP_S}
+                  OR epoch(ts::TIMESTAMP)
+                     - epoch((lag(ts) OVER w)::TIMESTAMP)
+                     >= {SESSION_GAP_S}
              THEN 1 ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -131,21 +131,24 @@ def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def session_windows_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization with a 6 h inactivity gap — gaps-and-islands: flag a
-    row as session-opening when the previous event of the same user is more
-    than the gap away; a running sum of flags numbers the sessions; group by
-    (user, session_no). Batch twin of ``session_window()`` (the streaming
-    form in streaming/queries.py): one shuffle on user_id, two in-partition
-    window passes, no self-join — the linear-cost sessionization that holds
-    at 100 TB."""
+    row as session-opening when the previous event of the same user is at
+    least the gap away; a running sum of flags numbers the sessions; group
+    by (user, session_no). Batch twin of ``session_window()`` (the
+    streaming form in streaming/queries.py) with IDENTICAL boundary
+    semantics: the gap is computed on precise (sub-second) epochs and a gap
+    exactly equal to SESSION_GAP_S opens a new session, matching
+    session_window's end-exclusive bound. One shuffle on user_id, two
+    in-partition window passes, no self-join — the linear-cost
+    sessionization that holds at 100 TB."""
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
     flagged = events.select(
         "user_id",
         "event_id",
         "ts",
         "value",
-        F.when(F.lag("ts").over(w).isNull() | (gap > SESSION_GAP_S), 1)
+        F.when(F.lag("ts").over(w).isNull() | (gap >= SESSION_GAP_S), 1)
         .otherwise(0)
         .alias("new_session"),
     )

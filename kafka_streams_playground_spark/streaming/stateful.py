@@ -28,11 +28,16 @@ from pyspark.sql import DataFrame
 
 def _running_count(key: tuple, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
     """Per-key running event counter emitting one changelog row per input
-    record (sorted by event time + id within the batch, so replays are
-    deterministic)."""
+    record. The iterator can hand a key's micro-batch as SEVERAL Arrow
+    chunks in arrival order — sorting each chunk independently would
+    interleave wrongly, so all chunks are concatenated and sorted once per
+    (key, micro-batch) before counts are assigned; ordering is then
+    globally (ts, event_id) within the batch and replays are deterministic.
+    Memory bound = one key's rows in one micro-batch."""
     c = state.get[0] if state.exists else 0
-    for pdf in pdfs:
-        pdf = pdf.sort_values(["ts", "event_id"])
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if chunks:
+        pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
         n = len(pdf)
         yield pd.DataFrame(
             {

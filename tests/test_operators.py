@@ -166,9 +166,11 @@ def test_parquet_sink_partitioned_roundtrip(spark, sf_dir, tmp_path):
     assert len(dirs) >= 3
     back = spark.read.parquet(dest)
     assert back.count() == docs.count()
-    # partition pruning: a lang filter must prune to the one directory
+    # partition pruning: a lang filter must appear as a PartitionFilter on
+    # the scan (no fallback — this is the property under test)
     one = back.filter(F.col("lang") == "en")
-    assert "PartitionFilters: [isnotnull(lang" in _explain_str(one) or one.count() > 0
+    plan = _explain_str(one)
+    assert "PartitionFilters" in plan and "lang" in plan.split("PartitionFilters", 1)[1][:120], plan
 
 
 def _explain_str(df):
