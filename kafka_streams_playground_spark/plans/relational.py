@@ -324,3 +324,71 @@ def agg_rollup_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_customers"),
         F.round(F.sum("c_acctbal"), 2).alias("total_balance"),
     )
+
+
+@query(
+    "agg_price_percentiles",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           FLOOR(quantile_cont(o_totalprice, 0.5) * 100 + 0.5) / 100 AS median_price,
+           FLOOR(quantile_cont(o_totalprice, 0.95) * 100 + 0.5) / 100 AS p95_price,
+           COUNT(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+    """,
+    tags=("extension", "agg", "percentile"),
+)
+def agg_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark ``percentile`` ==
+    DuckDB ``quantile_cont``: both sort the group and linearly interpolate,
+    so doubles agree). Exact percentiles buffer each group's values — the
+    documented scale path is ``approx_percentile`` (t-digest sketch,
+    map-side combinable) once groups stop fitting; the exact form stays the
+    small-group/oracle baseline."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+    # floor(x*100+0.5)/100: cross-engine-deterministic cent rounding (ROUND
+    # tie behavior differs between engines; see q5_paid_orders)
+    return j.groupBy(F.col("c_mktsegment").alias("segment")).agg(
+        (F.floor(F.expr("percentile(o_totalprice, 0.5)") * 100 + 0.5) / 100).alias(
+            "median_price"
+        ),
+        (F.floor(F.expr("percentile(o_totalprice, 0.95)") * 100 + 0.5) / 100).alias(
+            "p95_price"
+        ),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+@query(
+    "agg_pivot_status_by_segment",
+    oracle="""
+    SELECT c_mktsegment AS segment,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS status_F,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS status_O,
+           COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS status_P
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY 1
+    """,
+    tags=("extension", "agg", "pivot"),
+)
+def agg_pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PIVOT: order-status counts spread across columns per market segment.
+    The value list is declared explicitly (``pivot(col, values)``) — with it,
+    Spark plans a single pass (no extra distinct-values job) and the output
+    schema is static, which is the only sane form at 100 TB."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderstatus")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+    piv = (
+        j.groupBy(F.col("c_mktsegment").alias("segment"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+    )
+    return piv.select(
+        "segment",
+        F.coalesce(F.col("F"), F.lit(0)).alias("status_F"),
+        F.coalesce(F.col("O"), F.lit(0)).alias("status_O"),
+        F.coalesce(F.col("P"), F.lit(0)).alias("status_P"),
+    )
