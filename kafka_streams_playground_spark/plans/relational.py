@@ -392,3 +392,93 @@ def agg_pivot_status_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.col("O"), F.lit(0)).alias("status_O"),
         F.coalesce(F.col("P"), F.lit(0)).alias("status_P"),
     )
+
+
+@query(
+    "setop_intersect_urgent_returned",
+    oracle="""
+    SELECT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    INTERSECT
+    SELECT o_custkey FROM orders o
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE l_returnflag = 'R'
+    """,
+    tags=("extension", "setop"),
+)
+def setop_intersect_urgent_returned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT (SURVEY §2.7 — absent from the reference): customers with an
+    urgent order AND a returned lineitem. Catalyst rewrites INTERSECT to a
+    left-semi join over distinct inputs, so physically this is the same
+    shuffled-hash/semi plan as a hand-written semi join — one shuffle per
+    side on the key, partial-distinct map-side first."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_returnflag")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    returned = (
+        orders.join(li, orders["o_orderkey"] == li["l_orderkey"])
+        .filter(F.col("l_returnflag") == "R")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return urgent.intersect(returned)
+
+
+@query(
+    "setop_except_never_urgent",
+    oracle="""
+    SELECT c_custkey AS custkey FROM customer
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    """,
+    tags=("extension", "setop"),
+)
+def setop_except_never_urgent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT (set difference): customers with no urgent order ever. Planned
+    as a left-anti join over distinct inputs — the complement of the
+    INTERSECT plan above; both distincts are map-side partial first."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("custkey"))
+    )
+    return cust.subtract(urgent)
+
+
+@query(
+    "wf_running_customer_spend",
+    oracle="""
+    SELECT o_custkey, o_orderkey,
+           FLOOR(SUM(o_totalprice) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+               ROWS UNBOUNDED PRECEDING
+           ) * 100 + 0.5) / 100 AS running_spend,
+           ROW_NUMBER() OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           ) AS order_seq
+    FROM orders
+    """,
+    tags=("extension", "window", "frame"),
+)
+def wf_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit frame spec (SURVEY §2.5 — absent from the reference):
+    per-customer running spend, ``ROWS UNBOUNDED PRECEDING`` over a
+    deterministic (date, orderkey) order. Both engines accumulate doubles
+    sequentially in frame order, so the cent-floor agrees bit-for-bit.
+    Scale note: window partitions shuffle by o_custkey and sort within —
+    one exchange, no driver state; skew is per-customer order counts,
+    bounded in TPC-H-shaped data."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    running = F.sum("o_totalprice").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (F.floor(running * 100 + 0.5) / 100).alias("running_spend"),
+        F.row_number().over(w).alias("order_seq"),
+    )

@@ -156,6 +156,48 @@ def stream_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_q2_order_projection",
+    oracle=None,  # set below: shares q2's oracle (stateless ⇒ same rows)
+    tags=("reference", "streaming", "S1", "P2", "S5"),
+)
+def stream_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2's streaming form (KafkaStreamsApp.scala:113-118): mapValues
+    projection on the streaming path. Stateless append pipeline; column
+    pruning still reaches the file-stream scan (ReadSchema lists only the
+    three projected columns)."""
+    orders = read_stream_table(spark, sf_dir, "orders")
+    out = orders.select("o_orderkey", "o_custkey", "o_totalprice")
+    return run_to_completion(out, output_mode="append", spark=spark)
+
+
+@query(
+    "stream_q3_products_by_first_letter",
+    oracle=None,  # set below: shares q3's oracle (drained update state = batch agg)
+    tags=("reference", "streaming", "P3", "P7", "A1", "A5"),
+)
+def stream_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3's streaming form (KafkaStreamsApp.scala:120-133): the exploded
+    products stream (lineitem) enriched by **stream-static** joins against
+    the order/customer dims, then the key-changing groupBy (P7's
+    first-letter key — the repartition-topic boundary at :126 becomes a
+    shuffle exchange) with an update-mode running count. Unwindowed
+    streaming agg ⇒ state is one row per letter (≤26+) — the same bound as
+    the reference's store."""
+    from kafka_streams_playground_spark.operators import stateless as ops
+
+    li = read_stream_table(spark, sf_dir, "lineitem").select("l_orderkey")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    joined = li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).join(
+        cust, orders["o_custkey"] == cust["c_custkey"]
+    )
+    counted = joined.groupBy(ops.first_letter_key("c_name").alias("letter")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return run_to_completion(counted, output_mode="update", spark=spark)
+
+
+@query(
     "stream_session_windows_per_user",
     oracle=f"""
     WITH flagged AS (
@@ -264,6 +306,8 @@ def _share_oracles() -> None:
         ("stream_s2_latest_event_per_user", "s2_latest_event_per_user"),
         ("stream_q5_paid_orders", "q5_paid_orders"),
         ("stream_q1_expensive_orders", "q1_expensive_orders"),
+        ("stream_q2_order_projection", "q2_order_projection"),
+        ("stream_q3_products_by_first_letter", "q3_products_by_first_letter"),
     ]:
         REGISTRY[stream_name] = replace(
             REGISTRY[stream_name], oracle=REGISTRY[batch_name].oracle
