@@ -482,3 +482,72 @@ def wf_running_customer_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(running * 100 + 0.5) / 100).alias("running_spend"),
         F.row_number().over(w).alias("order_seq"),
     )
+
+
+@query(
+    "agg_cube_status_priority",
+    oracle="""
+    SELECT o_orderstatus AS status, o_orderpriority AS priority,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    tags=("extension", "agg", "cube"),
+)
+def agg_cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregate — all 2^k grouping sets in one pass (completes the
+    grouping-sets family next to ROLLUP above). Same physical shape as
+    rollup: one Expand (4× fan-out here) feeding a single partial+final
+    hash aggregate — one shuffle regardless of how many sets, which is why
+    cube beats 4 unioned GROUP BYs at 100 TB (one scan, one exchange)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus", "o_orderpriority", "o_totalprice"
+    )
+    return orders.cube(
+        F.col("o_orderstatus").alias("status"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
+
+
+PRICE_BANDS = [
+    ("budget", 0.0, 50_000.0),
+    ("mid", 50_000.0, 150_000.0),
+    ("premium", 150_000.0, 300_000.0),
+    ("luxury", 300_000.0, 1e18),
+]
+
+
+@query(
+    "join_range_price_band",
+    oracle=f"""
+    SELECT band, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    JOIN (VALUES {", ".join(f"('{n}', {lo}, {hi})" for n, lo, hi in PRICE_BANDS)})
+         b(band, lo, hi)
+      ON o_totalprice >= lo AND o_totalprice < hi
+    GROUP BY band
+    """,
+    tags=("extension", "join", "range"),
+)
+def join_range_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure non-equi (range/theta) join — no equi key at all: each order
+    lands in the price band whose [lo, hi) interval contains it. The band
+    dim is tiny and explicitly broadcast, so Spark plans
+    BroadcastNestedLoopJoin — the ONLY sane physical strategy for a
+    keyless theta join at scale (the fact table never shuffles; each task
+    probes 4 in-memory rows). With a large band table this becomes a
+    bucketed range join via banding the fact side; here the dim is 4 rows."""
+    orders = load_table(spark, sf_dir, "orders").select("o_totalprice")
+    bands = spark.createDataFrame(PRICE_BANDS, ["band", "lo", "hi"])
+    joined = orders.join(
+        F.broadcast(bands),
+        (orders["o_totalprice"] >= bands["lo"]) & (orders["o_totalprice"] < bands["hi"]),
+    )
+    return joined.groupBy("band").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+    )
