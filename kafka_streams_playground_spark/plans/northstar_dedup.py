@@ -305,9 +305,16 @@ def dedup_simhash_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.doc_id").alias("doc_b"),
             F.bit_count(F.col("a.fp").bitwiseXOR(F.col("b.fp"))).cast("long").alias("hamming"),
         )
+        # Hamming filter BEFORE the pair-distinct: hamming is functionally
+        # determined by the pair, so order is semantics-free — but Catalyst
+        # can't push a non-grouping-column predicate through the distinct
+        # itself, and filtering first shrinks the distinct's shuffle from
+        # every band collision (~680k rows at sf0.1) to qualifying pairs
+        # (~5k): the map side discards candidates the moment they fail.
+        .filter(F.col("hamming") <= SIMHASH_BANDED_MAX_HAMMING)
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    return pairs.filter(F.col("hamming") <= SIMHASH_BANDED_MAX_HAMMING)
+    return pairs
 
 
 @query(

