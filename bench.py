@@ -36,8 +36,12 @@ BENCH_QUERIES = [
     "agg_pricing_summary",
     "agg_revenue_by_nation",
     "agg_rollup_nation_segment",
+    "agg_cube_status_priority",
+    "agg_price_percentiles",
     "s2_latest_event_per_user",
     "wf_top3_orders_per_customer",
+    "wf_running_customer_spend",
+    "join_range_price_band",
     "topk_customers_by_revenue",
     "json_props_extract",
     "join_left_order_lineitem_counts",
