@@ -551,3 +551,54 @@ def join_range_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total_price"),
     )
+
+
+KMV_K = 256  # sketch size; stderr ~ 1/sqrt(K) ≈ 6%
+
+
+@query(
+    "agg_kmv_distinct_sketch",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT (('0x' || substr(md5(o_custkey::VARCHAR), 1, 8)))::BIGINT AS hv
+      FROM orders
+    ),
+    k AS (SELECT hv FROM h ORDER BY hv LIMIT {KMV_K}),
+    s AS (SELECT COUNT(*) AS k_n, MAX(hv) AS kth FROM k)
+    SELECT k_n,
+           CASE WHEN k_n < {KMV_K} THEN CAST(k_n AS BIGINT)
+                ELSE CAST(FLOOR(({KMV_K} - 1) * {2**32}.0 / kth) AS BIGINT)
+           END AS est_distinct
+    FROM s
+    """,
+    tags=("extension", "agg", "sketch"),
+)
+def agg_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-count sketch: hash every key to 32
+    bits, keep the K smallest distinct hashes; if the K-th smallest is h,
+    the keys are ~uniform in [0, 2^32) and distinct ≈ (K-1)·2^32/h. Unlike
+    HLL (whose register layout differs per engine, so ``approx_count_
+    distinct`` can never hash-match an oracle), KMV is pure md5 + integer
+    arithmetic — bit-identical cross-engine, so the SKETCH itself is
+    oracle-checked, not just bounded. Scale shape: map-side partial
+    distinct on 8-byte hashes, then TakeOrderedAndProject (per-partition
+    bottom-K, K-row driver merge) — the sketch state is K longs no matter
+    how many keys; mergeable across partitions/streams by keeping the K
+    smallest of the union (the standard distributed-sketch contract).
+    Accuracy vs exact count is asserted in tests/test_plans.py."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey")
+    h = orders.select(
+        F.conv(F.substring(F.md5(F.col("o_custkey").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("hv")
+    ).distinct()
+    k = h.orderBy("hv").limit(KMV_K)
+    s = k.agg(F.count(F.lit(1)).alias("k_n"), F.max("hv").alias("kth"))
+    return s.select(
+        "k_n",
+        F.when(F.col("k_n") < KMV_K, F.col("k_n").cast("long"))
+        .otherwise(
+            F.floor((KMV_K - 1) * float(2**32) / F.col("kth")).cast("long")
+        )
+        .alias("est_distinct"),
+    )

@@ -75,3 +75,20 @@ def test_minhash_band_join_carries_no_arrays(spark, sf_dir):
     assert joins, plan
     # the band-collision join keys are (band_idx, bucket)
     assert re.search(r"band_idx.*bucket|bucket.*band_idx", plan), plan
+
+
+def test_kmv_sketch_accuracy_and_plan(spark, sf_dir):
+    """The KMV estimate must be within 3 standard errors (3/sqrt(K)) of the
+    exact distinct count, and the plan must take the TakeOrderedAndProject
+    path (per-partition bottom-K, K-row merge) — not a global sort."""
+    from kafka_streams_playground_spark.plans.relational import KMV_K
+    from kafka_streams_playground_spark.sources.parquet import load_table
+
+    row = REGISTRY["agg_kmv_distinct_sketch"].fn(spark, sf_dir).collect()[0]
+    exact = load_table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    if row["k_n"] < KMV_K:
+        assert row["est_distinct"] == exact
+    else:
+        assert abs(row["est_distinct"] - exact) / exact <= 3.0 / (KMV_K**0.5)
+    plan = _plan(spark, sf_dir, "agg_kmv_distinct_sketch")
+    assert "TakeOrderedAndProject" in plan, plan

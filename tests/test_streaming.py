@@ -189,3 +189,35 @@ def test_stream_stream_left_outer_join_emits_unmatched(spark):
     rows = {r["order_id"]: r["pay_id"] for r in out.collect()}
     assert rows.get("o1") == "p1"          # matched within the window
     assert "o2" in rows and rows["o2"] is None  # evicted → emitted with nulls
+
+
+def test_dedup_within_watermark_bounds_state(spark):
+    """``dropDuplicatesWithinWatermark``: duplicates arriving inside the
+    watermark horizon are suppressed across micro-batches, while the state
+    store holds only in-horizon keys (the unbounded-corpus form of
+    stream_dedup_exact, SCALE.md §6). A duplicate in a later batch (but
+    within the horizon) must NOT re-emit; the advancing watermark lets the
+    first-seen row through exactly once."""
+    import datetime as dt
+
+    schema = "k string, ts timestamp"
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    paths = _write_batches(
+        spark,
+        [
+            [("a", t0), ("b", t0 + dt.timedelta(seconds=5))],
+            # duplicate 'a' within the 10 min horizon + one new key
+            [("a", t0 + dt.timedelta(seconds=30)), ("c", t0 + dt.timedelta(seconds=40))],
+        ],
+        schema,
+    )
+    src_dir = os.path.dirname(paths[0])
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src_dir, "b*"))
+    )
+    deduped = sdf.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(["k"])
+    out = run_to_completion(deduped, output_mode="append", spark=spark)
+    keys = sorted(r["k"] for r in out.collect())
+    assert keys == ["a", "b", "c"]
