@@ -602,3 +602,35 @@ def agg_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("est_distinct"),
     )
+
+
+@query(
+    "merge_order_ship_activity",
+    oracle="""
+    SELECT o_orderkey AS order_key, 'ordered' AS kind,
+           CAST(floor(epoch(o_orderdate::TIMESTAMP)) AS BIGINT) AS at_epoch
+    FROM orders
+    UNION ALL
+    SELECT l_orderkey AS order_key, 'shipped' AS kind,
+           CAST(floor(epoch(l_shipdate::TIMESTAMP)) AS BIGINT) AS at_epoch
+    FROM lineitem
+    """,
+    tags=("extension", "setop", "merge"),
+)
+def merge_order_ship_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``KStream.merge`` semantics (offered by the reference's DSL, unused in
+    KafkaStreamsApp.scala — SURVEY §2.7): interleave two keyed streams into
+    one activity stream, no dedup, no repartition. Spark ``unionAll`` is a
+    pure plan concatenation — zero shuffle; each side keeps its own scan,
+    pruned to three columns."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("order_key"),
+        F.lit("ordered").alias("kind"),
+        F.unix_timestamp("o_orderdate").alias("at_epoch"),
+    )
+    ships = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("order_key"),
+        F.lit("shipped").alias("kind"),
+        F.unix_timestamp("l_shipdate").alias("at_epoch"),
+    )
+    return orders.unionAll(ships)
