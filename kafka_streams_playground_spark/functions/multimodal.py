@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
+    DoubleType,
     FloatType,
     LongType,
     StructField,
@@ -121,3 +122,54 @@ def resize_images(mm: DataFrame, target_w: int, target_h: int) -> DataFrame:
             )
 
     return mm.select("doc_id", "content").mapInPandas(resize, RESIZED_SCHEMA)
+
+
+AUDIO_CHUNK = 32  # samples per analysis window
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("chunk_idx", LongType()),
+        StructField("energy", DoubleType()),
+    ]
+)
+
+
+def audio_chunk_energy(mm: DataFrame) -> DataFrame:
+    """Arrow-batched audio analysis: treat the payload as a PCM-style sample
+    stream (STUB: one byte = one unsigned sample — stands in for an ffmpeg/
+    soundfile decode), window it into AUDIO_CHUNK-sample chunks, emit one
+    (doc_id, chunk_idx, energy) row per complete chunk where energy is the
+    mean sample amplitude in [0,1]. The exploding transform runs inside
+    ``mapInPandas`` — the blob is cut into chunks in the scan stage and only
+    the narrow numeric frame ever shuffles (same contract as
+    :func:`decode_features`); numpy does the chunking as one reshape per
+    batch, no per-sample Python."""
+    import numpy as np
+
+    def chunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, cidx, energy = [], [], []
+            for doc_id, buf in zip(pdf["doc_id"], pdf["content"]):
+                n = len(buf) // AUDIO_CHUNK
+                if n == 0:
+                    continue
+                a = np.frombuffer(buf[: n * AUDIO_CHUNK], dtype=np.uint8)
+                # dim-ordered mean: sum in sample order, then scale (matches
+                # the oracle's literal 32-term sum over doubles)
+                e = a.reshape(n, AUDIO_CHUNK).astype(np.float64)
+                acc = np.zeros(n)
+                for j in range(AUDIO_CHUNK):
+                    acc = acc + e[:, j]
+                ids.extend([doc_id] * n)
+                cidx.extend(range(n))
+                energy.extend(acc / (AUDIO_CHUNK * 255.0))
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "chunk_idx": pd.Series(cidx, dtype="int64"),
+                    "energy": pd.Series(energy, dtype="float64"),
+                }
+            )
+
+    return mm.select("doc_id", "content").mapInPandas(chunks, AUDIO_SCHEMA)

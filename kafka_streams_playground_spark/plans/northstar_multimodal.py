@@ -138,3 +138,44 @@ def mm_resize_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     mm = attach_binary_payload(load_table(spark, sf_dir, "documents"))
     return resize_images(mm, RESIZE_W, RESIZE_H)
+
+
+_CHUNK_SUM = " + ".join(
+    f"ascii(substr(text, chunk_idx * 32 + {j + 1}, 1))" for j in range(32)
+)
+
+
+@query(
+    "mm_audio_chunk_energy",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id, text,
+             CAST(octet_length(encode(text)) // 32 AS BIGINT) AS n_chunks
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, text, CAST(unnest(range(0, n_chunks)) AS BIGINT) AS chunk_idx
+      FROM a WHERE n_chunks > 0
+    )
+    SELECT doc_id, chunk_idx,
+           FLOOR(({_CHUNK_SUM}) / (32 * 255.0) * 10000 + 0.5) / 10000 AS energy
+    FROM c
+    """,
+    tags=("northstar", "multimodal", "audio"),
+)
+def mm_audio_chunk_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-shaped payload analysis: PCM-style chunking (32 samples/window)
+    + per-chunk mean amplitude, all inside one Arrow-batched ``mapInPandas``
+    pass (functions/multimodal.py::audio_chunk_energy — stub decode, real
+    plumbing). Chunk sums are exact integer arithmetic in float64 (≤ 8160),
+    so both engines divide identical numerators — no accumulation-order
+    hazard; the cent-floor is belt-and-braces."""
+    from kafka_streams_playground_spark.functions.multimodal import audio_chunk_energy
+
+    mm = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    chunks = audio_chunk_energy(mm)
+    return chunks.select(
+        "doc_id",
+        "chunk_idx",
+        (F.floor(F.col("energy") * 10000 + 0.5) / 10000).alias("energy"),
+    )
