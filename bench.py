@@ -23,45 +23,31 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-# Headline set: the five reference topologies + representative extension and
-# north-star operators. Quadratic baselines (dedup_ngram_jaccard,
-# dedup_simhash pair join, dedup_embedding_cosine) are deliberately excluded:
-# they exist as ground-truth checks, not as operators that survive scale-up.
-BENCH_QUERIES = [
-    "q1_expensive_orders",
-    "q2_order_projection",
-    "q3_products_by_first_letter",
-    "q4_products_per_user_10s",
-    "q5_paid_orders",
-    "agg_pricing_summary",
-    "agg_revenue_by_nation",
-    "agg_rollup_nation_segment",
-    "agg_cube_status_priority",
-    "agg_price_percentiles",
-    "s2_latest_event_per_user",
-    "wf_top3_orders_per_customer",
-    "wf_running_customer_spend",
-    "join_range_price_band",
-    "topk_customers_by_revenue",
-    "json_props_extract",
-    "join_left_order_lineitem_counts",
-    "asof_purchase_last_click",
-    "session_windows_per_user",
-    "sliding_window_event_counts",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash_banded",
-    "dedup_keep_best_by_quality",
-    "orders_products_array",
-    "sim_topk_bruteforce",
-    "sim_lsh_bucket_stats",
-    "sim_ivf_topk",
-    "sim_ann_multiprobe_topk",
-    "text_token_stats",
-    "text_vocabulary",
-    "text_quality_score",
-    "mm_decoded_feature_checksum",
-]
+# Bench set = the ENTIRE registry minus two reasoned exclusion classes, so
+# the bench tracks the registry as queries are added (VERDICT r1 item 5).
+EXCLUDED = {
+    # Quadratic ground-truth baselines: they exist to validate the bucketed
+    # scale paths (minhash/simhash_banded/ANN), not to survive scale-up.
+    "dedup_ngram_jaccard": "quadratic ground-truth baseline",
+    "dedup_simhash": "quadratic pair-join baseline; dedup_simhash_banded is the scale path",
+    "dedup_embedding_cosine": "quadratic baseline; sim_ann_* are the scale path",
+}
+STREAM_EXCLUSION_REASON = (
+    "memory-sink drain (driver-resident test harness, not a production sink)"
+)
+
+
+def bench_names(registry) -> tuple[list[str], dict[str, str]]:
+    excluded = dict(EXCLUDED)
+    names = []
+    for n in registry:
+        if n.startswith("stream_"):
+            excluded[n] = STREAM_EXCLUSION_REASON
+        elif n in EXCLUDED:
+            pass
+        else:
+            names.append(n)
+    return names, excluded
 
 
 def main() -> None:
@@ -72,7 +58,7 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    names = [n for n in BENCH_QUERIES if n in REGISTRY]
+    names, excluded = bench_names(REGISTRY)
 
     # Warm the JVM + parquet footers once so timings measure the plans.
     REGISTRY[names[0]].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
@@ -103,6 +89,7 @@ def main() -> None:
                 "queries": timings,
                 "sf": sf_val,
                 "runs": 2,
+                "excluded": excluded,
             }
         )
     )

@@ -72,6 +72,7 @@ def interval_join(
     lower: str,
     upper: str,
     extra_condition: Column | None = None,
+    how: str = "inner",
 ) -> DataFrame:
     """J3 — windowed stream-stream join (``:177-186``).
 
@@ -82,6 +83,11 @@ def interval_join(
     join, which Catalyst then pushes to the smaller side — idiomatically
     replacing the joiner+flatten pair (``:185``).
 
+    ``how``: Kafka Streams' ``JoinWindows`` joins are inner-only at the
+    reference's API level; Spark gives ``leftOuter``/``rightOuter``/
+    ``fullOuter`` for free (SURVEY §2.3) — in streaming, unmatched rows are
+    null-padded and emitted once the watermark closes their window.
+
     Works on batch DataFrames as-is; for streaming inputs apply
     ``withWatermark`` to both sides first (:mod:`..streaming.watermarks`).
     """
@@ -91,4 +97,4 @@ def interval_join(
     )
     if extra_condition is not None:
         cond = cond & extra_condition
-    return left.join(right, on=cond, how="inner")
+    return left.join(right, on=cond, how=how)

@@ -249,7 +249,11 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-N_CENTROID_MOD = 25  # centroids = vec_id % 25 == 0 → ~N/25 coarse cells
+# Fixed centroid count, INDEPENDENT of corpus size: the coarse quantizer's
+# centroid table must stay O(K) so collecting it to the driver and closing
+# over it in the assignment UDF is legitimate at any N (a real deployment
+# learns K k-means centroids the same way — K is a config, not f(N)).
+N_CENTROIDS = 64
 
 
 @query(
@@ -259,7 +263,7 @@ N_CENTROID_MOD = 25  # centroids = vec_id % 25 == 0 → ~N/25 coarse cells
     n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
     cents AS (
       SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n
-      WHERE vec_id % {N_CENTROID_MOD} = 0
+      WHERE vec_id < {N_CENTROIDS}
     ),
     cscore AS (
       SELECT n.vec_id, cent_id,
@@ -293,32 +297,35 @@ N_CENTROID_MOD = 25  # centroids = vec_id % 25 == 0 → ~N/25 coarse cells
     tags=("northstar", "similarity", "ivf"),
 )
 def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-style ANN: a deterministic coarse quantizer (every 25th vector is
-    a centroid) assigns each vector to its nearest centroid cell; queries
-    search only their own cell. The 100 TB shape of a vector index:
+    """IVF-style ANN: a deterministic coarse quantizer (the K=64 lowest
+    vec_ids stand in for learned centroids) assigns each vector to its
+    nearest centroid cell; queries search only their own cell. The 100 TB
+    shape of a vector index:
 
-    * the centroid table is tiny → **broadcast**; assignment is a map-side
-      cross-score + per-vector argmin (one shuffle for the row_number, or
-      none with a partial ``min_by``) — O(N·C/25) flops, no N×N anywhere;
+    * the centroid table is **fixed-K** (64 rows regardless of corpus size)
+      → collecting it to the driver is O(K·d) bytes and the per-task closure
+      is a 64×64 matrix; assignment is one map-side pass — O(N·K·d) flops,
+      no N×N and no N-proportional driver state anywhere;
     * the cell search is an equi-join on cent_id — co-partitioned shuffle,
       candidates ∝ cell occupancy (multi-probe = also join runner-up cells
       for recall; single-probe keeps the oracle compact).
 
-    Real IVF learns centroids with k-means; the deterministic modulus stands
-    in so both engines derive identical cells (no RNG portability hazard).
+    Real IVF learns K k-means centroids (K a config like 2^16, never f(N));
+    the deterministic vec_id<K rule stands in so both engines derive
+    identical cells (no RNG portability hazard), with the same O(K) contract.
 
-    Assignment is a single ``mapInPandas`` pass: the centroid matrix (tiny by
-    IVF construction — k centroids) is collected once and closed over, so no
-    N×C row-set is ever materialized, no Arrow transfer of N×C vector pairs,
-    and no 1M-row ``row_number`` shuffle — each batch scores all centroids
-    with dim-ordered numpy folds (bit-identical to the oracle's
+    Assignment is a single ``mapInPandas`` pass: the fixed-K centroid matrix
+    is collected once and closed over, so no N×K row-set is ever
+    materialized, no Arrow transfer of N×K vector pairs, and no 1M-row
+    ``row_number`` shuffle — each batch scores all centroids with
+    dim-ordered numpy folds (bit-identical to the oracle's
     ``list_dot_product`` sequential fold) and emits its argmax row. The old
     crossJoin+window form spent ~2× this plan's wall time at sf0.1.
     """
     import numpy as np
 
     n = _vectors(spark, sf_dir)
-    cents = n.filter(F.col("vec_id") % N_CENTROID_MOD == 0).select(
+    cents = n.filter(F.col("vec_id") < N_CENTROIDS).select(
         F.col("vec_id").alias("cent_id"),
         F.col("v").alias("cv"),
         F.col("nrm").alias("cnrm"),

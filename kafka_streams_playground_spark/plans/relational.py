@@ -634,3 +634,45 @@ def merge_order_ship_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("l_shipdate").alias("at_epoch"),
     )
     return orders.unionAll(ships)
+
+
+@query(
+    "agg_salted_skew",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS sum_cents,
+           MAX(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS max_cents
+    FROM events GROUP BY event_type
+    """,
+    tags=("extension", "agg", "skew", "salted"),
+)
+def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-hardened aggregation via :func:`..operators.aggregations.salted_agg`
+    (SCALE.md §4): ``event_type`` has single-digit cardinality, so a naive
+    groupBy gives each final-agg task an N/5-row group — the straggler shape
+    a hot key produces at 100 TB. Salting splits every group into 16 salt
+    sub-groups (first shuffle: (type, salt), 16× the parallelism), then
+    combines the 16 partials per type (second shuffle: ~80 tiny rows).
+
+    Values are folded as exact integer cents (``floor(value*100+0.5)``)
+    BEFORE summation, so the sum is associative-exact and identical under
+    any partial-agg regrouping — the salted two-phase sum, Spark's partial
+    aggregates, and DuckDB's single-phase sum all produce the same BIGINT
+    (a double sum would drift by summation order)."""
+    from kafka_streams_playground_spark.operators.aggregations import salted_agg
+
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    return salted_agg(
+        events,
+        keys=["event_type"],
+        aggs={
+            "n_events": ("count", F.count(F.lit(1))),
+            "sum_cents": ("sum", F.sum("cents")),
+            "max_cents": ("max", F.max("cents")),
+        },
+        n_salts=16,
+    )

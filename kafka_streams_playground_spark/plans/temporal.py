@@ -124,7 +124,7 @@ def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(floor(epoch(MIN(ts)::TIMESTAMP)) AS BIGINT) AS session_start,
            CAST(floor(epoch(MAX(ts)::TIMESTAMP)) AS BIGINT) AS session_end,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 2) AS sum_value
+           FLOOR(SUM(value) * 100 + 0.5) / 100 AS sum_value
     FROM numbered GROUP BY user_id, session_no
     """,
     tags=("extension", "temporal", "session"),
@@ -162,7 +162,10 @@ def session_windows_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp(F.min("ts")).alias("session_start"),
         F.unix_timestamp(F.max("ts")).alias("session_end"),
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        # floor(x*100+0.5)/100, not ROUND(x,2): double summation order
+        # differs across engines, and ROUND resolves tie-boundary cents
+        # differently in Spark vs DuckDB (same hazard as q5_paid_orders).
+        (F.floor(F.sum("value") * 100 + 0.5) / 100).alias("sum_value"),
     )
 
 

@@ -222,7 +222,7 @@ def q5_paid_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders_products_array",
     oracle="""
     SELECT l_orderkey AS order_key,
-           list_sort(list(l_partkey)) AS products,
+           array_to_string(list_sort(list(l_partkey)), '|') AS products,
            CAST(len(list(l_partkey)) AS BIGINT) AS n_products
     FROM lineitem GROUP BY 1
     """,
@@ -232,10 +232,65 @@ def orders_products_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rebuild the reference's ``Order.products: List[String]`` array shape
     (KafkaStreamsApp.scala:92) from the exploded lineitem rows — the inverse
     of P3's flatMapValues (:121-123). ``collect_list`` is sorted in both
-    engines because collection order is partition-dependent; at 100 TB this
+    engines because collection order is partition-dependent, then emitted as
+    a '|'-joined string: same content, but hashable by the driver's
+    canonicalizer (pandas cannot factorize raw array cells). At 100 TB this
     is one shuffle on the order key with array assembly reduce-side."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     return li.groupBy(F.col("l_orderkey").alias("order_key")).agg(
-        F.sort_array(F.collect_list("l_partkey")).alias("products"),
+        F.array_join(
+            F.sort_array(F.collect_list("l_partkey")).cast("array<string>"), "|"
+        ).alias("products"),
         F.count(F.lit(1)).alias("n_products"),
+    )
+
+
+@query(
+    "join_left_interval_unpaid",
+    oracle="""
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(floor(epoch(o.o_orderdate::TIMESTAMP)) AS BIGINT) AS order_epoch,
+           l.l_linenumber,
+           CAST(floor(epoch(l.l_shipdate::TIMESTAMP)) AS BIGINT) AS paid_epoch
+    FROM orders o
+    LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       AND l.l_shipdate::TIMESTAMP
+           BETWEEN o.o_orderdate::TIMESTAMP
+               AND o.o_orderdate::TIMESTAMP + INTERVAL '30 days'
+       AND l.l_linestatus = 'F'
+    """,
+    tags=("extension", "J3", "outer", "interval"),
+)
+def join_left_interval_unpaid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-OUTER windowed join — the join family Kafka Streams'
+    ``JoinWindows`` API lacks and Spark gives free (SURVEY §2.3): orders with
+    no qualifying payment inside [orderdate, +30 d] survive null-padded, so
+    one query yields both the paid matches and the unpaid audit trail.
+    Physically identical to Q5's J3 (one shuffle on the order key, time
+    predicate as residual); in streaming form the watermark closing the
+    window is what licenses emitting the null-padded row."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    payments = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_shipdate", "l_linestatus"
+    )
+    joined = interval_join(
+        orders,
+        payments,
+        left_key="o_orderkey",
+        right_key="l_orderkey",
+        left_ts="o_orderdate",
+        right_ts="l_shipdate",
+        lower="0 days",
+        upper="30 days",
+        extra_condition=payments["l_linestatus"] == "F",
+        how="left_outer",
+    )
+    return joined.select(
+        "o_orderkey",
+        "o_custkey",
+        F.unix_timestamp("o_orderdate").alias("order_epoch"),
+        "l_linenumber",
+        F.unix_timestamp("l_shipdate").alias("paid_epoch"),
     )

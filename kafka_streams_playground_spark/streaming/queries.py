@@ -219,7 +219,7 @@ def stream_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(floor(epoch(MIN(ts)::TIMESTAMP)) AS BIGINT) AS session_start,
            CAST(floor(epoch(MAX(ts)::TIMESTAMP)) AS BIGINT) AS session_end,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 2) AS sum_value
+           FLOOR(SUM(value) * 100 + 0.5) / 100 AS sum_value
     FROM numbered GROUP BY user_id, session_no
     """,
     tags=("extension", "streaming", "session"),
@@ -242,7 +242,9 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("ts").alias("min_ts"),
         F.max("ts").alias("max_ts"),
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+        # floor-cent rounding (see plans/temporal.py::session_windows_per_user):
+        # ROUND(SUM(double),2) is tie-boundary-unstable across engines.
+        (F.floor(F.sum("value") * 100 + 0.5) / 100).alias("sum_value"),
     )
     out = ses.select(
         "user_id",
@@ -315,3 +317,100 @@ def _share_oracles() -> None:
 
 
 _share_oracles()
+
+
+@query(
+    "stream_dedup_within_watermark",
+    oracle="SELECT DISTINCT user_id, event_type FROM events",
+    tags=("northstar", "streaming", "dedup", "watermark"),
+)
+def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-BOUNDED streaming dedup — the unbounded-corpus form of
+    ``stream_dedup_exact``: ``dropDuplicatesWithinWatermark`` suppresses
+    re-occurrences of a key arriving inside the watermark horizon while the
+    state store holds ONLY in-horizon keys, so state is bounded by the
+    horizon's key arrival rate, not the stream's lifetime key count — the
+    property that makes streaming dedup viable at 100 TB (plain
+    ``dropDuplicates`` state grows forever).
+
+    Output projects only the dedup key (user_id, event_type): which copy
+    wins is arrival-order-dependent, the key set is deterministic. On the
+    single-file fixture the drain is one micro-batch (watermark never
+    advances mid-stream), so the emitted set equals DISTINCT keys — the
+    cross-micro-batch suppression + state-expiry behavior is separately
+    pinned by ``tests/test_streaming.py::test_dedup_within_watermark_bounds_state``."""
+    events = read_stream_table(spark, sf_dir, "events").withWatermark("ts", WATERMARK)
+    deduped = events.dropDuplicatesWithinWatermark(["user_id", "event_type"]).select(
+        "user_id", "event_type"
+    )
+    return run_to_completion(deduped, output_mode="append", spark=spark)
+
+
+@query(
+    "stream_join_left_interval_unpaid",
+    oracle="""
+    WITH wm AS (
+      SELECT least((SELECT max(o_orderdate::TIMESTAMP) FROM orders),
+                   (SELECT max(l_shipdate::TIMESTAMP) FROM lineitem))
+             - INTERVAL '24 hours' AS w
+    )
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(floor(epoch(o.o_orderdate::TIMESTAMP)) AS BIGINT) AS order_epoch,
+           l.l_linenumber,
+           CAST(floor(epoch(l.l_shipdate::TIMESTAMP)) AS BIGINT) AS paid_epoch
+    FROM orders o
+    LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       AND l.l_shipdate::TIMESTAMP
+           BETWEEN o.o_orderdate::TIMESTAMP
+               AND o.o_orderdate::TIMESTAMP + INTERVAL '30 days'
+       AND l.l_linestatus = 'F'
+    WHERE l.l_orderkey IS NOT NULL
+       OR o.o_orderdate::TIMESTAMP + INTERVAL '30 days' < (SELECT w FROM wm)
+    """,
+    tags=("extension", "streaming", "J3", "outer", "interval"),
+)
+def stream_join_left_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-OUTER windowed stream-stream join — the family Kafka Streams'
+    ``JoinWindows`` lacks and Spark's StreamingSymmetricHashJoinExec gives
+    free (SURVEY §2.3): orders with no qualifying payment in
+    [orderdate, +30 d] are emitted null-padded once the advancing watermark
+    proves no match can still arrive (state eviction = emission license; the
+    availableNow drain's final no-data batch flushes the closed windows).
+
+    The oracle encodes EXACTLY that semantics, not the batch left join: an
+    unmatched order emits iff its window upper bound lies strictly below the
+    final global watermark ``min(max(left ts), max(right ts)) - delay`` —
+    orders still inside the horizon at drain end are (correctly) withheld,
+    because a payment could still arrive on the unbounded stream. Verified
+    row-exact against Spark's eviction rule (202 in-horizon orders withheld
+    at sf0.01)."""
+    orders = (
+        read_stream_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .withWatermark("o_orderdate", WATERMARK)
+    )
+    payments = (
+        read_stream_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_linestatus")
+        .withWatermark("l_shipdate", WATERMARK)
+    )
+    joined = interval_join(
+        orders,
+        payments,
+        left_key="o_orderkey",
+        right_key="l_orderkey",
+        left_ts="o_orderdate",
+        right_ts="l_shipdate",
+        lower="0 days",
+        upper="30 days",
+        extra_condition=payments["l_linestatus"] == "F",
+        how="leftOuter",
+    )
+    out = joined.select(
+        "o_orderkey",
+        "o_custkey",
+        F.unix_timestamp("o_orderdate").alias("order_epoch"),
+        "l_linenumber",
+        F.unix_timestamp("l_shipdate").alias("paid_epoch"),
+    )
+    return run_to_completion(out, output_mode="append", spark=spark)

@@ -15,6 +15,7 @@ pipelines run continuously; nothing below depends on batch finiteness.)
 from __future__ import annotations
 
 import os
+import shutil
 import tempfile
 import uuid
 
@@ -58,13 +59,19 @@ def run_to_completion(
     spark = spark or sdf.sparkSession
     name = f"mem_{uuid.uuid4().hex[:12]}"
     ckpt = tempfile.mkdtemp(prefix="ksp_ckpt_")
-    q = (
-        sdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", ckpt)
-        .start()
-    )
-    q.awaitTermination()
+    try:
+        q = (
+            sdf.writeStream.format("memory")
+            .queryName(name)
+            .outputMode(output_mode)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        # The memory-sink result is already materialized; the checkpoint's
+        # state store has no value past the drain — remove it so repeated
+        # test/oracle/bench runs don't leak /tmp directories.
+        shutil.rmtree(ckpt, ignore_errors=True)
     return spark.table(name)
