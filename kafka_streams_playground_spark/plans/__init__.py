@@ -46,6 +46,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_join_left_interval_unpaid",
     "agg_salted_skew",
     "stream_dedup_within_watermark",
+    "join_ktable_ktable_latest",
+    "stream_q5_daily_revenue",
+    "sim_ivf_multiprobe_topk",
     # never driver-checked in r1 (registered past the cap)
     "text_token_stats",
     "text_quality_score",
@@ -81,10 +84,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_revenue_by_nation",
     "asof_purchase_last_click",
     "sliding_window_event_counts",
-    "wf_top3_orders_per_customer",
-    "agg_rollup_nation_segment",
     "agg_price_percentiles",
-    "agg_pivot_status_by_segment",
     "join_semi_urgent_customers",
     "join_anti_parts_never_shipped",
 )

@@ -254,11 +254,12 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # over it in the assignment UDF is legitimate at any N (a real deployment
 # learns K k-means centroids the same way — K is a config, not f(N)).
 N_CENTROIDS = 64
+IVF_NPROBE = 2  # multi-probe: each query also searches its runner-up cell
 
-
-@query(
-    "sim_ivf_topk",
-    oracle=f"""
+# Shared oracle CTEs: normalized vectors, fixed-K centroids, per-vector cell
+# scores, argmax assignment, and the member index — identical text in both
+# IVF oracles so the cells provably agree.
+_IVF_INDEX_CTES = f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
     cents AS (
@@ -279,7 +280,56 @@ N_CENTROIDS = 64
     ),
     members AS (
       SELECT a.vec_id, a.cent_id, n.v, n.nrm FROM assign a JOIN n USING (vec_id)
-    ),
+    )"""
+
+
+def _ivf_members(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build the IVF index: every vector assigned to its nearest fixed-K
+    centroid cell, persisted (the index is built once and read by every
+    probe branch). One ``mapInPandas`` pass over the corpus; the fixed-K
+    centroid matrix is collected once (O(K·d)) and closed over — see
+    :func:`sim_ivf_topk` for the full scale rationale."""
+    import numpy as np
+
+    n = _vectors(spark, sf_dir)
+    cents = n.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    # Sorted by cent_id so np.argmax's first-max rule IS the (cs DESC,
+    # cent_id ASC) tiebreak of the oracle's row_number.
+    crows = sorted(cents.collect(), key=lambda r: r["cent_id"])
+    cent_ids = np.array([r["cent_id"] for r in crows], dtype=np.int64)
+    cm = np.stack([np.asarray(r["cv"], dtype=np.float64) for r in crows])
+    cnrm = np.array([r["cnrm"] for r in crows], dtype=np.float64)
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            av = np.stack(pdf["v"].to_numpy())  # (b, d)
+            acc = np.zeros((len(pdf), len(cent_ids)), dtype=np.float64)
+            for d in range(av.shape[1]):  # dim-ordered fold = oracle's fold
+                acc = acc + np.outer(av[:, d], cm[:, d])
+            cs = acc / (pdf["nrm"].to_numpy()[:, None] * cnrm[None, :])
+            # round-half-away-from-zero at 6 dp — DuckDB ROUND / Spark
+            # F.round semantics (np.round would be half-even: a real,
+            # assignment-flipping divergence on exact .5e-6 boundaries)
+            cs = np.sign(cs) * np.floor(np.abs(cs) * 1e6 + 0.5) / 1e6
+            best = np.argmax(cs, axis=1)  # first max ⇒ lowest cent_id wins ties
+            out = pdf[["vec_id", "v", "nrm"]].copy()
+            out["cent_id"] = cent_ids[best]
+            yield out[["vec_id", "cent_id", "v", "nrm"]]
+
+    return n.mapInPandas(
+        assign, "vec_id long, cent_id long, v array<double>, nrm double"
+    ).persist()
+
+
+@query(
+    "sim_ivf_topk",
+    oracle=f"""{_IVF_INDEX_CTES},
     scored AS (
       SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
              ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
@@ -322,44 +372,9 @@ def sim_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``list_dot_product`` sequential fold) and emits its argmax row. The old
     crossJoin+window form spent ~2× this plan's wall time at sf0.1.
     """
-    import numpy as np
-
-    n = _vectors(spark, sf_dir)
-    cents = n.filter(F.col("vec_id") < N_CENTROIDS).select(
-        F.col("vec_id").alias("cent_id"),
-        F.col("v").alias("cv"),
-        F.col("nrm").alias("cnrm"),
-    )
-    # Sorted by cent_id so np.argmax's first-max rule IS the (cs DESC,
-    # cent_id ASC) tiebreak of the oracle's row_number.
-    crows = sorted(cents.collect(), key=lambda r: r["cent_id"])
-    cent_ids = np.array([r["cent_id"] for r in crows], dtype=np.int64)
-    cm = np.stack([np.asarray(r["cv"], dtype=np.float64) for r in crows])
-    cnrm = np.array([r["cnrm"] for r in crows], dtype=np.float64)
-
-    def assign(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            av = np.stack(pdf["v"].to_numpy())  # (b, d)
-            acc = np.zeros((len(pdf), len(cent_ids)), dtype=np.float64)
-            for d in range(av.shape[1]):  # dim-ordered fold = oracle's fold
-                acc = acc + np.outer(av[:, d], cm[:, d])
-            cs = acc / (pdf["nrm"].to_numpy()[:, None] * cnrm[None, :])
-            # round-half-away-from-zero at 6 dp — DuckDB ROUND / Spark
-            # F.round semantics (np.round would be half-even: a real,
-            # assignment-flipping divergence on exact .5e-6 boundaries)
-            cs = np.sign(cs) * np.floor(np.abs(cs) * 1e6 + 0.5) / 1e6
-            best = np.argmax(cs, axis=1)  # first max ⇒ lowest cent_id wins ties
-            out = pdf[["vec_id", "v", "nrm"]].copy()
-            out["cent_id"] = cent_ids[best]
-            yield out[["vec_id", "cent_id", "v", "nrm"]]
-
-    # Persisted: the cell assignment IS the IVF index — built once, read by
-    # both the query-side and candidate-side branches of the probe join.
-    members = n.mapInPandas(
-        assign, "vec_id long, cent_id long, v array<double>, nrm double"
-    ).persist()
+    # Persisted index: the cell assignment is built once and read by both
+    # the query-side and candidate-side branches of the probe join.
+    members = _ivf_members(spark, sf_dir)
     q = members.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
         F.col("cent_id").alias("qcent"),
@@ -442,6 +457,85 @@ def sim_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "query_id",
         "neighbor_id",
+        F.round(_dot_udf(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", "cosine", "rank")
+    )
+
+
+@query(
+    "sim_ivf_multiprobe_topk",
+    oracle=f"""{_IVF_INDEX_CTES},
+    qprobe AS (
+      SELECT query_id, cent_id, qv, qn FROM (
+        SELECT c.vec_id AS query_id, c.cent_id, n.v AS qv, n.nrm AS qn,
+               row_number() OVER (
+                 PARTITION BY c.vec_id ORDER BY c.cs DESC, c.cent_id ASC) AS rn
+        FROM cscore c JOIN n ON c.vec_id = n.vec_id
+        WHERE c.vec_id < {N_QUERIES}
+      ) WHERE rn <= {IVF_NPROBE}
+    ),
+    scored AS (
+      SELECT p.query_id, m.vec_id AS neighbor_id,
+             ROUND(list_dot_product(p.qv, m.v) / (p.qn * m.nrm), 6) AS cosine
+      FROM qprobe p JOIN members m
+        ON p.cent_id = m.cent_id AND m.vec_id <> p.query_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= {TOP_K}
+    """,
+    tags=("northstar", "similarity", "ivf", "multiprobe"),
+)
+def sim_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with nprobe=2 — the IVF recall lever (mirror of the LSH
+    multi-probe): each query searches its nearest AND runner-up centroid
+    cells, catching true neighbors that the quantizer assigned across the
+    cell boundary. The standard accuracy/cost dial of every production IVF
+    index (FAISS nprobe): candidates ≈ nprobe × average cell occupancy.
+
+    Spark shape: the probe list is built from the tiny queries × fixed-K
+    centroids cross score (Q·K rows, Catalyst-side) ranked per query; the
+    cell search stays one equi-join of the probe list (broadcast) against
+    the persisted member index on cent_id — identical join shape to
+    single-probe, just Q·nprobe probe rows instead of Q. No candidate is
+    double-counted: members belong to exactly one cell."""
+    members = _ivf_members(spark, sf_dir)
+    n = _vectors(spark, sf_dir)
+    cents = n.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+    qv = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    cscore = qv.crossJoin(F.broadcast(cents)).select(
+        "query_id",
+        "cent_id",
+        "qv",
+        "qn",
+        F.round(_dot_udf(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cnrm")), 6).alias("cs"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.col("cs").desc(), F.col("cent_id").asc())
+    probes = (
+        cscore.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= IVF_NPROBE)
+        .select("query_id", F.col("cent_id").alias("probe_cent"), "qv", "qn")
+    )
+    scored = members.join(
+        F.broadcast(probes),
+        (F.col("cent_id") == F.col("probe_cent")) & (F.col("vec_id") != F.col("query_id")),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
         F.round(_dot_udf(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())

@@ -676,3 +676,59 @@ def agg_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         n_salts=16,
     )
+
+
+@query(
+    "join_ktable_ktable_latest",
+    oracle="""
+    WITH cur AS (
+      SELECT user_id, event_id, event_type, value FROM (
+        SELECT user_id, event_id, event_type, value,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ),
+    lastclick AS (
+      SELECT user_id, event_id AS click_id,
+             CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT) AS click_epoch
+      FROM (
+        SELECT user_id, event_id, ts,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_type = 'click'
+      ) WHERE rn = 1
+    )
+    SELECT cur.user_id, cur.event_id, cur.event_type, cur.value,
+           lastclick.click_id, lastclick.click_epoch
+    FROM cur JOIN lastclick ON cur.user_id = lastclick.user_id
+    """,
+    tags=("extension", "S2", "join", "ktable"),
+)
+def join_ktable_ktable_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KTable ⋈ KTable — the Kafka Streams join family
+    (``KTable.join(KTable)``) the reference never exercises (SURVEY §2.3
+    covers only its three stream-side families): two latest-per-key
+    changelog tables equi-joined on their shared key, producing the joined
+    *current state* (current event per user ⋈ user's latest click).
+
+    Both sides materialize with ONE hash exchange each on user_id and the
+    join reuses that partitioning — at 100 TB this is the
+    co-partitioned-changelog join Kafka Streams executes as two RocksDB
+    lookups; streaming form = two ``latest_per_key_stream`` states feeding a
+    stream-stream equi join."""
+    events = load_table(spark, sf_dir, "events")
+    cur = latest_per_key(
+        events, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
+    ).select("user_id", "event_id", "event_type", "value")
+    clicks = events.filter(F.col("event_type") == "click")
+    last_click = latest_per_key(
+        clicks, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
+    ).select(
+        F.col("user_id").alias("c_user_id"),
+        F.col("event_id").alias("click_id"),
+        F.unix_timestamp("ts").alias("click_epoch"),
+    )
+    return cur.join(last_click, cur["user_id"] == last_click["c_user_id"]).select(
+        "user_id", "event_id", "event_type", "value", "click_id", "click_epoch"
+    )

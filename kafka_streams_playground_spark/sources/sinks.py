@@ -55,3 +55,36 @@ def write_parquet_stream(
     if partition_cols:
         writer = writer.partitionBy(*partition_cols)
     return writer
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_cols: tuple[str, ...],
+    n_buckets: int = 32,
+    sort_cols: tuple[str, ...] = (),
+    mode: str = "overwrite",
+) -> None:
+    """Write a bucketed (hash-clustered) managed table — the layout that
+    makes repeated big-to-big equi-joins and aggregations on the bucket key
+    SHUFFLE-FREE for every downstream reader.
+
+    ``bucketBy(n, cols)`` pre-hash-partitions rows into ``n`` files per
+    write-task group and records the bucket spec in the catalog; a join of
+    two tables bucketed on the same key with the same bucket count satisfies
+    both sides' hash-partitioning requirement, so Catalyst plans
+    SortMergeJoin with ZERO Exchange nodes (asserted by
+    ``tests/test_plans.py::test_bucketed_join_has_no_shuffle``). At 100 TB
+    this converts every repeated fact-fact join from two full-data shuffles
+    into a metadata lookup — bucketing is Spark's answer to the reference's
+    co-partitioned topics (Kafka Streams requires equal partition counts for
+    stream-stream joins; ``KafkaStreamsApp.scala:173`` repartitions for
+    exactly that reason).
+
+    ``sortBy`` additionally orders within buckets, so bucket-key point reads
+    get min-max row-group pruning and merge joins skip the sort.
+    """
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)

@@ -414,3 +414,79 @@ def stream_join_left_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("l_shipdate").alias("paid_epoch"),
     )
     return run_to_completion(out, output_mode="append", spark=spark)
+
+
+@query(
+    "stream_q5_daily_revenue",
+    oracle="""
+    WITH wm AS (
+      SELECT least((SELECT max(o_orderdate::TIMESTAMP) FROM orders),
+                   (SELECT max(l_shipdate::TIMESTAMP) FROM lineitem))
+             - INTERVAL '24 hours' AS w
+    )
+    SELECT CAST(floor(epoch(time_bucket(INTERVAL '1 day',
+                                        o.o_orderdate::TIMESTAMP))) AS BIGINT)
+               AS window_start,
+           COUNT(*) AS n_paid,
+           SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+               AS revenue_cents
+    FROM orders o
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       AND l.l_shipdate::TIMESTAMP
+           BETWEEN o.o_orderdate::TIMESTAMP
+               AND o.o_orderdate::TIMESTAMP + INTERVAL '30 days'
+       AND l.l_linestatus = 'F'
+    WHERE time_bucket(INTERVAL '1 day', o.o_orderdate::TIMESTAMP)
+          + INTERVAL '1 day' <= (SELECT w FROM wm) - INTERVAL '30 days'
+    GROUP BY 1
+    """,
+    tags=("extension", "streaming", "multi-stateful", "J3", "A4"),
+)
+def stream_q5_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO stateful operators chained in ONE streaming query — the
+    composition SURVEY §4.3-3 flags as the historical Spark restriction:
+    a watermarked stream-stream interval join (symmetric hash state) feeds
+    a 1-day tumbling windowed aggregate (window state) with append output,
+    verified working on Spark 4.1.2 (Kafka Streams does this with a
+    repartition topic between join and agg; here it is one query, one
+    checkpoint, two state stores).
+
+    Revenue is summed as exact integer cents (re-association-proof). The
+    oracle encodes the downstream agg's emission rule, which the join
+    DELAYS by its state horizon: left-side join state may still emit rows
+    with o_orderdate as old as ``wm - 30 d`` (the interval upper bound), so
+    the agg's effective watermark is ``min(max(left ts), max(right ts)) -
+    delay - 30 d`` and a day window emits iff its end is at or below that
+    (verified empirically: the 6 join-fed day windows inside the delayed
+    horizon at sf0.01 are withheld, everything older emits)."""
+    orders = (
+        read_stream_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderdate", "o_totalprice")
+        .withWatermark("o_orderdate", WATERMARK)
+    )
+    payments = (
+        read_stream_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_shipdate", "l_linestatus")
+        .withWatermark("l_shipdate", WATERMARK)
+    )
+    paid = interval_join(
+        orders,
+        payments,
+        left_key="o_orderkey",
+        right_key="l_orderkey",
+        left_ts="o_orderdate",
+        right_ts="l_shipdate",
+        lower="0 days",
+        upper="30 days",
+        extra_condition=payments["l_linestatus"] == "F",
+    )
+    daily = paid.groupBy(F.window("o_orderdate", "1 day").alias("window")).agg(
+        F.count(F.lit(1)).alias("n_paid"),
+        F.sum(F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long")).alias(
+            "revenue_cents"
+        ),
+    )
+    out = daily.select(
+        F.unix_timestamp("window.start").alias("window_start"), "n_paid", "revenue_cents"
+    )
+    return run_to_completion(out, output_mode="append", spark=spark)

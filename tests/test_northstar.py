@@ -204,3 +204,26 @@ def test_udf_matches_catalyst_pipeline(spark, sf_dir):
         for r in cat.collect()
     }
     assert udf_rows == cat_rows
+
+
+def test_ivf_multiprobe_recall_dominates_single_probe(spark, sf_dir):
+    """nprobe=2 searches a strict superset of nprobe=1's candidates (the
+    nearest cell plus the runner-up), so per query it must return at least
+    as many neighbors and a best-cosine at least as good."""
+    from collections import defaultdict
+
+    from kafka_streams_playground_spark.plans import REGISTRY
+
+    def per_query(name):
+        best, cnt = defaultdict(lambda: -2.0), defaultdict(int)
+        for r in REGISTRY[name].fn(spark, sf_dir).collect():
+            q = r["query_id"]
+            cnt[q] += 1
+            best[q] = max(best[q], r["cosine"])
+        return best, cnt
+
+    sb, sc = per_query("sim_ivf_topk")
+    mb, mc = per_query("sim_ivf_multiprobe_topk")
+    for q in sc:
+        assert mc[q] >= sc[q]
+        assert mb[q] >= sb[q] - 1e-12

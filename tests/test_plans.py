@@ -9,6 +9,8 @@ import io
 import re
 from contextlib import redirect_stdout
 
+from pyspark.sql import functions as F
+
 from kafka_streams_playground_spark.plans import REGISTRY
 
 
@@ -92,3 +94,67 @@ def test_kmv_sketch_accuracy_and_plan(spark, sf_dir):
         assert abs(row["est_distinct"] - exact) / exact <= 3.0 / (KMV_K**0.5)
     plan = _plan(spark, sf_dir, "agg_kmv_distinct_sketch")
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """Two tables bucketed on the join key with equal bucket counts must
+    join with ZERO Exchange nodes — bucketing is the layout that makes
+    repeated fact-fact joins shuffle-free at 100 TB (SCALE.md §2;
+    sinks.write_bucketed_table). Broadcast is disabled so the assertion
+    exercises the sort-merge path a 100 TB join would actually take."""
+    from kafka_streams_playground_spark.sources.parquet import load_table
+    from kafka_streams_playground_spark.sources.sinks import write_bucketed_table
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed_table(orders, "bt_orders", ("o_orderkey",), n_buckets=8,
+                         sort_cols=("o_orderkey",))
+    write_bucketed_table(li, "bt_lineitem", ("l_orderkey",), n_buckets=8,
+                         sort_cols=("l_orderkey",))
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        bo = spark.table("bt_orders")
+        bl = spark.table("bt_lineitem")
+        j = bo.join(bl, bo["o_orderkey"] == bl["l_orderkey"])
+        import io
+        from contextlib import redirect_stdout
+
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            j.explain("formatted")
+        plan = buf.getvalue()
+        assert "SortMergeJoin" in plan, plan
+        assert "Exchange" not in plan, plan
+        # and the result is still correct
+        n = j.count()
+        plain = orders.join(li, orders["o_orderkey"] == li["l_orderkey"]).count()
+        assert n == plain
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        spark.sql("DROP TABLE IF EXISTS bt_orders")
+        spark.sql("DROP TABLE IF EXISTS bt_lineitem")
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """A filter on the partition column of a partitioned-parquet layout must
+    plan as a PartitionFilter (directory pruning — scans only the matching
+    partition), not a data filter over all files. This is the sink-side
+    layout contract of sinks.write_parquet(partition_cols=...) at 100 TB."""
+    from kafka_streams_playground_spark.sources.parquet import load_table
+    from kafka_streams_playground_spark.sources.sinks import write_parquet
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    out = str(tmp_path / "orders_by_prio")
+    write_parquet(orders, out, partition_cols=("o_orderpriority",))
+    rd = spark.read.parquet(out).filter(F.col("o_orderpriority") == "1-URGENT")
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        rd.explain("formatted")
+    plan = buf.getvalue()
+    assert re.search(r"PartitionFilters: \[.*o_orderpriority.*1-URGENT", plan), plan
+    n = rd.count()
+    plain = orders.filter(F.col("o_orderpriority") == "1-URGENT").count()
+    assert n == plain > 0

@@ -5,11 +5,17 @@ parquet fixtures, then compares row count, sorted column names, and an
 order-insensitive value multiset (floats rounded to 6 significant-ish
 decimals to absorb cross-engine double noise the queries already round away).
 
-Usage: python tools/check_correctness.py [sf_dir] [query ...]
+Usage: python tools/check_correctness.py [--json OUT.json] [sf_dir] [query ...]
+
+``--json`` additionally writes a per-query result map in the driver's
+CORRECTNESS shape (rows_match/schema_match/hash_match/rows/err) — committed
+per round as ``CORRECTNESS_LOCAL.json`` so queries past the driver's 50-query
+cap still have an inspectable hard-signal record.
 """
 
 from __future__ import annotations
 
+import json
 import math
 import os
 import sys
@@ -45,8 +51,13 @@ def main() -> int:
     from kafka_streams_playground_spark.plans import REGISTRY
     from kafka_streams_playground_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if args and args[0] == "--json":
+        json_out = args[1]
+        args = args[2:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     spark = get_spark("correctness-check")
     con = duckdb.connect()
@@ -58,9 +69,19 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     failures = []
+    results: dict[str, dict] = {}
     for name, spec in sorted(REGISTRY.items()):
         if only and name not in only:
             continue
+        rec = {
+            "rows_match": None,
+            "schema_match": None,
+            "hash_match": None,
+            "spark_rows": None,
+            "oracle_rows": None,
+            "err": None,
+        }
+        results[name] = rec
         t0 = time.time()
         try:
             sdf = spec.fn(spark, sf_dir)
@@ -68,8 +89,10 @@ def main() -> int:
             s_rows = [tuple(r) for r in sdf.collect()]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
+            rec["err"] = f"spark: {e}"
             failures.append(name)
             continue
+        rec["spark_rows"] = len(s_rows)
         if spec.oracle is None:
             print(f"rows  {name}: {len(s_rows)} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
@@ -79,17 +102,22 @@ def main() -> int:
             d_rows = res.fetchall()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
+            rec["err"] = f"duckdb: {e}"
             failures.append(name)
             continue
+        rec["oracle_rows"] = len(d_rows)
+        rec["schema_match"] = s_cols == d_cols
+        rec["rows_match"] = len(s_rows) == len(d_rows)
         ok = True
-        if s_cols != d_cols:
+        if not rec["schema_match"]:
             print(f"FAIL  {name}: columns spark={s_cols} duckdb={d_cols}")
             ok = False
-        elif len(s_rows) != len(d_rows):
+        elif not rec["rows_match"]:
             print(f"FAIL  {name}: rowcount spark={len(s_rows)} duckdb={len(d_rows)}")
             ok = False
         else:
             ns, nd = _norm_rows(sorted(sdf.columns), s_rows), _norm_rows(d_cols, d_rows)
+            rec["hash_match"] = ns == nd
             if ns != nd:
                 diff = [i for i, (a, b) in enumerate(zip(ns, nd)) if a != b][:3]
                 print(f"FAIL  {name}: value mismatch at sorted-rows {diff}")
@@ -102,6 +130,10 @@ def main() -> int:
         else:
             failures.append(name)
 
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({"sf_dir": sf_dir, "results": results}, f, indent=1)
+        print(f"wrote {json_out} ({len(results)} queries)")
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     return 1 if failures else 0
 
