@@ -60,8 +60,10 @@ def _shingled(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", T.shingles(T.tokens("text")).alias("sh"))
 
 
-_MINHASH_ORACLE = f"""
-    WITH {T.duck_shingles_cte()},
+# CTE chain ending in verified(doc_a, doc_b, jaccard) — shared verbatim by
+# the dedup_minhash_lsh oracle and the connected-components clustering oracle
+# (northstar_pipeline.py), so both engines' edge sets provably agree.
+MINHASH_PAIRS_CTES = f"""{T.duck_shingles_cte()},
     hv AS (
       SELECT doc_id, list_distinct({T.duck_shingle_hashes()}) AS hs FROM sh
     ),
@@ -79,45 +81,28 @@ _MINHASH_ORACLE = f"""
       SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
       FROM bands a JOIN bands b ON a.doc_id < b.doc_id
         AND ({" OR ".join(f"a.b{j} = b.b{j}" for j in range(MINHASH_K // ROWS_PER_BAND))})
-    )
-    SELECT doc_a, doc_b,
-      ROUND(len(list_intersect(a.hs, b.hs)) * 1.0
-            / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))), 4) AS jaccard
-    FROM pairs JOIN hv a ON doc_a = a.doc_id JOIN hv b ON doc_b = b.doc_id
-    WHERE len(list_intersect(a.hs, b.hs)) * 1.0
-          / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) >= {JACCARD_THRESHOLD}
+    ),
+    verified AS (
+      SELECT doc_a, doc_b,
+        ROUND(len(list_intersect(a.hs, b.hs)) * 1.0
+              / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))), 4) AS jaccard
+      FROM pairs JOIN hv a ON doc_a = a.doc_id JOIN hv b ON doc_b = b.doc_id
+      WHERE len(list_intersect(a.hs, b.hs)) * 1.0
+            / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))) >= {JACCARD_THRESHOLD}
+    )"""
+
+_MINHASH_ORACLE = f"""
+    WITH {MINHASH_PAIRS_CTES}
+    SELECT doc_a, doc_b, jaccard FROM verified
 """
 
 
-@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE, tags=("northstar", "dedup", "bench"))
-def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH near-dup: shingle → 16-hash MinHash signature → 4 bands of
-    4 → band-bucket join for candidates → exact-Jaccard verification.
-
-    Scale shape (the whole point vs the quadratic baseline): candidates come
-    from ``groupBy(band, bucket)`` collisions, so compare cost tracks the
-    number of *colliding* pairs. Four deliberate choices for 100 TB:
-
-    * each shingle is md5'd ONCE into a 32-bit int; the k permutations are
-      integer affine maps (functions/text.py) — hashing cost is O(tokens),
-      not O(tokens × k);
-    * the hashed-shingle index (doc_id, hs) is **persisted** — it is the
-      MinHash index a production pipeline would build once and reuse; every
-      downstream branch (signatures, both verification sides) reads it
-      instead of re-scanning + re-hashing the corpus;
-    * the band self-join carries only (doc_id, band_idx, bucket) — the
-      shingle arrays never ride the candidate shuffle; they are joined back
-      for exactly the (few) surviving candidate pairs;
-    * verification Jaccard runs over the int arrays (array_intersect on
-      longs), not the shingle strings — same set semantics, ~10× less data.
-
-    The oracle recomputes signatures bit-for-bit in DuckDB (same literals,
-    same BIGINT arithmetic). Shingling + hashing + signatures run in ONE
-    Arrow-batched UDF pass (functions/text.py::shingle_sig_fn — hashlib md5
-    == JVM md5 == DuckDB md5; Catalyst higher-order expressions are
-    interpreted per element, the UDF is ~2× faster at identical bits; the
-    Catalyst twin remains the reference implementation, equated by
-    tests/test_northstar.py::test_udf_matches_catalyst_pipeline)."""
+def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH near-dup pipeline up to its verified pair list
+    (doc_a < doc_b, exact Jaccard ≥ threshold) — the edge set consumed both
+    by :func:`dedup_minhash_lsh` and by the cluster-identification query
+    (``dedup_cluster_components``). See :func:`dedup_minhash_lsh` for the
+    full scale rationale."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     ss = F.pandas_udf(T.shingle_sig_fn(MINHASH_K), "hs: array<bigint>, sig: array<bigint>")
     hv = (
@@ -162,6 +147,38 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
+
+
+@query("dedup_minhash_lsh", oracle=_MINHASH_ORACLE, tags=("northstar", "dedup", "bench"))
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup: shingle → 16-hash MinHash signature → 4 bands of
+    4 → band-bucket join for candidates → exact-Jaccard verification.
+
+    Scale shape (the whole point vs the quadratic baseline): candidates come
+    from ``groupBy(band, bucket)`` collisions, so compare cost tracks the
+    number of *colliding* pairs. Four deliberate choices for 100 TB:
+
+    * each shingle is md5'd ONCE into a 32-bit int; the k permutations are
+      integer affine maps (functions/text.py) — hashing cost is O(tokens),
+      not O(tokens × k);
+    * the hashed-shingle index (doc_id, hs) is **persisted** — it is the
+      MinHash index a production pipeline would build once and reuse; every
+      downstream branch (signatures, both verification sides) reads it
+      instead of re-scanning + re-hashing the corpus;
+    * the band self-join carries only (doc_id, band_idx, bucket) — the
+      shingle arrays never ride the candidate shuffle; they are joined back
+      for exactly the (few) surviving candidate pairs;
+    * verification Jaccard runs over the int arrays (array_intersect on
+      longs), not the shingle strings — same set semantics, ~10× less data.
+
+    The oracle recomputes signatures bit-for-bit in DuckDB (same literals,
+    same BIGINT arithmetic). Shingling + hashing + signatures run in ONE
+    Arrow-batched UDF pass (functions/text.py::shingle_sig_fn — hashlib md5
+    == JVM md5 == DuckDB md5; Catalyst higher-order expressions are
+    interpreted per element, the UDF is ~2× faster at identical bits; the
+    Catalyst twin remains the reference implementation, equated by
+    tests/test_northstar.py::test_udf_matches_catalyst_pipeline)."""
+    return minhash_verified_pairs(spark, sf_dir)
 
 
 _NGRAM_ORACLE = f"""

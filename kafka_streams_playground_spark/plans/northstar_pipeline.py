@@ -1,0 +1,474 @@
+"""Training-data pipeline operators (north star): the corpus-level passes a
+large-scale LLM data pipeline runs between raw crawl and tokenized batches —
+benchmark-contamination checking, sequence packing, near-dup *cluster*
+identification (connected components over LSH edges), deterministic
+stratified sampling, and the composed keep/reject filter pipeline.
+
+Every query carries a DuckDB oracle built from the same literals as the
+Spark plan (see plans/registry.py conventions). Where a query consumes the
+MinHash-LSH near-dup edges, both engines share the exact pair pipeline
+(``northstar_dedup.minhash_verified_pairs`` / ``MINHASH_PAIRS_CTES``) so the
+edge sets provably agree.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_streams_playground_spark.functions import text as T
+from kafka_streams_playground_spark.plans.northstar_dedup import (
+    MINHASH_PAIRS_CTES,
+    minhash_verified_pairs,
+)
+from kafka_streams_playground_spark.plans.registry import query
+from kafka_streams_playground_spark.sources.parquet import load_table
+
+# Benchmark membership: every 50th doc is the "held-out eval set" stand-in.
+# Deterministic and tiny (N/50 docs, but the *distinct shingle-hash set* is
+# what ships to executors — bounded by benchmark size, not corpus size).
+BENCH_MOD = 50
+CONTAM_FLAG_RATIO = 0.2
+
+# Sequence packing: context-window token budget and the range-bucket width of
+# the distributed prefix-sum (each bucket's cumsum runs in parallel; only the
+# per-bucket totals — N/PACK_BUCKET rows — see a single-partition pass).
+PACK_BUDGET = 1024
+PACK_BUCKET = 1000
+
+# Quality-filter pipeline gates (chosen so every reject reason is non-empty
+# on the fixtures: 23 short docs, 10 long, 25 near-dup pairs at sf0.01).
+MIN_TOKENS = 16
+MAX_TOKENS = 96
+MIN_QUALITY = 0.26
+
+
+@query(
+    "text_contamination_check",
+    oracle=f"""
+    WITH {T.duck_shingles_cte()},
+    hv AS (
+      SELECT doc_id, list_distinct({T.duck_shingle_hashes()}) AS hs FROM sh
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(hs) AS h FROM hv WHERE doc_id % {BENCH_MOD} = 0
+    ),
+    corpus AS (
+      SELECT doc_id, unnest(hs) AS h FROM hv WHERE doc_id % {BENCH_MOD} <> 0
+    ),
+    agg AS (
+      SELECT c.doc_id,
+             COUNT(*) AS n_shingles,
+             COUNT(b.h) AS n_contaminated
+      FROM corpus c LEFT JOIN bench b USING (h)
+      GROUP BY c.doc_id
+    )
+    SELECT doc_id, n_shingles, n_contaminated,
+           ROUND(n_contaminated * 1.0 / n_shingles, 4) AS contamination_ratio,
+           CAST(n_contaminated * 1.0 / n_shingles >= {CONTAM_FLAG_RATIO} AS INT)
+               AS flagged
+    FROM agg
+    """,
+    tags=("northstar", "pipeline", "text", "bench"),
+)
+def text_contamination_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark-contamination check: per corpus document, the fraction of
+    its distinct 3-gram shingles that also occur anywhere in the held-out
+    benchmark set (every ``BENCH_MOD``-th doc) — the n-gram-overlap decontam
+    pass every pretraining pipeline runs against its eval suites.
+
+    Scale shape: the benchmark's distinct shingle-hash set is bounded by
+    *benchmark* size (eval suites are MBs, the corpus is TBs), so it
+    broadcasts; the corpus side explodes to (doc_id, hash) and aggregates
+    back map-side-partial — one narrow shuffle on doc_id, no corpus-side
+    distinct. Hashes are the md5-32bit ints of functions/text.py (shared
+    with MinHash), so the shingle text never rides the shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ss = F.pandas_udf(T.shingle_sig_fn(1), "hs: array<bigint>, sig: array<bigint>")
+    hv = docs.select("doc_id", ss("text").alias("ss")).select("doc_id", "ss.hs")
+    bench = (
+        hv.filter(F.col("doc_id") % BENCH_MOD == 0)
+        .select(F.explode("hs").alias("h"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    corpus = hv.filter(F.col("doc_id") % BENCH_MOD != 0).select(
+        "doc_id", F.explode("hs").alias("h")
+    )
+    agg = (
+        corpus.join(F.broadcast(bench), "h", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.count("hit").alias("n_contaminated"),
+        )
+    )
+    ratio = F.col("n_contaminated") / F.col("n_shingles")
+    return agg.select(
+        "doc_id",
+        "n_shingles",
+        "n_contaminated",
+        F.round(ratio, 4).alias("contamination_ratio"),
+        (ratio >= CONTAM_FLAG_RATIO).cast("int").alias("flagged"),
+    )
+
+
+@query(
+    "pack_sequences",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+    ),
+    c AS (
+      SELECT doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS prev
+      FROM t
+    )
+    SELECT doc_id, n_tokens,
+           CAST(prev // {PACK_BUDGET} AS BIGINT) AS pack_id,
+           CAST(prev % {PACK_BUDGET} AS BIGINT) AS pack_offset
+    FROM c
+    """,
+    tags=("northstar", "pipeline", "text", "bench"),
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (concat-and-chunk): documents are laid end-to-end in
+    doc_id order and sliced into {PACK_BUDGET}-token context windows; each
+    doc reports the pack it starts in and its offset inside that pack — the
+    GPT-style packing map a tokenized-batch writer consumes.
+
+    The recurrence is a global prefix sum, which a single window over a
+    global ORDER BY would compute on ONE partition — the classic scale
+    trap. Instead: two-phase distributed prefix sum. Docs fall into
+    contiguous range buckets (``doc_id DIV {PACK_BUCKET}``); phase 1 runs
+    the cumsum *within* each bucket in parallel (one hash shuffle); phase 2
+    prefix-sums only the per-bucket totals (N/{PACK_BUCKET} rows — at 100 TB
+    with ~10^10 docs that is ~10^7 tiny rows, the only single-partition
+    pass) and broadcasts the bucket offsets back. Token counts stay
+    integers end-to-end, so the sums are order-independent and
+    cross-engine exact."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = docs.select(
+        "doc_id",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+        F.expr(f"doc_id DIV {PACK_BUCKET}").alias("bucket"),
+    )
+    w_local = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local = t.withColumn(
+        "local_prev", F.coalesce(F.sum("n_tokens").over(w_local), F.lit(0))
+    )
+    totals = t.groupBy("bucket").agg(F.sum("n_tokens").alias("tot"))
+    w_bucket = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "bucket", F.coalesce(F.sum("tot").over(w_bucket), F.lit(0)).alias("bucket_offset")
+    )
+    joined = local.join(F.broadcast(offsets), "bucket")
+    prev = F.col("bucket_offset") + F.col("local_prev")
+    return joined.select(
+        "doc_id",
+        "n_tokens",
+        prev.alias("prev"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.expr(f"prev DIV {PACK_BUDGET}").alias("pack_id"),
+        (F.col("prev") % PACK_BUDGET).alias("pack_offset"),
+    )
+
+
+@query(
+    "dedup_cluster_components",
+    oracle=f"""
+    WITH RECURSIVE {MINHASH_PAIRS_CTES},
+    edges AS (
+      SELECT doc_a AS src, doc_b AS dst FROM verified
+      UNION ALL
+      SELECT doc_b AS src, doc_a AS dst FROM verified
+    ),
+    reach(node, c) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, r.c FROM reach r JOIN edges e ON e.src = r.node
+    ),
+    comp AS (
+      SELECT node AS doc_id, MIN(c) AS component FROM reach GROUP BY node
+    )
+    SELECT doc_id, component,
+           COUNT(*) OVER (PARTITION BY component) AS cluster_size,
+           CAST(doc_id = component AS INT) AS is_canonical
+    FROM comp
+    """,
+    tags=("northstar", "dedup", "graph", "bench"),
+)
+def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup *cluster* identification: connected components over the
+    MinHash-LSH verified pair edges, labeling every document with the
+    minimum doc_id of its duplicate cluster — the step that turns pairwise
+    near-dup hits into keep/drop decisions (keep the canonical, drop the
+    rest). Pairwise output alone can't do this: near-dup is not transitive,
+    but dedup policy must be (A≈B, B≈C ⇒ one cluster).
+
+    Spark shape: iterative min-label propagation (the Pregel kernel) —
+    per round, one join of the label table with the symmetrized edge list,
+    a min-aggregate per destination, and a convergence count. Rounds are
+    bounded by cluster *diameter*, which for near-dup clusters is tiny
+    (they are cliques-ish by construction — LSH hits most pairs directly).
+    ``localCheckpoint`` truncates the lineage each round so the plan does
+    not grow with iterations. At 100 TB: same loop with the alternating
+    large-star/small-star optimization (Kiveris et al.) halves round count;
+    state per round is one (node, comp) table — linear, shuffled on node.
+
+    The DuckDB oracle computes the same fixpoint declaratively with a
+    recursive CTE (min reachable id per node), so the iterative engine is
+    checked against a closed-form ground truth."""
+    pairs = minhash_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.union(pairs.select(F.col("doc_b"), F.col("doc_a")))
+        .toDF("src", "dst")
+        .persist()
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    labels = docs.select(
+        F.col("doc_id").alias("node"), F.col("doc_id").alias("comp")
+    ).localCheckpoint()
+    for _ in range(64):
+        prop = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy("dst")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        merged = (
+            labels.join(prop, labels["node"] == prop["dst"], "left")
+            .select("node", "comp", F.coalesce("ncomp", "comp").alias("cand"))
+            .persist()
+        )
+        changed = merged.filter(F.col("cand") < F.col("comp")).count()
+        nxt = merged.select(
+            "node", F.least("comp", "cand").alias("comp")
+        ).localCheckpoint()
+        merged.unpersist()
+        labels = nxt
+        if changed == 0:
+            break
+    else:  # pragma: no cover - 64 rounds bounds any fixture diameter
+        raise RuntimeError("connected components did not converge")
+    edges.unpersist()
+    w = Window.partitionBy("component")
+    return labels.select(
+        F.col("node").alias("doc_id"), F.col("comp").alias("component")
+    ).select(
+        "doc_id",
+        "component",
+        F.count(F.lit(1)).over(w).alias("cluster_size"),
+        (F.col("doc_id") == F.col("component")).cast("int").alias("is_canonical"),
+    )
+
+
+@query(
+    "sample_stratified_by_lang",
+    oracle="""
+    WITH c AS (SELECT lang, COUNT(*) AS cnt FROM documents GROUP BY lang),
+    m AS (SELECT MIN(cnt) AS mincnt FROM c)
+    SELECT d.doc_id, d.lang
+    FROM documents d JOIN c USING (lang) CROSS JOIN m
+    WHERE ('0x' || substr(md5(d.doc_id::VARCHAR), 1, 8))::BIGINT * c.cnt
+          < m.mincnt * 4294967296
+    """,
+    tags=("northstar", "pipeline", "sampling", "bench"),
+)
+def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: down-sample every language to the
+    size of the rarest one (expected), the class-balancing pass of corpus
+    curation. Membership is a pure function of doc_id — md5-uniform u32
+    compared against the per-language rate — so the sample is reproducible
+    across engines, runs, and cluster sizes (no RNG, no seed plumbing, and
+    re-runs on grown corpora keep previously-sampled docs stable modulo the
+    rate change).
+
+    The comparison is integer-exact: ``hash_u32 · lang_count <
+    min_count · 2^32`` avoids the float division both engines would round
+    differently. Scale: per-language counts are a tiny aggregate
+    (broadcast); the filter is map-side — zero shuffle on the corpus."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    counts = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("cnt"))
+    mincnt = counts.agg(F.min("cnt").alias("mincnt"))
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    return (
+        docs.join(F.broadcast(counts), "lang")
+        .crossJoin(F.broadcast(mincnt))
+        .filter(h * F.col("cnt") < F.col("mincnt") * F.lit(4294967296))
+        .select("doc_id", "lang")
+    )
+
+
+@query(
+    "pipeline_quality_filter",
+    oracle=f"""
+    WITH {MINHASH_PAIRS_CTES},
+    dupset AS (SELECT DISTINCT doc_b AS doc_id FROM verified),
+    feat AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             len(list_distinct(toks)) * 1.0 / len(toks) AS ttr,
+             len([x for x in toks if list_contains(['the','a','of','and','to','in'], x)])
+                 * 1.0 / len(toks) AS stop_ratio
+      FROM tok
+    )
+    SELECT f.doc_id,
+           CASE WHEN d.doc_id IS NOT NULL THEN 'near_duplicate'
+                WHEN f.n_tokens < {MIN_TOKENS} THEN 'too_short'
+                WHEN f.n_tokens > {MAX_TOKENS} THEN 'too_long'
+                WHEN ROUND(0.5 * f.ttr + 0.3 * f.stop_ratio
+                           + 0.2 * LEAST(f.n_tokens / 256.0, 1.0), 4)
+                     < {MIN_QUALITY} THEN 'low_quality'
+                ELSE 'kept' END AS reason,
+           CAST(d.doc_id IS NULL AND f.n_tokens >= {MIN_TOKENS}
+                AND f.n_tokens <= {MAX_TOKENS}
+                AND ROUND(0.5 * f.ttr + 0.3 * f.stop_ratio
+                          + 0.2 * LEAST(f.n_tokens / 256.0, 1.0), 4)
+                    >= {MIN_QUALITY} AS INT) AS keep
+    FROM feat f LEFT JOIN dupset d ON f.doc_id = d.doc_id
+    """,
+    tags=("northstar", "pipeline", "bench"),
+)
+def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed pre-training filter: near-dup removal (MinHash-LSH
+    verified pairs, keep the lower doc_id), token-length gates, and the
+    heuristic quality score — one pass emitting keep/reject with the first
+    failing reason, the audit record a curation pipeline must produce.
+
+    Composition is the point: the dup set comes from the same
+    ``minhash_verified_pairs`` pipeline as the dedup queries, the quality
+    formula is ``text_quality_score``'s (identical literals), and the
+    gates run as one Catalyst projection + one left join on doc_id. At
+    100 TB the dup-id set joins hash-to-hash (no broadcast assumption —
+    dup lists grow with the corpus); everything else stays map-side."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dupset = (
+        minhash_verified_pairs(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    toks = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(s) for s in ("the", "a", "of", "and", "to", "in")])
+    feat = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("ttr"),
+        (F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))) / F.size(toks)).alias(
+            "stop_ratio"
+        ),
+    )
+    qs = F.round(
+        0.5 * F.col("ttr")
+        + 0.3 * F.col("stop_ratio")
+        + 0.2 * F.least(F.col("n_tokens") / 256.0, F.lit(1.0)),
+        4,
+    )
+    merged = feat.join(dupset, "doc_id", "left")
+    return merged.select(
+        "doc_id",
+        F.when(F.col("is_dup").isNotNull(), "near_duplicate")
+        .when(F.col("n_tokens") < MIN_TOKENS, "too_short")
+        .when(F.col("n_tokens") > MAX_TOKENS, "too_long")
+        .when(qs < MIN_QUALITY, "low_quality")
+        .otherwise("kept")
+        .alias("reason"),
+        (
+            F.col("is_dup").isNull()
+            & (F.col("n_tokens") >= MIN_TOKENS)
+            & (F.col("n_tokens") <= MAX_TOKENS)
+            & (qs >= MIN_QUALITY)
+        )
+        .cast("int")
+        .alias("keep"),
+    )
+
+
+@query(
+    "cogroup_order_reconciliation",
+    oracle="""
+    WITH li AS (
+      SELECT l_orderkey,
+             COUNT(*) AS n_items,
+             CAST(SUM(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS li_sum_cents
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT o.o_orderkey,
+           CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS o_total_cents,
+           COALESCE(li.n_items, 0) AS n_items,
+           COALESCE(li.li_sum_cents, 0) AS li_sum_cents,
+           CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)
+               - COALESCE(li.li_sum_cents, 0) AS diff_cents
+    FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
+    """,
+    tags=("extension", "cogroup", "bench"),
+)
+def cogroup_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KGroupedStream.cogroup analogue: two keyed relations co-shuffled once
+    and processed per key in a single Arrow-batched function
+    (``groupBy().cogroup().applyInPandas``) — here reconciling each order's
+    header total against the sum of its line items.
+
+    This aggregate IS expressible as a join-of-aggs (the oracle does
+    exactly that), and a production pipeline should prefer that Catalyst
+    form; cogroup is the general surface for per-key logic the built-ins
+    can't express (sessionized merges, per-key model scoring, ordered
+    diffing) — the plumbing under test is the co-partitioned two-sided
+    shuffle and the per-key Arrow batch shape. Cents are floored per row
+    before the integer sum, so the result is order-independent and matches
+    the oracle bit-for-bit."""
+    import numpy as np
+    import pandas as pd
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+
+    def recon(key: tuple, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        if len(left) == 0:
+            # lineitem rows whose order is absent: not part of the oracle's
+            # orders-driven contract (cannot happen under TPC-H FK integrity)
+            return pd.DataFrame(
+                columns=[
+                    "o_orderkey",
+                    "o_total_cents",
+                    "n_items",
+                    "li_sum_cents",
+                    "diff_cents",
+                ]
+            )
+        o_cents = int(np.floor(float(left["o_totalprice"].iloc[0]) * 100 + 0.5))
+        if len(right):
+            cents = np.floor(
+                right["l_extendedprice"].to_numpy(dtype=np.float64) * 100 + 0.5
+            ).astype(np.int64)
+            s, n = int(cents.sum()), len(cents)
+        else:
+            s, n = 0, 0
+        return pd.DataFrame(
+            {
+                "o_orderkey": [key[0]],
+                "o_total_cents": [o_cents],
+                "n_items": [n],
+                "li_sum_cents": [s],
+                "diff_cents": [o_cents - s],
+            }
+        )
+
+    return (
+        orders.groupBy("o_orderkey")
+        .cogroup(li.groupBy("l_orderkey"))
+        .applyInPandas(
+            recon,
+            "o_orderkey long, o_total_cents long, n_items long, "
+            "li_sum_cents long, diff_cents long",
+        )
+    )
