@@ -13,6 +13,8 @@ from kafka_streams_playground_spark.plans import northstar_dedup  # noqa: F401
 from kafka_streams_playground_spark.plans import northstar_similarity  # noqa: F401
 from kafka_streams_playground_spark.plans import northstar_text  # noqa: F401
 from kafka_streams_playground_spark.plans import northstar_multimodal  # noqa: F401
+from kafka_streams_playground_spark.plans import northstar_pipeline  # noqa: F401
+from kafka_streams_playground_spark.plans import northstar_curation  # noqa: F401
 
 # ---------------------------------------------------------------------------
 # Driver-visible ordering.
@@ -36,64 +38,66 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q3_products_by_first_letter",
     "q4_products_per_user_10s",
     "q5_paid_orders",
-    "orders_products_array",       # r1 err (unhashable array) → string-join fix
-    # fixed since the r1 driver run
-    "session_windows_per_user",    # r1 hash_match=false → floor-cent fix
-    "stream_session_windows_per_user",  # same latent rounding, fixed
-    "sim_ivf_topk",                # centroid construction now fixed-K
-    # new this round
-    "join_left_interval_unpaid",
-    "stream_join_left_interval_unpaid",
+    "orders_products_array",
+    # oracle-cast fixes this round (r2's three HUGEINT hash fails)
+    "session_windows_per_user",
     "agg_salted_skew",
-    "stream_dedup_within_watermark",
-    "join_ktable_ktable_latest",
     "stream_q5_daily_revenue",
-    "sim_ivf_multiprobe_topk",
-    # never driver-checked in r1 (registered past the cap)
-    "text_token_stats",
-    "text_quality_score",
-    "text_langid",
-    "text_fingerprint",
-    "text_vocabulary",
-    "mm_image_metadata",
-    "mm_decoded_feature_checksum",
-    "mm_frame_sample",
-    "mm_resize_audit",
-    "mm_audio_chunk_energy",
-    # north-star dedup/similarity core (keep under the hard signal)
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "dedup_simhash_banded",
-    "dedup_embedding_cosine",
-    "dedup_keep_best_by_quality",
-    "sim_topk_bruteforce",
-    "sim_lsh_bucket_stats",
-    "sim_ann_lsh_topk",
-    "sim_ann_multiprobe_topk",
-    # streaming semantics (state stores, watermarks, custom stateful)
-    "stream_dedup_exact",
+    # newly REGISTERED this round (northstar_pipeline, was dead code in r2)
+    "text_contamination_check",
+    "pack_sequences",
+    "dedup_cluster_components",
+    "sample_stratified_by_lang",
+    "pipeline_quality_filter",
+    "cogroup_order_reconciliation",
+    # new queries this round
+    "stream_pipeline_quality_filter",
+    "text_repetition_stats",
+    "sample_temperature_mix",
+    "train_shuffle_shards",
+    "pii_scrub_events",
+    # r1-green set that lost its driver row in r2 (rotation: back in)
+    "wf_top3_orders_per_customer",
+    "topk_customers_by_revenue",
+    "setop_active_or_negative_customers",
+    "json_props_extract",
+    "join_left_order_lineitem_counts",
+    "agg_rollup_nation_segment",
+    "agg_pivot_status_by_segment",
+    "setop_intersect_urgent_returned",
+    "setop_except_never_urgent",
+    "wf_running_customer_spend",
+    "agg_cube_status_priority",
+    "join_range_price_band",
+    "agg_kmv_distinct_sketch",
+    "merge_order_ship_activity",
+    "stream_q1_expensive_orders",
+    "stream_q2_order_projection",
+    "stream_q3_products_by_first_letter",
+    # r2-green representatives (one+ per family keeps a fresh driver row;
+    # the rest of the r2-green set rotates back in next round)
+    "stream_dedup_within_watermark",
     "stream_q4_products_per_user_10s",
     "stream_s2_latest_event_per_user",
-    "stream_q5_paid_orders",
-    "stream_running_count_per_user",
-    # relational/temporal core
-    "s2_latest_event_per_user",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash_banded",
+    "dedup_keep_best_by_quality",
+    "sim_topk_bruteforce",
+    "sim_ann_lsh_topk",
     "agg_pricing_summary",
-    "agg_revenue_by_nation",
     "asof_purchase_last_click",
     "sliding_window_event_counts",
-    "agg_price_percentiles",
-    "join_semi_urgent_customers",
-    "join_anti_parts_never_shipped",
+    "join_ktable_ktable_latest",
 )
 
 
 def _reorder_registry() -> None:
-    assert len(DRIVER_PRIORITY) == 50, f"priority list is {len(DRIVER_PRIORITY)}, want 50"
+    if len(DRIVER_PRIORITY) != 50:
+        raise ValueError(f"priority list is {len(DRIVER_PRIORITY)}, want 50")
     missing = [n for n in DRIVER_PRIORITY if n not in REGISTRY]
-    assert not missing, f"priority names not registered: {missing}"
+    if missing:
+        raise ValueError(f"priority names not registered: {missing}")
     tail = [n for n in REGISTRY if n not in DRIVER_PRIORITY]
     ordered = {n: REGISTRY[n] for n in (*DRIVER_PRIORITY, *tail)}
     REGISTRY.clear()

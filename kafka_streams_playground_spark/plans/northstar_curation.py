@@ -1,0 +1,284 @@
+"""Corpus-curation operators (north star, round 3): the remaining passes a
+large-scale LLM data pipeline runs between quality filtering and tokenized
+batch writing — Gopher-style repetition filtering, temperature-weighted
+language mixture sampling, deterministic global training shuffle/sharding,
+and payload identifier scrubbing (the PII-redaction surface).
+
+Cross-engine conventions follow plans/registry.py: identical aliases, exact
+integer folds before sums (order-free), ``FLOOR(x*10^k + 0.5)/10^k`` instead
+of bare ROUND, and every DuckDB integer SUM wrapped in CAST(... AS BIGINT)
+(DuckDB SUM(integer) returns HUGEINT, which the driver's pandas canonicalizer
+coerces to float64 and hash-mismatches Spark's int64).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_streams_playground_spark.functions import text as T
+from kafka_streams_playground_spark.plans.registry import query
+from kafka_streams_playground_spark.sources.parquet import load_table
+
+# Repetition-filter thresholds (Gopher-style "repetitive document" signals,
+# Rae et al. 2021 §A1.1): flag when the duplicated-2-gram fraction or the
+# most-frequent-token share is high. Chosen so the sf fixtures carry both
+# flag classes (p90 rep2 ≈ 0.065, p90 top-token ≈ 0.14 at sf0.01).
+REP_2GRAM_TH = 0.05
+TOP_TOKEN_TH = 0.125
+
+# Temperature-weighted mixture sampling (multilingual-LM style, e.g. XLM-R):
+# per-language sampling weight ∝ p^ALPHA with ALPHA=0.5 (sqrt), flattening
+# the head. SAMPLE_BUDGET is the target document count to draw.
+SAMPLE_BUDGET = 10_000
+
+# Deterministic global shuffle: md5-keyed shard + in-shard position. At
+# 100 TB the shard count scales with the cluster (shards stay ~fixed-size);
+# 8 keeps the fixture output readable.
+N_SHARDS = 8
+
+
+@query(
+    "text_repetition_stats",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    b AS (
+      SELECT doc_id, len(toks) AS n_tokens,
+             CASE WHEN len(toks) >= 2
+               THEN [array_to_string(toks[i:i+1], ' ') for i in range(1, len(toks))]
+               ELSE [] END AS g2
+      FROM t
+    ),
+    r AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN len(g2) > 0
+               THEN (len(g2) - len(list_distinct(g2))) * 1.0 / len(g2)
+               ELSE 0.0 END AS rep2
+      FROM b
+    ),
+    c AS (
+      SELECT doc_id, tok, COUNT(*) AS cnt
+      FROM (SELECT doc_id, unnest(toks) AS tok FROM t) GROUP BY 1, 2
+    ),
+    m AS (SELECT doc_id, MAX(cnt) AS top_tok_n FROM c GROUP BY 1)
+    SELECT r.doc_id, r.n_tokens,
+           FLOOR(rep2 * 10000 + 0.5) / 10000 AS rep_2gram_frac,
+           m.top_tok_n,
+           FLOOR(m.top_tok_n * 10000.0 / r.n_tokens + 0.5) / 10000
+               AS top_token_frac,
+           CAST(rep2 >= {REP_2GRAM_TH}
+                OR m.top_tok_n * 1.0 / r.n_tokens >= {TOP_TOKEN_TH} AS INT)
+               AS flagged
+    FROM r JOIN m USING (doc_id)
+    """,
+    tags=("northstar", "curation", "text", "bench"),
+)
+def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: fraction of 2-gram
+    occurrences that are within-doc duplicates, and the most-frequent-token
+    share; docs exceeding either threshold are flagged repetitive.
+
+    Spark shape: the 2-gram fraction is a pure per-row Catalyst array
+    expression (``size(g2) - size(array_distinct(g2))`` — linear in doc
+    length, whole-stage codegen, zero shuffle). The token mode needs true
+    per-(doc, token) counts, which per-row expressions would make O(n²) on
+    long docs — instead explode → two-level partial-aggregated groupBy
+    (one shuffle keyed on doc_id, map-side combine does most of the work)
+    and a broadcast-free join back on doc_id. At 100 TB both branches scale
+    linearly; the join co-shuffles on doc_id.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    t = docs.select("doc_id", T.tokens("text").alias("toks"))
+    g2 = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.concat_ws(" ", F.slice("toks", i, 2)),
+    )
+    base = t.select(
+        "doc_id",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        F.when(F.size("toks") >= 2, g2).otherwise(F.array()).alias("g2"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        F.when(
+            F.size("g2") > 0,
+            (F.size("g2") - F.size(F.array_distinct("g2"))) / F.size("g2"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("rep2"),
+    )
+    top = (
+        t.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").alias("top_tok_n"))
+    )
+    j = base.join(top, "doc_id")
+    ttf = F.col("top_tok_n") / F.col("n_tokens")
+    return j.select(
+        "doc_id",
+        "n_tokens",
+        (F.floor(F.col("rep2") * 10000 + F.lit(0.5)) / 10000).alias("rep_2gram_frac"),
+        "top_tok_n",
+        (F.floor(F.col("top_tok_n") * 10000.0 / F.col("n_tokens") + F.lit(0.5)) / 10000).alias(
+            "top_token_frac"
+        ),
+        ((F.col("rep2") >= REP_2GRAM_TH) | (ttf >= TOP_TOKEN_TH)).cast("int").alias("flagged"),
+    )
+
+
+@query(
+    "sample_temperature_mix",
+    oracle=f"""
+    WITH t AS (SELECT lang, len(string_split(text, ' ')) AS n FROM documents),
+    a AS (
+      SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS n_tokens
+      FROM t GROUP BY 1
+    ),
+    b AS (
+      SELECT lang, n_docs, n_tokens,
+             n_tokens * 1.0 / (SUM(n_tokens) OVER ()) AS p,
+             CAST(FLOOR(SQRT(n_tokens * 1.0 / (SUM(n_tokens) OVER ())) * 1e9
+                        + 0.5) AS BIGINT) AS sq9
+      FROM a
+    ),
+    c AS (SELECT *, CAST(SUM(sq9) OVER () AS BIGINT) AS sqtot FROM b)
+    SELECT lang, n_docs, n_tokens,
+           FLOOR(p * 1e6 + 0.5) / 1e6 AS p_tokens,
+           FLOOR(sq9 * 1e6 * 1.0 / sqtot + 0.5) / 1e6 AS weight,
+           CAST(FLOOR(sq9 * 1.0 / sqtot * {SAMPLE_BUDGET}) AS BIGINT) AS target_n
+    FROM c
+    """,
+    tags=("northstar", "curation", "sampling", "bench"),
+)
+def sample_temperature_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-weighted language mixture (XLM-R style): per-language
+    token share p, sampling weight ∝ p^0.5 (ALPHA=0.5 flattens the head so
+    low-resource languages are upsampled), and the per-language document
+    budget out of {SAMPLE_BUDGET}.
+
+    Cross-engine determinism: the corpus-wide reduction is an exact integer
+    token SUM (order-free); sqrt(p) is quantized to an exact integer grid
+    (``floor(sqrt(p)·1e9 + 0.5)``) BEFORE the normalizing sum, so both
+    normalizations sum integers — no float-accumulation-order hazard. The
+    per-language table after the first aggregate is |languages| rows
+    (driver-scale by construction), so the unpartitioned window over it is
+    not a scale concern; the only corpus-wide pass is the first
+    partial-aggregated groupBy.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select("lang", F.size(T.tokens("text")).cast("bigint").alias("n"))
+    a = t.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n").alias("n_tokens")
+    )
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    p = F.col("n_tokens") / F.sum("n_tokens").over(wall)
+    b = a.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        p.alias("p"),
+        F.floor(F.sqrt(p) * 1e9 + F.lit(0.5)).cast("bigint").alias("sq9"),
+    )
+    c = b.withColumn("sqtot", F.sum("sq9").over(wall))
+    return c.select(
+        "lang",
+        "n_docs",
+        "n_tokens",
+        (F.floor(F.col("p") * 1e6 + F.lit(0.5)) / 1e6).alias("p_tokens"),
+        (F.floor(F.col("sq9") * 1e6 / F.col("sqtot") + F.lit(0.5)) / 1e6).alias("weight"),
+        F.floor(F.col("sq9") / F.col("sqtot") * SAMPLE_BUDGET)
+        .cast("bigint")
+        .alias("target_n"),
+    )
+
+
+@query(
+    "train_shuffle_shards",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('shuf:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 AS hkey
+      FROM documents
+    )
+    SELECT doc_id,
+           hkey % {N_SHARDS} AS shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY hkey % {N_SHARDS}
+                                   ORDER BY hkey, doc_id) AS BIGINT) AS pos
+    FROM h
+    """,
+    tags=("northstar", "curation", "shuffle", "bench"),
+)
+def train_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training shuffle: every document gets a
+    reproducible pseudo-random position — shard = md5(salt‖doc_id) mod
+    {N_SHARDS}, position = rank of the hash within the shard. A tokenized-
+    batch writer consumes this map to emit shards whose internal order is
+    decorrelated from crawl order, with NO global sort.
+
+    Spark shape: one narrow projection computes the hash key, then a
+    row_number window partitioned BY SHARD — each shard sorts independently
+    (hash-shuffle on shard, per-partition sort), so the work is
+    embarrassingly parallel across shards. At 100 TB: shard count scales
+    with the cluster (fixed-size shards ⇒ per-partition sort fits memory;
+    spill-safe regardless), which is exactly how distributed training
+    shuffles (e.g. webdataset shard writers) are laid out. The md5 key is
+    the cross-engine-deterministic stand-in for a seeded PRNG permutation.
+    """
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    hkey = F.conv(
+        F.substring(F.md5(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    h = docs.select("doc_id", hkey.alias("hkey"), (hkey % N_SHARDS).alias("shard"))
+    w = Window.partitionBy("shard").orderBy("hkey", "doc_id")
+    return h.select(
+        "doc_id", "shard", F.row_number().over(w).cast("bigint").alias("pos")
+    )
+
+
+@query(
+    "pii_scrub_events",
+    oracle="""
+    SELECT event_id,
+           regexp_replace(props, '[0-9]+', '#', 'g') AS masked_props,
+           CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT)
+               AS n_digit_runs,
+           CAST(length(props) - length(regexp_replace(props, '[0-9]', '', 'g'))
+                AS BIGINT) AS n_digits
+    FROM events
+    """,
+    tags=("northstar", "curation", "pii", "bench"),
+)
+def pii_scrub_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Payload identifier scrubbing (the PII-redaction surface): mask every
+    digit run in the raw event payload and report how much was redacted —
+    the audit a pipeline runs before raw payloads may enter a training
+    corpus. The regex subset used ('[0-9]+', '[0-9]') means the same thing
+    in Java regex (Spark) and RE2 (DuckDB), so the oracle is exact.
+
+    Spark shape: pure per-row codegen'd JVM expressions (regexp_replace /
+    regexp_extract_all are Catalyst expressions, NOT UDFs) — zero shuffle,
+    linear scan, trivially scale-safe. On real corpora the same operator
+    carries the email/phone/SSN pattern bank; the fixture payloads exercise
+    the numeric-identifier class.
+    """
+    events = load_table(spark, sf_dir, "events").select("event_id", "props")
+    return events.select(
+        "event_id",
+        F.regexp_replace("props", "[0-9]+", "#").alias("masked_props"),
+        F.size(F.regexp_extract_all("props", F.lit("[0-9]+"), F.lit(0)))
+        .cast("bigint")
+        .alias("n_digit_runs"),
+        (
+            F.length("props")
+            - F.length(F.regexp_replace("props", "[0-9]", ""))
+        )
+        .cast("bigint")
+        .alias("n_digits"),
+    )

@@ -42,6 +42,10 @@ MIN_TOKENS = 16
 MAX_TOKENS = 96
 MIN_QUALITY = 0.26
 
+# Cogroup bucketing: keyed Python logic runs once per BUCKET (vectorized
+# inside), not once per key — sized so each Arrow batch fits executor memory.
+COGROUP_BUCKETS = 64
+
 
 @query(
     "text_contamination_check",
@@ -181,6 +185,47 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def min_label_propagation(edges: DataFrame, max_rounds: int = 64):
+    """Iterative min-label propagation (the Pregel connected-components
+    kernel) over a SYMMETRIC edge list ``(src, dst)``; nodes are the
+    distinct ``src`` values (symmetry makes that every edge-touched node).
+
+    Returns ``(labels, rounds)``: ``labels(node, comp)`` with ``comp`` the
+    minimum node id of the node's component, and the number of propagation
+    rounds executed (convergence needs at most ``diameter + 1`` rounds —
+    one to confirm quiescence; pinned by
+    tests/test_northstar.py::test_cc_clique_chain_labels_and_rounds).
+    ``localCheckpoint`` truncates lineage each round; superseded label
+    tables are dereferenced each iteration so ContextCleaner frees their
+    checkpoint blocks."""
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("comp"))
+        .localCheckpoint()
+    )
+    for rounds in range(1, max_rounds + 1):
+        prop = (
+            edges.join(labels, edges["src"] == labels["node"])
+            .groupBy("dst")
+            .agg(F.min("comp").alias("ncomp"))
+        )
+        merged = (
+            labels.join(prop, labels["node"] == prop["dst"], "left")
+            .select("node", "comp", F.coalesce("ncomp", "comp").alias("cand"))
+            .persist()
+        )
+        changed = merged.filter(F.col("cand") < F.col("comp")).count()
+        nxt = merged.select(
+            "node", F.least("comp", "cand").alias("comp")
+        ).localCheckpoint()
+        merged.unpersist()
+        labels = nxt
+        if changed == 0:
+            return labels, rounds
+    raise RuntimeError(f"connected components did not converge in {max_rounds} rounds")
+
+
 @query(
     "dedup_cluster_components",
     oracle=f"""
@@ -213,15 +258,22 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     rest). Pairwise output alone can't do this: near-dup is not transitive,
     but dedup policy must be (A≈B, B≈C ⇒ one cluster).
 
-    Spark shape: iterative min-label propagation (the Pregel kernel) —
-    per round, one join of the label table with the symmetrized edge list,
-    a min-aggregate per destination, and a convergence count. Rounds are
-    bounded by cluster *diameter*, which for near-dup clusters is tiny
-    (they are cliques-ish by construction — LSH hits most pairs directly).
-    ``localCheckpoint`` truncates the lineage each round so the plan does
-    not grow with iterations. At 100 TB: same loop with the alternating
-    large-star/small-star optimization (Kiveris et al.) halves round count;
-    state per round is one (node, comp) table — linear, shuffled on node.
+    Spark shape: iterative min-label propagation (the Pregel kernel),
+    restricted to nodes that actually TOUCH an edge — every other document
+    is trivially its own singleton component and never enters the loop, so
+    per-round state is O(|near-dup set|), not O(|corpus|): at 100 TB the
+    loop iterates over the (small) duplicate graph while the corpus is
+    visited exactly once by the final left join. Per round: one join of the
+    label table with the symmetrized edge list, a min-aggregate per
+    destination, and a convergence count (the count per round is inherent
+    to iterative CC; the whole loop executes at plan-BUILD time, so this
+    query's bench timing includes it). Rounds are bounded by cluster
+    *diameter*, tiny for near-dup clusters (cliques-ish by construction —
+    LSH hits most pairs directly). ``localCheckpoint`` truncates lineage
+    each round; superseded label tables are dropped each iteration (their
+    checkpoint blocks are freed by Spark's ContextCleaner once
+    dereferenced). At 100 TB: same loop with the alternating
+    large-star/small-star optimization (Kiveris et al.) halves round count.
 
     The DuckDB oracle computes the same fixpoint declaratively with a
     recursive CTE (min reachable id per node), so the iterative engine is
@@ -232,36 +284,14 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         .toDF("src", "dst")
         .persist()
     )
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    labels = docs.select(
-        F.col("doc_id").alias("node"), F.col("doc_id").alias("comp")
-    ).localCheckpoint()
-    for _ in range(64):
-        prop = (
-            edges.join(labels, edges["src"] == labels["node"])
-            .groupBy("dst")
-            .agg(F.min("comp").alias("ncomp"))
-        )
-        merged = (
-            labels.join(prop, labels["node"] == prop["dst"], "left")
-            .select("node", "comp", F.coalesce("ncomp", "comp").alias("cand"))
-            .persist()
-        )
-        changed = merged.filter(F.col("cand") < F.col("comp")).count()
-        nxt = merged.select(
-            "node", F.least("comp", "cand").alias("comp")
-        ).localCheckpoint()
-        merged.unpersist()
-        labels = nxt
-        if changed == 0:
-            break
-    else:  # pragma: no cover - 64 rounds bounds any fixture diameter
-        raise RuntimeError("connected components did not converge")
+    labels, _rounds = min_label_propagation(edges)
     edges.unpersist()
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    comp = docs.join(labels, docs["doc_id"] == labels["node"], "left").select(
+        "doc_id", F.coalesce("comp", "doc_id").alias("component")
+    )
     w = Window.partitionBy("component")
-    return labels.select(
-        F.col("node").alias("doc_id"), F.col("comp").alias("component")
-    ).select(
+    return comp.select(
         "doc_id",
         "component",
         F.count(F.lit(1)).over(w).alias("cluster_size"),
@@ -414,7 +444,7 @@ def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def cogroup_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KGroupedStream.cogroup analogue: two keyed relations co-shuffled once
-    and processed per key in a single Arrow-batched function
+    and processed in a single Arrow-batched function
     (``groupBy().cogroup().applyInPandas``) — here reconciling each order's
     header total against the sum of its line items.
 
@@ -423,49 +453,83 @@ def cogroup_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
     form; cogroup is the general surface for per-key logic the built-ins
     can't express (sessionized merges, per-key model scoring, ordered
     diffing) — the plumbing under test is the co-partitioned two-sided
-    shuffle and the per-key Arrow batch shape. Cents are floored per row
-    before the integer sum, so the result is order-independent and matches
-    the oracle bit-for-bit."""
+    shuffle and the Arrow batch shape.
+
+    Scale shape: the cogroup key is a BUCKET of {COGROUP_BUCKETS} hash
+    cells, not the raw order key. Cogrouping on the raw key invokes the
+    Python function once per key — ~150k interpreter round trips at sf0.1
+    (measured 42 s); bucketing it invokes it {COGROUP_BUCKETS} times with
+    ~1/{COGROUP_BUCKETS} of each relation per Arrow batch and does the
+    per-key work vectorized in pandas (measured sub-second — ~70× faster).
+    Per-key semantics are unchanged (orders of one key land in exactly one
+    bucket). At 100 TB the bucket count scales with data volume so each
+    Arrow batch stays executor-memory-sized; this is the general recipe for
+    keyed Python logic over high-cardinality keys. Cents are floored per
+    row before the integer sum, so the result is order-independent and
+    matches the oracle bit-for-bit."""
     import numpy as np
     import pandas as pd
 
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .withColumn("bucket", F.pmod("o_orderkey", F.lit(COGROUP_BUCKETS)))
+    )
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_extendedprice")
+        .withColumn("bucket", F.pmod("l_orderkey", F.lit(COGROUP_BUCKETS)))
+    )
 
     def recon(key: tuple, left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
         if len(left) == 0:
-            # lineitem rows whose order is absent: not part of the oracle's
-            # orders-driven contract (cannot happen under TPC-H FK integrity)
+            # lineitem buckets whose orders are absent: not part of the
+            # oracle's orders-driven contract (cannot happen under TPC-H FK
+            # integrity). Explicit int64 dtypes: a default empty frame is
+            # object-typed and would fail the Arrow cast to the long schema.
             return pd.DataFrame(
-                columns=[
-                    "o_orderkey",
-                    "o_total_cents",
-                    "n_items",
-                    "li_sum_cents",
-                    "diff_cents",
-                ]
+                {
+                    c: pd.Series(dtype="int64")
+                    for c in (
+                        "o_orderkey",
+                        "o_total_cents",
+                        "n_items",
+                        "li_sum_cents",
+                        "diff_cents",
+                    )
+                }
             )
-        o_cents = int(np.floor(float(left["o_totalprice"].iloc[0]) * 100 + 0.5))
+        res = pd.DataFrame(
+            {
+                "o_orderkey": left["o_orderkey"].to_numpy(dtype=np.int64),
+                "o_total_cents": np.floor(
+                    left["o_totalprice"].to_numpy(dtype=np.float64) * 100 + 0.5
+                ).astype(np.int64),
+            }
+        )
         if len(right):
             cents = np.floor(
                 right["l_extendedprice"].to_numpy(dtype=np.float64) * 100 + 0.5
             ).astype(np.int64)
-            s, n = int(cents.sum()), len(cents)
+            agg = (
+                pd.DataFrame(
+                    {"k": right["l_orderkey"].to_numpy(dtype=np.int64), "c": cents}
+                )
+                .groupby("k", sort=False)["c"]
+                .agg(n_items="size", li_sum_cents="sum")
+            )
+            res = res.merge(agg, left_on="o_orderkey", right_index=True, how="left")
+            res["n_items"] = res["n_items"].fillna(0).astype(np.int64)
+            res["li_sum_cents"] = res["li_sum_cents"].fillna(0).astype(np.int64)
         else:
-            s, n = 0, 0
-        return pd.DataFrame(
-            {
-                "o_orderkey": [key[0]],
-                "o_total_cents": [o_cents],
-                "n_items": [n],
-                "li_sum_cents": [s],
-                "diff_cents": [o_cents - s],
-            }
-        )
+            res["n_items"] = np.int64(0)
+            res["li_sum_cents"] = np.int64(0)
+        res["diff_cents"] = res["o_total_cents"] - res["li_sum_cents"]
+        return res
 
     return (
-        orders.groupBy("o_orderkey")
-        .cogroup(li.groupBy("l_orderkey"))
+        orders.groupBy("bucket")
+        .cogroup(li.groupBy("bucket"))
         .applyInPandas(
             recon,
             "o_orderkey long, o_total_cents long, n_items long, "

@@ -641,7 +641,7 @@ def merge_order_ship_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_events,
-           SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS sum_cents,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS sum_cents,
            MAX(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS max_cents
     FROM events GROUP BY event_type
     """,

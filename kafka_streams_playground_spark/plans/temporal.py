@@ -115,9 +115,9 @@ def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ),
     numbered AS (
-      SELECT *, SUM(new_session) OVER (
+      SELECT *, CAST(SUM(new_session) OVER (
         PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING
-      ) AS session_no
+      ) AS BIGINT) AS session_no
       FROM flagged
     )
     SELECT user_id, session_no,

@@ -25,6 +25,10 @@ from pyspark.sql import SparkSession
 # Runtime-settable confs applied to any session (including driver-provided).
 _RUNTIME_CONF = {
     "spark.sql.session.timeZone": "UTC",
+    # \r stage-progress spam corrupts harnesses that tail-capture stdout
+    # (it cost round 2 its bench artifact). Static conf: only takes effect
+    # on sessions built here; the runtime set below is a harmless no-op.
+    "spark.ui.showConsoleProgress": "false",
     "spark.sql.adaptive.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.adaptive.skewJoin.enabled": "true",

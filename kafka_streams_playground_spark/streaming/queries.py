@@ -428,7 +428,7 @@ def stream_join_left_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
                                         o.o_orderdate::TIMESTAMP))) AS BIGINT)
                AS window_start,
            COUNT(*) AS n_paid,
-           SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+           CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
                AS revenue_cents
     FROM orders o
     JOIN lineitem l ON l.l_orderkey = o.o_orderkey
@@ -490,3 +490,115 @@ def stream_q5_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.unix_timestamp("window.start").alias("window_start"), "n_paid", "revenue_cents"
     )
     return run_to_completion(out, output_mode="append", spark=spark)
+
+
+@query(
+    "stream_pipeline_quality_filter",
+    oracle=None,  # set below (module import order: northstar_pipeline constants)
+    tags=("northstar", "streaming", "pipeline", "dedup", "watermark"),
+)
+def stream_pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed curation filter ONLINE — the per-document keep/reject
+    pass a 100 TB ingest runs on arriving documents instead of nightly over
+    the corpus: watermark-bounded exact dedup
+    (``dropDuplicatesWithinWatermark`` on the content hash — state holds
+    only in-horizon hashes) followed by the same token-length gates and
+    quality score as the batch ``pipeline_quality_filter``, append-mode.
+
+    Two deliberate semantic deltas from the batch twin, both inherent to
+    the online setting: (a) the dup gate is exact-hash (MinHash near-dup
+    needs a corpus-wide LSH index; online engines run exact dedup inline
+    and near-dup as a periodic batch sweep); (b) duplicate arrivals are
+    DROPPED by the state store, not labeled — a dropped row never reaches
+    the sink, so the audit stream carries only first-arrivals. Output is
+    keyed by content hash (which doc of an identical-text group survives is
+    arrival-order-dependent; its features are not, since the text is
+    identical — so every output column is deterministic).
+
+    Documents carry no event time, so a deterministic ingest-time stand-in
+    (``timestamp_seconds(doc_id + 2 days)``) feeds the watermark — the role
+    a Kafka ingest timestamp plays in production. The 2-day offset keeps
+    every synthetic time strictly ABOVE the initial watermark (epoch 0):
+    a doc_id-0 row at exactly epoch 0 is dropped as late by the dedup
+    state's late-row gate."""
+    docs = read_stream_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ev = docs.withColumn(
+        "ingest_ts", F.timestamp_seconds(F.col("doc_id") + F.lit(172800))
+    ).withWatermark("ingest_ts", WATERMARK)
+    deduped = ev.withColumn("text_hash", F.md5("text")).dropDuplicatesWithinWatermark(
+        ["text_hash"]
+    )
+    toks = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(s) for s in ("the", "a", "of", "and", "to", "in")])
+    feat = deduped.select(
+        "text_hash",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        (F.size(F.array_distinct(toks)) / F.size(toks)).alias("ttr"),
+        (F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))) / F.size(toks)).alias(
+            "stop_ratio"
+        ),
+    )
+    qs = F.round(
+        0.5 * F.col("ttr")
+        + 0.3 * F.col("stop_ratio")
+        + 0.2 * F.least(F.col("n_tokens") / 256.0, F.lit(1.0)),
+        4,
+    )
+    out = feat.select(
+        "text_hash",
+        "n_tokens",
+        F.when(F.col("n_tokens") < _NP.MIN_TOKENS, "too_short")
+        .when(F.col("n_tokens") > _NP.MAX_TOKENS, "too_long")
+        .when(qs < _NP.MIN_QUALITY, "low_quality")
+        .otherwise("kept")
+        .alias("reason"),
+        (
+            (F.col("n_tokens") >= _NP.MIN_TOKENS)
+            & (F.col("n_tokens") <= _NP.MAX_TOKENS)
+            & (qs >= _NP.MIN_QUALITY)
+        )
+        .cast("int")
+        .alias("keep"),
+    )
+    return run_to_completion(out, output_mode="append", spark=spark)
+
+
+def _fill_pipeline_oracle() -> None:
+    """Oracle over DISTINCT text (the dedup survivors): identical text ⇒
+    identical features, so the distinct-text set is exactly the emitted
+    first-arrival set regardless of arrival order."""
+    from dataclasses import replace
+
+    oracle = f"""
+    WITH d AS (SELECT DISTINCT text FROM documents),
+    f AS (
+      SELECT md5(text) AS text_hash,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_distinct(string_split(text, ' '))) * 1.0
+                 / len(string_split(text, ' ')) AS ttr,
+             len([x for x in string_split(text, ' ')
+                  if list_contains(['the','a','of','and','to','in'], x)])
+                 * 1.0 / len(string_split(text, ' ')) AS stop_ratio
+      FROM d
+    )
+    SELECT text_hash, n_tokens,
+           CASE WHEN n_tokens < {_NP.MIN_TOKENS} THEN 'too_short'
+                WHEN n_tokens > {_NP.MAX_TOKENS} THEN 'too_long'
+                WHEN ROUND(0.5 * ttr + 0.3 * stop_ratio
+                           + 0.2 * LEAST(n_tokens / 256.0, 1.0), 4)
+                     < {_NP.MIN_QUALITY} THEN 'low_quality'
+                ELSE 'kept' END AS reason,
+           CAST(n_tokens >= {_NP.MIN_TOKENS} AND n_tokens <= {_NP.MAX_TOKENS}
+                AND ROUND(0.5 * ttr + 0.3 * stop_ratio
+                          + 0.2 * LEAST(n_tokens / 256.0, 1.0), 4)
+                    >= {_NP.MIN_QUALITY} AS INT) AS keep
+    FROM f
+    """
+    REGISTRY["stream_pipeline_quality_filter"] = replace(
+        REGISTRY["stream_pipeline_quality_filter"], oracle=oracle
+    )
+
+
+from kafka_streams_playground_spark.plans import northstar_pipeline as _NP  # noqa: E402
+
+_fill_pipeline_oracle()

@@ -1,5 +1,13 @@
 """Shared oracle-compare helper: replicates the driver's order-insensitive
-row-multiset comparison (sorted columns, normalized cells)."""
+row-multiset comparison (sorted columns, normalized cells).
+
+Driver fidelity (round-2 lesson, ADVICE r2-medium): the driver fetches BOTH
+sides through pandas, so (a) DuckDB HUGEINT — the result type of
+``SUM(integer)`` — coerces to float64 and fails type-strict comparison
+against Spark's int64, and (b) nullable long columns with NULLs become
+float64 on both sides and still match. This helper reproduces both: pandas
+fetch on both sides, cells tagged by type so int never equals float.
+"""
 
 from __future__ import annotations
 
@@ -7,15 +15,21 @@ import math
 
 
 def _norm_cell(v):
-    if v is None:
+    import numpy as np
+    import pandas as pd
+
+    if v is None or v is pd.NaT or v is pd.NA:
         return None
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return round(v, 6)
-    if isinstance(v, (int, bool)):
-        return v
-    return str(v)
+    if isinstance(v, (float, np.floating)):
+        # pandas renders missing ints as NaN; any NaN is null.
+        if math.isnan(float(v)):
+            return None
+        return ("f", round(float(v), 6))
+    if isinstance(v, (bool, np.bool_)):
+        return ("b", bool(v))
+    if isinstance(v, (int, np.integer)):
+        return ("i", int(v))
+    return ("s", str(v))
 
 
 def norm_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
@@ -27,10 +41,11 @@ def norm_rows(cols: list[str], rows: list[tuple]) -> list[tuple]:
 
 def assert_matches_oracle(sdf, duck, oracle_sql: str) -> None:
     s_cols = list(sdf.columns)
-    s_rows = [tuple(r) for r in sdf.collect()]
-    res = duck.execute(oracle_sql)
-    d_cols = [c[0] for c in res.description]
-    d_rows = res.fetchall()
+    spdf = sdf.toPandas()
+    s_rows = [tuple(t) for t in spdf.itertuples(index=False, name=None)]
+    ddf = duck.execute(oracle_sql).df()
+    d_cols = list(ddf.columns)
+    d_rows = [tuple(t) for t in ddf.itertuples(index=False, name=None)]
     assert sorted(s_cols) == sorted(d_cols), f"columns {sorted(s_cols)} != {sorted(d_cols)}"
     assert len(s_rows) == len(d_rows), f"rowcount {len(s_rows)} != {len(d_rows)}"
     assert norm_rows(s_cols, s_rows) == norm_rows(d_cols, d_rows)

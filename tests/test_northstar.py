@@ -227,3 +227,23 @@ def test_ivf_multiprobe_recall_dominates_single_probe(spark, sf_dir):
     for q in sc:
         assert mc[q] >= sc[q]
         assert mb[q] >= sb[q] - 1e-12
+
+
+def test_cc_clique_chain_labels_and_rounds(spark):
+    """Connected-components hardening (VERDICT r2 item 6): a 3-clique, a
+    5-node chain (diameter 4), and an isolated pair must label to the
+    minimum member id, and the propagation must converge in at most
+    diameter + 1 rounds (the +1 confirms quiescence)."""
+    from kafka_streams_playground_spark.plans.northstar_pipeline import (
+        min_label_propagation,
+    )
+
+    pairs = [(1, 2), (1, 3), (2, 3), (10, 11), (11, 12), (12, 13), (13, 14), (20, 21)]
+    sym = pairs + [(b, a) for a, b in pairs]
+    edges = spark.createDataFrame(sym, "src long, dst long").persist()
+    labels, rounds = min_label_propagation(edges)
+    got = {r["node"]: r["comp"] for r in labels.collect()}
+    edges.unpersist()
+    want = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 20: 20, 21: 20}
+    assert got == want
+    assert rounds <= 4 + 1, f"chain diameter 4 must converge in <=5 rounds, took {rounds}"

@@ -5,6 +5,16 @@ parquet fixtures, then compares row count, sorted column names, and an
 order-insensitive value multiset (floats rounded to 6 significant-ish
 decimals to absorb cross-engine double noise the queries already round away).
 
+Driver fidelity (round-2 lesson): the driver fetches the DuckDB side into
+PANDAS, which coerces HUGEINT (DuckDB's SUM(integer) result type) to
+float64 — so an uncast integer SUM hashes as ``9995613.0`` against Spark's
+int64 ``9995613`` and FAILS the driver even though ``fetchall()`` (Python
+ints) would pass. This replica therefore (a) fetches the oracle via
+``.df()`` (same pandas coercions as the driver) and (b) compares cells
+TYPE-STRICTLY: an integer cell never equals its float representation.
+ADVICE r2 (medium): the earlier fetchall+lax compare let exactly that
+drift pass locally while the driver failed it.
+
 Usage: python tools/check_correctness.py [--json OUT.json] [sf_dir] [query ...]
 
 ``--json`` additionally writes a per-query result map in the driver's
@@ -25,17 +35,24 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def _norm_cell(v):
-    if v is None:
+    """Canonicalize a cell to a (type-tag, value) pair so that int vs float
+    representation differences FAIL the compare (the driver's behavior)."""
+    import numpy as np
+    import pandas as pd
+
+    if v is None or v is pd.NaT or v is pd.NA:
         return None
-    if isinstance(v, bool):
-        return v
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return round(v, 6)
-    if isinstance(v, int):
-        return v
-    return str(v)
+    if isinstance(v, (float, np.floating)):
+        # pandas renders missing ints as NaN; treat any NaN as null so a
+        # nullable-int column with NULLs still compares against Spark None.
+        if math.isnan(float(v)):
+            return None
+        return ("f", round(float(v), 6))
+    if isinstance(v, (bool, np.bool_)):
+        return ("b", bool(v))
+    if isinstance(v, (int, np.integer)):
+        return ("i", int(v))
+    return ("s", str(v))
 
 
 def _norm_rows(cols, rows):
@@ -86,7 +103,11 @@ def main() -> int:
         try:
             sdf = spec.fn(spark, sf_dir)
             s_cols = sorted(sdf.columns)
-            s_rows = [tuple(r) for r in sdf.collect()]
+            # toPandas() — NOT collect(): the driver canonicalizes the Spark
+            # side through pandas too, so a nullable long column with NULLs
+            # becomes float64 on BOTH sides and still matches.
+            spdf = sdf.toPandas()
+            s_rows = [tuple(t) for t in spdf.itertuples(index=False, name=None)]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error: {e}")
             rec["err"] = f"spark: {e}"
@@ -97,9 +118,11 @@ def main() -> int:
             print(f"rows  {name}: {len(s_rows)} rows (no oracle) [{time.time()-t0:.1f}s]")
             continue
         try:
-            res = con.execute(spec.oracle)
-            d_cols = sorted(c[0] for c in res.description)
-            d_rows = res.fetchall()
+            # .df() (pandas) — NOT fetchall(): the driver's canonicalizer is
+            # pandas-based, so HUGEINT→float64 coercion must be visible here.
+            ddf = con.execute(spec.oracle).df()
+            d_cols = sorted(ddf.columns)
+            d_rows = [tuple(t) for t in ddf.itertuples(index=False, name=None)]
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: duckdb error: {e}")
             rec["err"] = f"duckdb: {e}"
