@@ -15,6 +15,7 @@ from kafka_streams_playground_spark.plans import northstar_text  # noqa: F401
 from kafka_streams_playground_spark.plans import northstar_multimodal  # noqa: F401
 from kafka_streams_playground_spark.plans import northstar_pipeline  # noqa: F401
 from kafka_streams_playground_spark.plans import northstar_curation  # noqa: F401
+from kafka_streams_playground_spark.plans import northstar_scoring  # noqa: F401
 
 # ---------------------------------------------------------------------------
 # Driver-visible ordering.

@@ -1,0 +1,297 @@
+"""Model-informed curation operators (north star, round 4): the scoring
+passes a large-scale LLM data pipeline runs once the heuristic gates are in
+place — corpus-LM perplexity-style scoring (CCNet-style, with a unigram LM
+standing in for the external KenLM), per-domain curation rollups (the
+report a data team actually reads), and SemDeDup-style semantic pruning
+over embeddings (cluster-then-prune).
+
+Cross-engine conventions follow plans/registry.py: identical aliases, exact
+integer folds before sums (order-free), ``FLOOR(x*10^k + 0.5)/10^k``
+instead of bare ROUND where double summation order could differ, and every
+DuckDB integer SUM wrapped in CAST(... AS BIGINT).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_streams_playground_spark.plans.northstar_dedup import (
+    MINHASH_PAIRS_CTES,
+    minhash_verified_pairs,
+)
+from kafka_streams_playground_spark.plans.registry import query
+from kafka_streams_playground_spark.sources.parquet import load_table
+
+# SemDeDup (Abbas et al. 2023) shape: K cluster centroids, prune a vector
+# when a lower-id member of ITS cluster is more similar than the threshold.
+# K=64 matches sim_ivf_topk's fixed-centroid-count stance (deterministic
+# "init" = the K smallest vec_ids; production scales K with N so expected
+# cluster size — and thus per-cluster pair cost — stays constant). The
+# threshold sits just under the fixtures' max pairwise cosine (~0.51 at
+# sf0.01) so real pairs qualify — same stance as dedup_embedding_cosine.
+SEMDEDUP_K = 64
+SEMDEDUP_TH = 0.45
+
+# Unigram-LM scoring: per-token log-probs are quantized to an integer
+# 1e-6 grid BEFORE the per-document sum, so the fold is an exact integer
+# sum (order-free across engines); ln() itself differs by ≤1 ulp between
+# libm implementations, ~1e-9 on the 1e6 grid — far inside the 0.5
+# rounding margin.
+LP_GRID = 1_000_000
+
+
+@query(
+    "text_unigram_lm_score",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    v AS (SELECT tok, COUNT(*) AS cnt FROM tok GROUP BY tok),
+    v2 AS (
+      SELECT tok,
+             CAST(FLOOR(ln(cnt * 1.0 / (SUM(cnt) OVER ())) * {LP_GRID} + 0.5)
+                  AS BIGINT) AS lp6
+      FROM v
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_tokens,
+           CAST(SUM(lp6) AS BIGINT) AS sum_lp6,
+           FLOOR(CAST(SUM(lp6) AS BIGINT) * 1.0 / COUNT(*) / 100 + 0.5) / 10000
+               AS avg_logprob
+    FROM tok JOIN v2 USING (tok)
+    GROUP BY doc_id
+    """,
+    tags=("northstar", "scoring", "text", "bench"),
+)
+def text_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality scoring with a corpus-trained unigram model:
+    two passes over the corpus — (1) train: token → count → log-prob table;
+    (2) score: every document's mean token log-prob. Low-probability (junky,
+    off-distribution) documents surface at the bottom, exactly how CCNet
+    buckets Common Crawl by wikipedia-LM perplexity (a real pipeline swaps
+    the unigram table for KenLM scores; the dataflow is identical).
+
+    Scale shape: the model table is vocabulary-sized (≪ corpus — low
+    single-digit GB even at web scale) so it BROADCASTS to the scoring join;
+    the corpus side explodes to (doc_id, token) and re-aggregates with
+    map-side partials — one shuffle on doc_id, one on token, none carrying
+    text. The unpartitioned window computing the corpus total runs over
+    vocabulary rows only (same bounded-window stance as
+    sample_temperature_mix). Log-probs ride as 1e-6-grid integers so the
+    per-doc sum is order-free and cross-engine exact."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    v = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
+    wall = Window.partitionBy().rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    v2 = v.select(
+        "tok",
+        F.floor(F.log(F.col("cnt") / F.sum("cnt").over(wall)) * LP_GRID + F.lit(0.5))
+        .cast("bigint")
+        .alias("lp6"),
+    )
+    agg = tok.join(F.broadcast(v2), "tok").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"), F.sum("lp6").alias("sum_lp6")
+    )
+    return agg.select(
+        "doc_id",
+        "n_tokens",
+        "sum_lp6",
+        (F.floor(F.col("sum_lp6") / F.col("n_tokens") / 100 + F.lit(0.5)) / 10000).alias(
+            "avg_logprob"
+        ),
+    )
+
+
+_STOP_SQL = "'the','a','of','and','to','in'"
+
+
+@query(
+    "domain_quality_stats",
+    oracle=f"""
+    WITH {MINHASH_PAIRS_CTES},
+    dupset AS (SELECT DISTINCT doc_b AS doc_id FROM verified),
+    feat AS (
+      SELECT d.doc_id, d.source, len(t.toks) AS n_tokens,
+             CAST(FLOOR((0.5 * (len(list_distinct(t.toks)) * 1.0 / len(t.toks))
+                   + 0.3 * (len([x for x in t.toks
+                                 if list_contains([{_STOP_SQL}], x)])
+                            * 1.0 / len(t.toks))
+                   + 0.2 * LEAST(len(t.toks) / 256.0, 1.0)) * 10000 + 0.5)
+                  AS BIGINT) AS qi
+      FROM documents d JOIN tok t USING (doc_id)
+    )
+    SELECT f.source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(f.n_tokens) AS BIGINT) AS n_tokens,
+           FLOOR(CAST(SUM(f.qi) AS BIGINT) * 1.0 / COUNT(*) + 0.5) / 10000
+               AS avg_quality,
+           COUNT(ds.doc_id) AS n_near_dup,
+           FLOOR(COUNT(ds.doc_id) * 10000.0 / COUNT(*) + 0.5) / 10000
+               AS near_dup_frac
+    FROM feat f LEFT JOIN dupset ds USING (doc_id)
+    GROUP BY f.source
+    """,
+    tags=("northstar", "scoring", "curation", "bench"),
+)
+def domain_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain curation rollup: for every ``source`` (the domain/crawl-
+    host analogue), document and token counts, mean heuristic quality, and
+    the near-duplicate rate — the dashboard table that decides which domains
+    get up-/down-weighted or dropped before training (every production
+    curation run publishes exactly this report).
+
+    Composition: quality is ``text_quality_score``'s formula (identical
+    literals) quantized to an integer 1e-4 grid per doc so the per-domain
+    mean is an exact-integer fold; the dup set is the shared
+    ``minhash_verified_pairs`` edge list (doc_b side = the copies a dedup
+    pass would drop). Scale shape: one narrow feature projection (map-side),
+    the dup-set left join co-shuffles on doc_id, and the final rollup
+    aggregates to |domains| rows with map-side partials — nothing carries
+    text past the first projection."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    toks = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(s) for s in ("the", "a", "of", "and", "to", "in")])
+    ttr = F.size(F.array_distinct(toks)) / F.size(toks)
+    stop_ratio = F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x))) / F.size(
+        toks
+    )
+    qi = F.floor(
+        (
+            0.5 * ttr
+            + 0.3 * stop_ratio
+            + 0.2 * F.least(F.size(toks) / 256.0, F.lit(1.0))
+        )
+        * 10000
+        + F.lit(0.5)
+    ).cast("bigint")
+    feat = docs.select(
+        "doc_id", "source", F.size(toks).cast("bigint").alias("n_tokens"), qi.alias("qi")
+    )
+    dupset = (
+        minhash_verified_pairs(spark, sf_dir)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+        .withColumn("is_dup", F.lit(1))
+    )
+    j = feat.join(dupset, "doc_id", "left")
+    return j.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        (F.floor(F.sum("qi") / F.count(F.lit(1)) + F.lit(0.5)) / 10000).alias(
+            "avg_quality"
+        ),
+        F.count("is_dup").alias("n_near_dup"),
+        (F.floor(F.count("is_dup") * 10000.0 / F.count(F.lit(1)) + F.lit(0.5)) / 10000).alias(
+            "near_dup_frac"
+        ),
+    )
+
+
+def _dot(a, b):
+    # Identical sequential fold in both engines (see dedup_embedding_cosine):
+    # cast to double BEFORE multiplying so Spark and DuckDB run the same
+    # IEEE operation sequence and agree bit-for-bit.
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+
+
+@query(
+    "semdedup_embedding_prune",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    c AS (
+      SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
+      FROM n ORDER BY vec_id LIMIT {SEMDEDUP_K}
+    ),
+    scored AS (
+      SELECT n.vec_id, c.cent_id,
+             list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) AS cos
+      FROM n CROSS JOIN c
+    ),
+    assign AS (
+      SELECT vec_id, cent_id AS cluster FROM (
+        SELECT vec_id, cent_id,
+               row_number() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, cent_id ASC) AS rk
+        FROM scored
+      ) WHERE rk = 1
+    ),
+    av AS (
+      SELECT a.vec_id, a.cluster, n.v, n.nrm FROM assign a JOIN n USING (vec_id)
+    ),
+    pruned AS (
+      SELECT b.vec_id AS vec_b,
+             MAX(list_dot_product(a.v, b.v) / (a.nrm * b.nrm)) AS mx
+      FROM av a JOIN av b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {SEMDEDUP_TH}
+      GROUP BY b.vec_id
+    )
+    SELECT av.vec_id, av.cluster,
+           CAST(p.vec_b IS NOT NULL AS INT) AS pruned,
+           ROUND(p.mx, 4) AS max_dup_cosine
+    FROM av LEFT JOIN pruned p ON av.vec_id = p.vec_b
+    """,
+    tags=("northstar", "scoring", "embedding", "dedup", "bench"),
+)
+def semdedup_embedding_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster embeddings, then prune a vector
+    when another vector IN THE SAME CLUSTER with a smaller id is more
+    cosine-similar than the threshold — semantic dedup that catches
+    paraphrases exact/MinHash dedup cannot see. Clustering is the whole
+    scale trick: the quadratic comparison runs within clusters only
+    (Σ|cluster|² ≪ N²), never across the corpus.
+
+    Spark shape: centroids = the {SEMDEDUP_K} smallest vec_ids (K fixed and
+    tiny ⇒ the centroid table BROADCASTS; a production run uses trained
+    k-means centroids — same dataflow, see sim_ivf_topk for the fixed-K
+    rationale). Assignment is a broadcast nested-loop over K candidates per
+    vector + one row_number per vec_id; the intra-cluster pair join
+    co-shuffles on the cluster id. Norms are computed once per vector
+    (O(N·d)) before any join. Doubles agree bit-for-bit with DuckDB because
+    both engines run the identical sequential dot-product fold."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    n = emb.select("vec_id", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"))
+    c = (
+        n.orderBy("vec_id")
+        .limit(SEMDEDUP_K)
+        .select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    scored = n.crossJoin(F.broadcast(c)).select(
+        "vec_id",
+        "cent_id",
+        (_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))).alias("cos"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cent_id").asc())
+    assign = (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("vec_id", F.col("cent_id").alias("cluster"))
+    )
+    av = assign.join(n, "vec_id").select("vec_id", "cluster", "v", "nrm")
+    a, b = av.alias("a"), av.alias("b")
+    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+    pruned = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= SEMDEDUP_TH)
+        .groupBy(F.col("b.vec_id").alias("vec_b"))
+        .agg(F.max(cos).alias("mx"))
+    )
+    return av.join(pruned, av["vec_id"] == pruned["vec_b"], "left").select(
+        "vec_id",
+        "cluster",
+        F.col("vec_b").isNotNull().cast("int").alias("pruned"),
+        F.round("mx", 4).alias("max_dup_cosine"),
+    )

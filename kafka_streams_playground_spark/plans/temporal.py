@@ -170,6 +170,179 @@ def session_windows_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "asof_forward_next_purchase",
+    oracle="""
+    SELECT v.event_id, v.user_id,
+           CAST(floor(epoch(v.ts::TIMESTAMP)) AS BIGINT) AS view_epoch,
+           (SELECT p.event_id FROM events p
+             WHERE p.user_id = v.user_id AND p.event_type = 'purchase'
+               AND p.ts >= v.ts
+             ORDER BY p.ts ASC, p.event_id ASC LIMIT 1) AS next_purchase_id,
+           (SELECT CAST(floor(epoch(p.ts::TIMESTAMP)) AS BIGINT) FROM events p
+             WHERE p.user_id = v.user_id AND p.event_type = 'purchase'
+               AND p.ts >= v.ts
+             ORDER BY p.ts ASC, p.event_id ASC LIMIT 1) AS next_purchase_epoch
+    FROM events v WHERE v.event_type = 'view'
+    """,
+    tags=("extension", "temporal", "asof", "join"),
+)
+def asof_forward_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join — the mirror of ``asof_purchase_last_click``: each
+    view event picks the same user's earliest purchase at-or-after it (the
+    attribution/conversion-lag primitive; kdb's ``aj`` forward mode,
+    pandas ``merge_asof(direction='forward')``).
+
+    Same union-tag-sort formulation, frame reversed: tag both sides, union,
+    and take ``first(purchase, ignoreNulls)`` over the (currentRow →
+    unboundedFollowing) frame ordered by (ts, side, event_id) with purchases
+    tagged AFTER views — so an equal-timestamp purchase qualifies (oracle's
+    ``p.ts >= v.ts``) and equal-ts purchases resolve to the smallest
+    event_id in both engines. Still ONE hash exchange on user_id + ONE
+    in-partition sort, linear in input — no candidate-pair buffering, the
+    forward-join plan shape that survives 100 TB."""
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"),
+        F.col("ts"),
+        F.lit(1).alias("side"),
+        F.col("event_id"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        F.col("user_id"),
+        F.col("ts"),
+        F.lit(0).alias("side"),
+        F.col("event_id"),
+        F.lit(None).cast("long").alias("purchase_id"),
+    )
+    u = views.unionByName(purchases)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("side").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    carried = u.select(
+        "user_id",
+        "ts",
+        "side",
+        "event_id",
+        F.first("purchase_id", ignorenulls=True).over(w).alias("next_purchase_id"),
+        F.first(F.when(F.col("purchase_id").isNotNull(), F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("next_purchase_ts"),
+    )
+    return carried.filter(F.col("side") == 0).select(
+        "event_id",
+        "user_id",
+        F.unix_timestamp("ts").alias("view_epoch"),
+        "next_purchase_id",
+        F.unix_timestamp("next_purchase_ts").alias("next_purchase_epoch"),
+    )
+
+
+@query(
+    "scd2_user_event_history",
+    oracle="""
+    SELECT user_id, event_id, event_type, value,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS version,
+           CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT) AS valid_from,
+           CAST(floor(epoch((lead(ts) OVER w)::TIMESTAMP)) AS BIGINT) AS valid_to,
+           CAST(lead(ts) OVER w IS NULL AS INT) AS is_current
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+    tags=("extension", "temporal", "scd2", "cdc"),
+)
+def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history build: the events stream treated as a per-user
+    changelog (the batch materialization of the reference's KTable duality,
+    KafkaStreamsApp.scala:156-157 — where the KTable keeps only the LATEST
+    row per key, SCD2 keeps every version with its validity interval).
+    Each event opens a version valid from its timestamp until the user's
+    next event; the last version is open-ended (``valid_to`` NULL,
+    ``is_current`` 1) — the standard warehouse dimension-history shape a
+    CDC/upsert feed compacts into.
+
+    One shuffle on user_id, one in-partition sort shared by row_number and
+    lead — linear cost, no self-join; at 100 TB this is the same plan with
+    more partitions (per-user history fits a partition by construction)."""
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    return events.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.row_number().over(w).cast("bigint").alias("version"),
+        F.unix_timestamp("ts").alias("valid_from"),
+        F.unix_timestamp(F.lead("ts").over(w)).alias("valid_to"),
+        F.lead("ts").over(w).isNull().cast("int").alias("is_current"),
+    )
+
+
+@query(
+    "ts_gapfill_user_daily",
+    oracle="""
+    WITH d AS (
+      SELECT user_id,
+             CAST(FLOOR(epoch(ts::TIMESTAMP) / 86400) AS BIGINT) AS day,
+             COUNT(*) AS n_events,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS sum_value_cents
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (SELECT user_id, MIN(day) AS dmin, MAX(day) AS dmax FROM d GROUP BY 1),
+    g AS (SELECT user_id, unnest(generate_series(dmin, dmax)) AS day FROM r)
+    SELECT g.user_id, g.day * 86400 AS day_epoch,
+           COALESCE(d.n_events, 0) AS n_events,
+           COALESCE(d.sum_value_cents, 0) AS sum_value_cents,
+           CAST(d.user_id IS NULL AS INT) AS gap_filled
+    FROM g LEFT JOIN d USING (user_id, day)
+    """,
+    tags=("extension", "temporal", "gapfill"),
+)
+def ts_gapfill_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series gap-fill / resample (the hypertable ``time_bucket_gapfill``
+    analogue): per-user daily event counts with missing days materialized as
+    explicit zero rows between the user's first and last active day —
+    downstream rolling-window models need the dense grid, not the sparse one.
+
+    Spark shape: one aggregate to the sparse (user, day) grid, a per-user
+    min/max reduction, then ``sequence() + explode`` regenerates the dense
+    day spine and a left join pulls the counts back — both joins co-shuffle
+    on (user, day); nothing is driver-side. The spine's row count is
+    Σ_user(span_days) — bounded by users × calendar span, NOT by event
+    volume, so at 100 TB the spine is the small side (and the fill is
+    per-key parallel). Money rides as exact floored cents (order-free sums,
+    cross-engine bit-equal)."""
+    events = load_table(spark, sf_dir, "events")
+    d = (
+        events.select(
+            "user_id",
+            F.floor(F.col("ts").cast("double") / 86400).cast("bigint").alias("day"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        )
+        .groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("cents").alias("sum_value_cents"),
+        )
+    )
+    r = d.groupBy("user_id").agg(F.min("day").alias("dmin"), F.max("day").alias("dmax"))
+    g = r.select(
+        "user_id", F.explode(F.sequence("dmin", "dmax")).alias("day")
+    )
+    j = g.join(d, ["user_id", "day"], "left")
+    return j.select(
+        "user_id",
+        (F.col("day") * 86400).alias("day_epoch"),
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.coalesce("sum_value_cents", F.lit(0)).alias("sum_value_cents"),
+        F.col("n_events").isNull().cast("int").alias("gap_filled"),
+    )
+
+
+@query(
     "sliding_window_event_counts",
     oracle="""
     SELECT ws AS window_start, event_type, COUNT(*) AS cnt

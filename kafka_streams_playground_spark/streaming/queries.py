@@ -297,6 +297,29 @@ def stream_running_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(out, output_mode="append", spark=spark)
 
 
+@query(
+    "stream_sliding_window_event_counts",
+    oracle=None,  # set below: shares the batch sliding-window oracle
+    tags=("extension", "streaming", "temporal", "sliding"),
+)
+def stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding (hopping) windows on the live streaming path: events replayed
+    as a stream → watermark → ``window(ts, 30s, 10s)`` multi-assign count
+    per event type, update-mode changelog drained to final state. Each row
+    enters 3 windows *before* the shuffle (per-window partials ride it, not
+    ×3 raw rows) and the watermark evicts closed windows from the state
+    store — the bounded-state hopping aggregate a 100 TB ingest runs;
+    final drained state equals the batch twin, so it shares that oracle."""
+    events = read_stream_table(spark, sf_dir, "events").withWatermark("ts", WATERMARK)
+    win = events.groupBy(
+        F.window("ts", "30 seconds", "10 seconds").alias("window"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    out = win.select(
+        F.unix_timestamp("window.start").alias("window_start"), "event_type", "cnt"
+    )
+    return run_to_completion(out, output_mode="update", spark=spark)
+
+
 def _share_oracles() -> None:
     """Streaming twins drain to the same final state as their batch forms on
     the single-file fixtures, so they share the batch oracles (registry
@@ -310,6 +333,7 @@ def _share_oracles() -> None:
         ("stream_q1_expensive_orders", "q1_expensive_orders"),
         ("stream_q2_order_projection", "q2_order_projection"),
         ("stream_q3_products_by_first_letter", "q3_products_by_first_letter"),
+        ("stream_sliding_window_event_counts", "sliding_window_event_counts"),
     ]:
         REGISTRY[stream_name] = replace(
             REGISTRY[stream_name], oracle=REGISTRY[batch_name].oracle

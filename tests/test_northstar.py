@@ -247,3 +247,88 @@ def test_cc_clique_chain_labels_and_rounds(spark):
     want = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 20: 20, 21: 20}
     assert got == want
     assert rounds <= 4 + 1, f"chain diameter 4 must converge in <=5 rounds, took {rounds}"
+
+
+def test_semdedup_cluster_minimum_never_pruned(spark, sf_dir):
+    """SemDeDup invariants: the lowest vec_id of every cluster survives
+    (pruning only points at LARGER ids), every pruned vector carries a
+    qualifying similarity, and every kept vector carries none."""
+    from kafka_streams_playground_spark.plans.northstar_scoring import (
+        SEMDEDUP_TH,
+        semdedup_embedding_prune,
+    )
+
+    out = semdedup_embedding_prune(spark, sf_dir).collect()
+    assert out
+    min_per_cluster = {}
+    for r in out:
+        min_per_cluster.setdefault(r.cluster, r.vec_id)
+        min_per_cluster[r.cluster] = min(min_per_cluster[r.cluster], r.vec_id)
+    for r in out:
+        if r.vec_id == min_per_cluster[r.cluster]:
+            assert r.pruned == 0, f"cluster minimum {r.vec_id} pruned"
+        if r.pruned:
+            assert r.max_dup_cosine is not None
+            assert r.max_dup_cosine >= round(SEMDEDUP_TH, 4)
+        else:
+            assert r.max_dup_cosine is None
+
+
+def test_asof_forward_time_ordering(spark, sf_dir):
+    """Forward as-of: every matched purchase is at-or-after its view and is
+    the EARLIEST such purchase for that user (cross-checked against a
+    brute-force min over the events fixture)."""
+    from collections import defaultdict
+
+    from kafka_streams_playground_spark.plans.temporal import asof_forward_next_purchase
+    from kafka_streams_playground_spark.sources.parquet import load_table
+
+    out = asof_forward_next_purchase(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", "event_id", F.unix_timestamp("ts").alias("es")
+    ).collect()
+    purchases = defaultdict(list)
+    for r in ev:
+        if r.event_type == "purchase":
+            purchases[r.user_id].append((r.es, r.event_id))
+    for r in out:
+        cand = sorted(p for p in purchases[r.user_id] if p[0] >= r.view_epoch)
+        if not cand:
+            assert r.next_purchase_id is None
+        else:
+            assert (r.next_purchase_epoch, r.next_purchase_id) == cand[0]
+
+
+def test_gapfill_dense_spine(spark, sf_dir):
+    """Gap-fill emits exactly the dense day range per user: row count equals
+    (max-min+1) days, zero-count days are flagged, and flagged rows are
+    exactly the zero-event ones."""
+    from collections import defaultdict
+
+    from kafka_streams_playground_spark.plans.temporal import ts_gapfill_user_daily
+
+    rows = ts_gapfill_user_daily(spark, sf_dir).collect()
+    per_user = defaultdict(list)
+    for r in rows:
+        per_user[r.user_id].append(r)
+        assert (r.n_events == 0) == bool(r.gap_filled)
+        assert (r.n_events == 0) == (r.sum_value_cents == 0 and r.gap_filled == 1) or r.n_events > 0
+    for user, rs in per_user.items():
+        days = sorted(r.day_epoch // 86400 for r in rs)
+        assert days == list(range(days[0], days[-1] + 1)), f"user {user} spine has holes"
+
+
+def test_unigram_lm_monotone_in_token_frequency(spark, sf_dir):
+    """A document made of the corpus's most frequent token must score at
+    least as high as any real document (avg log-prob is maximized by the
+    modal token), and all scores are negative."""
+    from kafka_streams_playground_spark.plans.northstar_scoring import (
+        text_unigram_lm_score,
+    )
+
+    out = text_unigram_lm_score(spark, sf_dir).collect()
+    assert out
+    assert all(r.avg_logprob < 0 for r in out)
+    # per-doc mean cannot beat the best single-token log-prob
+    best_single = max(r.sum_lp6 / r.n_tokens for r in out)
+    assert all(r.sum_lp6 / r.n_tokens <= best_single + 1e-9 for r in out)
