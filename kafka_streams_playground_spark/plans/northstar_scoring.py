@@ -25,12 +25,12 @@ from kafka_streams_playground_spark.sources.parquet import load_table
 
 # SemDeDup (Abbas et al. 2023) shape: K cluster centroids, prune a vector
 # when a lower-id member of ITS cluster is more similar than the threshold.
-# K=64 matches sim_ivf_topk's fixed-centroid-count stance (deterministic
-# "init" = the K smallest vec_ids; production scales K with N so expected
-# cluster size — and thus per-cluster pair cost — stays constant). The
-# threshold sits just under the fixtures' max pairwise cosine (~0.51 at
-# sf0.01) so real pairs qualify — same stance as dedup_embedding_cosine.
-SEMDEDUP_K = 64
+# The cluster assignment IS the IVF coarse quantizer (northstar_similarity.
+# _ivf_members — same fixed K=64 centroids, same rounded-argmax tiebreak,
+# same persisted member index), so ANN search and semantic dedup share one
+# index build, exactly as a production pipeline would. The threshold sits
+# just under the fixtures' max pairwise cosine (~0.51 at sf0.01) so real
+# pairs qualify — same stance as dedup_embedding_cosine.
 SEMDEDUP_TH = 0.45
 
 # Unigram-LM scoring: per-token log-probs are quantized to an integer
@@ -190,50 +190,30 @@ def domain_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _dot(a, b):
-    # Identical sequential fold in both engines (see dedup_embedding_cosine):
-    # cast to double BEFORE multiplying so Spark and DuckDB run the same
-    # IEEE operation sequence and agree bit-for-bit.
-    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+def _semdedup_oracle() -> str:
+    from kafka_streams_playground_spark.plans.northstar_similarity import (
+        _IVF_INDEX_CTES,
+    )
+
+    return f"""{_IVF_INDEX_CTES},
+    pruned AS (
+      SELECT b.vec_id AS vec_b,
+             MAX(list_dot_product(a.v, b.v) / (a.nrm * b.nrm)) AS mx
+      FROM members a JOIN members b
+        ON a.cent_id = b.cent_id AND a.vec_id < b.vec_id
+      WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {SEMDEDUP_TH}
+      GROUP BY b.vec_id
+    )
+    SELECT m.vec_id, m.cent_id AS cluster,
+           CAST(p.vec_b IS NOT NULL AS INT) AS pruned,
+           ROUND(p.mx, 4) AS max_dup_cosine
+    FROM members m LEFT JOIN pruned p ON m.vec_id = p.vec_b
+    """
 
 
 @query(
     "semdedup_embedding_prune",
-    oracle=f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-    c AS (
-      SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm
-      FROM n ORDER BY vec_id LIMIT {SEMDEDUP_K}
-    ),
-    scored AS (
-      SELECT n.vec_id, c.cent_id,
-             list_dot_product(n.v, c.cv) / (n.nrm * c.cnrm) AS cos
-      FROM n CROSS JOIN c
-    ),
-    assign AS (
-      SELECT vec_id, cent_id AS cluster FROM (
-        SELECT vec_id, cent_id,
-               row_number() OVER (PARTITION BY vec_id
-                                  ORDER BY cos DESC, cent_id ASC) AS rk
-        FROM scored
-      ) WHERE rk = 1
-    ),
-    av AS (
-      SELECT a.vec_id, a.cluster, n.v, n.nrm FROM assign a JOIN n USING (vec_id)
-    ),
-    pruned AS (
-      SELECT b.vec_id AS vec_b,
-             MAX(list_dot_product(a.v, b.v) / (a.nrm * b.nrm)) AS mx
-      FROM av a JOIN av b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-      WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {SEMDEDUP_TH}
-      GROUP BY b.vec_id
-    )
-    SELECT av.vec_id, av.cluster,
-           CAST(p.vec_b IS NOT NULL AS INT) AS pruned,
-           ROUND(p.mx, 4) AS max_dup_cosine
-    FROM av LEFT JOIN pruned p ON av.vec_id = p.vec_b
-    """,
+    oracle=_semdedup_oracle(),
     tags=("northstar", "scoring", "embedding", "dedup", "bench"),
 )
 def semdedup_embedding_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -244,54 +224,41 @@ def semdedup_embedding_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale trick: the quadratic comparison runs within clusters only
     (Σ|cluster|² ≪ N²), never across the corpus.
 
-    Spark shape: centroids = the {SEMDEDUP_K} smallest vec_ids (K fixed and
-    tiny ⇒ the centroid table BROADCASTS; a production run uses trained
-    k-means centroids — same dataflow, see sim_ivf_topk for the fixed-K
-    rationale). Assignment is a broadcast nested-loop over K candidates per
-    vector + one row_number per vec_id; the intra-cluster pair join
-    co-shuffles on the cluster id. Norms are computed once per vector
-    (O(N·d)) before any join. Doubles agree bit-for-bit with DuckDB because
-    both engines run the identical sequential dot-product fold."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    Spark shape: the cluster assignment IS the IVF coarse quantizer —
+    ``_ivf_members`` (northstar_similarity): one ``mapInPandas`` pass with
+    the fixed-K centroid matrix closed over (no crossJoin, no per-vector
+    window), yielding the same persisted member index the ANN queries
+    probe. The intra-cluster pair join co-shuffles on the cell id and
+    scores pairs with the Arrow dot-product twin (``_dot_udf`` — the
+    dimension-ordered fold that is bit-identical to DuckDB's
+    ``list_dot_product``), so both engines agree on every cosine. Norms
+    are computed once per vector (O(N·d)) before any join; the only
+    quadratic work is within cells, which production keeps constant-size
+    by scaling K with N."""
+    from kafka_streams_playground_spark.plans.northstar_similarity import (
+        _dot_udf,
+        _ivf_members,
     )
-    n = emb.select("vec_id", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"))
-    c = (
-        n.orderBy("vec_id")
-        .limit(SEMDEDUP_K)
-        .select(
-            F.col("vec_id").alias("cent_id"),
-            F.col("v").alias("cv"),
-            F.col("nrm").alias("cnrm"),
-        )
-    )
-    scored = n.crossJoin(F.broadcast(c)).select(
-        "vec_id",
-        "cent_id",
-        (_dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm"))).alias("cos"),
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cent_id").asc())
-    assign = (
-        scored.withColumn("rk", F.row_number().over(w))
-        .filter(F.col("rk") == 1)
-        .select("vec_id", F.col("cent_id").alias("cluster"))
-    )
-    av = assign.join(n, "vec_id").select("vec_id", "cluster", "v", "nrm")
-    a, b = av.alias("a"), av.alias("b")
-    cos = _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm"))
+
+    members = _ivf_members(spark, sf_dir)
+    a, b = members.alias("a"), members.alias("b")
     pruned = (
         a.join(
             b,
-            (F.col("a.cluster") == F.col("b.cluster"))
+            (F.col("a.cent_id") == F.col("b.cent_id"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
-        .filter(cos >= SEMDEDUP_TH)
+        .withColumn(
+            "cos",
+            _dot_udf(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")),
+        )
+        .filter(F.col("cos") >= SEMDEDUP_TH)
         .groupBy(F.col("b.vec_id").alias("vec_b"))
-        .agg(F.max(cos).alias("mx"))
+        .agg(F.max("cos").alias("mx"))
     )
-    return av.join(pruned, av["vec_id"] == pruned["vec_b"], "left").select(
+    return members.join(pruned, members["vec_id"] == pruned["vec_b"], "left").select(
         "vec_id",
-        "cluster",
+        F.col("cent_id").alias("cluster"),
         F.col("vec_b").isNotNull().cast("int").alias("pruned"),
         F.round("mx", 4).alias("max_dup_cosine"),
     )
