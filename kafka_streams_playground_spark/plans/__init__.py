@@ -40,56 +40,55 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q4_products_per_user_10s",
     "q5_paid_orders",
     "orders_products_array",
-    # oracle-cast fixes this round (r2's three HUGEINT hash fails)
+    # NEW this round (round 4): scoring/temporal/streaming additions
+    "text_unigram_lm_score",
+    "domain_quality_stats",
+    "semdedup_embedding_prune",
+    "asof_forward_next_purchase",
+    "scd2_user_event_history",
+    "ts_gapfill_user_daily",
+    "stream_sliding_window_event_counts",
+    "q_shipping_priority_top10",
+    "join_salted_skew_above_avg",
+    "join_bloom_prefiltered_urgent_items",
+    # rotation: everything WITHOUT an r3 driver row (r1/r2-green, local-green
+    # since; cycling them back keeps every query ≤2 rounds without hard signal)
+    "join_left_interval_unpaid",
+    "agg_revenue_by_nation",
+    "s2_latest_event_per_user",
+    "join_semi_urgent_customers",
+    "join_anti_parts_never_shipped",
+    "agg_price_percentiles",
+    "stream_q5_paid_orders",
+    "stream_session_windows_per_user",
+    "stream_dedup_exact",
+    "stream_running_count_per_user",
+    "stream_join_left_interval_unpaid",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "sim_lsh_bucket_stats",
+    "sim_ivf_topk",
+    "sim_ann_multiprobe_topk",
+    "sim_ivf_multiprobe_topk",
+    "text_token_stats",
+    "text_quality_score",
+    "text_langid",
+    "text_fingerprint",
+    "text_vocabulary",
+    "mm_image_metadata",
+    "mm_decoded_feature_checksum",
+    "mm_frame_sample",
+    "mm_resize_audit",
+    "mm_audio_chunk_energy",
+    # r3-green representatives: the r3 HUGEINT-cast fixes (second consecutive
+    # confirmation) and one per major pipeline family
     "session_windows_per_user",
     "agg_salted_skew",
     "stream_q5_daily_revenue",
-    # newly REGISTERED this round (northstar_pipeline, was dead code in r2)
     "text_contamination_check",
-    "pack_sequences",
     "dedup_cluster_components",
-    "sample_stratified_by_lang",
     "pipeline_quality_filter",
-    "cogroup_order_reconciliation",
-    # new queries this round
-    "stream_pipeline_quality_filter",
-    "text_repetition_stats",
-    "sample_temperature_mix",
-    "train_shuffle_shards",
-    "pii_scrub_events",
-    # r1-green set that lost its driver row in r2 (rotation: back in)
-    "wf_top3_orders_per_customer",
-    "topk_customers_by_revenue",
-    "setop_active_or_negative_customers",
-    "json_props_extract",
-    "join_left_order_lineitem_counts",
-    "agg_rollup_nation_segment",
-    "agg_pivot_status_by_segment",
-    "setop_intersect_urgent_returned",
-    "setop_except_never_urgent",
-    "wf_running_customer_spend",
-    "agg_cube_status_priority",
-    "join_range_price_band",
-    "agg_kmv_distinct_sketch",
-    "merge_order_ship_activity",
-    "stream_q1_expensive_orders",
-    "stream_q2_order_projection",
-    "stream_q3_products_by_first_letter",
-    # r2-green representatives (one+ per family keeps a fresh driver row;
-    # the rest of the r2-green set rotates back in next round)
-    "stream_dedup_within_watermark",
-    "stream_q4_products_per_user_10s",
-    "stream_s2_latest_event_per_user",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_simhash_banded",
-    "dedup_keep_best_by_quality",
-    "sim_topk_bruteforce",
-    "sim_ann_lsh_topk",
-    "agg_pricing_summary",
-    "asof_purchase_last_click",
-    "sliding_window_event_counts",
-    "join_ktable_ktable_latest",
 )
 
 

@@ -732,3 +732,211 @@ def join_ktable_ktable_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur.join(last_click, cur["user_id"] == last_click["c_user_id"]).select(
         "user_id", "event_id", "event_type", "value", "click_id", "click_epoch"
     )
+
+
+@query(
+    "q_shipping_priority_top10",
+    oracle="""
+    SELECT l.l_orderkey AS order_key,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100
+                               + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+           CAST(floor(epoch(o.o_orderdate::TIMESTAMP)) AS BIGINT) AS order_epoch
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING' AND l.l_shipdate > o.o_orderdate
+    GROUP BY 1, 3
+    ORDER BY revenue_cents DESC, order_key ASC
+    LIMIT 10
+    """,
+    tags=("extension", "topk", "join", "bench"),
+)
+def q_shipping_priority_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-shaped shipping priority: customer-segment filter →
+    three-way join → revenue aggregate → global top-10. The classic
+    "which unshipped orders are worth the most" analytics query, and the
+    canonical multi-join + agg + top-k plan:
+
+    * the segment filter prunes customers BEFORE the join (Catalyst pushes
+      it into the scan), so the orders join sees ~1/5 of customers;
+    * revenue folds as exact per-row floored cents → the SUM is
+      order-independent and cross-engine exact (no double-summation drift);
+    * the top-10 plans as TakeOrderedAndProject — per-partition heaps of 10
+      rows merged on the driver, never a global sort (the same plan as
+      topk_customers_by_revenue; asserted there by tests/test_plans.py).
+    At 100 TB: two co-shuffled joins on the key columns plus one
+    partial-aggregated shuffle on (orderkey, date); ordering cost is O(N)
+    heap maintenance, not O(N log N) sort."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    j = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, li["l_orderkey"] == orders["o_orderkey"])
+        .filter(F.col("l_shipdate") > F.col("o_orderdate"))
+    )
+    rev = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("long")
+    return (
+        j.groupBy(
+            F.col("l_orderkey").alias("order_key"),
+            F.unix_timestamp("o_orderdate").alias("order_epoch"),
+        )
+        .agg(F.sum(rev).alias("revenue_cents"))
+        .select("order_key", "revenue_cents", "order_epoch")
+        .orderBy(F.col("revenue_cents").desc(), F.col("order_key").asc())
+        .limit(10)
+    )
+
+
+N_JOIN_SALTS = 16
+
+
+@query(
+    "join_salted_skew_above_avg",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, COUNT(*) AS cnt,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type,
+           CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT) AS value_cents,
+           CAST(CAST(FLOOR(e.value * 100 + 0.5) AS BIGINT) * s.cnt
+                > s.sum_cents AS INT) AS above_avg
+    FROM events e JOIN s USING (event_type)
+    """,
+    tags=("extension", "join", "skew", "salted"),
+)
+def join_salted_skew_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-hardened JOIN via salting — the join-side twin of
+    ``agg_salted_skew``: events join their per-type statistics on
+    ``event_type`` (5 distinct values ⇒ a naive shuffle join lands N/5 rows
+    on 5 tasks, the straggler shape a hot key produces at 100 TB).
+    Salting: the big side gets a deterministic salt (``event_id mod 16``),
+    the small side is REPLICATED ×16 (explode over the salt range), and the
+    join runs on (type, salt) — 80 evenly-sized co-partitions instead of 5
+    hot ones. Semantically invisible: every (row, dim) match still happens
+    exactly once, which the plain-join oracle checks.
+
+    The ``shuffle_hash`` hint keeps the demo honest (Catalyst would rightly
+    broadcast a 5-row dim; the pattern exists for dims too big to broadcast
+    — mitigating rule when AQE's runtime skew-split can't apply, e.g.
+    deliberate co-partitioning for a downstream stage). The above-average
+    flag compares ``value_cents * cnt > sum_cents`` — integer arithmetic,
+    no division, cross-engine exact."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("value_cents"),
+    )
+    dim = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("value_cents").alias("sum_cents")
+    )
+    dim_rep = dim.withColumn(
+        "salt", F.explode(F.sequence(F.lit(0), F.lit(N_JOIN_SALTS - 1)))
+    )
+    salted = events.withColumn("salt", F.pmod("event_id", F.lit(N_JOIN_SALTS)))
+    j = salted.join(dim_rep.hint("shuffle_hash"), ["event_type", "salt"])
+    return j.select(
+        "event_id",
+        "event_type",
+        "value_cents",
+        (F.col("value_cents") * F.col("cnt") > F.col("sum_cents")).cast("int").alias(
+            "above_avg"
+        ),
+    )
+
+
+# Bloom pre-filter: M bits (a config like IVF's K — independent of data
+# size), 2 hash functions. At 64k bits / ~3k urgent orders the false-positive
+# rate is ~0.2%; the exact join removes false positives, so the bloom only
+# decides how much of the big side rides the shuffle.
+BLOOM_BITS = 65536
+BLOOM_WORDS = BLOOM_BITS // 64
+
+
+def _bloom_hashes(key, salts=("b1:", "b2:")):
+    return [
+        F.pmod(
+            F.conv(F.substring(F.md5(F.concat(F.lit(s), key.cast("string"))), 1, 8), 16, 10)
+            .cast("long"),
+            F.lit(BLOOM_BITS),
+        )
+        for s in salts
+    ]
+
+
+@query(
+    "join_bloom_prefiltered_urgent_items",
+    oracle="""
+    SELECT l.l_orderkey AS order_key, COUNT(*) AS n_items,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS sum_cents
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY 1
+    """,
+    tags=("extension", "join", "bloom", "bench"),
+)
+def join_bloom_prefiltered_urgent_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Runtime bloom-filter join pruning, hand-rolled and deterministic:
+    line items of URGENT orders, where the big (lineitem) side is
+    pre-filtered MAP-SIDE by a bloom filter built from the small side's
+    join keys before any shuffle — the technique Spark's
+    ``runtime.bloomFilter`` rewrite and Parquet row-group dictionary
+    pushdown both implement, made explicit so the mechanics are testable.
+
+    Build: each urgent orderkey sets 2 md5-derived bits in a 64k-bit array;
+    the per-word OR-fold aggregates to {BLOOM_WORDS} longs (one tiny
+    all-to-one shuffle), collected to the driver — O(BLOOM_BITS) state, a
+    CONFIG like IVF's K, independent of data size — and inlined as a
+    literal array (at 100 TB, ship it as a broadcast variable instead;
+    same dataflow). Probe: every lineitem row tests its 2 bits with pure
+    codegen'd integer ops inside the scan stage — rows failing the bloom
+    never enter the join shuffle (~80% of the corpus at this selectivity).
+    The exact join then removes the ~0.2% false positives, so the result
+    equals the plain join — which the oracle checks. At 100 TB this is the
+    difference between shuffling 100 TB and shuffling the matching ~20%."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+
+    bit = F.explode(F.array(*_bloom_hashes(F.col("o_orderkey")))).alias("bit")
+    words = (
+        urgent.select(bit)
+        # dynamic shift amounts need expr(): F.shiftleft takes only a
+        # Python-int shift
+        .select(
+            (F.col("bit") / 64).cast("int").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 64 AS INT))").alias("mask"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    word_map = {r["word"]: r["bits"] for r in words.collect()}
+    bloom = F.array(*[F.lit(word_map.get(i, 0)).cast("long") for i in range(BLOOM_WORDS)])
+
+    h1, h2 = _bloom_hashes(F.col("l_orderkey"))
+    li2 = li.withColumn("h1", h1).withColumn("h2", h2)
+
+    def probe(name: str):
+        word = F.element_at(bloom, (F.col(name) / 64).cast("int") + 1)
+        mask = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({name} % 64 AS INT))")
+        return word.bitwiseAND(mask) != 0
+
+    pruned = li2.filter(probe("h1") & probe("h2")).drop("h1", "h2")
+    return (
+        pruned.join(urgent, pruned["l_orderkey"] == urgent["o_orderkey"])
+        .groupBy(F.col("l_orderkey").alias("order_key"))
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.sum(
+                F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("long")
+            ).alias("sum_cents"),
+        )
+    )

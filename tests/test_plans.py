@@ -158,3 +158,58 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     n = rd.count()
     plain = orders.filter(F.col("o_orderpriority") == "1-URGENT").count()
     assert n == plain > 0
+
+
+def test_bloom_prefilter_prunes_before_join(spark, sf_dir):
+    """The bloom probe must remove most non-matching lineitem rows BEFORE
+    the join (map-side), and never remove a matching one (no false
+    negatives — guaranteed by construction, checked anyway)."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_playground_spark.plans.relational import (
+        join_bloom_prefiltered_urgent_items,
+    )
+    from kafka_streams_playground_spark.sources.parquet import load_table
+
+    out = join_bloom_prefiltered_urgent_items(spark, sf_dir)
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
+    exact = (
+        li.join(urgent, li["l_orderkey"] == urgent["o_orderkey"])
+        .groupBy("l_orderkey")
+        .count()
+    )
+    # no false negatives: every matching order key appears in the output
+    assert out.count() == exact.count()
+    # the probe's selectivity: pruned row count is far below the full scan
+    # (urgent ≈ 1/5 of orders; bloom FP rate ~0.2% at these parameters)
+    n_all = li.count()
+    n_matching = li.join(urgent, li["l_orderkey"] == urgent["o_orderkey"]).count()
+    from kafka_streams_playground_spark.plans.relational import (
+        BLOOM_BITS,
+        _bloom_hashes,
+    )
+
+    urgent_keys = {r[0] for r in urgent.collect()}
+    li2 = li.select("l_orderkey", *[h.alias(f"h{i}") for i, h in enumerate(_bloom_hashes(F.col("l_orderkey")))])
+    # recompute the pruned count exactly as the query does
+    word_bits = {}
+    for k in urgent_keys:
+        import hashlib
+
+        for s in ("b1:", "b2:"):
+            b = int(hashlib.md5(f"{s}{k}".encode()).hexdigest()[:8], 16) % BLOOM_BITS
+            word_bits.setdefault(b // 64, 0)
+            word_bits[b // 64] |= 1 << (b % 64)
+    hits = 0
+    for r in li2.collect():
+        ok = True
+        for h in (r["h0"], r["h1"]):
+            if not (word_bits.get(h // 64, 0) >> (h % 64)) & 1:
+                ok = False
+                break
+        hits += ok
+    assert n_matching <= hits < n_all
+    # pruning is effective: bloom passes at most matching + 5% of the rest
+    assert hits <= n_matching + 0.05 * (n_all - n_matching)
