@@ -51,6 +51,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_shipping_priority_top10",
     "join_salted_skew_above_avg",
     "join_bloom_prefiltered_urgent_items",
+    "index_inverted_postings",
+    "embedding_quantize_int8",
     # rotation: everything WITHOUT an r3 driver row (r1/r2-green, local-green
     # since; cycling them back keeps every query ≤2 rounds without hard signal)
     "join_left_interval_unpaid",
@@ -81,10 +83,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "mm_frame_sample",
     "mm_resize_audit",
     "mm_audio_chunk_energy",
-    # r3-green representatives: the r3 HUGEINT-cast fixes (second consecutive
-    # confirmation) and one per major pipeline family
-    "session_windows_per_user",
-    "agg_salted_skew",
+    # r3-green representatives: the multi-stateful flagship and one per
+    # major pipeline family (the rest of the r3-green set rotates back next
+    # round)
     "stream_q5_daily_revenue",
     "text_contamination_check",
     "dedup_cluster_components",

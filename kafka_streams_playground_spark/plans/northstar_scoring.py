@@ -262,3 +262,94 @@ def semdedup_embedding_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_b").isNotNull().cast("int").alias("pruned"),
         F.round("mx", 4).alias("max_dup_cosine"),
     )
+
+
+@query(
+    "index_inverted_postings",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    )
+    SELECT token,
+           COUNT(DISTINCT doc_id) AS doc_freq,
+           CAST(COUNT(*) AS BIGINT) AS term_freq,
+           list_sort(list(DISTINCT doc_id)) AS postings
+    FROM tok GROUP BY token
+    """,
+    tags=("northstar", "text", "index", "bench"),
+)
+def index_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: token → sorted postings list (+ document and
+    term frequencies) — the core artifact of retrieval, BM25 scoring, and
+    n-gram-overlap decontamination at lookup time (contamination_check's
+    shingle join IS a probe of exactly this structure).
+
+    Spark shape: explode → one shuffle keyed on token with map-side partial
+    aggregation; ``collect_set`` + ``sort_array`` builds each postings list
+    inside the final aggregate — per-token state, never a global sort. The
+    100 TB caveat is posting-list skew: stopword tokens accumulate
+    postings ∝ corpus size, so a production index SPLITS hot tokens into
+    fixed-size posting blocks ((token, block_no) keys — the same
+    salted-key recipe as agg_salted_skew) and stores block ranges; the
+    fixture vocabulary is 31 tokens, all hot, making this the worst-case
+    shape the blocking would apply to."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    return tok.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("doc_freq"),
+        F.count(F.lit(1)).alias("term_freq"),
+        F.sort_array(F.collect_set("doc_id")).alias("postings"),
+    )
+
+
+@query(
+    "embedding_quantize_int8",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    d AS (SELECT vec_id, generate_subscripts(v, 1) AS dim, unnest(v) AS x FROM e),
+    s AS (SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM d GROUP BY dim),
+    q AS (
+      SELECT d.vec_id, d.dim,
+             CAST(FLOOR((d.x - s.lo) * 255.0 / (s.hi - s.lo) + 0.5) AS BIGINT)
+                 AS code
+      FROM d JOIN s USING (dim)
+    )
+    SELECT vec_id,
+           CAST(SUM(code * (dim % 7 + 1)) AS BIGINT) AS code_checksum,
+           MIN(code) AS code_min,
+           MAX(code) AS code_max
+    FROM q GROUP BY vec_id
+    """,
+    tags=("northstar", "scoring", "embedding", "bench"),
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INT8 scalar quantization of the embedding corpus — per-DIMENSION
+    min-max calibration (the asymmetric-quantization recipe vector indexes
+    use to cut memory 4×), then each vector's uint8 codes summarized as a
+    dim-weighted integer checksum plus code range. The checksum makes the
+    whole quantized corpus oracle-comparable without shipping N×d code
+    arrays through the compare.
+
+    Spark shape: ``posexplode`` → per-dimension min/max aggregate (d rows —
+    broadcast back), one co-partitioned join, and a per-vector integer
+    aggregate. Two corpus passes, both map-side-partial; the calibration
+    table is O(d) — at 100 TB the same two passes, with the quantile-based
+    (p999) calibration variant swapping MIN/MAX for approx_percentile.
+    Codes are exact integers after one double rounding, so every aggregate
+    is order-free and cross-engine exact."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    d = emb.select("vec_id", F.posexplode("v").alias("pos", "x")).select(
+        "vec_id", (F.col("pos") + 1).alias("dim"), "x"
+    )
+    s = d.groupBy("dim").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    code = F.floor(
+        (F.col("x") - F.col("lo")) * 255.0 / (F.col("hi") - F.col("lo")) + F.lit(0.5)
+    ).cast("long")
+    q = d.join(F.broadcast(s), "dim").select("vec_id", "dim", code.alias("code"))
+    return q.groupBy("vec_id").agg(
+        F.sum(F.col("code") * (F.col("dim") % 7 + 1)).alias("code_checksum"),
+        F.min("code").alias("code_min"),
+        F.max("code").alias("code_max"),
+    )
