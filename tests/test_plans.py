@@ -213,3 +213,21 @@ def test_bloom_prefilter_prunes_before_join(spark, sf_dir):
     assert n_matching <= hits < n_all
     # pruning is effective: bloom passes at most matching + 5% of the rest
     assert hits <= n_matching + 0.05 * (n_all - n_matching)
+
+
+def test_shipping_priority_plans_heap_topk(spark, sf_dir):
+    """The global top-10 must plan as TakeOrderedAndProject (per-partition
+    heaps merged on the driver), never a global Sort + Limit."""
+    plan = _plan(spark, sf_dir, "q_shipping_priority_top10")
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_salted_join_is_shuffle_not_broadcast(spark, sf_dir):
+    """The salted-join demo must actually exercise the shuffle path (the
+    pattern exists for dims too big to broadcast): no BroadcastHashJoin
+    for the (event_type, salt) join."""
+    plan = _plan(spark, sf_dir, "join_salted_skew_above_avg")
+    assert "ShuffledHashJoin" in plan, plan
+    # the dim aggregate itself may plan however it likes; the salted join
+    # key must include the salt column so 80 co-partitions exist
+    assert re.search(r"Left keys \[2\]: \[event_type#\d+, salt#\d+", plan), plan
