@@ -860,15 +860,52 @@ BLOOM_BITS = 65536
 BLOOM_WORDS = BLOOM_BITS // 64
 
 
-def _bloom_hashes(key, salts=("b1:", "b2:")):
-    return [
-        F.pmod(
-            F.conv(F.substring(F.md5(F.concat(F.lit(s), key.cast("string"))), 1, 8), 16, 10)
-            .cast("long"),
-            F.lit(BLOOM_BITS),
+def _bloom_hashes(key, salts=(1, 2)):
+    # xxhash64, not md5: the bloom is ENGINE-INTERNAL (the oracle checks only
+    # the final join result, so the bits need no cross-engine twin) and the
+    # probe runs once per big-side row — the cheap codegen'd hash is the
+    # difference between a ~0.1 s and a ~2.4 s probe pass at sf0.1.
+    return [F.pmod(F.xxhash64(F.lit(s), key), F.lit(BLOOM_BITS)) for s in salts]
+
+
+def bloom_prefilter(big: DataFrame, small: DataFrame, big_key: str, small_key: str) -> DataFrame:
+    """Pre-filter ``big`` map-side with a bloom built from ``small``'s keys.
+
+    Build: each small-side key sets 2 xxhash64-derived bits in a
+    {BLOOM_BITS}-bit array; the per-word OR-fold aggregates to
+    {BLOOM_WORDS} longs (one tiny shuffle), collected to the driver —
+    O(BLOOM_BITS) state, a CONFIG like IVF's K, independent of data size —
+    and inlined as a literal array (at 100 TB, ship it as a broadcast
+    variable instead; same dataflow). Probe: pure codegen'd integer ops
+    inside the big side's scan stage; rows failing the bloom never enter
+    the downstream join shuffle. No false negatives by construction."""
+    bit = F.explode(F.array(*_bloom_hashes(F.col(small_key)))).alias("bit")
+    words = (
+        small.select(bit)
+        # dynamic shift amounts need expr(): F.shiftleft takes only a
+        # Python-int shift
+        .select(
+            (F.col("bit") / 64).cast("int").alias("word"),
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 64 AS INT))").alias("mask"),
         )
-        for s in salts
-    ]
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    word_map = {r["word"]: r["bits"] for r in words.collect()}
+    # ONE py4j literal call for the whole array: per-element F.lit() would
+    # cost BLOOM_WORDS driver round trips (~3 s of pure plan-construction
+    # overhead at 1024 words).
+    bloom = F.lit([word_map.get(i, 0) for i in range(BLOOM_WORDS)]).cast("array<bigint>")
+
+    h1, h2 = _bloom_hashes(F.col(big_key))
+    big2 = big.withColumn("h1", h1).withColumn("h2", h2)
+
+    def probe(name: str):
+        word = F.element_at(bloom, (F.col(name) / 64).cast("int") + 1)
+        mask = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({name} % 64 AS INT))")
+        return word.bitwiseAND(mask) != 0
+
+    return big2.filter(probe("h1") & probe("h2")).drop("h1", "h2")
 
 
 @query(
@@ -891,45 +928,17 @@ def join_bloom_prefiltered_urgent_items(spark: SparkSession, sf_dir: str) -> Dat
     ``runtime.bloomFilter`` rewrite and Parquet row-group dictionary
     pushdown both implement, made explicit so the mechanics are testable.
 
-    Build: each urgent orderkey sets 2 md5-derived bits in a 64k-bit array;
-    the per-word OR-fold aggregates to {BLOOM_WORDS} longs (one tiny
-    all-to-one shuffle), collected to the driver — O(BLOOM_BITS) state, a
-    CONFIG like IVF's K, independent of data size — and inlined as a
-    literal array (at 100 TB, ship it as a broadcast variable instead;
-    same dataflow). Probe: every lineitem row tests its 2 bits with pure
-    codegen'd integer ops inside the scan stage — rows failing the bloom
-    never enter the join shuffle (~80% of the corpus at this selectivity).
-    The exact join then removes the ~0.2% false positives, so the result
-    equals the plain join — which the oracle checks. At 100 TB this is the
-    difference between shuffling 100 TB and shuffling the matching ~20%."""
+    The build/probe mechanics live in :func:`bloom_prefilter` (see its
+    docstring); the exact join then removes the ~0.2% false positives, so
+    the result equals the plain join — which the oracle checks (the bloom
+    itself is engine-internal and needs no oracle twin). At this
+    selectivity ~80% of lineitem rows are discarded in the scan stage; at
+    100 TB this is the difference between shuffling 100 TB and shuffling
+    the matching ~20%."""
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
     urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_orderkey")
-
-    bit = F.explode(F.array(*_bloom_hashes(F.col("o_orderkey")))).alias("bit")
-    words = (
-        urgent.select(bit)
-        # dynamic shift amounts need expr(): F.shiftleft takes only a
-        # Python-int shift
-        .select(
-            (F.col("bit") / 64).cast("int").alias("word"),
-            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(bit % 64 AS INT))").alias("mask"),
-        )
-        .groupBy("word")
-        .agg(F.bit_or("mask").alias("bits"))
-    )
-    word_map = {r["word"]: r["bits"] for r in words.collect()}
-    bloom = F.array(*[F.lit(word_map.get(i, 0)).cast("long") for i in range(BLOOM_WORDS)])
-
-    h1, h2 = _bloom_hashes(F.col("l_orderkey"))
-    li2 = li.withColumn("h1", h1).withColumn("h2", h2)
-
-    def probe(name: str):
-        word = F.element_at(bloom, (F.col(name) / 64).cast("int") + 1)
-        mask = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({name} % 64 AS INT))")
-        return word.bitwiseAND(mask) != 0
-
-    pruned = li2.filter(probe("h1") & probe("h2")).drop("h1", "h2")
+    pruned = bloom_prefilter(li, urgent, "l_orderkey", "o_orderkey")
     return (
         pruned.join(urgent, pruned["l_orderkey"] == urgent["o_orderkey"])
         .groupBy(F.col("l_orderkey").alias("order_key"))

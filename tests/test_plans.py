@@ -184,32 +184,11 @@ def test_bloom_prefilter_prunes_before_join(spark, sf_dir):
     assert out.count() == exact.count()
     # the probe's selectivity: pruned row count is far below the full scan
     # (urgent ≈ 1/5 of orders; bloom FP rate ~0.2% at these parameters)
+    from kafka_streams_playground_spark.plans.relational import bloom_prefilter
+
     n_all = li.count()
     n_matching = li.join(urgent, li["l_orderkey"] == urgent["o_orderkey"]).count()
-    from kafka_streams_playground_spark.plans.relational import (
-        BLOOM_BITS,
-        _bloom_hashes,
-    )
-
-    urgent_keys = {r[0] for r in urgent.collect()}
-    li2 = li.select("l_orderkey", *[h.alias(f"h{i}") for i, h in enumerate(_bloom_hashes(F.col("l_orderkey")))])
-    # recompute the pruned count exactly as the query does
-    word_bits = {}
-    for k in urgent_keys:
-        import hashlib
-
-        for s in ("b1:", "b2:"):
-            b = int(hashlib.md5(f"{s}{k}".encode()).hexdigest()[:8], 16) % BLOOM_BITS
-            word_bits.setdefault(b // 64, 0)
-            word_bits[b // 64] |= 1 << (b % 64)
-    hits = 0
-    for r in li2.collect():
-        ok = True
-        for h in (r["h0"], r["h1"]):
-            if not (word_bits.get(h // 64, 0) >> (h % 64)) & 1:
-                ok = False
-                break
-        hits += ok
+    hits = bloom_prefilter(li, urgent, "l_orderkey", "o_orderkey").count()
     assert n_matching <= hits < n_all
     # pruning is effective: bloom passes at most matching + 5% of the rest
     assert hits <= n_matching + 0.05 * (n_all - n_matching)
