@@ -104,3 +104,20 @@ def test_salted_agg_property(spark, vals):
         ).collect()
     }
     assert salted == plain
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    small=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=30),
+    big=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=60),
+)
+def test_bloom_prefilter_never_false_negative(spark, small, big):
+    """Property: bloom_prefilter passes EVERY big-side row whose key is in
+    the small side (no false negatives), for arbitrary long keys."""
+    from kafka_streams_playground_spark.plans.relational import bloom_prefilter
+
+    small_df = spark.createDataFrame([(k,) for k in set(small)], "k long")
+    big_df = spark.createDataFrame([(k,) for k in big], "j long")
+    pruned = {r["j"] for r in bloom_prefilter(big_df, small_df, "j", "k").collect()}
+    must_pass = set(big) & set(small)
+    assert must_pass <= pruned
