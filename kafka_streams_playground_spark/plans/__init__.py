@@ -53,6 +53,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "join_bloom_prefiltered_urgent_items",
     "index_inverted_postings",
     "embedding_quantize_int8",
+    "funnel_view_click_purchase",
+    "retention_cohort_weeks",
+    "tokenizer_bpe_pair_counts",
     # rotation: everything WITHOUT an r3 driver row (r1/r2-green, local-green
     # since; cycling them back keeps every query ≤2 rounds without hard signal)
     "join_left_interval_unpaid",
@@ -83,13 +86,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "mm_frame_sample",
     "mm_resize_audit",
     "mm_audio_chunk_energy",
-    # r3-green representatives: the multi-stateful flagship and one per
-    # major pipeline family (the rest of the r3-green set rotates back next
-    # round)
+    # r3-green representative: the multi-stateful streaming flagship (the
+    # rest of the r3-green set rotates back next round)
     "stream_q5_daily_revenue",
-    "text_contamination_check",
-    "dedup_cluster_components",
-    "pipeline_quality_filter",
 )
 
 

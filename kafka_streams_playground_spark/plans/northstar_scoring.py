@@ -353,3 +353,35 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("code").alias("code_min"),
         F.max("code").alias("code_max"),
     )
+
+
+@query(
+    "tokenizer_bpe_pair_counts",
+    oracle="""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    p AS (
+      SELECT unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))])
+                 AS pair
+      FROM t WHERE len(toks) >= 2
+    )
+    SELECT pair, COUNT(*) AS cnt FROM p GROUP BY pair
+    """,
+    tags=("northstar", "scoring", "text", "tokenizer", "bench"),
+)
+def tokenizer_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide adjacent-token-pair counts — the scoring table behind a
+    BPE tokenizer-training step: the highest-count pair is the next merge
+    (text_vocabulary is the unigram table this iterates against). One
+    explode → one token-pair-keyed shuffle with map-side partials; the
+    per-row pair list is a linear Catalyst array expression (same slice
+    recipe as text_repetition_stats' 2-grams, corpus-aggregated instead of
+    per-doc). At web scale the pair vocabulary, like the token vocabulary,
+    is ≪ corpus and the shuffle carries one row per (partition, pair)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split("text", " ")
+    g2 = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    )
+    pairs = docs.filter(F.size(toks) >= 2).select(F.explode(g2).alias("pair"))
+    return pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))

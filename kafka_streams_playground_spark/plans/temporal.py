@@ -371,3 +371,134 @@ def sliding_window_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return win.select(
         F.unix_timestamp("window.start").alias("window_start"), "event_type", "cnt"
     )
+
+
+@query(
+    "funnel_view_click_purchase",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts >= s1.t1 GROUP BY 1
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY 1
+    )
+    SELECT u.user_id,
+           CAST(floor(epoch(s1.t1::TIMESTAMP)) AS BIGINT) AS view_epoch,
+           CAST(floor(epoch(s2.t2::TIMESTAMP)) AS BIGINT) AS click_epoch,
+           CAST(floor(epoch(s3.t3::TIMESTAMP)) AS BIGINT) AS purchase_epoch,
+           CASE WHEN s3.user_id IS NOT NULL THEN 3
+                WHEN s2.user_id IS NOT NULL THEN 2
+                WHEN s1.user_id IS NOT NULL THEN 1
+                ELSE 0 END AS reached_stage
+    FROM (SELECT DISTINCT user_id FROM events) u
+    LEFT JOIN s1 USING (user_id)
+    LEFT JOIN s2 USING (user_id)
+    LEFT JOIN s3 USING (user_id)
+    """,
+    tags=("extension", "temporal", "funnel", "bench"),
+)
+def funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis — view → click → purchase: per user, the
+    first view, the first click at-or-after it, and the first purchase
+    at-or-after that click, plus the deepest stage reached. The canonical
+    event-stream product-analytics query (conversion funnels) the
+    reference's event topics feed in practice.
+
+    Spark shape: three stage aggregates, each a filtered min per user
+    chained through a co-partitioned join on user_id — every stage is one
+    map-side-partial aggregate plus one same-key join, so the whole funnel
+    re-uses a single hash partitioning end-to-end (no window, no sort, no
+    per-user event buffering — at 100 TB the alternative sessionized sort
+    would shuffle the full event payload; this moves only (user, ts)
+    pairs)."""
+    events = load_table(spark, sf_dir, "events")
+    users = events.select("user_id").distinct()
+    s1 = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        events.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    out = (
+        users.join(s1, "user_id", "left")
+        .join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+    )
+    return out.select(
+        "user_id",
+        F.unix_timestamp("t1").alias("view_epoch"),
+        F.unix_timestamp("t2").alias("click_epoch"),
+        F.unix_timestamp("t3").alias("purchase_epoch"),
+        F.when(F.col("t3").isNotNull(), 3)
+        .when(F.col("t2").isNotNull(), 2)
+        .when(F.col("t1").isNotNull(), 1)
+        .otherwise(0)
+        .alias("reached_stage"),
+    )
+
+
+WEEK_S = 7 * 24 * 3600
+
+
+@query(
+    "retention_cohort_weeks",
+    oracle=f"""
+    WITH f AS (
+      SELECT user_id,
+             CAST(FLOOR(epoch(MIN(ts)::TIMESTAMP) / {WEEK_S}) AS BIGINT) AS cw
+      FROM events GROUP BY 1
+    ),
+    a AS (
+      SELECT DISTINCT user_id,
+             CAST(FLOOR(epoch(ts::TIMESTAMP) / {WEEK_S}) AS BIGINT) AS w
+      FROM events
+    )
+    SELECT f.cw AS cohort_week, a.w - f.cw AS week_offset,
+           COUNT(*) AS n_users
+    FROM f JOIN a USING (user_id)
+    GROUP BY 1, 2
+    """,
+    tags=("extension", "temporal", "retention", "bench"),
+)
+def retention_cohort_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users are cohorted by the week of their
+    first event; each later active week counts them at that week offset —
+    the (cohort × offset) retention triangle every event-analytics stack
+    computes.
+
+    Spark shape: first-event aggregate (one user-keyed shuffle with
+    map-side partials), per-(user, week) distinct (same partitioning), a
+    co-partitioned join on user_id, and a final tiny aggregate to
+    |cohorts|×|offsets| rows. Epoch-week arithmetic is pure integer math —
+    cross-engine exact — and nothing wider than (user_id, week) ever rides
+    a shuffle."""
+    events = load_table(spark, sf_dir, "events")
+    week = F.floor(F.col("ts").cast("double") / WEEK_S).cast("bigint")
+    f = events.groupBy("user_id").agg(
+        F.floor(F.min(F.col("ts").cast("double")) / WEEK_S).cast("bigint").alias("cw")
+    )
+    a = events.select("user_id", week.alias("w")).distinct()
+    return (
+        f.join(a, "user_id")
+        .groupBy(F.col("cw").alias("cohort_week"), (F.col("w") - F.col("cw")).alias("week_offset"))
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
