@@ -210,17 +210,21 @@ def min_label_propagation(edges: DataFrame, max_rounds: int = 64):
             .groupBy("dst")
             .agg(F.min("comp").alias("ncomp"))
         )
-        merged = (
-            labels.join(prop, labels["node"] == prop["dst"], "left")
-            .select("node", "comp", F.coalesce("ncomp", "comp").alias("cand"))
-            .persist()
+        merged = labels.join(prop, labels["node"] == prop["dst"], "left").select(
+            "node", "comp", F.coalesce("ncomp", "comp").alias("cand")
         )
-        changed = merged.filter(F.col("cand") < F.col("comp")).count()
+        # ONE materialization per round: the changed-flag rides the
+        # checkpointed table, so the convergence check is a cheap aggregate
+        # over the checkpoint blocks instead of a second full pass over the
+        # join (the earlier persist+count+checkpoint shape ran the join
+        # twice per round).
         nxt = merged.select(
-            "node", F.least("comp", "cand").alias("comp")
+            "node",
+            F.least("comp", "cand").alias("comp"),
+            (F.col("cand") < F.col("comp")).cast("int").alias("chg"),
         ).localCheckpoint()
-        merged.unpersist()
-        labels = nxt
+        changed = nxt.agg(F.sum("chg")).first()[0]
+        labels = nxt.select("node", "comp")
         if changed == 0:
             return labels, rounds
     raise RuntimeError(f"connected components did not converge in {max_rounds} rounds")
