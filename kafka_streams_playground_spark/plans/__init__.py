@@ -86,9 +86,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "mm_frame_sample",
     "mm_resize_audit",
     "mm_audio_chunk_energy",
-    # r3-green representative: the multi-stateful streaming flagship (the
-    # rest of the r3-green set rotates back next round)
-    "stream_q5_daily_revenue",
+    "stream_topk_customers_by_revenue",
 )
 
 

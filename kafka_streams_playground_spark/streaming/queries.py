@@ -320,6 +320,31 @@ def stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(out, output_mode="update", spark=spark)
 
 
+@query(
+    "stream_topk_customers_by_revenue",
+    oracle=None,  # set below: shares the batch top-k oracle
+    tags=("extension", "streaming", "topk", "complete-mode"),
+)
+def stream_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k on the live streaming path — §2.6's sort/limit surface in
+    COMPLETE output mode (the one mode where Structured Streaming permits a
+    global sort, because the full result table is re-emitted per trigger):
+    orders replayed as a stream, stream-static join with the customer dim,
+    running revenue aggregate, `orderBy + limit 10` over the aggregate
+    state. At 100 TB the aggregate state is per-customer (bounded by
+    |customers|) and the sort runs over the state table, not the stream —
+    the standard continuous-leaderboard shape."""
+    orders = read_stream_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    rev = (
+        orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    )
+    out = rev.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc()).limit(10)
+    return run_to_completion(out, output_mode="complete", spark=spark)
+
+
 def _share_oracles() -> None:
     """Streaming twins drain to the same final state as their batch forms on
     the single-file fixtures, so they share the batch oracles (registry
@@ -334,6 +359,7 @@ def _share_oracles() -> None:
         ("stream_q2_order_projection", "q2_order_projection"),
         ("stream_q3_products_by_first_letter", "q3_products_by_first_letter"),
         ("stream_sliding_window_event_counts", "sliding_window_event_counts"),
+        ("stream_topk_customers_by_revenue", "topk_customers_by_revenue"),
     ]:
         REGISTRY[stream_name] = replace(
             REGISTRY[stream_name], oracle=REGISTRY[batch_name].oracle
