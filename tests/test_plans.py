@@ -210,3 +210,17 @@ def test_salted_join_is_shuffle_not_broadcast(spark, sf_dir):
     # the dim aggregate itself may plan however it likes; the salted join
     # key must include the salt column so 80 co-partitions exist
     assert re.search(r"Left keys \[2\]: \[event_type#\d+, salt#\d+", plan), plan
+
+
+def test_shipping_priority_pushdown_and_heap(spark, sf_dir):
+    """TPC-H Q3 shape: the segment filter must reach the customer scan
+    (PushedFilters) so the join sees a pruned build side."""
+    plan = _plan(spark, sf_dir, "q_shipping_priority_top10")
+    assert re.search(r"PushedFilters:.*EqualTo\(c_mktsegment,BUILDING\)", plan), plan
+
+
+def test_unigram_lm_vocab_join_is_broadcast(spark, sf_dir):
+    """The LM scoring join must broadcast the vocabulary-sized model table —
+    a shuffled corpus-vs-vocab join would be the 100 TB mistake."""
+    plan = _plan(spark, sf_dir, "text_unigram_lm_score")
+    assert "BroadcastHashJoin" in plan, plan
