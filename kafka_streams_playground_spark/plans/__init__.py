@@ -69,7 +69,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_dedup_exact",
     "stream_running_count_per_user",
     "stream_join_left_interval_unpaid",
-    "dedup_ngram_jaccard",
     "dedup_simhash",
     "dedup_embedding_cosine",
     "sim_lsh_bucket_stats",
@@ -87,6 +86,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "mm_resize_audit",
     "mm_audio_chunk_energy",
     "stream_topk_customers_by_revenue",
+    "stream_asof_purchase_last_click",
 )
 
 

@@ -345,6 +345,26 @@ def stream_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(out, output_mode="complete", spark=spark)
 
 
+@query(
+    "stream_asof_purchase_last_click",
+    oracle=None,  # set below: shares the batch as-of oracle
+    tags=("extension", "streaming", "asof", "stateful"),
+)
+def stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join on the live streaming path — the temporal enrichment
+    (each purchase picks the user's latest click at-or-before it) as a
+    CUSTOM KEYED STATEFUL operator (streaming/stateful.py::asof_join_per_key):
+    per-user state carries the last click across micro-batches, and each
+    batch joins vectorized with pd.merge_asof. This is the streaming form
+    the batch union-tag-sort cannot give you: state is one (ts, id) pair
+    per user — bounded by |users|, not by click volume — exactly the
+    RocksDB footprint a Kafka Streams temporal lookup would keep."""
+    events = read_stream_table(spark, sf_dir, "events")
+    from kafka_streams_playground_spark.streaming.stateful import asof_join_per_key
+
+    return run_to_completion(asof_join_per_key(events), output_mode="append", spark=spark)
+
+
 def _share_oracles() -> None:
     """Streaming twins drain to the same final state as their batch forms on
     the single-file fixtures, so they share the batch oracles (registry
@@ -360,6 +380,7 @@ def _share_oracles() -> None:
         ("stream_q3_products_by_first_letter", "q3_products_by_first_letter"),
         ("stream_sliding_window_event_counts", "sliding_window_event_counts"),
         ("stream_topk_customers_by_revenue", "topk_customers_by_revenue"),
+        ("stream_asof_purchase_last_click", "asof_purchase_last_click"),
     ]:
         REGISTRY[stream_name] = replace(
             REGISTRY[stream_name], oracle=REGISTRY[batch_name].oracle

@@ -61,3 +61,82 @@ def running_count_per_key(sdf: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+def _asof_last_click(key: tuple, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+    """Per-key streaming as-of join: every purchase emits the user's latest
+    click at-or-before it; keyed state carries the last click ACROSS
+    micro-batches (the symmetric-state temporal join Flink calls a temporal
+    table join, here one-sided because only the latest click matters).
+
+    Within a (key, micro-batch), the join is vectorized with
+    ``pd.merge_asof`` (backward, exact matches allowed) over the batch's
+    clicks — seeded with the state's carried click so cross-batch lookups
+    work; among equal-ts clicks the largest event_id wins (frame sorted by
+    (ts, event_id); merge_asof picks the last qualifying row), matching the
+    batch oracle's tiebreak. State = one (ts_ns, click_id) pair per key."""
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if not chunks:
+        return
+    pdf = pd.concat(chunks, ignore_index=True)
+    pdf["ts_ns"] = pdf["ts"].astype("int64")
+    carried_ts = state.get[0] if state.exists else None
+    carried_id = state.get[1] if state.exists else None
+
+    clicks = (
+        pdf[pdf["event_type"] == "click"][["ts_ns", "event_id"]]
+        .rename(columns={"ts_ns": "click_ts_ns", "event_id": "click_id"})
+    )
+    if carried_ts is not None:
+        seed = pd.DataFrame({"click_ts_ns": [carried_ts], "click_id": [carried_id]})
+        clicks = pd.concat([seed, clicks], ignore_index=True)
+    clicks = clicks.sort_values(["click_ts_ns", "click_id"]).reset_index(drop=True)
+
+    purch = pdf[pdf["event_type"] == "purchase"].sort_values(["ts_ns", "event_id"])
+    if len(purch):
+        if len(clicks):
+            m = pd.merge_asof(
+                purch[["event_id", "user_id", "ts_ns"]],
+                clicks,
+                left_on="ts_ns",
+                right_on="click_ts_ns",
+                direction="backward",
+                allow_exact_matches=True,
+            )
+        else:
+            m = purch[["event_id", "user_id", "ts_ns"]].copy()
+            m["click_ts_ns"] = pd.array([None] * len(m), dtype="Int64")
+            m["click_id"] = pd.array([None] * len(m), dtype="Int64")
+        yield pd.DataFrame(
+            {
+                "event_id": m["event_id"].values,
+                "user_id": m["user_id"].values,
+                "purchase_epoch": m["ts_ns"].values // 10**9,
+                "last_click_id": m["click_id"].astype("Int64"),
+                "last_click_epoch": (m["click_ts_ns"].astype("Int64") // 10**9),
+            }
+        )
+    if len(clicks):
+        last = clicks.iloc[-1]
+        state.update((int(last["click_ts_ns"]), int(last["click_id"])))
+
+
+def asof_join_per_key(sdf: DataFrame) -> DataFrame:
+    """Streaming as-of join (purchase ← latest click) as a custom keyed
+    stateful operator; batch twin = plans/temporal.py::asof_purchase_last_click
+    (the union-tag-sort formulation), whose oracle this operator shares."""
+    from pyspark.sql import functions as F
+
+    ev = sdf.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _asof_last_click,
+        outputStructType=(
+            "event_id BIGINT, user_id BIGINT, purchase_epoch BIGINT, "
+            "last_click_id BIGINT, last_click_epoch BIGINT"
+        ),
+        stateStructType="ts_ns BIGINT, click_id BIGINT",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

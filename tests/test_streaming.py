@@ -221,3 +221,44 @@ def test_dedup_within_watermark_bounds_state(spark):
     out = run_to_completion(deduped, output_mode="append", spark=spark)
     keys = sorted(r["k"] for r in out.collect())
     assert keys == ["a", "b", "c"]
+
+
+def test_asof_state_across_microbatches(spark):
+    """The streaming as-of join must carry the last-click state across
+    micro-batches: a purchase in batch 2 must see the click from batch 1,
+    and a newer batch-2 click must supersede it for later purchases."""
+    from datetime import datetime
+
+    from kafka_streams_playground_spark.streaming.stateful import asof_join_per_key
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string"
+    t = datetime(2024, 1, 1, 0, 0)
+
+    def at(s):
+        return datetime(2024, 1, 1, 0, 0, s)
+
+    paths = _write_batches(
+        spark,
+        [
+            [(1, at(0), 7, "click"), (2, at(5), 8, "purchase")],
+            [
+                (3, at(10), 7, "purchase"),  # sees click 1 from batch 1
+                (4, at(20), 7, "click"),
+                (5, at(30), 7, "purchase"),  # sees click 4 from same batch
+            ],
+        ],
+        schema,
+    )
+    src_dir = os.path.dirname(paths[0])
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src_dir, "b*"))
+    )
+    out = run_to_completion(asof_join_per_key(sdf), output_mode="append", spark=spark)
+    got = {r["event_id"]: (r["last_click_id"], r["last_click_epoch"]) for r in out.collect()}
+    t0 = int(at(0).timestamp())
+    t20 = int(at(20).timestamp())
+    assert got[2] == (None, None)  # user 8 never clicked
+    assert got[3] == (1, t0)       # cross-batch state carry
+    assert got[5] == (4, t20)      # newer click supersedes
