@@ -332,3 +332,27 @@ def test_unigram_lm_monotone_in_token_frequency(spark, sf_dir):
     # per-doc mean cannot beat the best single-token log-prob
     best_single = max(r.sum_lp6 / r.n_tokens for r in out)
     assert all(r.sum_lp6 / r.n_tokens <= best_single + 1e-9 for r in out)
+
+
+def test_semdedup_prunes_subset_of_exact_pairs(spark, sf_dir):
+    """Cross-validation against the quadratic ground truth: every vector
+    SemDeDup prunes must appear as the larger id of a real cosine-threshold
+    pair (cluster restriction can lose near-dup pairs, never invent them),
+    and its reported max_dup_cosine can't exceed the true max."""
+    from collections import defaultdict
+
+    from kafka_streams_playground_spark.plans.northstar_dedup import (
+        dedup_embedding_cosine,
+    )
+    from kafka_streams_playground_spark.plans.northstar_scoring import (
+        semdedup_embedding_prune,
+    )
+
+    exact = defaultdict(float)
+    for r in dedup_embedding_cosine(spark, sf_dir).collect():
+        exact[r.vec_b] = max(exact[r.vec_b], r.cosine)
+    sem = semdedup_embedding_prune(spark, sf_dir).collect()
+    pruned = [r for r in sem if r.pruned]
+    for r in pruned:
+        assert r.vec_id in exact, f"{r.vec_id} pruned without a true pair"
+        assert r.max_dup_cosine <= exact[r.vec_id] + 1e-4
