@@ -56,6 +56,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "funnel_view_click_purchase",
     "retention_cohort_weeks",
     "tokenizer_bpe_pair_counts",
+    "s2_compacted_tombstones",
+    "stream_s2_compacted_tombstones",
     # rotation: everything WITHOUT an r3 driver row (r1/r2-green, local-green
     # since; cycling them back keeps every query ≤2 rounds without hard signal)
     "join_left_interval_unpaid",
@@ -69,7 +71,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_dedup_exact",
     "stream_running_count_per_user",
     "stream_join_left_interval_unpaid",
-    "dedup_simhash",
     "dedup_embedding_cosine",
     "sim_lsh_bucket_stats",
     "sim_ivf_topk",
@@ -80,7 +81,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_langid",
     "text_fingerprint",
     "text_vocabulary",
-    "mm_image_metadata",
     "mm_decoded_feature_checksum",
     "mm_frame_sample",
     "mm_resize_audit",

@@ -949,3 +949,40 @@ def join_bloom_prefiltered_urgent_items(spark: SparkSession, sf_dir: str) -> Dat
             ).alias("sum_cents"),
         )
     )
+
+
+@query(
+    "s2_compacted_tombstones",
+    oracle="""
+    SELECT user_id, event_id, event_type, value FROM (
+      SELECT user_id, event_id, event_type, value,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1 AND event_type <> 'error'
+    """,
+    tags=("extension", "S2", "ktable", "tombstone"),
+)
+def s2_compacted_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KTable compaction WITH tombstone deletes — the full semantics of the
+    reference's ``cleanup.policy=compact`` topics (KafkaStreamsApp.scala
+    :31-41): a compacted topic keeps the latest record per key, and a
+    tombstone (null-value record; here the ``error`` event class stands in)
+    REMOVES the key from the materialized table rather than becoming its
+    value. ``builder.table`` over such a topic yields exactly this state:
+    latest-per-key, minus keys whose latest record is a tombstone.
+
+    Spark shape: the same single hash-exchange ``latest_per_key``
+    materialization as ``s2_latest_event_per_user`` plus one post-window
+    filter — the tombstone drop costs nothing extra (no second shuffle);
+    the streaming twin keeps one row of keyed state per user and the
+    filter applies on emission, mirroring RocksDB delete-on-tombstone."""
+    from kafka_streams_playground_spark.operators.tables import latest_per_key
+
+    events = load_table(spark, sf_dir, "events")
+    cur = latest_per_key(
+        events, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
+    )
+    return cur.filter(F.col("event_type") != "error").select(
+        "user_id", "event_id", "event_type", "value"
+    )

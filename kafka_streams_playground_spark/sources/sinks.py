@@ -88,3 +88,28 @@ def write_bucketed_table(
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
     writer.saveAsTable(table)
+
+
+def compact_parquet(
+    spark,
+    src_path: str,
+    dst_path: str,
+    target_rows_per_file: int = 1_000_000,
+) -> int:
+    """Small-file compaction: rewrite a parquet layout into
+    ceil(rows / target) right-sized files. Returns the output file count.
+
+    The operational 100 TB sink concern: streaming sinks and fine-grained
+    partition writes accumulate many small files, and at scale the
+    NameNode/listing and per-file open costs dominate reads long before
+    data volume does (the classic small-files problem). Compaction is a
+    metadata-light rewrite: one scan, one round-robin repartition to the
+    target file count (``repartition(n)`` without columns — no hash key,
+    so perfectly even output files), one write. Run it per partition
+    directory in production so only hot partitions rewrite; file-count
+    math is driven by a row count the scan does anyway."""
+    df = spark.read.parquet(src_path)
+    n_rows = df.count()
+    n_files = max(1, -(-n_rows // target_rows_per_file))
+    df.repartition(n_files).write.mode("overwrite").parquet(dst_path)
+    return n_files

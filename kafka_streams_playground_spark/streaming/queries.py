@@ -365,6 +365,31 @@ def stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(asof_join_per_key(events), output_mode="append", spark=spark)
 
 
+@query(
+    "stream_s2_compacted_tombstones",
+    oracle=None,  # set below: shares the batch tombstone-compaction oracle
+    tags=("extension", "streaming", "S2", "tombstone"),
+)
+def stream_s2_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tombstone-aware KTable as live streaming state: max_by keyed state
+    per user, with tombstoned keys (latest record = the ``error`` class)
+    suppressed at emission — the streaming form of the reference's
+    compacted-topic delete semantics (cleanup.policy=compact,
+    KafkaStreamsApp.scala:31-41). State stays one row per key regardless
+    of tombstones (the store overwrite IS the delete)."""
+    events = read_stream_table(spark, sf_dir, "events")
+    latest = latest_per_key_stream(
+        events,
+        keys=["user_id"],
+        value_cols=["event_id", "event_type", "value"],
+        version_col=F.struct("ts", "event_id"),
+    )
+    out = latest.filter(F.col("event_type") != "error").select(
+        "user_id", "event_id", "event_type", "value"
+    )
+    return run_to_completion(out, output_mode="update", spark=spark)
+
+
 def _share_oracles() -> None:
     """Streaming twins drain to the same final state as their batch forms on
     the single-file fixtures, so they share the batch oracles (registry
@@ -381,6 +406,7 @@ def _share_oracles() -> None:
         ("stream_sliding_window_event_counts", "sliding_window_event_counts"),
         ("stream_topk_customers_by_revenue", "topk_customers_by_revenue"),
         ("stream_asof_purchase_last_click", "asof_purchase_last_click"),
+        ("stream_s2_compacted_tombstones", "s2_compacted_tombstones"),
     ]:
         REGISTRY[stream_name] = replace(
             REGISTRY[stream_name], oracle=REGISTRY[batch_name].oracle

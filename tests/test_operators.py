@@ -213,3 +213,24 @@ def test_salted_agg_equals_plain(spark, sf_dir):
         ).collect()
     }
     assert salted == plain
+
+
+def test_compact_parquet_merges_small_files(spark, tmp_path):
+    """Compaction must collapse a many-small-files layout into the computed
+    file count without changing the data."""
+    import os
+
+    from kafka_streams_playground_spark.sources.sinks import compact_parquet
+
+    src = str(tmp_path / "small")
+    dst = str(tmp_path / "compacted")
+    df = spark.range(10_000).withColumnRenamed("id", "v")
+    df.repartition(40).write.parquet(src)  # 40 tiny files
+    assert len([f for f in os.listdir(src) if f.endswith(".parquet")]) == 40
+    n = compact_parquet(spark, src, dst, target_rows_per_file=5_000)
+    assert n == 2
+    files = [f for f in os.listdir(dst) if f.endswith(".parquet")]
+    assert len(files) == 2
+    back = spark.read.parquet(dst)
+    assert back.count() == 10_000
+    assert {r["v"] for r in back.collect()} == set(range(10_000))
