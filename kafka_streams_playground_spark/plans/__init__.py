@@ -57,6 +57,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "retention_cohort_weeks",
     "tokenizer_bpe_pair_counts",
     "s2_compacted_tombstones",
+    "dedup_fuzzy_part_names",
     "stream_s2_compacted_tombstones",
     # rotation: everything WITHOUT an r3 driver row (r1/r2-green, local-green
     # since; cycling them back keeps every query ≤2 rounds without hard signal)
@@ -79,7 +80,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_token_stats",
     "text_quality_score",
     "text_langid",
-    "text_fingerprint",
     "text_vocabulary",
     "mm_decoded_feature_checksum",
     "mm_frame_sample",
