@@ -26,10 +26,12 @@ from kafka_streams_playground_spark.plans import northstar_scoring  # noqa: F401
 # them. With >50 registered queries, ordering therefore decides which get the
 # hard oracle signal. Policy: the first 50 slots go to (a) the reference's own
 # topology surface, (b) queries FIXED or ADDED since the last driver run, and
-# (c) queries that have never had a driver row (the text/multimodal set in
-# round 1). Queries demoted past slot 50 are all green in CORRECTNESS_r01,
-# unchanged since, and re-checked every round by the local oracle replica
-# (tools/check_correctness.py — same compare, laxer float canon).
+# (c) queries without a recent driver row (rotated so every query goes at
+# most ~2 rounds without hard signal). Every demoted query is driver-green
+# in a prior round, unchanged since, and re-checked every round by the local
+# oracle replica over the FULL registry (tools/check_correctness.py — same
+# type-strict compare the driver applies; committed as
+# CORRECTNESS_LOCAL.json).
 # ---------------------------------------------------------------------------
 
 DRIVER_PRIORITY: tuple[str, ...] = (
