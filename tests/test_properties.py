@@ -121,3 +121,33 @@ def test_bloom_prefilter_never_false_negative(spark, small, big):
     pruned = {r["j"] for r in bloom_prefilter(big_df, small_df, "j", "k").collect()}
     must_pass = set(big) & set(small)
     assert must_pass <= pruned
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    pairs=st.lists(
+        st.tuples(st.text("abcde ", max_size=12), st.text("abcde ", max_size=12)),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_levenshtein_matches_duckdb(spark, pairs):
+    """Cross-engine property: Spark's levenshtein must equal DuckDB's on
+    arbitrary strings — the exactness assumption behind the fuzzy
+    entity-matching oracle."""
+    import duckdb
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(pairs, "a string, b string")
+    got = [
+        r["lev"]
+        for r in df.select(F.levenshtein("a", "b").alias("lev")).collect()
+    ]
+    con = duckdb.connect()
+    want = [
+        con.execute("SELECT levenshtein(?, ?)", [a, b]).fetchone()[0]
+        for a, b in pairs
+    ]
+    con.close()
+    assert got == want

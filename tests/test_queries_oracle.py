@@ -41,3 +41,22 @@ def test_contract_shapes():
     qs, osql = e.queries(), e.oracle_sql()
     assert set(osql) <= set(qs)
     assert all(callable(f) for f in qs.values())
+
+
+def test_driver_rotation_invariants():
+    """The driver checks the first 50 queries(); the rotation must keep
+    that prefix exactly equal to DRIVER_PRIORITY, every priority name
+    registered, and the reference-parity surface always pinned first."""
+    from kafka_streams_playground_spark.plans import DRIVER_PRIORITY, REGISTRY
+
+    assert len(DRIVER_PRIORITY) == 50
+    assert list(REGISTRY)[:50] == list(DRIVER_PRIORITY)
+    assert set(DRIVER_PRIORITY) <= set(REGISTRY)
+    assert DRIVER_PRIORITY[:6] == (
+        "q1_expensive_orders",
+        "q2_order_projection",
+        "q3_products_by_first_letter",
+        "q4_products_per_user_10s",
+        "q5_paid_orders",
+        "orders_products_array",
+    )
