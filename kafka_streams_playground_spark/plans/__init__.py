@@ -60,6 +60,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "tokenizer_bpe_pair_counts",
     "s2_compacted_tombstones",
     "dedup_fuzzy_part_names",
+    "agg_grouping_sets_mixed",
+    "mm_paired_modality_manifest",
     "stream_s2_compacted_tombstones",
     # rotation: everything WITHOUT an r3 driver row (r1/r2-green, local-green
     # since; cycling them back keeps every query ≤2 rounds without hard signal)
@@ -80,10 +82,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sim_ann_multiprobe_topk",
     "sim_ivf_multiprobe_topk",
     "text_token_stats",
-    "text_quality_score",
     "text_langid",
     "text_vocabulary",
-    "mm_decoded_feature_checksum",
     "mm_frame_sample",
     "mm_resize_audit",
     "mm_audio_chunk_energy",

@@ -179,3 +179,51 @@ def mm_audio_chunk_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "chunk_idx",
         (F.floor(F.col("energy") * 10000 + 0.5) / 10000).alias("energy"),
     )
+
+
+@query(
+    "mm_paired_modality_manifest",
+    oracle="""
+    SELECT d.doc_id,
+           d.lang,
+           len(string_split(d.text, ' ')) AS n_tokens,
+           CAST(e.vec_id IS NOT NULL AS INT) AS has_embedding,
+           CAST(COALESCE(len(e.embedding), 0) AS BIGINT) AS embedding_dim,
+           CASE WHEN e.vec_id IS NOT NULL THEN 'text+vector'
+                ELSE 'text_only' END AS modality
+    FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+    """,
+    tags=("northstar", "multimodal", "manifest", "bench"),
+)
+def mm_paired_modality_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paired-modality training manifest: align the text corpus with its
+    embedding table (shared id space) and emit, per document, the modality
+    composition a multimodal batch writer consumes — token count,
+    embedding presence/dimensionality, and the modality tag that drives
+    mixture sampling. The alignment join is the backbone of every
+    multimodal pipeline (text+image, text+audio follow the identical
+    id-join shape with their binary tables; see the mm_* decode family for
+    the payload side).
+
+    Scale shape: one co-shuffled left join on the id — at 100 TB both
+    sides hash on the shared key (or pre-bucket by id, making repeat
+    manifest builds shuffle-free, sinks.write_bucketed_table); the wide
+    text/embedding payloads are projected away BEFORE the join carries
+    anything (only id + tiny derived columns ride the shuffle)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.size(F.split("text", " ")).alias("n_tokens")
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.size("embedding").cast("bigint").alias("embedding_dim")
+    )
+    j = docs.join(emb, docs["doc_id"] == emb["vec_id"], "left")
+    return j.select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        F.col("vec_id").isNotNull().cast("int").alias("has_embedding"),
+        F.coalesce("embedding_dim", F.lit(0)).alias("embedding_dim"),
+        F.when(F.col("vec_id").isNotNull(), "text+vector")
+        .otherwise("text_only")
+        .alias("modality"),
+    )

@@ -986,3 +986,49 @@ def s2_compacted_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cur.filter(F.col("event_type") != "error").select(
         "user_id", "event_id", "event_type", "value"
     )
+
+
+@query(
+    "agg_grouping_sets_mixed",
+    oracle="""
+    SELECT n_name, c_mktsegment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS acctbal_cents,
+           CAST(GROUPING(n_name) * 2 + GROUPING(c_mktsegment) AS BIGINT)
+               AS grouping_set_id
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name, c_mktsegment), (c_mktsegment), ())
+    """,
+    tags=("extension", "agg", "groupingsets", "sql"),
+)
+def agg_grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS — the general form ROLLUP and CUBE specialize
+    (SURVEY §2.4 notes the reference has no grouping sets at all): one pass
+    produces (nation × segment), per-segment, and grand-total rows, with
+    ``GROUPING()`` disambiguating which set a row belongs to (a NULL key
+    value vs a rolled-up key are different things).
+
+    Expressed through the engine's SQL FRONT DOOR (``register_views`` +
+    ``spark.sql`` — the same text a DuckDB/Trino user would write runs
+    unchanged), showing the registered-query surface is not DataFrame-only.
+    Catalyst plans grouping sets as one Expand (×3 here) + one
+    partial-aggregated shuffle — rows expand map-side to their grouping
+    sets BEFORE the partial agg, so the shuffle still carries per-group
+    partials. Money folds as exact floored cents (order-free, HUGEINT-cast
+    in the oracle)."""
+    from kafka_streams_playground_spark.sources.parquet import register_views
+
+    register_views(spark, sf_dir, "customer", "nation")
+    return spark.sql(
+        """
+        SELECT n_name, c_mktsegment,
+               COUNT(*) AS n_customers,
+               CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                   AS acctbal_cents,
+               CAST(GROUPING(n_name) * 2 + GROUPING(c_mktsegment) AS BIGINT)
+                   AS grouping_set_id
+        FROM customer JOIN nation ON c_nationkey = n_nationkey
+        GROUP BY GROUPING SETS ((n_name, c_mktsegment), (c_mktsegment), ())
+        """
+    )
