@@ -402,7 +402,7 @@ FUZZY_MAX_EDITS = 2
 )
 def dedup_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fuzzy entity matching — near-identical part names within edit
-    distance {FUZZY_MAX_EDITS}, the record-linkage/entity-dedup pass
+    distance FUZZY_MAX_EDITS (= 2), the record-linkage/entity-dedup pass
     (catalog dedup, author-name merging) that string-exact and shingle
     dedup both miss for short strings. Each matched name pair carries both
     names' row cardinalities — entity resolution merges the rare variant

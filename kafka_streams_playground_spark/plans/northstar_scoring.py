@@ -273,7 +273,7 @@ def semdedup_embedding_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT token,
            COUNT(DISTINCT doc_id) AS doc_freq,
            CAST(COUNT(*) AS BIGINT) AS term_freq,
-           list_sort(list(DISTINCT doc_id)) AS postings
+           array_to_string(list_sort(list(DISTINCT doc_id)), '|') AS postings
     FROM tok GROUP BY token
     """,
     tags=("northstar", "text", "index", "bench"),
@@ -287,6 +287,10 @@ def index_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark shape: explode → one shuffle keyed on token with map-side partial
     aggregation; ``collect_set`` + ``sort_array`` builds each postings list
     inside the final aggregate — per-token state, never a global sort. The
+    postings ship as a '|'-joined STRING, not a raw array column: same
+    content, but hashable by the driver's pandas canonicalizer, which
+    cannot factorize array cells (the ``orders_products_array`` lesson —
+    round 4's only red row was this exact representation bug). The
     100 TB caveat is posting-list skew: stopword tokens accumulate
     postings ∝ corpus size, so a production index SPLITS hot tokens into
     fixed-size posting blocks ((token, block_no) keys — the same
@@ -298,7 +302,103 @@ def index_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tok.groupBy("token").agg(
         F.countDistinct("doc_id").alias("doc_freq"),
         F.count(F.lit(1)).alias("term_freq"),
-        F.sort_array(F.collect_set("doc_id")).alias("postings"),
+        F.array_join(F.sort_array(F.collect_set("doc_id")), "|").alias("postings"),
+    )
+
+
+# BM25 (Robertson/Sparck Jones; the Lucene-default flavor): standard free
+# parameters, a small fixed query-term set (one rare + two common fixture
+# tokens so the ranking exercises both idf extremes), and per-(doc, term)
+# contributions quantized to an integer 1e-6 grid BEFORE the per-doc sum —
+# the same order-free-fold dodge as LP_GRID (ln/division differ by ≤1 ulp
+# across libms; the 0.5 rounding margin absorbs it).
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TERMS = ("dup", "vector", "stream")
+BM25_TOP_K = 20
+_BM25_TERMS_SQL = ",".join(f"'{t}'" for t in BM25_TERMS)
+
+
+@query(
+    "text_bm25_topk",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+    tot AS (SELECT COUNT(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+    tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok
+      WHERE token IN ({_BM25_TERMS_SQL}) GROUP BY doc_id, token
+    ),
+    dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    c AS (
+      SELECT tf.doc_id,
+             CAST(FLOOR(
+               ln(1.0 + (tot.n_docs - dfq.df + 0.5) / (dfq.df + 0.5))
+               * (tf.tf * ({BM25_K1} + 1.0))
+               / (tf.tf + {BM25_K1} * (1.0 - {BM25_B}
+                  + {BM25_B} * dl.dl / (tot.sum_dl * 1.0 / tot.n_docs)))
+               * 1000000 + 0.5) AS BIGINT) AS c6
+      FROM tf JOIN dfq USING (token) JOIN dl USING (doc_id) CROSS JOIN tot
+    )
+    SELECT doc_id, COUNT(*) AS n_hit_terms, CAST(SUM(c6) AS BIGINT) AS score6
+    FROM c GROUP BY doc_id
+    ORDER BY score6 DESC, doc_id ASC
+    LIMIT {BM25_TOP_K}
+    """,
+    tags=("northstar", "scoring", "text", "index", "bench"),
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 retrieval over the corpus — score every document against a fixed
+    query-term set with the standard k1/b formula and return the top-k. The
+    natural completion of the retrieval family: ``index_inverted_postings``
+    builds exactly the doc_freq/term_freq statistics this consumes, and a
+    contamination/retrieval pass runs THIS query against THAT index.
+
+    Spark shape, inside-out: the query-term ``isin`` filter lands on the
+    exploded token stream map-side, so only matching tokens ever shuffle
+    (at 100 TB the posting-list index replaces the scan entirely; here the
+    scan-side prune is the honest equivalent). Per-term document
+    frequencies are a |Q|-row table → broadcast; corpus size and average
+    document length are a 1-row aggregate → broadcast crossJoin (O(1)
+    state, the same bounded-scalar stance as the IVF centroid table). The
+    per-doc length join co-shuffles on doc_id, contributions quantize to
+    1e-6-grid integers so the per-doc fold is order-free, and the top-k is
+    TakeOrderedAndProject — per-partition heap + k-row driver merge, never
+    a global sort."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    tot = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    tf = (
+        tok.filter(F.col("token").isin(*BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    denom = F.col("tf") + BM25_K1 * (
+        1.0 - BM25_B + BM25_B * F.col("dl") / (F.col("sum_dl") * 1.0 / F.col("n_docs"))
+    )
+    c6 = F.floor(
+        idf * (F.col("tf") * (BM25_K1 + 1.0)) / denom * 1000000 + F.lit(0.5)
+    ).cast("bigint")
+    c = (
+        tf.join(F.broadcast(dfq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", c6.alias("c6"))
+    )
+    return (
+        c.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hit_terms"), F.sum("c6").alias("score6"))
+        .orderBy(F.col("score6").desc(), F.col("doc_id").asc())
+        .limit(BM25_TOP_K)
     )
 
 
@@ -310,7 +410,8 @@ def index_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     s AS (SELECT dim, MIN(x) AS lo, MAX(x) AS hi FROM d GROUP BY dim),
     q AS (
       SELECT d.vec_id, d.dim,
-             CAST(FLOOR((d.x - s.lo) * 255.0 / (s.hi - s.lo) + 0.5) AS BIGINT)
+             CAST(FLOOR(COALESCE((d.x - s.lo) * 255.0 / NULLIF(s.hi - s.lo, 0.0),
+                                 0.0) + 0.5) AS BIGINT)
                  AS code
       FROM d JOIN s USING (dim)
     )
@@ -344,8 +445,14 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", (F.col("pos") + 1).alias("dim"), "x"
     )
     s = d.groupBy("dim").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    # A constant dimension (hi == lo) would divide by zero: Spark yields
+    # NaN/Infinity while DuckDB errors/NULLs — a silent cross-engine
+    # mismatch (ADVICE r4). Pin the degenerate case to code 0 in both
+    # engines (NULLIF + COALESCE on the oracle side).
+    span = F.col("hi") - F.col("lo")
     code = F.floor(
-        (F.col("x") - F.col("lo")) * 255.0 / (F.col("hi") - F.col("lo")) + F.lit(0.5)
+        F.when(span != 0, (F.col("x") - F.col("lo")) * 255.0 / span).otherwise(0.0)
+        + F.lit(0.5)
     ).cast("long")
     q = d.join(F.broadcast(s), "dim").select("vec_id", "dim", code.alias("code"))
     return q.groupBy("vec_id").agg(

@@ -148,10 +148,12 @@ def wf_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "topk_customers_by_revenue",
     oracle="""
-    SELECT c_custkey, c_name, ROUND(SUM(o_totalprice), 2) AS revenue
+    SELECT c_custkey, c_name,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS revenue_cents
     FROM customer JOIN orders ON c_custkey = o_custkey
     GROUP BY c_custkey, c_name
-    ORDER BY revenue DESC, c_custkey ASC
+    ORDER BY revenue_cents DESC, c_custkey ASC
     LIMIT 10
     """,
     tags=("extension", "sort", "limit"),
@@ -159,15 +161,20 @@ def wf_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
 def topk_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k (absent from the reference, SURVEY §2.6). Spark executes
     order+limit as TakeOrderedAndProject — per-partition top-k then a k-row
-    merge on the driver; nothing resembling a global sort at 100 TB."""
+    merge on the driver; nothing resembling a global sort at 100 TB.
+    Revenue folds as floored integer cents (the repo's exact-integer
+    convention, ADVICE r4): the sum is order-free, so the streaming twin's
+    incremental aggregation state cannot drift from this oracle on a
+    half-cent rounding boundary the way a ROUND(SUM(double)) could."""
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
     orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
     rev = (
         cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
         .groupBy("c_custkey", "c_name")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .agg(F.sum(cents).alias("revenue_cents"))
     )
-    return rev.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc()).limit(10)
+    return rev.orderBy(F.col("revenue_cents").desc(), F.col("c_custkey").asc()).limit(10)
 
 
 @query(
@@ -872,8 +879,8 @@ def bloom_prefilter(big: DataFrame, small: DataFrame, big_key: str, small_key: s
     """Pre-filter ``big`` map-side with a bloom built from ``small``'s keys.
 
     Build: each small-side key sets 2 xxhash64-derived bits in a
-    {BLOOM_BITS}-bit array; the per-word OR-fold aggregates to
-    {BLOOM_WORDS} longs (one tiny shuffle), collected to the driver —
+    BLOOM_BITS-bit (65,536) array; the per-word OR-fold aggregates to
+    BLOOM_WORDS (1,024) longs (one tiny shuffle), collected to the driver —
     O(BLOOM_BITS) state, a CONFIG like IVF's K, independent of data size —
     and inlined as a literal array (at 100 TB, ship it as a broadcast
     variable instead; same dataflow). Probe: pure codegen'd integer ops

@@ -107,7 +107,20 @@ def compact_parquet(
     target file count (``repartition(n)`` without columns — no hash key,
     so perfectly even output files), one write. Run it per partition
     directory in production so only hot partitions rewrite; file-count
-    math is driven by a row count the scan does anyway."""
+    math is driven by a row count the scan does anyway.
+
+    ``dst_path`` must differ from ``src_path``: the source read is lazy, so
+    an in-place ``mode('overwrite')`` rewrite would delete input files
+    mid-scan and lose data (ADVICE r4). Compact-then-swap is the safe
+    production pattern."""
+    import os
+
+    if os.path.abspath(dst_path) == os.path.abspath(src_path):
+        raise ValueError(
+            "compact_parquet: dst_path must differ from src_path (lazy "
+            "source read + overwrite would delete inputs mid-scan); "
+            "write to a sibling dir and swap"
+        )
     df = spark.read.parquet(src_path)
     n_rows = df.count()
     n_files = max(1, -(-n_rows // target_rows_per_file))

@@ -333,15 +333,20 @@ def stream_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     running revenue aggregate, `orderBy + limit 10` over the aggregate
     state. At 100 TB the aggregate state is per-customer (bounded by
     |customers|) and the sort runs over the state table, not the stream —
-    the standard continuous-leaderboard shape."""
+    the standard continuous-leaderboard shape. Revenue folds as floored
+    integer cents BEFORE the running sum (ADVICE r4): incremental streaming
+    aggregation adds in arrival order, and an order-dependent double sum
+    could flip a ROUND boundary vs the batch/DuckDB oracle; integer cents
+    make the fold order-free, so sharing the batch oracle is exact."""
     orders = read_stream_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
     cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    cents = F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long")
     rev = (
         orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
         .groupBy("c_custkey", "c_name")
-        .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+        .agg(F.sum(cents).alias("revenue_cents"))
     )
-    out = rev.orderBy(F.col("revenue").desc(), F.col("c_custkey").asc()).limit(10)
+    out = rev.orderBy(F.col("revenue_cents").desc(), F.col("c_custkey").asc()).limit(10)
     return run_to_completion(out, output_mode="complete", spark=spark)
 
 
@@ -699,3 +704,79 @@ def _fill_pipeline_oracle() -> None:
 from kafka_streams_playground_spark.plans import northstar_pipeline as _NP  # noqa: E402
 
 _fill_pipeline_oracle()
+
+
+@query(
+    "stream_domain_quality_stats",
+    oracle="""
+    WITH feat AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' ')) AS n_tokens,
+             CAST(FLOOR((0.5 * (len(list_distinct(string_split(text, ' '))) * 1.0
+                                / len(string_split(text, ' ')))
+                   + 0.3 * (len([x for x in string_split(text, ' ')
+                                 if list_contains(['the','a','of','and','to','in'], x)])
+                            * 1.0 / len(string_split(text, ' ')))
+                   + 0.2 * LEAST(len(string_split(text, ' ')) / 256.0, 1.0)) * 10000
+                   + 0.5) AS BIGINT) AS qi
+      FROM documents
+    )
+    SELECT source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           FLOOR(CAST(SUM(qi) AS BIGINT) * 1.0 / COUNT(*) + 0.5) / 10000
+               AS avg_quality
+    FROM feat GROUP BY source
+    """,
+    tags=("northstar", "streaming", "scoring", "curation"),
+)
+def stream_domain_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-domain curation dashboard ONLINE — ``domain_quality_stats``'s
+    doc/token counts and mean heuristic quality as a RUNNING per-source
+    aggregate over the document stream, update-mode changelog drained to
+    final state. This is the live ingest monitor a 100 TB pipeline keeps
+    next to the nightly batch rollup: every micro-batch updates |domains|
+    state rows, and a domain going off the rails (quality collapse, token
+    flood) shows within one trigger instead of one night.
+
+    One deliberate semantic delta from the batch twin, inherent to the
+    online setting (same stance as ``stream_pipeline_quality_filter``): the
+    near-dup-rate columns are omitted — they need the corpus-wide MinHash
+    LSH index, which production computes as a periodic batch sweep, not
+    inline. Everything kept is exact: the per-doc quality quantizes to an
+    integer 1e-4 grid map-side (stateless projection), the running fold is
+    (count, sum, sum) per source — order-free integer sums, so the drained
+    final state equals the batch/DuckDB rollup regardless of micro-batch
+    boundaries — and the mean divides in the post-aggregate projection.
+    State is bounded by |domains|, not stream length."""
+    docs = read_stream_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    toks = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(s) for s in ("the", "a", "of", "and", "to", "in")])
+    ttr = F.size(F.array_distinct(toks)) / F.size(toks)
+    stop_ratio = F.size(
+        F.filter(toks, lambda x: F.array_contains(stop_arr, x))
+    ) / F.size(toks)
+    qi = F.floor(
+        (0.5 * ttr + 0.3 * stop_ratio + 0.2 * F.least(F.size(toks) / 256.0, F.lit(1.0)))
+        * 10000
+        + F.lit(0.5)
+    ).cast("bigint")
+    feat = docs.select(
+        "source", F.size(toks).cast("bigint").alias("n_tokens"), qi.alias("qi")
+    )
+    agg = feat.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("qi").alias("sum_qi"),
+    )
+    out = agg.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        (F.floor(F.col("sum_qi") / F.col("n_docs") + F.lit(0.5)) / 10000).alias(
+            "avg_quality"
+        ),
+    )
+    return run_to_completion(out, output_mode="update", spark=spark)

@@ -74,7 +74,17 @@ def _asof_last_click(key: tuple, pdfs: Iterator[pd.DataFrame], state) -> Iterato
     clicks — seeded with the state's carried click so cross-batch lookups
     work; among equal-ts clicks the largest event_id wins (frame sorted by
     (ts, event_id); merge_asof picks the last qualifying row), matching the
-    batch oracle's tiebreak. State = one (ts_ns, click_id) pair per key."""
+    batch oracle's tiebreak. State = one (ts_ns, click_id) pair per key.
+
+    PRECONDITION (ADVICE r4): input must be replayed in event-time order
+    across micro-batches. The state keeps only the single max-(ts, id)
+    click per key, so a purchase arriving in a LATER batch than a
+    newer-but-out-of-order click would pair with the wrong click and
+    silently diverge from the batch oracle. The replay harness
+    (streaming/replay.py) feeds batches in ts order, satisfying this; a
+    production deployment facing late data needs the buffered variant
+    (keep clicks within the watermark horizon, evict on timeout) at the
+    cost of O(horizon) state per key instead of O(1)."""
     chunks = [pdf for pdf in pdfs if len(pdf)]
     if not chunks:
         return

@@ -29,6 +29,14 @@ def _norm_cell(v):
         return ("b", bool(v))
     if isinstance(v, (int, np.integer)):
         return ("i", int(v))
+    if isinstance(v, (np.ndarray, list, tuple, dict, set)):
+        # Driver fidelity (round-4 lesson): the driver's pandas canonicalizer
+        # crashes on non-scalar cells; a str(v) fallthrough here would let
+        # array-typed outputs pass locally while the driver errors.
+        raise TypeError(
+            f"driver-hostile output cell type {type(v).__name__}: emit a "
+            "'|'-joined string instead (orders_products_array pattern)"
+        )
     return ("s", str(v))
 
 

@@ -27,6 +27,27 @@ def test_query_matches_oracle(spec, spark, duck, sf_dir):
         assert_matches_oracle(sdf, duck, spec.oracle)
 
 
+@pytest.mark.parametrize("spec", _specs(), ids=lambda s: s.name)
+def test_no_driver_hostile_output_types(spec, spark, sf_dir):
+    """No registered query may output ArrayType/MapType/StructType columns:
+    the driver's pandas canonicalizer (sort_values → factorize) crashes on
+    non-scalar cells (round 4's only red row, index_inverted_postings, was
+    exactly this). Complex values must ship as '|'-joined strings
+    (orders_products_array pattern). Schema-only — nothing executes."""
+    from pyspark.sql.types import ArrayType, MapType, StructType
+
+    schema = spec.fn(spark, sf_dir).schema
+    bad = [
+        f.name
+        for f in schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, StructType))
+    ]
+    assert not bad, (
+        f"{spec.name} outputs driver-hostile column(s) {bad}: "
+        "emit a '|'-joined string instead"
+    )
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 

@@ -52,6 +52,16 @@ def _norm_cell(v):
         return ("b", bool(v))
     if isinstance(v, (int, np.integer)):
         return ("i", int(v))
+    if isinstance(v, (np.ndarray, list, tuple, dict, set)):
+        # Driver fidelity (round-4 lesson): the driver's canonicalizer does
+        # pandas sort_values → factorize over every column, which CRASHES on
+        # array/struct/map cells ("unhashable type: numpy.ndarray"). The old
+        # str(v) fallthrough here let index_inverted_postings pass locally
+        # while the driver errored. Any non-scalar cell is a hard failure.
+        raise TypeError(
+            f"driver-hostile output cell type {type(v).__name__}: emit a "
+            "'|'-joined string instead (orders_products_array pattern)"
+        )
     return ("s", str(v))
 
 
@@ -139,7 +149,14 @@ def main() -> int:
             print(f"FAIL  {name}: rowcount spark={len(s_rows)} duckdb={len(d_rows)}")
             ok = False
         else:
-            ns, nd = _norm_rows(sorted(sdf.columns), s_rows), _norm_rows(d_cols, d_rows)
+            try:
+                ns = _norm_rows(sorted(sdf.columns), s_rows)
+                nd = _norm_rows(d_cols, d_rows)
+            except TypeError as e:
+                print(f"FAIL  {name}: {e}")
+                rec["err"] = f"canonicalize: {e}"
+                failures.append(name)
+                continue
             rec["hash_match"] = ns == nd
             if ns != nd:
                 diff = [i for i, (a, b) in enumerate(zip(ns, nd)) if a != b][:3]
