@@ -42,53 +42,68 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q4_products_per_user_10s",
     "q5_paid_orders",
     "orders_products_array",
-    # NEW this round (round 4): scoring/temporal/streaming additions
-    "text_unigram_lm_score",
-    "domain_quality_stats",
-    "semdedup_embedding_prune",
-    "asof_forward_next_purchase",
-    "scd2_user_event_history",
-    "ts_gapfill_user_daily",
-    "stream_sliding_window_event_counts",
-    "q_shipping_priority_top10",
-    "join_salted_skew_above_avg",
-    "join_bloom_prefiltered_urgent_items",
+    # round 4's only red row, re-fixed this round ('|'-joined postings):
+    # the driver row turning green IS the done-criterion (VERDICT r4 #1)
     "index_inverted_postings",
-    "embedding_quantize_int8",
-    "funnel_view_click_purchase",
-    "retention_cohort_weeks",
-    "tokenizer_bpe_pair_counts",
-    "s2_compacted_tombstones",
-    "dedup_fuzzy_part_names",
-    "agg_grouping_sets_mixed",
-    "mm_paired_modality_manifest",
-    "stream_s2_compacted_tombstones",
-    # rotation: everything WITHOUT an r3 driver row (r1/r2-green, local-green
-    # since; cycling them back keeps every query ≤2 rounds without hard signal)
-    "join_left_interval_unpaid",
-    "agg_revenue_by_nation",
-    "s2_latest_event_per_user",
-    "join_semi_urgent_customers",
-    "join_anti_parts_never_shipped",
-    "agg_price_percentiles",
-    "stream_q5_paid_orders",
-    "stream_session_windows_per_user",
-    "stream_dedup_exact",
-    "stream_running_count_per_user",
-    "stream_join_left_interval_unpaid",
-    "dedup_embedding_cosine",
-    "sim_lsh_bucket_stats",
-    "sim_ivf_topk",
-    "sim_ann_multiprobe_topk",
-    "sim_ivf_multiprobe_topk",
-    "text_token_stats",
-    "text_langid",
-    "text_vocabulary",
-    "mm_frame_sample",
-    "mm_resize_audit",
-    "mm_audio_chunk_energy",
+    # NEW this round (round 5)
+    "text_bm25_topk",
+    "stream_domain_quality_stats",
+    "text_tfidf_topterms",
+    "text_bigram_lm_score",
+    "q_local_supplier_volume",
+    "wf_ntile_price_quartiles",
+    "knn_label_vote",
+    "embedding_norm_stats",
+    "text_length_histogram",
+    # CHANGED this round (integer-cents fold; quantize hi==lo guard)
+    "topk_customers_by_revenue",
     "stream_topk_customers_by_revenue",
-    "stream_asof_purchase_last_click",
+    "embedding_quantize_int8",
+    # stalest first: last driver row in ROUND 2 (3 rounds old)
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "text_quality_score",
+    "text_fingerprint",
+    "mm_image_metadata",
+    "mm_decoded_feature_checksum",
+    # last driver row in ROUND 3 (25 of 43; the 18 deferred lead round 6's
+    # rotation — an r3 row is exactly 2 rounds old at r5, the policy edge,
+    # so deferral picks the lowest-RISK members: stateless streaming twins
+    # of pinned batch queries (stream_q1..q4, stream_s2_latest_event_per_user,
+    # stream_q5_daily_revenue, stream_pipeline_quality_filter), trivial
+    # relational forms (setop_* ×3, json_props_extract,
+    # agg_pivot_status_by_segment, merge_order_ship_activity), and queries
+    # whose machinery is exercised by an r4/r5-checked sibling
+    # (sim_topk_bruteforce→knn_label_vote, sim_ann_lsh_topk→
+    # sim_ann_multiprobe_topk, agg_cube→agg_rollup/grouping_sets,
+    # wf_running_customer_spend→wf_top3/wf_ntile, sample_temperature_mix→
+    # sample_stratified_by_lang) — all unchanged since r3-green and
+    # re-checked every round by the full-registry local replica)
+    "agg_pricing_summary",
+    "wf_top3_orders_per_customer",
+    "join_left_order_lineitem_counts",
+    "agg_rollup_nation_segment",
+    "join_range_price_band",
+    "agg_kmv_distinct_sketch",
+    "agg_salted_skew",
+    "join_ktable_ktable_latest",
+    "asof_purchase_last_click",
+    "session_windows_per_user",
+    "sliding_window_event_counts",
+    "stream_dedup_within_watermark",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_simhash_banded",
+    "dedup_keep_best_by_quality",
+    "text_contamination_check",
+    "pack_sequences",
+    "dedup_cluster_components",
+    "sample_stratified_by_lang",
+    "pipeline_quality_filter",
+    "cogroup_order_reconciliation",
+    "text_repetition_stats",
+    "train_shuffle_shards",
+    "pii_scrub_events",
 )
 
 

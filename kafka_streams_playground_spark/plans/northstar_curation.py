@@ -282,3 +282,51 @@ def pii_scrub_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_digits"),
     )
+
+
+# Length-histogram bucket width (tokens). Fixture docs run ~5-120 tokens;
+# 10-token buckets give a readable ~12-bucket histogram at every SF.
+HIST_BUCKET_TOKENS = 10
+
+
+@query(
+    "text_length_histogram",
+    oracle=f"""
+    WITH f AS (
+      SELECT len(string_split(text, ' ')) AS n_tokens FROM documents
+    )
+    SELECT CAST(n_tokens // {HIST_BUCKET_TOKENS} AS BIGINT) AS bucket,
+           CAST(n_tokens // {HIST_BUCKET_TOKENS} * {HIST_BUCKET_TOKENS} AS BIGINT)
+               AS bucket_lo,
+           COUNT(*) AS n_docs,
+           CAST(MIN(n_tokens) AS BIGINT) AS min_tokens,
+           CAST(MAX(n_tokens) AS BIGINT) AS max_tokens
+    FROM f GROUP BY 1, 2
+    """,
+    tags=("northstar", "curation", "text", "bench"),
+)
+def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length histogram (HIST_BUCKET_TOKENS = 10-token buckets):
+    the length-distribution panel on every curation dashboard — where the
+    too-short/too-long gate thresholds (``pipeline_quality_filter``'s
+    MIN/MAX_TOKENS) come from in the first place, and the before/after
+    picture a filtering change is judged by.
+
+    Spark shape: one narrow map-side projection (token count only — text
+    never leaves the scan stage) and one shuffle to |buckets| rows with
+    map-side partials; integer division gives identical bucket boundaries
+    in both engines. O(N) with a ~dozen-row output at any corpus size —
+    at 100 TB this runs as a side output of whatever pass is already
+    scanning the corpus."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    n_tokens = F.size(F.split("text", " "))
+    f = docs.select(n_tokens.alias("n_tokens"))
+    bucket = F.floor(F.col("n_tokens") / HIST_BUCKET_TOKENS).cast("bigint")
+    return f.groupBy(
+        bucket.alias("bucket"),
+        (bucket * HIST_BUCKET_TOKENS).alias("bucket_lo"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_tokens").cast("bigint").alias("min_tokens"),
+        F.max("n_tokens").cast("bigint").alias("max_tokens"),
+    )

@@ -492,3 +492,173 @@ def tokenizer_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = docs.filter(F.size(toks) >= 2).select(F.explode(g2).alias("pair"))
     return pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
+
+
+TFIDF_TOP = 3
+
+
+@query(
+    "text_tfidf_topterms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tot AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tok),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+    dfq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    s AS (
+      SELECT tf.doc_id, tf.token,
+             CAST(FLOOR(tf.tf * ln(tot.n_docs * 1.0 / dfq.df) * 1000000 + 0.5)
+                  AS BIGINT) AS score6
+      FROM tf JOIN dfq USING (token) CROSS JOIN tot
+    ),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY doc_id ORDER BY score6 DESC, token ASC) AS rank
+      FROM s
+    )
+    SELECT doc_id,
+           string_agg(token, '|' ORDER BY rank) AS top_terms,
+           MAX(score6) AS top_score6
+    FROM r WHERE rank <= {TFIDF_TOP}
+    GROUP BY doc_id
+    """,
+    tags=("northstar", "scoring", "text", "index", "bench"),
+)
+def text_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document TF-IDF keyword extraction: each document's top
+    TFIDF_TOP (= 3) terms by tf·ln(N/df), rank-ordered — the classic
+    document-representation pass (keyword indexing, topic drift monitoring,
+    cheap relevance features) that consumes the same corpus statistics as
+    ``index_inverted_postings`` and ``text_bm25_topk``.
+
+    Spark shape: (doc, term) tf table → broadcast |vocabulary|-row df table
+    → 1-row corpus total (broadcast crossJoin) → scores quantized to
+    1e-6-grid integers → per-doc rank window (one shuffle on doc_id, the
+    same partitioning the tf aggregate already produced) → top-3 assembled
+    IN RANK ORDER via sort_array(collect_list(struct(rank, token))) and
+    emitted as a '|'-joined string (driver-hashable; DuckDB mirrors with
+    ORDER-BY'd string_agg). Tie scores break on token text in both
+    engines, so the assembled string is deterministic."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    tot = tf.agg(F.countDistinct("doc_id").alias("n_docs"))
+    score6 = F.floor(
+        F.col("tf") * F.log(F.col("n_docs") * 1.0 / F.col("df")) * 1000000
+        + F.lit(0.5)
+    ).cast("bigint")
+    s = (
+        tf.join(F.broadcast(dfq), "token")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", "token", score6.alias("score6"))
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score6").desc(), F.col("token").asc())
+    r = s.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= TFIDF_TOP)
+    return r.groupBy("doc_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("rank", "token"))),
+                lambda x: x["token"],
+            ),
+            "|",
+        ).alias("top_terms"),
+        F.max("score6").alias("top_score6"),
+    )
+
+
+@query(
+    "text_bigram_lm_score",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    vocab AS (
+      SELECT COUNT(DISTINCT token) AS v FROM (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+      )
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))])
+                 AS pair
+      FROM t WHERE len(toks) >= 2
+    ),
+    pc AS (SELECT pair, COUNT(*) AS cnt FROM bg GROUP BY pair),
+    w1c AS (
+      SELECT string_split(pair, ' ')[1] AS w1, CAST(SUM(cnt) AS BIGINT) AS w1cnt
+      FROM pc GROUP BY 1
+    ),
+    lp AS (
+      SELECT pc.pair,
+             CAST(FLOOR(ln((pc.cnt + 1.0) / (w1c.w1cnt + vocab.v))
+                        * {LP_GRID} + 0.5) AS BIGINT) AS lp6
+      FROM pc JOIN w1c ON string_split(pc.pair, ' ')[1] = w1c.w1
+      CROSS JOIN vocab
+    )
+    SELECT bg.doc_id,
+           COUNT(*) AS n_bigrams,
+           CAST(SUM(lp.lp6) AS BIGINT) AS sum_lp6,
+           FLOOR(CAST(SUM(lp.lp6) AS BIGINT) * 1.0 / COUNT(*) / 100 + 0.5) / 10000
+               AS avg_logprob
+    FROM bg JOIN lp USING (pair)
+    GROUP BY bg.doc_id
+    """,
+    tags=("northstar", "scoring", "text", "bench"),
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram-LM quality scoring — the next rung above
+    ``text_unigram_lm_score`` on the CCNet ladder: per-document mean
+    conditional log-prob ln P(w2|w1) under an add-one-smoothed bigram model
+    trained on the corpus itself. Word-order damage (shuffled/boilerplate
+    text) that unigram scoring cannot see collapses the bigram score, which
+    is why perplexity filters use context models.
+
+    Spark shape: the bigram table reuses ``tokenizer_bpe_pair_counts``'s
+    linear array-slice recipe; the model is TWO vocabulary-sized tables
+    (pair counts, first-word totals) that broadcast to the scoring join;
+    smoothing needs |V| — a 1-row aggregate crossJoined in. Log-probs
+    quantize to the shared 1e-6 grid (LP_GRID) before the per-doc sum, so
+    the fold is order-free and cross-engine exact. Documents with a single
+    token have no bigrams and drop out (same stance as the oracle's
+    len >= 2 filter)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split("text", " ")
+    g2 = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    )
+    bg = docs.filter(F.size(toks) >= 2).select(
+        "doc_id", F.explode(g2).alias("pair")
+    )
+    pc = bg.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
+    w1 = F.split(F.col("pair"), " ").getItem(0)
+    w1c = pc.groupBy(w1.alias("w1")).agg(F.sum("cnt").alias("w1cnt"))
+    vocab = (
+        docs.select(F.explode(toks).alias("token"))
+        .agg(F.countDistinct("token").alias("v"))
+    )
+    lp = (
+        pc.join(F.broadcast(w1c), w1 == F.col("w1"))
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "pair",
+            F.floor(
+                F.log((F.col("cnt") + 1.0) / (F.col("w1cnt") + F.col("v")))
+                * LP_GRID
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("lp6"),
+        )
+    )
+    agg = bg.join(F.broadcast(lp), "pair").groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"), F.sum("lp6").alias("sum_lp6")
+    )
+    return agg.select(
+        "doc_id",
+        "n_bigrams",
+        "sum_lp6",
+        (
+            F.floor(F.col("sum_lp6") / F.col("n_bigrams") / 100 + F.lit(0.5)) / 10000
+        ).alias("avg_logprob"),
+    )

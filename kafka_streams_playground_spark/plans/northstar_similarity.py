@@ -544,3 +544,135 @@ def sim_ivf_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= TOP_K)
         .select("query_id", "neighbor_id", "cosine", "rank")
     )
+
+
+KNN_K = 10
+
+
+@query(
+    "knn_label_vote",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+    n AS (SELECT vec_id, v, label, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id, c.label,
+             ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+      FROM n q JOIN n c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    ),
+    votes AS (
+      SELECT query_id, label, COUNT(*) AS votes
+      FROM ranked WHERE rank <= {KNN_K}
+      GROUP BY query_id, label
+    )
+    SELECT query_id, label AS predicted_label, votes FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY votes DESC, label ASC) AS vr
+      FROM votes
+    ) WHERE vr = 1
+    """,
+    tags=("northstar", "similarity", "classify", "bench"),
+)
+def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KNN majority-vote classification over the embedding corpus: each
+    query vector takes the modal label of its {KNN_K = 10} exact cosine
+    neighbors — the embedding-space form of the quality/domain classifier
+    pass (fastText-style labelers, seed-set expansion, weak labeling for
+    curation) a data pipeline runs against a small labeled seed set.
+
+    Spark shape: reuses the brute-force scoring recipe
+    (``sim_topk_bruteforce``): broadcast query set, per-partition scoring
+    with the Arrow dot-product fold, per-query rank window, then a
+    votes-per-label rollup and a deterministic argmax (votes desc, label
+    asc — both engines break ties identically). At 100 TB the exact scan
+    swaps for the IVF probe (``sim_ivf_topk``) with the identical
+    vote/argmax tail — the classifier head is index-agnostic."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        "label",
+    )
+    n = emb.select(
+        "vec_id", "v", "label", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm")
+    )
+    q = n.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    c = n.select(F.col("vec_id").alias("neighbor_id"), "v", "nrm", "label")
+    scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id",
+        "neighbor_id",
+        "label",
+        F.round(
+            _dot_udf(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    topk = scored.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= KNN_K
+    )
+    votes = topk.groupBy("query_id", "label").agg(F.count(F.lit(1)).alias("votes"))
+    wv = Window.partitionBy("query_id").orderBy(
+        F.col("votes").desc(), F.col("label").asc()
+    )
+    return (
+        votes.withColumn("vr", F.row_number().over(wv))
+        .filter(F.col("vr") == 1)
+        .select("query_id", F.col("label").alias("predicted_label"), "votes")
+    )
+
+
+@query(
+    "embedding_norm_stats",
+    oracle="""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+    n AS (
+      SELECT label,
+             CAST(FLOOR(sqrt(list_dot_product(v, v)) * 1000000 + 0.5) AS BIGINT)
+                 AS nrm6
+      FROM e
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           MIN(nrm6) AS min_norm6,
+           MAX(nrm6) AS max_norm6,
+           FLOOR(CAST(SUM(nrm6) AS BIGINT) * 1.0 / COUNT(*) / 100 + 0.5) / 10000
+               AS avg_norm
+    FROM n GROUP BY label
+    """,
+    tags=("northstar", "similarity", "embedding", "quality"),
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-corpus sanity report: per-label L2-norm distribution
+    (count, min/max, mean) — the first diagnostic a pipeline runs on a new
+    embedding drop. Collapsed or exploded norms flag encoder bugs and
+    un-normalized batches BEFORE any ANN index or SemDeDup pass consumes
+    them; per-label grouping localizes the damage to a shard or class.
+
+    Spark shape: one narrow map-side pass computes each vector's norm with
+    the Arrow dim-ordered fold (bit-identical to ``list_dot_product``),
+    quantized to a 1e-6-grid integer so min/max/mean are exact cross-engine
+    folds; one shuffle to |labels| rows with map-side partials. O(N·d)
+    total, embarrassingly parallel — the cheapest query in the similarity
+    family at any scale."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"), "label"
+    )
+    nrm6 = F.floor(
+        F.sqrt(_dot_udf(F.col("v"), F.col("v"))) * 1000000 + F.lit(0.5)
+    ).cast("bigint")
+    n = emb.select("label", nrm6.alias("nrm6"))
+    return n.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.min("nrm6").alias("min_norm6"),
+        F.max("nrm6").alias("max_norm6"),
+        (
+            F.floor(F.sum("nrm6") / F.count(F.lit(1)) / 100 + F.lit(0.5)) / 10000
+        ).alias("avg_norm"),
+    )

@@ -1039,3 +1039,121 @@ def agg_grouping_sets_mixed(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY GROUPING SETS ((n_name, c_mktsegment), (c_mktsegment), ())
         """
     )
+
+
+@query(
+    "q_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100
+                               + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents,
+           COUNT(*) AS n_lineitems
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate::TIMESTAMP >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate::TIMESTAMP <  TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+    """,
+    tags=("extension", "join", "multiway", "bench"),
+)
+def q_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-shaped local-supplier volume: revenue by nation where the
+    customer and the line's supplier share a nation, restricted to one
+    region and one order year — the canonical 6-way join the optimizer has
+    to get RIGHT at 100 TB, which is exactly why it's declared, not
+    hand-wired.
+
+    Plan shape Catalyst produces (and AQE re-checks at runtime): region ⋈
+    nation folds to a 5-row broadcast filter; supplier (always ≪ lineitem —
+    TPC-H scales it at 1/6000th) broadcasts into the lineitem scan; the
+    date filter on orders pushes to its parquet scan BEFORE the
+    customer⋈orders shuffle, so the only big exchanges are orders⋈lineitem
+    on orderkey — co-partitioned with the downstream group-by's first
+    shuffle — and the final per-nation rollup is 25 rows after map-side
+    partials. Revenue folds as floored integer cents per row (order-free,
+    cross-engine exact — the q_shipping_priority_top10 convention)."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    nat = nation.join(
+        F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"]
+    ).select("n_nationkey", "n_name")
+    cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("long")
+    j = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"])
+        .join(li, li["l_orderkey"] == orders["o_orderkey"])
+        .join(
+            F.broadcast(supp),
+            (supp["s_suppkey"] == li["l_suppkey"])
+            & (supp["s_nationkey"] == cust["c_nationkey"]),
+        )
+        .join(F.broadcast(nat), nat["n_nationkey"] == supp["s_nationkey"])
+    )
+    return j.groupBy(F.col("n_name").alias("nation")).agg(
+        F.sum(cents).alias("revenue_cents"),
+        F.count(F.lit(1)).alias("n_lineitems"),
+    )
+
+
+@query(
+    "wf_ntile_price_quartiles",
+    oracle="""
+    WITH t AS (
+      SELECT o_orderpriority,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+             NTILE(4) OVER (PARTITION BY o_orderpriority
+                            ORDER BY o_totalprice ASC, o_orderkey ASC) AS quartile
+      FROM orders
+    )
+    SELECT o_orderpriority, quartile,
+           COUNT(*) AS n_orders,
+           MIN(cents) AS min_cents,
+           MAX(cents) AS max_cents
+    FROM t GROUP BY o_orderpriority, quartile
+    """,
+    tags=("extension", "window", "ntile"),
+)
+def wf_ntile_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NTILE bucketing (§2.5's remaining ranking-window form): per-priority
+    price quartiles with per-bucket count and cent bounds — the
+    distribution-summary window a pricing dashboard derives. NTILE needs a
+    TOTAL order to be deterministic; ties on o_totalprice are broken by
+    o_orderkey in BOTH engines, so bucket boundaries match exactly. Scale
+    shape: one shuffle on the partition key, per-partition sort, then a
+    map-side-partial rollup to |priorities|×4 rows; at 100 TB a skewed
+    partition key would sort big partitions, but priorities are ~uniform
+    by construction (and percentile_approx is the sketch-based escape
+    hatch agg_price_percentiles already demonstrates)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.col("o_totalprice").asc(), F.col("o_orderkey").asc()
+    )
+    t = orders.select(
+        "o_orderpriority",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+    return t.groupBy("o_orderpriority", "quartile").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("cents").alias("min_cents"),
+        F.max("cents").alias("max_cents"),
+    )
