@@ -330,3 +330,77 @@ def text_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_tokens").cast("bigint").alias("min_tokens"),
         F.max("n_tokens").cast("bigint").alias("max_tokens"),
     )
+
+
+# Deterministic held-out split: md5(salt‖doc_id) mod 100 buckets → 90/5/5.
+# The salt namespaces this hash family away from train_shuffle_shards'.
+SPLIT_TRAIN_PCT = 90
+SPLIT_VAL_PCT = 95  # train < 90 ≤ val < 95 ≤ test
+
+
+@query(
+    "sample_hash_split",
+    oracle=f"""
+    WITH h AS (
+      SELECT ('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                 % 100 AS bucket,
+             len(string_split(text, ' ')) AS n_tokens
+      FROM documents
+    )
+    SELECT CASE WHEN bucket < {SPLIT_TRAIN_PCT} THEN 'train'
+                WHEN bucket < {SPLIT_VAL_PCT} THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+           FLOOR(COUNT(*) * 10000.0
+                 / (SELECT COUNT(*) FROM documents) + 0.5) / 10000 AS frac
+    FROM h GROUP BY 1
+    """,
+    tags=("northstar", "curation", "sampling", "bench"),
+)
+def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/validation/test holdout: every document lands in
+    a split by md5(salt‖doc_id) mod 100 (90/5/5) — the standard
+    content-stable split mechanism for training corpora. Hash-assignment
+    (vs random) is what makes the split REPRODUCIBLE across reruns,
+    incremental ingests, and engines: a document's split never changes when
+    the corpus around it does, which is exactly the property eval
+    decontamination depends on.
+
+    Spark shape: the bucket is computed map-side in the scan stage from the
+    same md5-prefix integer recipe as ``train_shuffle_shards`` (different
+    salt → independent hash family); one shuffle to 3 rollup rows with
+    map-side partials. The corpus-total for the fraction column is a 1-row
+    scalar aggregate (cross-joined, broadcast). O(N), no data movement
+    beyond the 3-row rollup — the manifest a 100 TB split pass writes next
+    to the shard directory."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    bucket = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("split:"), F.col("doc_id").cast("string"))), 1, 8
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 100
+    )
+    h = docs.select(
+        F.when(bucket < SPLIT_TRAIN_PCT, "train")
+        .when(bucket < SPLIT_VAL_PCT, "val")
+        .otherwise("test")
+        .alias("split"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    tot = docs.agg(F.count(F.lit(1)).alias("n_total"))
+    agg = h.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tokens").alias("n_tokens")
+    )
+    return agg.crossJoin(F.broadcast(tot)).select(
+        "split",
+        "n_docs",
+        "n_tokens",
+        (F.floor(F.col("n_docs") * 10000.0 / F.col("n_total") + F.lit(0.5)) / 10000).alias(
+            "frac"
+        ),
+    )

@@ -97,12 +97,11 @@ _MINHASH_ORACLE = f"""
 """
 
 
-def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The MinHash-LSH near-dup pipeline up to its verified pair list
-    (doc_a < doc_b, exact Jaccard ≥ threshold) — the edge set consumed both
-    by :func:`dedup_minhash_lsh` and by the cluster-identification query
-    (``dedup_cluster_components``). See :func:`dedup_minhash_lsh` for the
-    full scale rationale."""
+def _minhash_hv_pairs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Shared MinHash front half: the persisted per-doc (hs, sig) index and
+    the LSH band-collision candidate pair list (doc_a < doc_b, distinct) —
+    consumed by :func:`minhash_verified_pairs` (exact-Jaccard gate) and by
+    the signature-calibration audit (``dedup_minhash_estimate_audit``)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     ss = F.pandas_udf(T.shingle_sig_fn(MINHASH_K), "hs: array<bigint>, sig: array<bigint>")
     hv = (
@@ -138,6 +137,16 @@ def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    return hv, pairs
+
+
+def minhash_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash-LSH near-dup pipeline up to its verified pair list
+    (doc_a < doc_b, exact Jaccard ≥ threshold) — the edge set consumed both
+    by :func:`dedup_minhash_lsh` and by the cluster-identification query
+    (``dedup_cluster_components``). See :func:`dedup_minhash_lsh` for the
+    full scale rationale."""
+    hv, pairs = _minhash_hv_pairs(spark, sf_dir)
     cand = (
         pairs.join(hv.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hsa")), "doc_a")
         .join(hv.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hsb")), "doc_b")
@@ -441,4 +450,77 @@ def dedup_fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("a.n_rows").alias("n_rows_a"),
             F.col("b.n_rows").alias("n_rows_b"),
         )
+    )
+
+
+_SIG_MATCH_SQL = " + ".join(
+    f"CAST(sa.h{i} = sb.h{i} AS INT)" for i in range(MINHASH_K)
+)
+
+
+@query(
+    "dedup_minhash_estimate_audit",
+    oracle=f"""
+    WITH {MINHASH_PAIRS_CTES},
+    est AS (
+      SELECT p.doc_a, p.doc_b,
+             CAST({_SIG_MATCH_SQL} AS BIGINT) AS n_match
+      FROM pairs p
+      JOIN sig sa ON p.doc_a = sa.doc_id
+      JOIN sig sb ON p.doc_b = sb.doc_id
+    )
+    SELECT e.doc_a, e.doc_b, e.n_match,
+           ROUND(e.n_match / {MINHASH_K}.0, 4) AS est_jaccard,
+           ROUND(len(list_intersect(a.hs, b.hs)) * 1.0
+                 / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))), 4)
+               AS true_jaccard
+    FROM est e JOIN hv a ON e.doc_a = a.doc_id JOIN hv b ON e.doc_b = b.doc_id
+    """,
+    tags=("northstar", "dedup", "audit", "bench"),
+)
+def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH index-calibration audit: for every band-collision CANDIDATE pair
+    (pre-verification), the signature-estimated Jaccard (matching MinHash
+    components / K) next to the exact shingle Jaccard. This is the table a
+    production pipeline reads to TUNE the index — the est-vs-true spread at
+    the threshold is what decides K and the band/row split (the S-curve),
+    and a drifting spread flags a broken hash family before it silently
+    changes recall.
+
+    Spark shape: reuses the shared persisted (hs, sig) index and the
+    band-collision pair list (``_minhash_hv_pairs`` — same plan as
+    ``dedup_minhash_lsh``); the estimate is a K-element zip_with fold over
+    the two signatures, the truth the same array-intersect the verify gate
+    runs. Cost ∝ collisions (the LSH contract), never N²."""
+    hv, pairs = _minhash_hv_pairs(spark, sf_dir)
+    cand = (
+        pairs.join(
+            hv.select(
+                F.col("doc_id").alias("doc_a"),
+                F.col("hs").alias("hsa"),
+                F.col("sig").alias("siga"),
+            ),
+            "doc_a",
+        )
+        .join(
+            hv.select(
+                F.col("doc_id").alias("doc_b"),
+                F.col("hs").alias("hsb"),
+                F.col("sig").alias("sigb"),
+            ),
+            "doc_b",
+        )
+    )
+    n_match = F.aggregate(
+        F.zip_with(F.col("siga"), F.col("sigb"), lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, x: acc + x,
+    ).cast("bigint")
+    jac = T.jaccard(F.col("hsa"), F.col("hsb"))
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        n_match.alias("n_match"),
+        F.round(n_match / MINHASH_K, 4).alias("est_jaccard"),
+        F.round(jac, 4).alias("true_jaccard"),
     )

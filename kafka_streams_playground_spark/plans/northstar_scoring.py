@@ -630,7 +630,12 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     bg = docs.filter(F.size(toks) >= 2).select(
         "doc_id", F.explode(g2).alias("pair")
     )
-    pc = bg.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
+    # The pair-count model table feeds BOTH lp (directly) and w1c (re-agg);
+    # without materialization Spark would re-explode the corpus for each
+    # consumer. persist() caps that at one corpus pass — the table itself is
+    # pair-vocabulary-sized (≤|V|², ≪ corpus), the same persisted-index
+    # stance as the IVF member table (northstar_similarity._ivf_members).
+    pc = bg.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt")).persist()
     w1 = F.split(F.col("pair"), " ").getItem(0)
     w1c = pc.groupBy(w1.alias("w1")).agg(F.sum("cnt").alias("w1cnt"))
     vocab = (

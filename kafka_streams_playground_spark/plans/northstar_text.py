@@ -210,3 +210,87 @@ def text_vocabulary(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("term_freq"),
         F.countDistinct("doc_id").alias("doc_freq"),
     )
+
+
+@query(
+    "text_zipf_fit",
+    oracle="""
+    WITH v AS (
+      SELECT token, COUNT(*) AS cnt FROM (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+      ) GROUP BY token
+    ),
+    r AS (
+      SELECT CAST(FLOOR(ln(row_number() OVER (ORDER BY cnt DESC, token ASC))
+                        * 1000000 + 0.5) AS BIGINT) AS x6,
+             CAST(FLOOR(ln(cnt) * 1000000 + 0.5) AS BIGINT) AS y6
+      FROM v
+    ),
+    s AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(x6) AS BIGINT) AS sx, CAST(SUM(y6) AS BIGINT) AS sy,
+             CAST(SUM(x6 * y6) AS BIGINT) AS sxy,
+             CAST(SUM(x6 * x6) AS BIGINT) AS sxx,
+             CAST(SUM(y6 * y6) AS BIGINT) AS syy
+      FROM r
+    )
+    SELECT n AS n_terms,
+           FLOOR((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx) * 10000 + 0.5)
+               / 10000 AS zipf_slope,
+           FLOOR(((n * sxy - sx * sy) * 1.0 * (n * sxy - sx * sy))
+                 / ((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy)) * 10000 + 0.5)
+               / 10000 AS r2
+    FROM s
+    """,
+    tags=("northstar", "text", "curation", "bench"),
+)
+def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the corpus vocabulary: least-squares slope (and
+    R²) of ln(frequency) against ln(rank) — the corpus-level language-
+    sanity panel. Natural language sits near slope −1 with high R²;
+    templated/synthetic/boilerplate-heavy corpora bend the curve, making
+    this a one-row anomaly signal curation dashboards track across crawls
+    (the fixture corpus, ~uniform by construction, fits a shallow slope —
+    exactly what the signal is FOR).
+
+    Spark shape: vocabulary aggregate (map-side partials) → rank window
+    over VOCABULARY rows only (the bounded-window stance of
+    text_unigram_lm_score) → ln values quantized to 1e-6-grid integers so
+    all five regression sums are exact integer folds — order-free and
+    cross-engine identical — and the final slope/R² divisions see the very
+    same integers in both engines. Grid products stay < 2⁶³ for vocabularies
+    to ~10⁵ terms; a web-scale run drops the grid to 1e-3 or folds in
+    doubles with a tolerance instead."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    v = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    r = v.select(
+        F.floor(F.log(F.row_number().over(w)) * 1000000 + F.lit(0.5))
+        .cast("bigint")
+        .alias("x6"),
+        F.floor(F.log("cnt") * 1000000 + F.lit(0.5)).cast("bigint").alias("y6"),
+    )
+    s = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x6").alias("sx"),
+        F.sum("y6").alias("sy"),
+        F.sum(F.col("x6") * F.col("y6")).alias("sxy"),
+        F.sum(F.col("x6") * F.col("x6")).alias("sxx"),
+        F.sum(F.col("y6") * F.col("y6")).alias("syy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    deny = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    return s.select(
+        F.col("n").alias("n_terms"),
+        (F.floor(num * 1.0 / den * 10000 + F.lit(0.5)) / 10000).alias("zipf_slope"),
+        (
+            F.floor((num * 1.0 * num) / (den * 1.0 * deny) * 10000 + F.lit(0.5)) / 10000
+        ).alias("r2"),
+    )

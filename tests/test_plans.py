@@ -224,3 +224,35 @@ def test_unigram_lm_vocab_join_is_broadcast(spark, sf_dir):
     a shuffled corpus-vs-vocab join would be the 100 TB mistake."""
     plan = _plan(spark, sf_dir, "text_unigram_lm_score")
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_q5_volume_broadcasts_dims_and_pushes_date(spark, sf_dir):
+    """TPC-H Q5 shape: region/nation/supplier must broadcast (never shuffle
+    lineitem against a dim) and the order-year filter must reach the orders
+    scan — the two properties that keep the 6-way join viable at 100 TB."""
+    plan = _plan(spark, sf_dir, "q_local_supplier_volume")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "CartesianProduct" not in plan, plan
+    assert re.search(
+        r"PushedFilters:.*GreaterThanOrEqual\(o_orderdate", plan
+    ), plan
+    assert re.search(r"PushedFilters:.*EqualTo\(r_name,ASIA\)", plan), plan
+
+
+def test_bm25_broadcasts_model_and_heaps_topk(spark, sf_dir):
+    """BM25: the df/avgdl model tables must broadcast (vocabulary-sized),
+    and the global top-k must be TakeOrderedAndProject, not Sort+Limit."""
+    plan = _plan(spark, sf_dir, "text_bm25_topk")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_knn_query_filter_pushed_and_no_cartesian(spark, sf_dir):
+    """KNN classify: the query-set filter (vec_id < N_QUERIES) must reach
+    the scan, and the scoring join must be the broadcast form (the corpus
+    side never shuffles)."""
+    plan = _plan(spark, sf_dir, "knn_label_vote")
+    assert re.search(r"PushedFilters:.*LessThan\(vec_id,5\)", plan), plan
+    assert "CartesianProduct" not in plan, plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
