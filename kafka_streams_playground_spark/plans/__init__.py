@@ -58,6 +58,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sample_hash_split",
     "text_zipf_fit",
     "dedup_minhash_estimate_audit",
+    "kmeans_ivf_train",
     # CHANGED this round (integer-cents fold; quantize hi==lo guard)
     "topk_customers_by_revenue",
     "stream_topk_customers_by_revenue",
@@ -69,7 +70,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_fingerprint",
     "mm_image_metadata",
     "mm_decoded_feature_checksum",
-    # last driver row in ROUND 3 (22 of 43; the 21 deferred lead round 6's
+    # last driver row in ROUND 3 (21 of 43; the 22 deferred lead round 6's
     # rotation — an r3 row is exactly 2 rounds old at r5, the policy edge,
     # so deferral picks the lowest-RISK members: stateless streaming twins
     # of pinned batch queries (stream_q1..q4, stream_s2_latest_event_per_user,
@@ -82,9 +83,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # wf_running_customer_spend→wf_top3/wf_ntile, sample_temperature_mix→
     # sample_stratified_by_lang, text_repetition_stats→bpe/bigram array
     # slicing, train_shuffle_shards→sample_hash_split's md5 recipe,
-    # asof_purchase_last_click→its r4-green streaming twin sharing the
-    # same oracle) — all unchanged since r3-green and re-checked every
-    # round by the full-registry local replica)
+    # asof_purchase_last_click and session_windows_per_user→their r4-green
+    # streaming twins sharing the same oracles) — all unchanged since
+    # r3-green and re-checked every round by the full-registry local
+    # replica)
     "agg_pricing_summary",
     "wf_top3_orders_per_customer",
     "join_left_order_lineitem_counts",
@@ -93,7 +95,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_kmv_distinct_sketch",
     "agg_salted_skew",
     "join_ktable_ktable_latest",
-    "session_windows_per_user",
     "sliding_window_event_counts",
     "stream_dedup_within_watermark",
     "dedup_exact",

@@ -676,3 +676,177 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.sum("nrm6") / F.count(F.lit(1)) / 100 + F.lit(0.5)) / 10000
         ).alias("avg_norm"),
     )
+
+
+KMEANS_K = 8
+KMEANS_ITERS = 2
+_KM_DIST = "list_sum(list_transform(list_zip(e.x6, c.c6), s -> (s[1]-s[2])*(s[1]-s[2])))"
+
+
+def _kmeans_state(spark: SparkSession, sf_dir: str, iters: int = KMEANS_ITERS):
+    """Lloyd's k-means on the 1e-6 integer grid: returns (last assignment
+    DataFrame (vec_id, cent_id, dist), last centroid-update DataFrame
+    (cent_id, dim, c)) after ``iters`` assignment rounds. Shared by the
+    registered query and the inertia-monotonicity unit test."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000000 + F.lit(0.5)).cast("long"),
+        ).alias("x6"),
+    )
+    e = emb.persist()
+    # Deterministic init: the first K vec_ids (no RNG portability hazard).
+    cents = sorted(
+        (r["vec_id"], np.array(r["x6"], dtype=np.int64))
+        for r in e.filter(F.col("vec_id") < KMEANS_K).collect()
+    )
+
+    def _assign_fn(cent_rows):
+        cids = np.array([c[0] for c in cent_rows], dtype=np.int64)
+        C = np.stack([c[1] for c in cent_rows])  # (K, d) int64
+
+        def fn(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.stack(pdf["x6"].to_numpy()).astype(np.int64)  # (n, d)
+                # exact integer squared distances: (n, K)
+                d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+                j = d2.argmin(axis=1)  # first min → smallest cent_id (cids sorted)
+                yield pd.DataFrame(
+                    {
+                        "vec_id": pdf["vec_id"].values,
+                        "cent_id": cids[j],
+                        "dist": d2[np.arange(len(j)), j],
+                    }
+                )
+
+        return fn
+
+    assign = upd = None
+    for it in range(iters):
+        if it > 0:
+            # O(K·d) centroid rows to the driver per iteration — the MLlib
+            # k-means stance (centroids live on the driver between rounds).
+            rows = upd.groupBy("cent_id").agg(
+                F.array_sort(F.collect_list(F.struct("dim", "c"))).alias("cs")
+            ).collect()
+            cents = sorted(
+                (r["cent_id"], np.array([s["c"] for s in r["cs"]], dtype=np.int64))
+                for r in rows
+            )
+        assign = e.mapInPandas(
+            _assign_fn(cents), "vec_id bigint, cent_id bigint, dist bigint"
+        )
+        m = assign.join(e, "vec_id").select(
+            "cent_id", F.posexplode("x6").alias("dim0", "x")
+        )
+        upd = m.groupBy("cent_id", (F.col("dim0") + 1).alias("dim")).agg(
+            F.floor(F.sum("x") * 1.0 / F.count(F.lit(1))).cast("long").alias("c")
+        )
+    return assign, upd
+
+
+@query(
+    "kmeans_ivf_train",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id,
+             [CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)
+              for x in embedding::DOUBLE[]] AS x6
+      FROM embeddings
+    ),
+    c0 AS (SELECT vec_id AS cent_id, x6 AS c6 FROM e WHERE vec_id < {KMEANS_K}),
+    d1 AS (
+      SELECT e.vec_id, c.cent_id, {_KM_DIST} AS dist
+      FROM e CROSS JOIN c0 c
+    ),
+    a1 AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY dist ASC, cent_id ASC) AS rn
+        FROM d1
+      ) WHERE rn = 1
+    ),
+    m1 AS (
+      SELECT a1.cent_id, generate_subscripts(e.x6, 1) AS dim, unnest(e.x6) AS x
+      FROM a1 JOIN e USING (vec_id)
+    ),
+    c1 AS (
+      SELECT cent_id, list(m ORDER BY dim) AS c6 FROM (
+        SELECT cent_id, dim, CAST(FLOOR(SUM(x) * 1.0 / COUNT(*)) AS BIGINT) AS m
+        FROM m1 GROUP BY cent_id, dim
+      ) GROUP BY cent_id
+    ),
+    d2 AS (
+      SELECT e.vec_id, c.cent_id, {_KM_DIST} AS dist
+      FROM e CROSS JOIN c1 c
+    ),
+    a2 AS (
+      SELECT vec_id, cent_id, dist FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY vec_id ORDER BY dist ASC, cent_id ASC) AS rn
+        FROM d2
+      ) WHERE rn = 1
+    ),
+    m2 AS (
+      SELECT a2.cent_id, generate_subscripts(e.x6, 1) AS dim, unnest(e.x6) AS x
+      FROM a2 JOIN e USING (vec_id)
+    ),
+    c2 AS (
+      SELECT cent_id, dim, CAST(FLOOR(SUM(x) * 1.0 / COUNT(*)) AS BIGINT) AS m
+      FROM m2 GROUP BY cent_id, dim
+    ),
+    chk AS (
+      SELECT cent_id, CAST(SUM(m * (dim % 7 + 1)) AS BIGINT) AS centroid_checksum
+      FROM c2 GROUP BY cent_id
+    )
+    SELECT a.cent_id AS cluster,
+           COUNT(*) AS n_members,
+           CAST(SUM(a.dist) AS BIGINT) AS inertia,
+           ANY_VALUE(chk.centroid_checksum) AS centroid_checksum
+    FROM a2 a JOIN chk USING (cent_id)
+    GROUP BY a.cent_id
+    """,
+    tags=("northstar", "similarity", "embedding", "iterative", "bench"),
+)
+def kmeans_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic k-means training for the IVF coarse quantizer — TWO
+    Lloyd iterations (assign → update → assign → update) over the embedding
+    corpus with K = 8 centroids. This closes the IVF loop: ``sim_ivf_topk``
+    documents that "real deployments learn the K centroids with k-means";
+    this operator IS that training run, made bit-exact cross-engine by
+    working on the 1e-6 integer grid — squared distances, argmins, and
+    floor-mean centroid updates are all exact int64 arithmetic, so both
+    engines take the identical Lloyd trajectory (no RNG, no float-sum
+    order hazard anywhere). Output: per final cluster, member count,
+    inertia contribution (the convergence certificate — unit-pinned
+    monotone non-increasing across iterations), and a dim-weighted
+    centroid checksum (the embedding_quantize_int8 recipe — makes the
+    K×d centroid table oracle-comparable without array columns).
+
+    Spark shape, per iteration: ONE ``mapInPandas`` assignment pass with
+    the K×d integer centroid matrix closed over (vectorized numpy
+    distances; first-argmin = smallest cent_id, matching the oracle's
+    rank tiebreak) — the same fixed-K broadcast-assignment recipe as
+    ``_ivf_members`` — then a posexplode + (cent, dim)-keyed update with
+    map-side partials. Centroids round-trip the driver between iterations
+    at O(K·d) — the Spark-MLlib k-means stance, a config-sized payload
+    like the bloom words and IVF centroid collects named in SCALE.md §12.
+    Iteration count is FIXED (the unrolled-oracle contract), which is how
+    production IVF training runs anyway (a fixed small iteration budget,
+    not convergence-to-epsilon)."""
+    assign, upd = _kmeans_state(spark, sf_dir, KMEANS_ITERS)
+    chk = upd.groupBy("cent_id").agg(
+        F.sum(F.col("c") * (F.col("dim") % 7 + 1)).alias("centroid_checksum")
+    )
+    roll = assign.groupBy("cent_id").agg(
+        F.count(F.lit(1)).alias("n_members"), F.sum("dist").alias("inertia")
+    )
+    return roll.join(F.broadcast(chk), "cent_id").select(
+        F.col("cent_id").alias("cluster"), "n_members", "inertia", "centroid_checksum"
+    )

@@ -356,3 +356,20 @@ def test_semdedup_prunes_subset_of_exact_pairs(spark, sf_dir):
     for r in pruned:
         assert r.vec_id in exact, f"{r.vec_id} pruned without a true pair"
         assert r.max_dup_cosine <= exact[r.vec_id] + 1e-4
+
+
+def test_kmeans_inertia_monotone(spark, sf_dir):
+    """Lloyd's algorithm certificate: total inertia after the second
+    assignment round must not exceed the first round's (each assign and
+    each update step is individually non-increasing on the exact integer
+    grid, up to the floor-rounding of centroid means — pin the end-to-end
+    inequality)."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_playground_spark.plans.northstar_similarity import (
+        _kmeans_state,
+    )
+
+    i1 = _kmeans_state(spark, sf_dir, 1)[0].agg(F.sum("dist")).collect()[0][0]
+    i2 = _kmeans_state(spark, sf_dir, 2)[0].agg(F.sum("dist")).collect()[0][0]
+    assert i2 <= i1
