@@ -234,3 +234,22 @@ def test_compact_parquet_merges_small_files(spark, tmp_path):
     back = spark.read.parquet(dst)
     assert back.count() == 10_000
     assert {r["v"] for r in back.collect()} == set(range(10_000))
+
+
+def test_compact_parquet_refuses_in_place_overwrite(spark, tmp_path):
+    """dst == src must raise (lazy source read + overwrite would delete the
+    inputs mid-scan, ADVICE r4) — and the source must remain untouched."""
+    import os
+
+    import pytest as _pytest
+
+    from kafka_streams_playground_spark.sources.sinks import compact_parquet
+
+    src = str(tmp_path / "inplace")
+    spark.range(100).write.parquet(src)
+    with _pytest.raises(ValueError, match="dst_path must differ"):
+        compact_parquet(spark, src, src)
+    # trailing-slash / relative aliasing must not sneak past the guard
+    with _pytest.raises(ValueError, match="dst_path must differ"):
+        compact_parquet(spark, src, src + "/")
+    assert spark.read.parquet(src).count() == 100
