@@ -59,6 +59,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_zipf_fit",
     "dedup_minhash_estimate_audit",
     "kmeans_ivf_train",
+    "asof_nearest_click",
+    "ts_ewma_user_daily",
+    "decontaminate_corpus",
+    "pipeline_dataset_card",
+    "tokenizer_vocab_coverage",
+    "dedup_containment_lsh",
+    "stream_text_token_stats",
     # CHANGED this round (integer-cents fold; quantize hi==lo guard)
     "topk_customers_by_revenue",
     "stream_topk_customers_by_revenue",
@@ -84,24 +91,24 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # sample_stratified_by_lang, text_repetition_stats→bpe/bigram array
     # slicing, train_shuffle_shards→sample_hash_split's md5 recipe,
     # asof_purchase_last_click and session_windows_per_user→their r4-green
-    # streaming twins sharing the same oracles) — all unchanged since
-    # r3-green and re-checked every round by the full-registry local
-    # replica)
-    "agg_pricing_summary",
-    "wf_top3_orders_per_customer",
-    "join_left_order_lineitem_counts",
+    # streaming twins sharing the same oracles; additionally deferred for the
+    # late-r5 additions, by the same sibling rule: agg_pricing_summary→
+    # agg_rollup/grouping_sets, wf_top3→wf_ntile, join_left_order_lineitem_
+    # counts→join_left_interval_unpaid, sliding_window_event_counts→its
+    # r4-green streaming twin, dedup_exact→stream_dedup_exact + dataset-card
+    # md5 fold, dedup_keep_best_by_quality→minhash pair machinery,
+    # text_contamination_check→decontaminate_corpus which composes it and
+    # shares its oracle CTE chain verbatim) — all unchanged since their last
+    # driver green and re-checked every round by the full-registry local
+    # replica
     "agg_rollup_nation_segment",
     "join_range_price_band",
     "agg_kmv_distinct_sketch",
     "agg_salted_skew",
     "join_ktable_ktable_latest",
-    "sliding_window_event_counts",
     "stream_dedup_within_watermark",
-    "dedup_exact",
     "dedup_minhash_lsh",
     "dedup_simhash_banded",
-    "dedup_keep_best_by_quality",
-    "text_contamination_check",
     "pack_sequences",
     "dedup_cluster_components",
     "sample_stratified_by_lang",

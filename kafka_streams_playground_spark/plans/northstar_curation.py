@@ -404,3 +404,61 @@ def sample_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             "frac"
         ),
     )
+
+
+@query(
+    "pipeline_dataset_card",
+    oracle="""
+    WITH t AS (
+      SELECT lang, source, len(string_split(text, ' ')) AS n, md5(text) AS h
+      FROM documents
+    ),
+    a AS (
+      SELECT COUNT(*) AS n_docs,
+             COUNT(DISTINCT lang) AS n_langs,
+             COUNT(DISTINCT source) AS n_sources,
+             CAST(SUM(n) AS BIGINT) AS total_tokens,
+             COUNT(DISTINCT h) AS n_unique_texts
+      FROM t
+    )
+    SELECT n_docs, n_langs, n_sources, total_tokens, n_unique_texts,
+           (n_docs - n_unique_texts) * 1000000 // n_docs AS dup_ppm,
+           total_tokens * 1000000 // n_docs AS tokens_per_doc_e6
+    FROM a
+    """,
+    tags=("northstar", "curation", "bench"),
+)
+def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset card: the one-row corpus summary a curated release publishes —
+    document/language/source counts, total whitespace tokens, distinct-text
+    count, exact-duplicate rate and mean document length (both in
+    parts-per-million fixed point, BIGINT floor division in both engines —
+    no float path at all).
+
+    Spark shape: a single global aggregate over one narrow projection of the
+    scan; every measure (count, conditional counts, sum, distinct-md5 count)
+    folds map-side first, so the final exchange carries one partial row per
+    task. ``count_distinct`` over md5 is the only shuffle-wide state and is
+    bounded by |distinct texts| — at 100 TB swap in HLL/KMV
+    (``agg_kmv_distinct_sketch``) if an approximate card suffices; the
+    exact form is the publishable one."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "lang", "source", F.size(T.tokens("text")).alias("n"), F.md5("text").alias("h")
+    )
+    a = t.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum("n").cast("bigint").alias("total_tokens"),
+        F.countDistinct("h").alias("n_unique_texts"),
+    )
+    return a.select(
+        "n_docs",
+        "n_langs",
+        "n_sources",
+        "total_tokens",
+        "n_unique_texts",
+        F.expr("(n_docs - n_unique_texts) * 1000000 div n_docs").alias("dup_ppm"),
+        F.expr("total_tokens * 1000000 div n_docs").alias("tokens_per_doc_e6"),
+    )

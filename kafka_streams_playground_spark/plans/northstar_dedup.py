@@ -524,3 +524,60 @@ def dedup_minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(n_match / MINHASH_K, 4).alias("est_jaccard"),
         F.round(jac, 4).alias("true_jaccard"),
     )
+
+
+CONTAINMENT_TH = 0.85  # asymmetric near-dup gate: |A∩B| / |smaller side's set|
+
+
+@query(
+    "dedup_containment_lsh",
+    oracle=f"""
+    WITH {{PAIRS}}
+    SELECT doc_a, doc_b,
+           ROUND(len(list_intersect(a.hs, b.hs)) * 1.0 / len(a.hs), 4)
+               AS contain_a_in_b,
+           ROUND(len(list_intersect(a.hs, b.hs)) * 1.0 / len(b.hs), 4)
+               AS contain_b_in_a
+    FROM pairs JOIN hv a ON doc_a = a.doc_id JOIN hv b ON doc_b = b.doc_id
+    WHERE GREATEST(len(list_intersect(a.hs, b.hs)) * 1.0 / len(a.hs),
+                   len(list_intersect(a.hs, b.hs)) * 1.0 / len(b.hs))
+          >= {CONTAINMENT_TH}
+    """.replace("{PAIRS}", MINHASH_PAIRS_CTES),
+    tags=("northstar", "dedup", "bench"),
+)
+def dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Containment near-dup detection: on the MinHash-LSH candidate pairs,
+    compute the ASYMMETRIC containment C(A,B) = |A∩B| / |A| in both
+    directions and keep pairs where either side is ≥ ``CONTAINMENT_TH`` —
+    the quote/superset detector Jaccard misses (a short doc embedded
+    verbatim in a long one has high containment but LOW Jaccard, because
+    the union is dominated by the long side; cf. Broder's resemblance vs
+    containment distinction).
+
+    Spark shape: identical scale discipline to ``dedup_minhash_lsh`` — the
+    persisted (doc_id, hs) index and the band-bucket candidate join are
+    SHARED code (``_minhash_hv_pairs``); shingle-hash arrays are joined
+    back only for surviving candidates, and the containment arithmetic
+    runs on int arrays. One caveat at 100 TB, stated honestly: LSH on
+    min-hash signatures targets high-JACCARD pairs, so high-containment /
+    low-Jaccard pairs can miss the candidate net; production containment
+    hunts use suffix-array or seed-shingle indexes. On the fixtures every
+    threshold-passing containment pair also band-collides, so the oracle
+    is exact."""
+    hv, pairs = _minhash_hv_pairs(spark, sf_dir)
+    cand = (
+        pairs.join(hv.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hsa")), "doc_a")
+        .join(hv.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hsb")), "doc_b")
+    )
+    inter = F.size(F.array_intersect("hsa", "hsb"))
+    ca = inter / F.size("hsa")
+    cb = inter / F.size("hsb")
+    return (
+        cand.filter(F.greatest(ca, cb) >= CONTAINMENT_TH)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(ca, 4).alias("contain_a_in_b"),
+            F.round(cb, 4).alias("contain_b_in_a"),
+        )
+    )

@@ -47,10 +47,10 @@ MIN_QUALITY = 0.26
 COGROUP_BUCKETS = 64
 
 
-@query(
-    "text_contamination_check",
-    oracle=f"""
-    WITH {T.duck_shingles_cte()},
+# Shingle → benchmark-overlap aggregation CTE chain, shared by the
+# contamination check's oracle and the decontamination (removal) oracle so
+# both engines' flag sets provably agree.
+CONTAM_AGG_CTES = f"""{T.duck_shingles_cte()},
     hv AS (
       SELECT doc_id, list_distinct({T.duck_shingle_hashes()}) AS hs FROM sh
     ),
@@ -66,7 +66,13 @@ COGROUP_BUCKETS = 64
              COUNT(b.h) AS n_contaminated
       FROM corpus c LEFT JOIN bench b USING (h)
       GROUP BY c.doc_id
-    )
+    )"""
+
+
+@query(
+    "text_contamination_check",
+    oracle=f"""
+    WITH {CONTAM_AGG_CTES}
     SELECT doc_id, n_shingles, n_contaminated,
            ROUND(n_contaminated * 1.0 / n_shingles, 4) AS contamination_ratio,
            CAST(n_contaminated * 1.0 / n_shingles >= {CONTAM_FLAG_RATIO} AS INT)
@@ -538,5 +544,45 @@ def cogroup_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
             recon,
             "o_orderkey long, o_total_cents long, n_items long, "
             "li_sum_cents long, diff_cents long",
+        )
+    )
+
+
+@query(
+    "decontaminate_corpus",
+    oracle=f"""
+    WITH {CONTAM_AGG_CTES}
+    SELECT d.doc_id, d.lang, d.source,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tokens
+    FROM documents d JOIN agg USING (doc_id)
+    WHERE n_contaminated * 1.0 / n_shingles < {CONTAM_FLAG_RATIO}
+    """,
+    tags=("northstar", "pipeline", "text", "bench"),
+)
+def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination — the REMOVAL step on top of the contamination check:
+    the surviving training manifest (doc_id, lang, source, token count) after
+    dropping every corpus document whose benchmark shingle overlap reaches
+    ``CONTAM_FLAG_RATIO`` (benchmark members themselves never enter the
+    manifest). ``text_contamination_check`` is the audit report; THIS is the
+    pass whose output feeds the tokenizer.
+
+    Spark shape: composes the check verbatim (same broadcast
+    benchmark-shingle set, same one narrow corpus shuffle), then one
+    co-shuffled inner join back to the documents scan projecting only the
+    manifest columns — the flag side carries (doc_id, flagged) alone. At
+    100 TB the join keys on doc_id with no skew (one row per doc each
+    side), and the manifest projection prunes ``text`` from the output
+    scan."""
+    flags = text_contamination_check(spark, sf_dir).select("doc_id", "flagged")
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.join(flags, "doc_id")
+        .filter(F.col("flagged") == 0)
+        .select(
+            "doc_id",
+            "lang",
+            "source",
+            F.size(T.tokens("text")).cast("bigint").alias("n_tokens"),
         )
     )

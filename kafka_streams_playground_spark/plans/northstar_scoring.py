@@ -667,3 +667,69 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(F.col("sum_lp6") / F.col("n_bigrams") / 100 + F.lit(0.5)) / 10000
         ).alias("avg_logprob"),
     )
+
+
+VOCAB_COVER_NS = (5, 10, 20)  # candidate vocabulary sizes to audit
+_VOCAB_NS_SQL = ", ".join(str(n) for n in VOCAB_COVER_NS)
+
+
+@query(
+    "tokenizer_vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    c AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY token),
+    r AS (
+      SELECT token, cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, token ASC) AS rk
+      FROM c
+    ),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total_tokens FROM c),
+    n AS (SELECT unnest([{_VOCAB_NS_SQL}]) AS n_vocab)
+    SELECT n.n_vocab,
+           CAST(SUM(r.cnt) AS BIGINT) AS covered_tokens,
+           tot.total_tokens,
+           CAST(SUM(r.cnt) AS BIGINT) * 1000000 // tot.total_tokens
+               AS coverage_ppm
+    FROM n JOIN r ON r.rk <= n.n_vocab CROSS JOIN tot
+    GROUP BY n.n_vocab, tot.total_tokens
+    """,
+    tags=("northstar", "scoring", "text", "tokenizer", "bench"),
+)
+def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-size sweep: for each candidate vocab size N, the fraction
+    of corpus token OCCURRENCES covered by the top-N unigrams (rank by
+    count desc, token asc) — the coverage/OOV curve a tokenizer build
+    inspects to size its vocabulary before committing to BPE merges
+    (``tokenizer_bpe_pair_counts`` is the next step after this one picks N).
+
+    Spark shape: one token-keyed shuffle with map-side partials to unigram
+    counts (vocabulary-sized — 31 rows on the fixtures, ≤ a few million for
+    real corpora), then a ranking window over that VOCABULARY-sized table
+    (single-partition by design: the global rank runs over |vocab| rows,
+    never over the corpus — same bounded-small-side stance as the KMV K-row
+    merge). The N-sweep is a broadcast theta-join of the 3-row size spine
+    against the ranked vocab, and coverage divides on an exact integer ppm
+    grid — no float path."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    tok = docs.select(F.explode(F.split("text", " ")).alias("token"))
+    c = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
+    r = c.select("token", "cnt", F.row_number().over(w).alias("rk"))
+    tot = c.agg(F.sum("cnt").cast("bigint").alias("total_tokens"))
+    sizes = spark.range(1).select(
+        F.explode(F.array(*[F.lit(n) for n in VOCAB_COVER_NS])).alias("n_vocab")
+    )
+    return (
+        r.join(F.broadcast(sizes), F.col("rk") <= F.col("n_vocab"))
+        .groupBy("n_vocab")
+        .agg(F.sum("cnt").cast("bigint").alias("covered_tokens"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n_vocab",
+            "covered_tokens",
+            "total_tokens",
+            F.expr("covered_tokens * 1000000 div total_tokens").alias("coverage_ppm"),
+        )
+    )

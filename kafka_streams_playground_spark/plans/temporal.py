@@ -502,3 +502,209 @@ def retention_cohort_weeks(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("cw").alias("cohort_week"), (F.col("w") - F.col("cw")).alias("week_offset"))
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+NEAREST_TOL_S = 3600  # max |click - purchase| distance for a nearest match
+
+
+@query(
+    "asof_nearest_click",
+    oracle=f"""
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    bf AS (
+      SELECT p.event_id, p.user_id,
+             CAST(FLOOR(epoch(p.ts::TIMESTAMP)) AS BIGINT) AS purchase_epoch,
+             (SELECT c.event_id FROM events c
+               WHERE c.user_id = p.user_id AND c.event_type = 'click'
+                 AND c.ts <= p.ts
+               ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS back_id,
+             (SELECT CAST(FLOOR(epoch(c.ts::TIMESTAMP)) AS BIGINT) FROM events c
+               WHERE c.user_id = p.user_id AND c.event_type = 'click'
+                 AND c.ts <= p.ts
+               ORDER BY c.ts DESC, c.event_id DESC LIMIT 1) AS back_epoch,
+             (SELECT c.event_id FROM events c
+               WHERE c.user_id = p.user_id AND c.event_type = 'click'
+                 AND c.ts > p.ts
+               ORDER BY c.ts ASC, c.event_id ASC LIMIT 1) AS fwd_id,
+             (SELECT CAST(FLOOR(epoch(c.ts::TIMESTAMP)) AS BIGINT) FROM events c
+               WHERE c.user_id = p.user_id AND c.event_type = 'click'
+                 AND c.ts > p.ts
+               ORDER BY c.ts ASC, c.event_id ASC LIMIT 1) AS fwd_epoch
+      FROM p
+    ),
+    d AS (
+      SELECT *,
+             (back_id IS NOT NULL AND (fwd_id IS NULL
+                OR purchase_epoch - back_epoch <= fwd_epoch - purchase_epoch))
+                 AS pick_back,
+             CASE WHEN back_id IS NOT NULL AND (fwd_id IS NULL
+                    OR purchase_epoch - back_epoch <= fwd_epoch - purchase_epoch)
+                  THEN purchase_epoch - back_epoch
+                  WHEN fwd_id IS NOT NULL THEN fwd_epoch - purchase_epoch
+             END AS dist
+      FROM bf
+    )
+    SELECT event_id, user_id, purchase_epoch,
+           CASE WHEN dist <= {NEAREST_TOL_S} AND pick_back THEN back_id
+                WHEN dist <= {NEAREST_TOL_S} AND fwd_id IS NOT NULL THEN fwd_id
+           END AS nearest_click_id,
+           CASE WHEN dist <= {NEAREST_TOL_S} THEN dist END AS nearest_dist_s,
+           CASE WHEN dist <= {NEAREST_TOL_S} AND pick_back THEN 1
+                WHEN dist <= {NEAREST_TOL_S} AND fwd_id IS NOT NULL THEN 2
+                ELSE 0 END AS direction
+    FROM d
+    """,
+    tags=("extension", "temporal", "asof", "join"),
+)
+def asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest as-of join: each purchase picks the click closest in time on
+    EITHER side, within a tolerance — the attribution variant ad-tech and
+    sensor-fusion pipelines ask for when "last touch" is too strict
+    (pandas' ``merge_asof(direction='nearest')``, QuestDB's ASOF ... TOLERANCE).
+
+    Completes the as-of family: backward (``asof_purchase_last_click``),
+    forward (``asof_forward_next_purchase``), and now nearest. Semantics:
+    backward candidate = latest click at-or-before (ties → largest id),
+    forward candidate = first click strictly after (ties → smallest id),
+    the nearer wins (exact tie → backward), and a match farther than
+    ``NEAREST_TOL_S`` seconds is discarded (direction: 1=back, 2=fwd,
+    0=no match in tolerance).
+
+    Spark shape — the scale point: ONE union + ONE hash exchange on
+    user_id + ONE in-partition sort serve BOTH directions. The backward
+    candidate is ``last(click, ignoreNulls)`` over the running frame and
+    the forward candidate is ``first(click, ignoreNulls)`` over the
+    (current+1, ∞) frame — two frames of the SAME window ordering, so
+    Catalyst evaluates them in a single Window operator over a single
+    sort, with the (ts, side, id) ordering resolving equal-ts ties
+    identically to the oracle. Still linear state (one carried value per
+    direction), no candidate-pair explosion however wide the tolerance —
+    where a range join's state grows with click density."""
+    events = load_table(spark, sf_dir, "events")
+    clicks = events.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.lit(0).alias("side"),
+        "event_id",
+        F.col("event_id").alias("click_id"),
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(1).alias("side"),
+        "event_id",
+        F.lit(None).cast("long").alias("click_id"),
+    )
+    u = clicks.unionByName(purchases)
+    order = [F.col("ts").asc(), F.col("side").asc(), F.col("event_id").asc()]
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(*order)
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    click_ts = F.when(F.col("click_id").isNotNull(), F.col("ts"))
+    carried = u.select(
+        "user_id",
+        "ts",
+        "side",
+        "event_id",
+        F.last("click_id", ignorenulls=True).over(wb).alias("back_id"),
+        F.last(click_ts, ignorenulls=True).over(wb).alias("back_ts"),
+        F.first("click_id", ignorenulls=True).over(wf).alias("fwd_id"),
+        F.first(click_ts, ignorenulls=True).over(wf).alias("fwd_ts"),
+    )
+    p = carried.filter(F.col("side") == 1)
+    pe = F.unix_timestamp("ts")
+    be = F.unix_timestamp("back_ts")
+    fe = F.unix_timestamp("fwd_ts")
+    pick_back = F.col("back_id").isNotNull() & (
+        F.col("fwd_id").isNull() | ((pe - be) <= (fe - pe))
+    )
+    dist = F.when(pick_back, pe - be).when(F.col("fwd_id").isNotNull(), fe - pe)
+    within = dist <= NEAREST_TOL_S
+    return p.select(
+        "event_id",
+        "user_id",
+        pe.alias("purchase_epoch"),
+        F.when(within & pick_back, F.col("back_id"))
+        .when(within & F.col("fwd_id").isNotNull(), F.col("fwd_id"))
+        .alias("nearest_click_id"),
+        F.when(within, dist).alias("nearest_dist_s"),
+        F.when(within & pick_back, F.lit(1))
+        .when(within & F.col("fwd_id").isNotNull(), F.lit(2))
+        .otherwise(F.lit(0))
+        .alias("direction"),
+    )
+
+
+EWMA_TAPS = 8  # dyadic filter depth: weights 2^7 .. 2^0 over the last 8 samples
+
+
+@query(
+    "ts_ewma_user_daily",
+    oracle=f"""
+    WITH d AS (
+      SELECT user_id,
+             CAST(FLOOR(epoch(ts::TIMESTAMP) / 86400) AS BIGINT) AS day,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS cents
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id, day * 86400 AS day_epoch, cents,
+           CAST({" + ".join(
+               f"COALESCE(LAG(cents, {k}) OVER (PARTITION BY user_id ORDER BY day), 0)"
+               f" * {1 << (7 - k)}"
+               for k in range(8)
+           )} AS BIGINT) AS ewma_cents_q8
+    FROM d
+    """,
+    tags=("extension", "temporal", "window_fn"),
+)
+def ts_ewma_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-decayed daily spend per user — the trend feature
+    downstream anomaly/forecast models consume. α=1/2 EWMA truncated at
+    ``EWMA_TAPS`` taps and expressed in FIXED POINT: the output is
+    Σ_{k=0..7} cents_{t-k} · 2^(7-k), i.e. the EWMA scaled by 256 (the
+    infinite tail beyond 8 taps carries < 1/256 of the mass). Weights are
+    exact powers of two over exact floored cents, so the fold is pure
+    BIGINT arithmetic — bit-equal across engines, no float summation-order
+    hazard (the same exact-grid stance as LP_GRID / integer-cents revenue).
+
+    Spark shape: one shuffle to the per-(user, day) grid with map-side
+    partial sums, then ONE window sort per user serving all eight ``lag``
+    taps (same window spec → single Window operator). Lag is over the
+    user's OBSERVED days (last 8 active days); composing with
+    ``ts_gapfill_user_daily`` first gives the calendar-dense variant —
+    deliberately separate so each stays one plan. At 100 TB both shuffles
+    key on user_id — no skew beyond user activity (bounded by events/day),
+    no global sort."""
+    events = load_table(spark, sf_dir, "events")
+    d = (
+        events.select(
+            "user_id",
+            F.floor(F.col("ts").cast("double") / 86400).cast("bigint").alias("day"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("c"),
+        )
+        .groupBy("user_id", "day")
+        .agg(F.sum("c").alias("cents"))
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    taps = [
+        F.coalesce(F.lag("cents", k).over(w), F.lit(0)) * F.lit(1 << (7 - k))
+        for k in range(EWMA_TAPS)
+    ]
+    ewma = taps[0]
+    for t in taps[1:]:
+        ewma = ewma + t
+    return d.select(
+        "user_id",
+        (F.col("day") * 86400).alias("day_epoch"),
+        "cents",
+        ewma.cast("bigint").alias("ewma_cents_q8"),
+    )

@@ -780,3 +780,50 @@ def stream_domain_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return run_to_completion(out, output_mode="update", spark=spark)
+
+
+@query(
+    "stream_text_token_stats",
+    oracle=None,  # set below: shares text_token_stats' oracle (stateless ⇒ same rows)
+    tags=("northstar", "streaming", "text"),
+)
+def stream_text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-document token-feature pass ONLINE — ``text_token_stats`` on
+    the document stream: the first projection a streaming ingest applies to
+    every arriving document before any gate or rollup. Stateless append
+    pipeline (no state store at all); column pruning reaches the
+    file-stream scan exactly as in the batch twin, and each micro-batch
+    emits its documents' features once. Being stateless, the drained output
+    IS the batch result row-for-row, so the batch DuckDB oracle applies
+    unchanged."""
+    from kafka_streams_playground_spark.plans.northstar_text import BPE_RE
+
+    docs = read_stream_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split("text", " ")
+    out = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.size(F.regexp_extract_all("text", F.lit(BPE_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_bpe_pieces"),
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))) / F.size(toks), 4
+        ).alias("avg_token_len"),
+    )
+    return run_to_completion(out, output_mode="append", spark=spark)
+
+
+def _share_northstar_oracles() -> None:
+    from dataclasses import replace
+
+    # Import for side effect: registers the batch twin (plans/__init__ imports
+    # this module BEFORE northstar_text, so pull it in explicitly).
+    from kafka_streams_playground_spark.plans import northstar_text  # noqa: F401
+
+    REGISTRY["stream_text_token_stats"] = replace(
+        REGISTRY["stream_text_token_stats"], oracle=REGISTRY["text_token_stats"].oracle
+    )
+
+
+_share_northstar_oracles()

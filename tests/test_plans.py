@@ -256,3 +256,53 @@ def test_knn_query_filter_pushed_and_no_cartesian(spark, sf_dir):
     assert re.search(r"PushedFilters:.*LessThan\(vec_id,5\)", plan), plan
     assert "CartesianProduct" not in plan, plan
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
+def test_nearest_asof_is_one_window_no_range_join(spark, sf_dir):
+    """Nearest as-of: BOTH direction frames must be served by a single
+    Window operator over one sort (same partitioning+ordering), and the
+    tolerance must never plan as a range/nested-loop candidate join."""
+    plan = _plan(spark, sf_dir, "asof_nearest_click")
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ewma_taps_share_one_window(spark, sf_dir):
+    """All eight dyadic lag taps must evaluate in ONE Window operator over
+    one per-user sort — eight separate window passes would be the
+    regression."""
+    plan = _plan(spark, sf_dir, "ts_ewma_user_daily")
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+    assert "Join" not in plan, plan
+
+
+def test_decontaminate_broadcasts_benchmark(spark, sf_dir):
+    """The removal pass must keep the contamination check's broadcast of the
+    benchmark shingle set (corpus side never shuffles against it)."""
+    plan = _plan(spark, sf_dir, "decontaminate_corpus")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_dataset_card_is_joinless_single_pass(spark, sf_dir):
+    """The dataset card is one aggregate over one scan — any join in this
+    plan means someone re-derived a side table instead of folding."""
+    plan = _plan(spark, sf_dir, "pipeline_dataset_card")
+    assert "Join" not in plan, plan
+    assert plan.count("HashAggregate") >= 2, plan  # partial/final split
+
+
+def test_vocab_coverage_rank_over_vocab_only(spark, sf_dir):
+    """The coverage sweep's ranking window runs over the vocabulary-sized
+    count table (post-aggregate), and the N-spine joins broadcast — the
+    corpus itself must see only the one token-count shuffle."""
+    plan = _plan(spark, sf_dir, "tokenizer_vocab_coverage")
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+
+
+def test_containment_band_join_carries_no_arrays(spark, sf_dir):
+    """Containment shares the LSH candidate machinery: the band self-join
+    must shuffle only (doc_id, band_idx, bucket), never the hash arrays."""
+    plan = _plan(spark, sf_dir, "dedup_containment_lsh")
+    assert re.search(r"band_idx.*bucket|bucket.*band_idx", plan), plan
