@@ -66,6 +66,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "tokenizer_vocab_coverage",
     "dedup_containment_lsh",
     "stream_text_token_stats",
+    "stream_decontaminate_corpus",
+    "graph_copurchase_pagerank",
     # CHANGED this round (integer-cents fold; quantize hi==lo guard)
     "topk_customers_by_revenue",
     "stream_topk_customers_by_revenue",
@@ -109,12 +111,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_dedup_within_watermark",
     "dedup_minhash_lsh",
     "dedup_simhash_banded",
+    # (sample_stratified_by_lang → sample_hash_split/temperature_mix md5
+    # machinery, pii_scrub_events → stateless regex projection — both
+    # deferred to round 6 by the sibling rule above)
     "pack_sequences",
     "dedup_cluster_components",
-    "sample_stratified_by_lang",
     "pipeline_quality_filter",
     "cogroup_order_reconciliation",
-    "pii_scrub_events",
 )
 
 

@@ -586,3 +586,109 @@ def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size(T.tokens("text")).cast("bigint").alias("n_tokens"),
         )
     )
+
+
+PAGERANK_ITERS = 3
+PR_SCALE = 1_000_000  # PageRank mass on a 1e-6 integer grid
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping 0.85 as an exact rational
+
+_PR_ITER_SQL = """
+    {out} AS (
+      SELECT e.dst AS node,
+             CAST({base} + (SUM({prev}.pr // deg.d) * {dnum}) // {dden} AS BIGINT) AS pr
+      FROM e JOIN {prev} ON e.src = {prev}.node JOIN deg ON e.src = deg.src
+      GROUP BY e.dst
+    )"""
+
+
+def _pagerank_oracle() -> str:
+    base = PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN  # 150000
+    its = ",".join(
+        _PR_ITER_SQL.format(
+            out=f"it{i + 1}",
+            prev=("pr0" if i == 0 else f"it{i}"),
+            base=base,
+            dnum=PR_DAMP_NUM,
+            dden=PR_DAMP_DEN,
+        )
+        for i in range(PAGERANK_ITERS)
+    )
+    return f"""
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+    pr0 AS (
+      SELECT DISTINCT src AS node, CAST({PR_SCALE} AS BIGINT) AS pr FROM e
+    ),
+    {its}
+    SELECT node AS part_id, pr AS pagerank_e6 FROM it{PAGERANK_ITERS}
+    """
+
+
+@query(
+    "graph_copurchase_pagerank",
+    oracle=_pagerank_oracle(),
+    tags=("northstar", "graph", "iterative", "bench"),
+)
+def graph_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the part co-purchase graph (parts sharing an order are
+    neighbors) — the canonical iterative graph computation, and the
+    centrality signal a recommender / curation pass ranks items by. Three
+    damped iterations on an EXACT integer grid: mass lives in 1e-6 units,
+    per-edge contributions are BIGINT floor-division ``pr div deg``, and the
+    damping is the rational 85/100 applied with integer multiply-then-divide
+    — every iteration is bit-equal across engines and partition counts (the
+    float formulation would drift with summation order; the grid is the same
+    exact-fold stance as LP_GRID and the Zipf fit).
+
+    Spark shape: the edge list (distinct, both directions, built by a
+    self-join bounded by per-order item count) is JOINED ONCE with the
+    out-degree table and persisted — each iteration is then one
+    broadcast-able join of the |nodes|-row rank vector against the
+    persisted edge table plus one dst-keyed shuffle with map-side partial
+    sums. Fixed 3 iterations ⇒ lineage stays shallow (no checkpoint
+    needed; the open-ended CC loop next door uses ``localCheckpoint``).
+    At 100 TB this is exactly Pregel-on-DataFrames: per-iteration cost =
+    one co-partitioned join + one aggregate keyed on node, skew bounded by
+    max co-purchase degree (salt hot nodes with the agg_salted_skew recipe
+    if a product goes viral). Isolated parts (never co-purchased) carry no
+    edges and are excluded — document-level choice matching the oracle."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ed = e.join(deg, "src").persist()
+    pr = ed.select(F.col("src").alias("node")).distinct().select(
+        "node", F.lit(PR_SCALE).cast("bigint").alias("pr")
+    )
+    base = PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
+    for _ in range(PAGERANK_ITERS):
+        # The rank vector is |nodes| rows — broadcast it against the
+        # persisted edge table (a derived aggregate, so Catalyst's size
+        # estimate would pick SMJ and re-shuffle BOTH sides every
+        # iteration). Above broadcast budget (~10^8 nodes) flip this one
+        # hint to a co-partitioned shuffle join — the Pregel default.
+        pr = (
+            ed.join(F.broadcast(pr), ed["src"] == pr["node"])
+            .select("dst", F.expr("pr div d").alias("contrib"))
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("s"))
+            .select(
+                F.col("dst").alias("node"),
+                F.expr(f"cast({base} + (s * {PR_DAMP_NUM}) div {PR_DAMP_DEN} as bigint)").alias(
+                    "pr"
+                ),
+            )
+        )
+    return pr.select(F.col("node").alias("part_id"), F.col("pr").alias("pagerank_e6"))

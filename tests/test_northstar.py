@@ -476,3 +476,39 @@ def test_vocab_coverage_monotone(spark, sf_dir):
     cov = [r["coverage_ppm"] for r in rows]
     assert cov == sorted(cov)
     assert all(r["covered_tokens"] <= r["total_tokens"] for r in rows)
+
+
+def test_pagerank_mass_and_determinism(spark, sf_dir):
+    """PageRank sanity: every node's rank ≥ the damping floor, total mass
+    stays within the grid's truncation loss of N×scale, and a repeated run
+    is bit-identical (the integer grid's whole point)."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+    from kafka_streams_playground_spark.plans.northstar_pipeline import PR_SCALE
+
+    rows = REGISTRY["graph_copurchase_pagerank"].fn(spark, sf_dir).collect()
+    assert rows
+    floor = PR_SCALE * 15 // 100
+    total = sum(r["pagerank_e6"] for r in rows)
+    n = len(rows)
+    assert all(r["pagerank_e6"] >= floor for r in rows)
+    # floor-division truncation only ever loses mass; damping is mass-neutral
+    assert total <= n * PR_SCALE
+    assert total >= n * PR_SCALE * 97 // 100
+    again = {
+        r["part_id"]: r["pagerank_e6"]
+        for r in REGISTRY["graph_copurchase_pagerank"].fn(spark, sf_dir).collect()
+    }
+    assert again == {r["part_id"]: r["pagerank_e6"] for r in rows}
+
+
+def test_stream_decontaminate_matches_batch(spark, sf_dir):
+    """The ingest-time decontamination must keep exactly the batch
+    manifest's doc set (stateless stream ⇒ row-for-row equal)."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+
+    batch = {r["doc_id"] for r in REGISTRY["decontaminate_corpus"].fn(spark, sf_dir).collect()}
+    stream = {
+        r["doc_id"]
+        for r in REGISTRY["stream_decontaminate_corpus"].fn(spark, sf_dir).collect()
+    }
+    assert stream == batch

@@ -306,3 +306,13 @@ def test_containment_band_join_carries_no_arrays(spark, sf_dir):
     must shuffle only (doc_id, band_idx, bucket), never the hash arrays."""
     plan = _plan(spark, sf_dir, "dedup_containment_lsh")
     assert re.search(r"band_idx.*bucket|bucket.*band_idx", plan), plan
+
+
+def test_pagerank_broadcasts_rank_vector(spark, sf_dir):
+    """Each PageRank iteration must broadcast the |nodes|-row rank vector
+    against the persisted edge table — Catalyst's size estimate for the
+    derived aggregate would otherwise re-shuffle BOTH sides every
+    iteration (the skill-noted wrong-side trap for post-aggregate joins)."""
+    plan = _plan(spark, sf_dir, "graph_copurchase_pagerank")
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "InMemoryRelation" in plan, plan  # edge table persisted once
