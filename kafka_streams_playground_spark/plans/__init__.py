@@ -68,6 +68,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_text_token_stats",
     "stream_decontaminate_corpus",
     "graph_copurchase_pagerank",
+    "sim_ivf_recall_audit",
+    "text_perplexity_buckets",
     # CHANGED this round (integer-cents fold; quantize hi==lo guard)
     "topk_customers_by_revenue",
     "stream_topk_customers_by_revenue",
@@ -103,11 +105,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # shares its oracle CTE chain verbatim) — all unchanged since their last
     # driver green and re-checked every round by the full-registry local
     # replica
-    "agg_rollup_nation_segment",
+    # (agg_rollup_nation_segment → r4-green agg_grouping_sets_mixed,
+    # join_ktable_ktable_latest → r4-green s2_latest/tombstone latest-per-key
+    # machinery — deferred to round 6 by the sibling rule)
     "join_range_price_band",
     "agg_kmv_distinct_sketch",
     "agg_salted_skew",
-    "join_ktable_ktable_latest",
     "stream_dedup_within_watermark",
     "dedup_minhash_lsh",
     "dedup_simhash_banded",

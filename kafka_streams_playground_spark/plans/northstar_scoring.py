@@ -733,3 +733,71 @@ def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("covered_tokens * 1000000 div total_tokens").alias("coverage_ppm"),
         )
     )
+
+
+PPL_BUCKETS = 3  # CCNet's head / middle / tail
+
+
+def _ppl_buckets_oracle() -> str:
+    from kafka_streams_playground_spark.plans.registry import REGISTRY
+
+    base = REGISTRY["text_unigram_lm_score"].oracle
+    return f"""
+    WITH base AS ({base}),
+    b2 AS (
+      SELECT d.lang, base.doc_id,
+             CAST(FLOOR(base.sum_lp6 * 1.0 / base.n_tokens / 100 + 0.5)
+                  AS BIGINT) AS alp4
+      FROM base JOIN documents d USING (doc_id)
+    ),
+    b3 AS (
+      SELECT lang, doc_id, alp4,
+             NTILE({PPL_BUCKETS}) OVER (
+               PARTITION BY lang ORDER BY alp4 DESC, doc_id ASC) AS bucket
+      FROM b2
+    )
+    SELECT lang, bucket, COUNT(*) AS n_docs,
+           MIN(alp4) AS min_alp4, MAX(alp4) AS max_alp4
+    FROM b3 GROUP BY lang, bucket
+    """
+
+
+@query(
+    "text_perplexity_buckets",
+    oracle=_ppl_buckets_oracle(),
+    tags=("northstar", "scoring", "text", "curation", "bench"),
+)
+def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's head/middle/tail split: per language, documents ranked by
+    unigram-LM mean log-prob and cut into ``PPL_BUCKETS`` equal tiles
+    (head = most in-distribution; CCNet trains on head+middle and drops or
+    down-weights tail). Emits the per-(lang, bucket) doc count and the
+    exact 1e-4-grid log-prob boundaries — the cut table a sampling pass
+    consumes.
+
+    Spark shape: composes the LM scoring plan (broadcast vocabulary model,
+    map-side-partial folds), one co-shuffled join to attach lang, one
+    NTILE window per language, then a |langs|×|buckets| aggregate. The
+    ordering key is the already-exact integer mean log-prob with doc_id
+    tiebreak, so tile boundaries are bit-deterministic cross-engine.
+    Honest 100 TB note: NTILE sorts each language partition; at corpus
+    scale production replaces the per-doc tile with bucket THRESHOLDS from
+    a quantile pass (the agg_price_percentiles machinery) and a map-side
+    comparison — same output table, no global sort. The fixture-scale
+    NTILE keeps the oracle exact."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang")
+    base = text_unigram_lm_score(spark, sf_dir)
+    b2 = base.join(docs, "doc_id").select(
+        "lang",
+        "doc_id",
+        F.floor(F.col("sum_lp6") / F.col("n_tokens") / 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("alp4"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("alp4").desc(), F.col("doc_id").asc())
+    b3 = b2.select("lang", "alp4", F.ntile(PPL_BUCKETS).over(w).alias("bucket"))
+    return b3.groupBy("lang", "bucket").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("alp4").alias("min_alp4"),
+        F.max("alp4").alias("max_alp4"),
+    )

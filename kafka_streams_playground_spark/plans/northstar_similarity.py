@@ -850,3 +850,71 @@ def kmeans_ivf_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     return roll.join(F.broadcast(chk), "cent_id").select(
         F.col("cent_id").alias("cluster"), "n_members", "inertia", "centroid_checksum"
     )
+
+
+@query(
+    "sim_ivf_recall_audit",
+    oracle=f"""{_IVF_INDEX_CTES},
+    b_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+      FROM n q JOIN n c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+    ),
+    bt AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM b_scored
+      ) WHERE rank <= {TOP_K}
+    ),
+    i_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+      FROM members q JOIN members c
+        ON q.cent_id = c.cent_id AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < {N_QUERIES}
+    ),
+    it AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM i_scored
+      ) WHERE rank <= {TOP_K}
+    )
+    SELECT bt.query_id,
+           COUNT(it.neighbor_id) AS n_hits,
+           COUNT(it.neighbor_id) * 1000000 // {TOP_K} AS recall_ppm
+    FROM bt LEFT JOIN it USING (query_id, neighbor_id)
+    GROUP BY bt.query_id
+    """,
+    tags=("northstar", "similarity", "ivf", "bench"),
+)
+def sim_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k audit of the IVF index against exact brute force — the
+    measurement a production ANN deployment runs before picking
+    nprobe/K: per query, how many of the true top-k the single-probe cell
+    search actually returned (exact-ppm integer grid). This is the closed
+    feedback loop over the index the engine itself built — same persisted
+    cells, same rounded-cosine rank rule on both sides, so the audit
+    measures INDEX recall, not float noise.
+
+    Spark shape: composes the two existing plans verbatim (broadcast query
+    sets, persisted member index, heap top-k) plus one co-shuffled left
+    join on (query, neighbor) and a |Q|-row aggregate — audit cost is the
+    cost of running both searches, nothing more. At 100 TB the brute-force
+    side runs over a SAMPLED query panel (Q is a config, not f(N)) —
+    exactly how recall dashboards are produced for production indexes."""
+    bt = sim_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    it = sim_ivf_topk(spark, sf_dir).select(
+        "query_id", "neighbor_id", F.lit(1).alias("hit")
+    )
+    return (
+        bt.join(it, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("hit").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            F.expr(f"n_hits * 1000000 div {TOP_K}").alias("recall_ppm"),
+        )
+    )

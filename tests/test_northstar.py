@@ -512,3 +512,51 @@ def test_stream_decontaminate_matches_batch(spark, sf_dir):
         for r in REGISTRY["stream_decontaminate_corpus"].fn(spark, sf_dir).collect()
     }
     assert stream == batch
+
+
+def test_ivf_recall_audit_bounds(spark, sf_dir):
+    """Recall is in [0, 1e6] ppm, hits never exceed TOP_K, and the audit's
+    hit counts agree with a direct set intersection of the two searches."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+    from kafka_streams_playground_spark.plans.northstar_similarity import TOP_K
+
+    audit = {r["query_id"]: r for r in REGISTRY["sim_ivf_recall_audit"].fn(spark, sf_dir).collect()}
+    bt, it = {}, {}
+    for r in REGISTRY["sim_topk_bruteforce"].fn(spark, sf_dir).collect():
+        bt.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    for r in REGISTRY["sim_ivf_topk"].fn(spark, sf_dir).collect():
+        it.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(audit) == set(bt)
+    for qid, row in audit.items():
+        hits = len(bt[qid] & it.get(qid, set()))
+        assert row["n_hits"] == hits
+        assert row["recall_ppm"] == hits * 1000000 // TOP_K
+        assert 0 <= row["n_hits"] <= TOP_K
+
+
+def test_perplexity_buckets_partition_docs(spark, sf_dir):
+    """Per language the tiles partition the doc set (counts sum to the lang
+    total, sizes differ by ≤1) and bucket boundaries are ordered: a
+    lower-numbered (head) bucket never has a worse max than the next
+    bucket's min."""
+    from collections import defaultdict
+
+    from kafka_streams_playground_spark.plans import REGISTRY
+    from kafka_streams_playground_spark.sources.parquet import load_table
+
+    rows = REGISTRY["text_perplexity_buckets"].fn(spark, sf_dir).collect()
+    by_lang = defaultdict(list)
+    for r in rows:
+        by_lang[r["lang"]].append(r)
+    lang_totals = {
+        r["lang"]: r["cnt"]
+        for r in load_table(spark, sf_dir, "documents").groupBy("lang").count()
+        .withColumnRenamed("count", "cnt").collect()
+    }
+    for lang, rs in by_lang.items():
+        rs.sort(key=lambda r: r["bucket"])
+        assert sum(r["n_docs"] for r in rs) == lang_totals[lang]
+        sizes = [r["n_docs"] for r in rs]
+        assert max(sizes) - min(sizes) <= 1
+        for a, b in zip(rs, rs[1:]):
+            assert a["min_alp4"] >= b["max_alp4"]
