@@ -70,6 +70,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "graph_copurchase_pagerank",
     "sim_ivf_recall_audit",
     "text_perplexity_buckets",
+    "embedding_dim_stats",
     # CHANGED this round (integer-cents fold; quantize hi==lo guard)
     "topk_customers_by_revenue",
     "stream_topk_customers_by_revenue",
@@ -108,9 +109,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # (agg_rollup_nation_segment → r4-green agg_grouping_sets_mixed,
     # join_ktable_ktable_latest → r4-green s2_latest/tombstone latest-per-key
     # machinery — deferred to round 6 by the sibling rule)
+    # (agg_salted_skew → r4-green join_salted_skew_above_avg salting recipe —
+    # deferred to round 6 by the sibling rule)
     "join_range_price_band",
     "agg_kmv_distinct_sketch",
-    "agg_salted_skew",
     "stream_dedup_within_watermark",
     "dedup_minhash_lsh",
     "dedup_simhash_banded",

@@ -918,3 +918,67 @@ def sim_ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"n_hits * 1000000 div {TOP_K}").alias("recall_ppm"),
         )
     )
+
+
+@query(
+    "embedding_dim_stats",
+    oracle="""
+    WITH x AS (
+      SELECT unnest(range(len(embedding))) AS dim,
+             CAST(FLOOR(unnest(embedding::DOUBLE[]) * 1000000 + 0.5) AS BIGINT)
+                 AS xi
+      FROM embeddings
+    ),
+    a AS (
+      SELECT dim, COUNT(*) AS n,
+             CAST(SUM(xi) AS BIGINT) AS sx,
+             CAST(SUM(xi * xi) AS BIGINT) AS sxx,
+             MIN(xi) AS min_e6, MAX(xi) AS max_e6
+      FROM x GROUP BY dim
+    )
+    SELECT dim, n, min_e6, max_e6,
+           sx // n AS mean_e6,
+           (sxx * n - sx * sx) // (n * n) AS var_e12
+    FROM a
+    """,
+    tags=("northstar", "similarity", "embedding", "quality", "bench"),
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-DIMENSION embedding health: mean, variance, and range of every
+    coordinate across the corpus — the complement of the per-label norm
+    report (``embedding_norm_stats``). A dead dimension (zero variance), a
+    saturated one (range pinned), or a mean far off center flags encoder
+    truncation/normalization bugs before any index consumes the drop, and
+    feeds the min-max tables INT8 calibration uses.
+
+    Exactness: coordinates quantize to a 1e-6 integer grid map-side; the
+    moment sums and the variance identity n·Σx² − (Σx)² then run in pure
+    BIGINT with floor division — order-free, bit-equal across engines.
+    Spark shape: one ``posexplode`` projection (rows = N·d but only two
+    BIGINTs wide) into a d-row aggregate with map-side partials — one tiny
+    shuffle, embarrassingly parallel. At 10^10+ vectors the xi² sums
+    approach BIGINT range; production widens the moments to DECIMAL(38,0)
+    (Spark and DuckDB both support it) — same plan, wider lanes."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+            "dim", "xv"
+        )
+    )
+    x = emb.select(
+        "dim", F.floor(F.col("xv") * 1000000 + F.lit(0.5)).cast("bigint").alias("xi")
+    )
+    a = x.groupBy("dim").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("xi").alias("sx"),
+        F.sum(F.col("xi") * F.col("xi")).alias("sxx"),
+        F.min("xi").alias("min_e6"),
+        F.max("xi").alias("max_e6"),
+    )
+    return a.select(
+        "dim",
+        "n",
+        "min_e6",
+        "max_e6",
+        F.expr("sx div n").alias("mean_e6"),
+        F.expr("(sxx * n - sx * sx) div (n * n)").alias("var_e12"),
+    )

@@ -560,3 +560,33 @@ def test_perplexity_buckets_partition_docs(spark, sf_dir):
         assert max(sizes) - min(sizes) <= 1
         for a, b in zip(rs, rs[1:]):
             assert a["min_alp4"] >= b["max_alp4"]
+
+
+def test_embedding_dim_stats_exact_moments(spark, sf_dir):
+    """The integer-grid moments must match a numpy recomputation exactly
+    (the grid's whole point), and every dimension must be present."""
+    import numpy as np
+
+    from kafka_streams_playground_spark.plans import REGISTRY
+    from kafka_streams_playground_spark.sources.parquet import load_table
+
+    rows = {r["dim"]: r for r in REGISTRY["embedding_dim_stats"].fn(spark, sf_dir).collect()}
+    vecs = [
+        np.asarray(r["embedding"], dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").select("embedding").collect()
+    ]
+    m = np.stack(vecs)
+    xi = np.floor(m * 1000000 + 0.5).astype(np.int64)
+    assert set(rows) == set(range(m.shape[1]))
+    for d in range(m.shape[1]):
+        col = xi[:, d]
+        n = len(col)
+        sx, sxx = int(col.sum()), int((col.astype(object) ** 2).sum())
+        r = rows[d]
+        assert r["n"] == n
+        assert r["min_e6"] == int(col.min()) and r["max_e6"] == int(col.max())
+        # Spark `div` / DuckDB `//` truncate toward zero; Python // floors —
+        # match the engines' semantics for the (possibly negative) mean.
+        trunc = abs(sx) // n if sx >= 0 else -(abs(sx) // n)
+        assert r["mean_e6"] == trunc
+        assert r["var_e12"] == (sxx * n - sx * sx) // (n * n)
