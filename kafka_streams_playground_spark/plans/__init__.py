@@ -71,6 +71,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sim_ivf_recall_audit",
     "text_perplexity_buckets",
     "embedding_dim_stats",
+    "sample_quality_weighted",
     # CHANGED this round (integer-cents fold; quantize hi==lo guard)
     "topk_customers_by_revenue",
     "stream_topk_customers_by_revenue",
@@ -119,10 +120,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # (sample_stratified_by_lang → sample_hash_split/temperature_mix md5
     # machinery, pii_scrub_events → stateless regex projection — both
     # deferred to round 6 by the sibling rule above)
+    # (cogroup_order_reconciliation — r3-green Arrow cogroup machinery,
+    # unchanged; deferred to lead round 6's rotation)
     "pack_sequences",
     "dedup_cluster_components",
     "pipeline_quality_filter",
-    "cogroup_order_reconciliation",
 )
 
 

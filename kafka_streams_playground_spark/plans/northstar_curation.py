@@ -462,3 +462,61 @@ def pipeline_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(n_docs - n_unique_texts) * 1000000 div n_docs").alias("dup_ppm"),
         F.expr("total_tokens * 1000000 div n_docs").alias("tokens_per_doc_e6"),
     )
+
+
+@query(
+    "sample_quality_weighted",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, lang,
+             CAST(FLOOR((0.5 * (len(list_distinct(string_split(text, ' ')))
+                                * 1.0 / len(string_split(text, ' ')))
+                   + 0.3 * (len([x for x in string_split(text, ' ')
+                                 if list_contains(['the','a','of','and','to','in'], x)])
+                            * 1.0 / len(string_split(text, ' ')))
+                   + 0.2 * LEAST(len(string_split(text, ' ')) / 256.0, 1.0))
+                   * 10000 + 0.5) AS BIGINT) AS qi4
+      FROM documents
+    )
+    SELECT doc_id, lang, qi4
+    FROM f
+    WHERE ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT * 10000
+          < qi4 * 4294967296
+    """,
+    tags=("northstar", "curation", "sampling", "bench"),
+)
+def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-proportional importance sampling: each document survives with
+    probability equal to its heuristic quality score — the SOFT alternative
+    to the hard gate (``pipeline_quality_filter``), the curation move
+    DataComp/FineWeb-style pipelines use to up-weight good text without a
+    cliff at the threshold. Membership is the md5-uniform u32 of the
+    stratified sampler compared against the doc's own 1e-4-grid quality —
+    pure function of doc_id, reproducible across engines, runs, and
+    cluster sizes, and the comparison ``u32 · 10^4 < qi4 · 2^32`` is
+    integer-exact (no float-rounding divergence at the keep boundary).
+
+    Spark shape: entirely map-side — one projection computes the quality
+    features and the hash, the filter fuses into the scan stage, zero
+    shuffle. At 100 TB this is the cheapest possible corpus pass; swapping
+    the heuristic for a model score changes one column, not the plan."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    toks = F.split("text", " ")
+    stop_arr = F.array(*[F.lit(s) for s in ("the", "a", "of", "and", "to", "in")])
+    ttr = F.size(F.array_distinct(toks)) / F.size(toks)
+    stop_ratio = F.size(
+        F.filter(toks, lambda x: F.array_contains(stop_arr, x))
+    ) / F.size(toks)
+    qi4 = F.floor(
+        (0.5 * ttr + 0.3 * stop_ratio + 0.2 * F.least(F.size(toks) / 256.0, F.lit(1.0)))
+        * 10000
+        + F.lit(0.5)
+    ).cast("bigint")
+    h = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    return (
+        docs.select("doc_id", "lang", qi4.alias("qi4"), h.alias("h"))
+        .filter(F.col("h") * 10000 < F.col("qi4") * F.lit(4294967296))
+        .select("doc_id", "lang", "qi4")
+    )

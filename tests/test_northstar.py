@@ -590,3 +590,21 @@ def test_embedding_dim_stats_exact_moments(spark, sf_dir):
         trunc = abs(sx) // n if sx >= 0 else -(abs(sx) // n)
         assert r["mean_e6"] == trunc
         assert r["var_e12"] == (sxx * n - sx * sx) // (n * n)
+
+
+def test_quality_weighted_sample_is_deterministic_and_calibrated(spark, sf_dir):
+    """Membership must be a pure function of doc_id (re-run identical), and
+    the keep rate must track mean quality within binomial noise."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+    from kafka_streams_playground_spark.sources.parquet import load_table
+
+    kept1 = {r["doc_id"] for r in REGISTRY["sample_quality_weighted"].fn(spark, sf_dir).collect()}
+    kept2 = {r["doc_id"] for r in REGISTRY["sample_quality_weighted"].fn(spark, sf_dir).collect()}
+    assert kept1 == kept2
+    n = load_table(spark, sf_dir, "documents").count()
+    qrows = REGISTRY["text_quality_score"].fn(spark, sf_dir).collect()
+    mean_q = sum(r["quality_score"] for r in qrows) / len(qrows)
+    expect = mean_q * n
+    # 4 sigma of a Bernoulli sum bounds the honest keep-rate drift
+    sigma = (n * mean_q * (1 - mean_q)) ** 0.5
+    assert abs(len(kept1) - expect) <= 4 * sigma + 1
