@@ -72,6 +72,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_perplexity_buckets",
     "embedding_dim_stats",
     "sample_quality_weighted",
+    "stream_ts_ewma_user_daily",
     # CHANGED this round (integer-cents fold; quantize hi==lo guard)
     "topk_customers_by_revenue",
     "stream_topk_customers_by_revenue",
@@ -122,9 +123,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # deferred to round 6 by the sibling rule above)
     # (cogroup_order_reconciliation — r3-green Arrow cogroup machinery,
     # unchanged; deferred to lead round 6's rotation)
+    # (pipeline_quality_filter → its r4-green streaming twin shares the
+    # composed gate semantics — deferred to round 6's rotation)
     "pack_sequences",
     "dedup_cluster_components",
-    "pipeline_quality_filter",
 )
 
 

@@ -904,3 +904,37 @@ def _share_decontaminate_oracle() -> None:
 
 
 _share_decontaminate_oracle()
+
+
+@query(
+    "stream_ts_ewma_user_daily",
+    oracle=None,  # set below: shares the batch EWMA oracle
+    tags=("extension", "streaming", "temporal", "stateful"),
+)
+def stream_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decayed-spend feature ONLINE — ``ts_ewma_user_daily`` as a CUSTOM
+    KEYED STATEFUL operator (streaming/stateful.py::ewma_per_key): per-user
+    state carries the last 8 (day, cents) pairs across micro-batches and
+    every day emits its q8 fixed-point decay on arrival. This is the
+    operator shape for serving features at ingest latency: O(taps) state
+    per key (the batch window's sort never happens), exact BIGINT
+    arithmetic, and the drained single-batch replay equals the batch twin
+    bit-for-bit (ordered-replay precondition documented on the fold)."""
+    from kafka_streams_playground_spark.streaming.stateful import ewma_per_key
+
+    events = read_stream_table(spark, sf_dir, "events")
+    return run_to_completion(ewma_per_key(events), output_mode="append", spark=spark)
+
+
+def _share_ewma_oracle() -> None:
+    from dataclasses import replace
+
+    from kafka_streams_playground_spark.plans import temporal  # noqa: F401
+
+    REGISTRY["stream_ts_ewma_user_daily"] = replace(
+        REGISTRY["stream_ts_ewma_user_daily"],
+        oracle=REGISTRY["ts_ewma_user_daily"].oracle,
+    )
+
+
+_share_ewma_oracle()

@@ -150,3 +150,74 @@ def asof_join_per_key(sdf: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+def _ewma_taps(key: tuple, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+    """Per-user streaming fixed-point EWMA: each micro-batch's events fold
+    into per-day cents, and every day emits the q8 dyadic decay over the
+    user's last 8 observed days — keyed state carries exactly those 8
+    (day, cents) pairs, the FIXED-size footprint the batch window cannot
+    beat (and a Kafka Streams aggregate store would hold).
+
+    PRECONDITION (the stream_asof stance): input replayed in event-time
+    order across micro-batches, with no day split across batches — a late
+    event for an already-emitted day would need an update-mode correction.
+    The replay harness's single availableNow batch satisfies both, making
+    the drained output equal the batch twin row-for-row."""
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if not chunks:
+        return
+    pdf = (
+        pd.concat(chunks, ignore_index=True)
+        .groupby("day", as_index=False)["c"]
+        .sum()
+        .sort_values("day")
+    )
+    hist: list[tuple[int, int]] = []
+    if state.exists:
+        days, cents = state.get
+        hist = [(int(d), int(c)) for d, c in zip(days, cents)]
+    out_day, out_cents, out_ewma = [], [], []
+    for day, c in zip(pdf["day"], pdf["c"]):
+        day, c = int(day), int(c)
+        if hist and hist[-1][0] == day:  # same-day continuation across batches
+            hist[-1] = (day, hist[-1][1] + c)
+        else:
+            hist.append((day, c))
+        hist = hist[-8:]
+        e = sum(cv << (7 - k) for k, (_, cv) in enumerate(reversed(hist)))
+        out_day.append(day)
+        out_cents.append(hist[-1][1])
+        out_ewma.append(e)
+    state.update(([d for d, _ in hist], [c for _, c in hist]))
+    yield pd.DataFrame(
+        {
+            "user_id": key[0],
+            "day_epoch": [d * 86400 for d in out_day],
+            "cents": out_cents,
+            "ewma_cents_q8": out_ewma,
+        }
+    )
+
+
+def ewma_per_key(sdf: DataFrame) -> DataFrame:
+    """Streaming fixed-point EWMA over per-user daily spend; batch twin =
+    plans/temporal.py::ts_ewma_user_daily (eight lag taps in one window),
+    whose oracle this operator shares. State per key: ≤8 (day, cents)
+    pairs — O(taps), independent of history length."""
+    from pyspark.sql import functions as F
+
+    ev = sdf.select(
+        "user_id",
+        F.floor(F.col("ts").cast("double") / 86400).cast("bigint").alias("day"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("c"),
+    )
+    return ev.groupBy("user_id").applyInPandasWithState(
+        _ewma_taps,
+        outputStructType=(
+            "user_id BIGINT, day_epoch BIGINT, cents BIGINT, ewma_cents_q8 BIGINT"
+        ),
+        stateStructType="days ARRAY<BIGINT>, cents ARRAY<BIGINT>",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

@@ -262,3 +262,45 @@ def test_asof_state_across_microbatches(spark):
     assert got[2] == (None, None)  # user 8 never clicked
     assert got[3] == (1, t0)       # cross-batch state carry
     assert got[5] == (4, t20)      # newer click supersedes
+
+
+def test_ewma_state_across_microbatches(spark):
+    """The streaming EWMA must carry the last-8-days state across
+    micro-batches: a day arriving in batch 2 decays the days emitted from
+    batch 1 (taps 2^7, 2^6, ...), and a same-day continuation folds into
+    the existing day instead of opening a new tap."""
+    from datetime import datetime
+
+    from kafka_streams_playground_spark.streaming.stateful import ewma_per_key
+
+    schema = "event_id long, ts timestamp, user_id long, event_type string, value double"
+
+    def day(n):  # n days after epoch-ish anchor, at noon
+        return datetime(2024, 1, 1 + n, 12, 0)
+
+    paths = _write_batches(
+        spark,
+        [
+            [(1, day(0), 7, "purchase", 1.0), (2, day(1), 7, "purchase", 2.0)],
+            [
+                (3, day(1), 7, "purchase", 0.5),   # same-day continuation of day 1
+                (4, day(2), 7, "purchase", 4.0),   # new day: decays days 0 and 1
+            ],
+        ],
+        schema,
+    )
+    src_dir = os.path.dirname(paths[0])
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src_dir, "b*"))
+    )
+    out = run_to_completion(ewma_per_key(sdf), output_mode="append", spark=spark)
+    rows = sorted(out.collect(), key=lambda r: (r["day_epoch"], r["ewma_cents_q8"]))
+    # batch 1: day0 = 100c -> 100*128; day1 = 200c -> 200*128 + 100*64
+    # batch 2 re-emits day1 folded to 250c, then day2 = 400c over (100, 250, 400)
+    got = [(r["cents"], r["ewma_cents_q8"]) for r in rows]
+    assert (100, 100 * 128) in got
+    assert (200, 200 * 128 + 100 * 64) in got
+    assert (250, 250 * 128 + 100 * 64) in got          # same-day fold re-emission
+    assert (400, 400 * 128 + 250 * 64 + 100 * 32) in got
