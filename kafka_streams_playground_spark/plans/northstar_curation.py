@@ -520,3 +520,69 @@ def sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("h") * 10000 < F.col("qi4") * F.lit(4294967296))
         .select("doc_id", "lang", "qi4")
     )
+
+
+# Context-window chunking: training-prep splits every document into
+# CHUNK_WIN-token windows advancing by CHUNK_STRIDE (overlap = WIN - STRIDE
+# tokens preserves cross-boundary context, the standard LM-pretraining
+# chunking). Starts run 1, 1+S, ... up to n_tokens, so the final window may
+# be shorter than WIN; every token is covered by >= 1 chunk.
+CHUNK_WIN = 32
+CHUNK_STRIDE = 24
+
+
+@query(
+    "chunk_documents_overlap",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             CAST((s - 1) / {CHUNK_STRIDE} AS BIGINT) AS chunk_idx,
+             CAST(s AS BIGINT) AS start_tok,
+             CAST(LEAST({CHUNK_WIN}, len(t) - s + 1) AS BIGINT) AS n_tok,
+             md5(array_to_string(t[s:s + {CHUNK_WIN - 1}], ' ')) AS fp
+      FROM (
+        SELECT doc_id, t, unnest(generate_series(1, len(t), {CHUNK_STRIDE})) AS s
+        FROM toks
+      )
+    )
+    SELECT doc_id, chunk_idx, start_tok, n_tok, fp FROM c
+    """,
+    tags=("northstar", "curation", "chunking", "bench"),
+)
+def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking manifest: every document sliced into
+    CHUNK_WIN(=32)-token windows advancing by CHUNK_STRIDE(=24) — the
+    overlapping-window split LM pretraining feeds the tokenizer (overlap
+    keeps cross-boundary n-grams learnable; cf. the fixed-stride chunking
+    in GPT-style pipelines). Output is the chunk MANIFEST (doc, index,
+    start, length, content fingerprint), the unit downstream packing /
+    dedup / retrieval passes key on — ``pack_sequences`` packs these,
+    ``dedup_substring_chunks`` dedups them, BM25 indexes them.
+
+    Spark shape: entirely map-side — one scan, sequence→explode→slice, no
+    shuffle AT ALL (the manifest inherits the scan's partitioning; verify
+    with .explain: no Exchange). The window text itself collapses to a
+    32-hex md5 fingerprint before anything leaves the operator, so the
+    output is narrow regardless of window width. At 100 TB this is the
+    ideal operator class: embarrassingly parallel, output ∝ input, zero
+    coordination; chunk rows land partition-aligned with their source
+    docs for free."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    c = docs.select(
+        "doc_id",
+        toks.alias("t"),
+        F.explode(F.sequence(F.lit(1), n, F.lit(CHUNK_STRIDE))).alias("s"),
+    )
+    nt = F.size(F.col("t"))
+    return c.select(
+        "doc_id",
+        (((F.col("s") - 1) / CHUNK_STRIDE).cast("bigint")).alias("chunk_idx"),
+        F.col("s").cast("bigint").alias("start_tok"),
+        F.least(F.lit(CHUNK_WIN), nt - F.col("s") + 1).cast("bigint").alias("n_tok"),
+        F.md5(F.array_join(F.slice(F.col("t"), F.col("s"), CHUNK_WIN), " ")).alias("fp"),
+    )

@@ -581,3 +581,106 @@ def dedup_containment_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(cb, 4).alias("contain_b_in_a"),
         )
     )
+
+
+# Substring-chunk dedup (Lee et al. 2022, "Deduplicating Training Data Makes
+# Language Models Better" — the ExactSubstr family). True suffix-array
+# substring matching needs an external index; the production-practical Spark
+# form dedups at fixed-width disjoint token chunks: a repeated chunk hash IS a
+# repeated substring of >= CHUNK_W tokens (a conservative, index-free
+# approximation of the suffix-array pass).
+CHUNK_W = 8
+CHUNK_DUP_FLAG_RATIO = 0.5
+
+
+@query(
+    "dedup_substring_chunks",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    c AS (
+      SELECT doc_id,
+             md5(array_to_string(t[s:s + {CHUNK_W - 1}], ' ')) AS h
+      FROM (
+        SELECT doc_id, t,
+               unnest(generate_series(1, len(t) - {CHUNK_W} + 1, {CHUNK_W}))
+                   AS s
+        FROM toks
+      )
+    ),
+    freq AS (SELECT h, COUNT(*) AS n_total FROM c GROUP BY h),
+    agg AS (
+      SELECT c.doc_id,
+             COUNT(*) AS n_chunks,
+             CAST(SUM(CASE WHEN freq.n_total > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup_chunks
+      FROM c JOIN freq USING (h) GROUP BY c.doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(agg.n_chunks, 0) AS n_chunks,
+           COALESCE(agg.n_dup_chunks, 0) AS n_dup_chunks,
+           ROUND(COALESCE(agg.n_dup_chunks * 1.0 / agg.n_chunks, 0.0), 4)
+               AS dup_chunk_ratio,
+           CAST(COALESCE(agg.n_dup_chunks * 1.0 / agg.n_chunks, 0.0)
+                >= {CHUNK_DUP_FLAG_RATIO} AS INT) AS flagged
+    FROM documents d LEFT JOIN agg USING (doc_id)
+    """,
+    tags=("northstar", "dedup", "substring", "bench"),
+)
+def dedup_substring_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Substring-level exact dedup (the ExactSubstr stance of Lee et al.
+    2022): slice every document into disjoint CHUNK_W(=8)-token chunks,
+    hash each chunk, and report per document how many of its chunks occur
+    anywhere else in the corpus (including elsewhere in the same document)
+    — the repeated-substring signal doc-level MinHash cannot see (a
+    boilerplate paragraph shared by 1% of docs never moves doc-level
+    Jaccard, but lights up here).
+
+    Spark shape, two narrow shuffles: (1) chunks explode map-side from one
+    scan (sequence→explode→slice→md5, all Catalyst; the chunk TEXT never
+    leaves the map side — only the 32-hex hash rides the shuffle), keyed
+    on chunk hash for the global frequency count with map-side partials;
+    (2) the (chunk, freq) join is a self-co-shuffle on the same hash key
+    (both sides exit shuffle (1) hash-partitioned on ``h``, so AQE reuses
+    the partitioning), then one doc_id-keyed re-aggregate. The frequency
+    table is corpus-sized — deliberately NOT broadcast. Docs shorter than
+    CHUNK_W (none in the fixtures: min 10 tokens) surface with n_chunks=0
+    via the left join rather than vanishing. At 100 TB the trailing
+    partial chunk is dropped (< W tokens can't witness a W-token repeat),
+    chunk width trades recall for index size exactly as in Lee et al., and
+    the flagged docs feed the same removal step as ``decontaminate_corpus``."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    starts = F.when(
+        n >= CHUNK_W, F.sequence(F.lit(1), n - CHUNK_W + 1, F.lit(CHUNK_W))
+    ).otherwise(F.array().cast("array<int>"))
+    chunks = (
+        docs.select("doc_id", toks.alias("t"), F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            F.md5(F.array_join(F.slice(F.col("t"), F.col("s"), CHUNK_W), " ")).alias("h"),
+        )
+    )
+    freq = chunks.groupBy("h").agg(F.count(F.lit(1)).alias("n_total"))
+    agg = (
+        chunks.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum((F.col("n_total") > 1).cast("int")).alias("n_dup_chunks"),
+        )
+    )
+    ratio = F.coalesce(F.col("n_dup_chunks") / F.col("n_chunks"), F.lit(0.0))
+    return (
+        docs.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_chunks", F.lit(0)).alias("n_chunks"),
+            F.coalesce("n_dup_chunks", F.lit(0)).alias("n_dup_chunks"),
+            F.round(ratio, 4).alias("dup_chunk_ratio"),
+            (ratio >= CHUNK_DUP_FLAG_RATIO).cast("int").alias("flagged"),
+        )
+    )

@@ -700,3 +700,103 @@ def graph_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return pr.select(F.col("node").alias("part_id"), F.col("pr").alias("pagerank_e6"))
+
+
+# Triangle counting runs on the SUPPORT-thresholded co-purchase graph: keep
+# an edge only when the two parts co-occur in >= TRI_MIN_SUPPORT distinct
+# orders. On a random co-purchase graph the raw edge set is near-complete
+# (sf0.01: 115k edges over 2k parts) and the wedge set — the quadratic
+# middle of any triangle algorithm — blows up as sum(deg^2); the support
+# threshold is the standard association-rule prune (a one-off co-purchase
+# is noise, not affinity) and collapses the graph to the ~3% of edges with
+# repeat evidence before any pairing happens.
+TRI_MIN_SUPPORT = 2
+
+
+@query(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH e AS (
+      SELECT a.l_partkey AS s, b.l_partkey AS t
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(DISTINCT a.l_orderkey) >= {TRI_MIN_SUPPORT}
+    ),
+    tri AS (
+      SELECT e1.s AS a, e1.t AS b, e2.t AS c
+      FROM e e1
+      JOIN e e2 ON e2.s = e1.t
+      JOIN e e3 ON e3.s = e1.s AND e3.t = e2.t
+    ),
+    node_tri AS (
+      SELECT x AS part_id, COUNT(*) AS n FROM (
+        SELECT a AS x FROM tri
+        UNION ALL SELECT b FROM tri
+        UNION ALL SELECT c FROM tri
+      ) GROUP BY 1
+    ),
+    deg AS (
+      SELECT x AS part_id, COUNT(*) AS degree FROM (
+        SELECT s AS x FROM e UNION ALL SELECT t FROM e
+      ) GROUP BY 1
+    )
+    SELECT d.part_id, d.degree, COALESCE(node_tri.n, 0) AS n_triangles
+    FROM deg d LEFT JOIN node_tri USING (part_id)
+    """,
+    tags=("northstar", "graph", "bench"),
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-node triangle counting over the support-thresholded co-purchase
+    graph — the clustering/community signal (a part in many triangles sits
+    in a dense co-purchase pocket) next to PageRank's centrality signal,
+    and the second canonical graph computation a curation pipeline runs on
+    item graphs.
+
+    Spark shape: edges build exactly like ``graph_copurchase_pagerank``
+    (one scan → per-order part sets → in-set pair expansion, bounded by
+    order width) but oriented ``src < dst`` and support-filtered, then
+    persisted — the edge table is read three times (two wedge sides + the
+    closing probe) off one materialization. Counting is the classic
+    node-ordered join: wedges (s<t<u by construction, so each triangle
+    materializes exactly once) equi-join the closing edge on (s, u). Both
+    joins key on edge endpoints — co-partitioned shuffles, map-side
+    partial counts. At 100 TB the wedge set is the cost driver: it is
+    sum-over-nodes(deg^2) AFTER the support prune, and the standard
+    degree-orientation refinement (point each edge low→high degree, cf.
+    the Suri & Vassilvitskii MapReduce formulation) bounds per-node wedge
+    fan-out for power-law graphs; skewed hub nodes take the salted-agg
+    recipe. Support raises with scale (affinity needs more evidence in
+    bigger data), keeping |E| sub-quadratic by construction."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    e = (
+        li.groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("parts"))
+        .select(F.explode("parts").alias("s"), "parts")
+        .select("s", F.explode("parts").alias("t"))
+        .filter(F.col("s") < F.col("t"))
+        .groupBy("s", "t")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= TRI_MIN_SUPPORT)
+        .select("s", "t")
+        .persist()
+    )
+    wedge = e.select(F.col("s").alias("a"), F.col("t").alias("b")).join(
+        e.select(F.col("s").alias("b"), F.col("t").alias("c")), "b"
+    )
+    tri = wedge.join(
+        e.select(F.col("s").alias("a"), F.col("t").alias("c")), ["a", "c"]
+    ).select("a", "b", "c")
+    node_tri = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("part_id"))
+        .groupBy("part_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    deg = (
+        e.select(F.explode(F.array("s", "t")).alias("part_id"))
+        .groupBy("part_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.join(node_tri, "part_id", "left").select(
+        "part_id", "degree", F.coalesce("n", F.lit(0)).alias("n_triangles")
+    )

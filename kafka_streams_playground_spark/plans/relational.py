@@ -1157,3 +1157,55 @@ def wf_ntile_price_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("cents").alias("min_cents"),
         F.max("cents").alias("max_cents"),
     )
+
+
+@query(
+    "agg_unpivot_status_counts",
+    oracle="""
+    WITH w AS (
+      SELECT c_mktsegment AS segment,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'F') AS status_F,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'O') AS status_O,
+             COUNT(*) FILTER (WHERE o_orderstatus = 'P') AS status_P
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1
+    )
+    SELECT segment, status, n FROM (
+      SELECT segment, 'F' AS status, status_F AS n FROM w
+      UNION ALL SELECT segment, 'O', status_O FROM w
+      UNION ALL SELECT segment, 'P', status_P FROM w
+    )
+    """,
+    tags=("extension", "agg", "unpivot", "bench"),
+)
+def agg_unpivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT (melt) — the inverse of ``agg_pivot_status_by_segment``:
+    the wide per-segment status-count matrix folds back to long
+    (segment, status, n) rows via ``stack``. Wide→long is how pivoted
+    report tables re-enter relational pipelines (and how sparse feature
+    matrices are exploded for aggregation); Spark's ``stack(n, k1, v1,
+    ...)`` is a generator expression — map-side only, no shuffle beyond
+    the pivot's own aggregate, output rows = segments × declared metrics
+    (static schema, the only sane unpivot form at scale — zero-count
+    cells survive as explicit rows, which the downstream long-format
+    aggregate needs)."""
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderstatus")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    j = orders.join(cust, orders["o_custkey"] == cust["c_custkey"])
+    wide = (
+        j.groupBy(F.col("c_mktsegment").alias("segment"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .agg(F.count(F.lit(1)))
+        .select(
+            "segment",
+            F.coalesce(F.col("F"), F.lit(0)).cast("bigint").alias("status_F"),
+            F.coalesce(F.col("O"), F.lit(0)).cast("bigint").alias("status_O"),
+            F.coalesce(F.col("P"), F.lit(0)).cast("bigint").alias("status_P"),
+        )
+    )
+    return wide.select(
+        "segment",
+        F.expr(
+            "stack(3, 'F', status_F, 'O', status_O, 'P', status_P) AS (status, n)"
+        ),
+    )

@@ -708,3 +708,55 @@ def ts_ewma_user_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         ewma.cast("bigint").alias("ewma_cents_q8"),
     )
+
+
+@query(
+    "wf_order_gap_days",
+    oracle="""
+    WITH g AS (
+      SELECT o_custkey,
+             date_diff('day',
+                       CAST(lag(o_orderdate) OVER (
+                         PARTITION BY o_custkey
+                         ORDER BY o_orderdate, o_orderkey) AS DATE),
+                       CAST(o_orderdate AS DATE)) AS gap_days
+      FROM orders
+    )
+    SELECT o_custkey AS custkey,
+           COUNT(*) AS n_orders,
+           CAST(COUNT(gap_days) AS BIGINT) AS n_gaps,
+           FLOOR(AVG(gap_days) * 100 + 0.5) / 100 AS avg_gap_days,
+           MAX(gap_days) AS max_gap_days
+    FROM g GROUP BY 1
+    """,
+    tags=("extension", "window", "temporal", "bench"),
+)
+def wf_order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-event gap statistics via LAG: per customer, the day gaps
+    between consecutive orders (deterministic (date, orderkey) ordering),
+    rolled up to count / mean / max — the purchase-cadence feature every
+    churn model and every event-stream health check computes, and the
+    canonical LAG shape (scd2 next door is its LEAD mirror).
+
+    Spark shape: ONE shuffle on o_custkey serves both the window sort and
+    the follow-up aggregate (the groupBy key equals the partitionBy key, so
+    the aggregate runs shuffle-free on the window's partitioning — same
+    reuse discipline as wf_running_customer_spend). Moving only
+    (custkey, date, orderkey) through the sort keeps the shuffle narrow;
+    single-order customers surface with NULL gap stats rather than
+    vanishing. At 100 TB per-customer order counts are small and bounded —
+    no skew lever needed; a hot synthetic key would take the salted-window
+    recipe."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", F.to_date("o_orderdate").alias("d")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("d", "o_orderkey")
+    g = orders.select(
+        "o_custkey", F.datediff(F.col("d"), F.lag("d").over(w)).alias("gap_days")
+    )
+    return g.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count("gap_days").alias("n_gaps"),
+        (F.floor(F.avg("gap_days") * 100 + F.lit(0.5)) / 100).alias("avg_gap_days"),
+        F.max("gap_days").alias("max_gap_days"),
+    )
