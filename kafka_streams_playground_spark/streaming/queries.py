@@ -938,3 +938,38 @@ def _share_ewma_oracle() -> None:
 
 
 _share_ewma_oracle()
+
+
+@query(
+    "stream_funnel_view_click_purchase",
+    oracle=None,  # set below: shares the batch funnel oracle
+    tags=("extension", "streaming", "funnel", "stateful"),
+)
+def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The conversion funnel ONLINE — ``funnel_view_click_purchase`` as a
+    CUSTOM KEYED STATEFUL operator (streaming/stateful.py::funnel_per_key):
+    per-user state carries the three stage timestamps across micro-batches
+    and each batch advances the min-chain and emits the user's current
+    funnel row. This is how product analytics actually watches funnels —
+    at ingest latency with O(1) state per user — where the batch twin
+    re-scans the event history; the drained single-batch replay equals the
+    batch twin row-for-row (ordered-replay precondition documented on the
+    fold)."""
+    from kafka_streams_playground_spark.streaming.stateful import funnel_per_key
+
+    events = read_stream_table(spark, sf_dir, "events")
+    return run_to_completion(funnel_per_key(events), output_mode="append", spark=spark)
+
+
+def _share_funnel_oracle() -> None:
+    from dataclasses import replace
+
+    from kafka_streams_playground_spark.plans import temporal  # noqa: F401
+
+    REGISTRY["stream_funnel_view_click_purchase"] = replace(
+        REGISTRY["stream_funnel_view_click_purchase"],
+        oracle=REGISTRY["funnel_view_click_purchase"].oracle,
+    )
+
+
+_share_funnel_oracle()

@@ -221,3 +221,74 @@ def ewma_per_key(sdf: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+def _funnel_stages(key: tuple, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+    """Per-user streaming funnel (view → click → purchase): keyed state
+    carries the three stage timestamps, each micro-batch advances them with
+    the batch twin's min-chain computed VECTORIZED over (state ∪ batch) —
+    t1 = earliest view, t2 = earliest click at-or-after t1, t3 = earliest
+    purchase at-or-after t2 — and emits the user's current funnel row.
+    State: three nullable BIGINTs per user, O(1) regardless of event volume
+    (the RocksDB footprint a Kafka Streams funnel store would keep).
+
+    The set-min formulation (not per-event sequential ifs) makes equal-ts
+    stage pairs inside one batch resolve exactly like the batch oracle's
+    ``ts >= t1`` join — a click tying the first view's timestamp qualifies
+    even if its event_id sorts first.
+
+    PRECONDITION (the stream_asof stance): batches replayed in event-time
+    order, equal-ts events not split across batches — an earlier-ts view
+    arriving AFTER a batch that already skipped a qualifying click would
+    need an update-mode correction. The replay harness's single
+    availableNow batch satisfies this; each key then emits exactly one
+    row, the final funnel state the batch twin computes."""
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if not chunks:
+        return
+    pdf = pd.concat(chunks, ignore_index=True)
+    ns = pdf["ts"].astype("int64")
+    t1, t2, t3 = (state.get if state.exists else (None, None, None))
+
+    def _min(cur, cand):
+        if len(cand) == 0:
+            return cur
+        m = int(cand.min())
+        return m if cur is None else min(cur, m)
+
+    t1 = _min(t1, ns[pdf["event_type"] == "view"])
+    if t1 is not None:
+        t2 = _min(t2, ns[(pdf["event_type"] == "click") & (ns >= t1)])
+    if t2 is not None:
+        t3 = _min(t3, ns[(pdf["event_type"] == "purchase") & (ns >= t2)])
+    state.update((t1, t2, t3))
+    stage = 3 if t3 is not None else 2 if t2 is not None else 1 if t1 is not None else 0
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "view_epoch": pd.array([None if t1 is None else t1 // 10**9], dtype="Int64"),
+            "click_epoch": pd.array([None if t2 is None else t2 // 10**9], dtype="Int64"),
+            "purchase_epoch": pd.array(
+                [None if t3 is None else t3 // 10**9], dtype="Int64"
+            ),
+            "reached_stage": [stage],
+        }
+    )
+
+
+def funnel_per_key(sdf: DataFrame) -> DataFrame:
+    """Streaming ordered funnel; batch twin =
+    plans/temporal.py::funnel_view_click_purchase (the chained min-join
+    formulation), whose oracle this operator shares. Every user appears
+    (any event type creates state), matching the batch twin's distinct-user
+    left-join spine."""
+    return sdf.groupBy("user_id").applyInPandasWithState(
+        _funnel_stages,
+        outputStructType=(
+            "user_id BIGINT, view_epoch BIGINT, click_epoch BIGINT, "
+            "purchase_epoch BIGINT, reached_stage INT"
+        ),
+        stateStructType="t1 BIGINT, t2 BIGINT, t3 BIGINT",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )
