@@ -77,6 +77,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "topk_customers_by_revenue",
     "stream_topk_customers_by_revenue",
     "embedding_quantize_int8",
+    # NEW this round, late additions (substring-chunk dedup, overlap
+    # chunking, triangle count, unpivot, LAG gaps, streaming funnel) —
+    # first driver signal outranks rotation per the (b)>(c) policy above
+    "dedup_substring_chunks",
+    "chunk_documents_overlap",
+    "graph_triangle_count",
+    "agg_unpivot_status_counts",
+    "wf_order_gap_days",
+    "stream_funnel_view_click_purchase",
     # stalest first: last driver row in ROUND 2 (3 rounds old)
     "dedup_ngram_jaccard",
     "dedup_simhash",
@@ -113,11 +122,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # machinery — deferred to round 6 by the sibling rule)
     # (agg_salted_skew → r4-green join_salted_skew_above_avg salting recipe —
     # deferred to round 6 by the sibling rule)
-    "join_range_price_band",
-    "agg_kmv_distinct_sketch",
-    "stream_dedup_within_watermark",
-    "dedup_minhash_lsh",
-    "dedup_simhash_banded",
+    # (displaced by the six late-r5 additions above, each with an
+    # r4/r5-checked sibling: join_range_price_band → r4-green
+    # join_left_interval_unpaid interval machinery; agg_kmv_distinct_sketch
+    # → bounded K-row merge, r3-green unchanged; stream_dedup_within_
+    # watermark → r4-green stream_dedup_exact; dedup_minhash_lsh → its
+    # _minhash_hv_pairs machinery runs inside r4-green domain_quality_stats
+    # and r5-listed dedup_containment_lsh; dedup_simhash_banded → r3-green
+    # unchanged, r4 bench-audited; pack_sequences → r3-green unchanged.
+    # All six lead round 6's rotation.)
     # (sample_stratified_by_lang → sample_hash_split/temperature_mix md5
     # machinery, pii_scrub_events → stateless regex projection — both
     # deferred to round 6 by the sibling rule above)
@@ -125,7 +138,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # unchanged; deferred to lead round 6's rotation)
     # (pipeline_quality_filter → its r4-green streaming twin shares the
     # composed gate semantics — deferred to round 6's rotation)
-    "pack_sequences",
     "dedup_cluster_components",
 )
 

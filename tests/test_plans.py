@@ -316,3 +316,48 @@ def test_pagerank_broadcasts_rank_vector(spark, sf_dir):
     plan = _plan(spark, sf_dir, "graph_copurchase_pagerank")
     assert plan.count("BroadcastHashJoin") >= 3, plan
     assert "InMemoryRelation" in plan, plan  # edge table persisted once
+
+
+def test_chunk_manifest_is_shuffle_free(spark, sf_dir):
+    """chunk_documents_overlap claims a pure map-side plan: one scan,
+    sequence->explode->slice, NO Exchange anywhere."""
+    plan = _plan(spark, sf_dir, "chunk_documents_overlap")
+    assert "Exchange" not in plan, plan
+
+
+def test_substring_chunk_shuffle_carries_hash_not_text(spark, sf_dir):
+    """dedup_substring_chunks must shuffle the md5 hash, never the chunk
+    token array or document text (narrow-shuffle contract)."""
+    plan = _plan(spark, sf_dir, "dedup_substring_chunks")
+    exchanges = re.findall(r"Arguments: hashpartitioning\(([^,]+)", plan)
+    assert exchanges, plan
+    for key in exchanges:
+        assert key.split("#")[0] in {"h", "doc_id"}, (key, exchanges)
+
+
+def test_triangle_edges_built_once_and_reused(spark, sf_dir):
+    """graph_triangle_count reads the persisted support-filtered edge table
+    for wedges, closure, and degrees — the plan must show the in-memory
+    relation, not three lineitem scan pipelines."""
+    plan = _plan(spark, sf_dir, "graph_triangle_count")
+    assert "InMemoryTableScan" in plan, plan
+    scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", plan))
+    assert len(scan_ids) == 1, (scan_ids, plan)
+
+
+def test_unpivot_stack_adds_no_extra_shuffle(spark, sf_dir):
+    """The stack() generator runs map-side on the pivot's aggregate output:
+    no Exchange beyond the pivot's own groupBy and the join's."""
+    plan = _plan(spark, sf_dir, "agg_unpivot_status_counts")
+    piv = _plan(spark, sf_dir, "agg_pivot_status_by_segment")
+    assert plan.count("Exchange") <= piv.count("Exchange"), (
+        plan.count("Exchange"),
+        piv.count("Exchange"),
+    )
+
+
+def test_order_gaps_single_custkey_shuffle(spark, sf_dir):
+    """wf_order_gap_days: the window sort and the follow-up aggregate share
+    ONE o_custkey hash partitioning — exactly one Exchange in the plan."""
+    plan = _plan(spark, sf_dir, "wf_order_gap_days")
+    assert len(re.findall(r"Arguments: hashpartitioning\(", plan)) == 1, plan
