@@ -86,13 +86,20 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "agg_unpivot_status_counts",
     "wf_order_gap_days",
     "stream_funnel_view_click_purchase",
+    "mm_scene_change_segments",
+    "quality_classifier_filter",
+    # (stream_chunk_documents_overlap — stateless re-expression sharing
+    # chunk_documents_overlap's oracle verbatim — deferred to round 6 by
+    # the sibling rule)
     # stalest first: last driver row in ROUND 2 (3 rounds old)
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "text_quality_score",
     "text_fingerprint",
     "mm_image_metadata",
-    "mm_decoded_feature_checksum",
+    # (mm_decoded_feature_checksum — its decode_features mapInPandas
+    # machinery runs inside r4-green mm_resize_audit / mm_audio_chunk_energy
+    # — displaced by the late additions under the sibling rule; leads r6)
     # last driver row in ROUND 3 (21 of 43; the 22 deferred lead round 6's
     # rotation — an r3 row is exactly 2 rounds old at r5, the policy edge,
     # so deferral picks the lowest-RISK members: stateless streaming twins
@@ -138,7 +145,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # unchanged; deferred to lead round 6's rotation)
     # (pipeline_quality_filter → its r4-green streaming twin shares the
     # composed gate semantics — deferred to round 6's rotation)
-    "dedup_cluster_components",
+    # (dedup_cluster_components — r3-green unchanged iterative CC; its
+    # LSH-edge input machinery runs inside r4-green domain_quality_stats,
+    # and the loop's convergence/diameter bounds are unit-pinned —
+    # displaced by the late additions under the sibling rule; leads r6)
 )
 
 

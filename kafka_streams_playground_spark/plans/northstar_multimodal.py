@@ -227,3 +227,109 @@ def mm_paired_modality_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("text_only")
         .alias("modality"),
     )
+
+
+# Scene segmentation: consecutive-frame intensity delta above SCENE_TH opens
+# a new segment. Frame "intensity" is the stub decode of the frame's first
+# byte (ascii of the char at the frame's payload offset) — deterministic and
+# oracle-reproducible; a real pipeline reads a decoded luma histogram here.
+SCENE_TH = 30
+
+
+@query(
+    "mm_scene_change_segments",
+    oracle=f"""
+    WITH v AS (
+      SELECT doc_id, text, CAST(n_chars // {CHARS_PER_FRAME} AS BIGINT) AS n_frames
+      FROM documents
+    ),
+    i AS (
+      SELECT doc_id,
+             unnest(range(0, n_frames)) AS fi,
+             text
+      FROM v WHERE n_frames > 0
+    ),
+    x AS (
+      SELECT doc_id, fi,
+             ascii(substr(text, CAST(fi * {CHARS_PER_FRAME} + 1 AS INT), 1)) AS inten
+      FROM i
+    ),
+    d AS (
+      SELECT doc_id, fi,
+             CASE WHEN lag(inten) OVER w IS NULL THEN 1
+                  WHEN abs(inten - lag(inten) OVER w) > {SCENE_TH} THEN 1
+                  ELSE 0 END AS chg
+      FROM x WINDOW w AS (PARTITION BY doc_id ORDER BY fi)
+    ),
+    s AS (
+      SELECT doc_id, fi,
+             CAST(SUM(chg) OVER (PARTITION BY doc_id ORDER BY fi) - 1 AS BIGINT)
+                 AS segment_idx
+      FROM d
+    )
+    SELECT doc_id, segment_idx,
+           MIN(fi) AS start_frame,
+           COUNT(*) AS n_frames_seg
+    FROM s GROUP BY doc_id, segment_idx
+    """,
+    tags=("northstar", "multimodal", "video", "bench"),
+)
+def mm_scene_change_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-change segmentation for video-shaped payloads: explode frames,
+    decode a per-frame intensity (stub: the frame's first payload byte),
+    open a new segment wherever the consecutive-frame delta exceeds
+    SCENE_TH, and emit one row per (video, segment) with start frame and
+    length — the shot-boundary pass a video curation pipeline runs before
+    per-scene sampling/captioning (frame deltas are the classic
+    shot-detection signal).
+
+    Spark shape: ONE doc_id shuffle serves everything — the LAG delta, the
+    running-sum segment id (two window specs over the same partitioning →
+    one Exchange, same reuse as the EWMA taps), and the final
+    (doc, segment) aggregate whose key PREFIX is the partitioning key.
+    Frame explosion is map-side; only (doc_id, frame, one small int) ever
+    shuffles, never the payload. At 100 TB per-video frame counts bound
+    partition width (a 2-hour video is ~200k frames — fine); a pathological
+    single video would take the range-partitioned two-phase variant of
+    ``pack_sequences``'s prefix sum."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text", "n_chars")
+    v = docs.select(
+        "doc_id",
+        "text",
+        (F.col("n_chars") / CHARS_PER_FRAME).cast("bigint").alias("n_frames"),
+    ).filter(F.col("n_frames") > 0)
+    x = v.select(
+        "doc_id",
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), F.col("n_frames") - 1, F.lit(1))
+        ).alias("fi"),
+        "text",
+    ).select(
+        "doc_id",
+        "fi",
+        F.ascii(
+            F.substring(
+                F.col("text"), (F.col("fi") * CHARS_PER_FRAME + 1).cast("int"), 1
+            )
+        ).alias("inten"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy("fi")
+    prev = F.lag("inten").over(w)
+    chg = (
+        F.when(prev.isNull(), F.lit(1))
+        .when(F.abs(F.col("inten") - prev) > SCENE_TH, F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    s = x.select("doc_id", "fi", chg.alias("chg")).select(
+        "doc_id",
+        "fi",
+        (F.sum("chg").over(w.rowsBetween(Window.unboundedPreceding, 0)) - 1)
+        .cast("bigint")
+        .alias("segment_idx"),
+    )
+    return s.groupBy("doc_id", "segment_idx").agg(
+        F.min("fi").alias("start_frame"),
+        F.count(F.lit(1)).alias("n_frames_seg"),
+    )

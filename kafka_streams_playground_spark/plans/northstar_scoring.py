@@ -20,6 +20,7 @@ from kafka_streams_playground_spark.plans.northstar_dedup import (
     MINHASH_PAIRS_CTES,
     minhash_verified_pairs,
 )
+from kafka_streams_playground_spark.plans.northstar_text import STOPWORDS
 from kafka_streams_playground_spark.plans.registry import query
 from kafka_streams_playground_spark.sources.parquet import load_table
 
@@ -800,4 +801,88 @@ def text_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.min("alp4").alias("min_alp4"),
         F.max("alp4").alias("max_alp4"),
+    )
+
+
+# Linear quality classifier (the fasttext-style model-based filter of the
+# GPT-3 / LLaMA data pipelines, run here with PRETRAINED weights as fixed
+# literals — training the model is an offline step, scoring the corpus is
+# the 100 TB pass). Exact-integer stance: every term is a nonnegative
+# integer product followed by integer division (truncation == floor on
+# nonnegative operands in BOTH engines), so the logit is bit-equal across
+# engines and partition counts — no sigmoid, no float dot product; the
+# decision boundary compares logits to a grid threshold, which is the same
+# classification the sigmoid form yields (monotone transform).
+QC_W_TTR_E6 = 2_000_000  # type-token ratio weight
+QC_W_STOP_E6 = 1_500_000  # stopword-ratio penalty
+QC_W_LEN_E6 = 800_000  # length-saturation weight
+QC_BIAS_E6 = -400_000
+QC_TH_E6 = 1_200_000
+
+
+@query(
+    "quality_classifier_filter",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+             CAST(len([x for x in toks if list_contains([{_STOP_SQL}], x)])
+                  AS BIGINT) AS n_stop
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(({QC_W_TTR_E6} * n_distinct) // n_tokens
+                - ({QC_W_STOP_E6} * n_stop) // n_tokens
+                + ({QC_W_LEN_E6} * LEAST(n_tokens, 256)) // 256
+                + {QC_BIAS_E6} AS BIGINT) AS logit_e6,
+           CAST(({QC_W_TTR_E6} * n_distinct) // n_tokens
+                - ({QC_W_STOP_E6} * n_stop) // n_tokens
+                + ({QC_W_LEN_E6} * LEAST(n_tokens, 256)) // 256
+                + {QC_BIAS_E6} >= {QC_TH_E6} AS INT) AS keep
+    FROM f
+    """,
+    tags=("northstar", "scoring", "classifier", "bench"),
+)
+def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering: score every document with a linear
+    classifier over lexical features (type-token ratio, stopword ratio,
+    length saturation) and keep docs above the decision threshold — the
+    classifier-filter stage of the GPT-3/LLaMA-style pipelines (there a
+    fasttext model scored against a high-quality reference corpus; the
+    serving pass is this exact shape: fixed weights, per-doc features, one
+    linear score).
+
+    Spark shape: pure Catalyst, zero shuffle — features come from one
+    projection over the scan, the logit is integer arithmetic, and the
+    filter decision is a comparison (the heuristic twin
+    ``text_quality_score`` shares the feature extraction pattern; this is
+    its learned-model counterpart). At 100 TB this class of operator is
+    scan-bound and embarrassingly parallel; the weights table generalizes
+    to a broadcast row when the model grows beyond literals (the
+    ``text_unigram_lm_score`` recipe)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    stop_arr = F.lit(list(STOPWORDS)).cast("array<string>")
+    f = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+        .cast("bigint")
+        .alias("n_stop"),
+    )
+    logit = F.expr(
+        f"({QC_W_TTR_E6} * n_distinct) div n_tokens"
+        f" - ({QC_W_STOP_E6} * n_stop) div n_tokens"
+        f" + ({QC_W_LEN_E6} * least(n_tokens, 256)) div 256"
+        f" + {QC_BIAS_E6}"
+    )
+    return f.select(
+        "doc_id",
+        logit.cast("bigint").alias("logit_e6"),
+        (logit >= QC_TH_E6).cast("int").alias("keep"),
     )

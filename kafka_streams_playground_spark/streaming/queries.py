@@ -973,3 +973,54 @@ def _share_funnel_oracle() -> None:
 
 
 _share_funnel_oracle()
+
+
+@query(
+    "stream_chunk_documents_overlap",
+    oracle=None,  # set below: shares the batch chunk-manifest oracle
+    tags=("northstar", "streaming", "curation", "chunking"),
+)
+def stream_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The context-window chunker ONLINE — ``chunk_documents_overlap`` on
+    the document stream: every arriving document fans out to its
+    overlapping CHUNK_WIN-token window rows at ingest, the form a streaming
+    tokenize-and-pack pipeline consumes. Stateless append pipeline (the
+    batch twin is shuffle-free, so the streaming form has no state store
+    and no watermark); the drained output IS the batch manifest
+    row-for-row, so the batch DuckDB oracle applies unchanged."""
+    from kafka_streams_playground_spark.plans.northstar_curation import (
+        CHUNK_STRIDE,
+        CHUNK_WIN,
+    )
+
+    docs = read_stream_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    c = docs.select(
+        "doc_id",
+        toks.alias("t"),
+        F.explode(F.sequence(F.lit(1), n, F.lit(CHUNK_STRIDE))).alias("s"),
+    )
+    nt = F.size(F.col("t"))
+    out = c.select(
+        "doc_id",
+        (((F.col("s") - 1) / CHUNK_STRIDE).cast("bigint")).alias("chunk_idx"),
+        F.col("s").cast("bigint").alias("start_tok"),
+        F.least(F.lit(CHUNK_WIN), nt - F.col("s") + 1).cast("bigint").alias("n_tok"),
+        F.md5(F.array_join(F.slice(F.col("t"), F.col("s"), CHUNK_WIN), " ")).alias("fp"),
+    )
+    return run_to_completion(out, output_mode="append", spark=spark)
+
+
+def _share_chunk_oracle() -> None:
+    from dataclasses import replace
+
+    from kafka_streams_playground_spark.plans import northstar_curation  # noqa: F401
+
+    REGISTRY["stream_chunk_documents_overlap"] = replace(
+        REGISTRY["stream_chunk_documents_overlap"],
+        oracle=REGISTRY["chunk_documents_overlap"].oracle,
+    )
+
+
+_share_chunk_oracle()

@@ -361,3 +361,18 @@ def test_order_gaps_single_custkey_shuffle(spark, sf_dir):
     ONE o_custkey hash partitioning — exactly one Exchange in the plan."""
     plan = _plan(spark, sf_dir, "wf_order_gap_days")
     assert len(re.findall(r"Arguments: hashpartitioning\(", plan)) == 1, plan
+
+
+def test_scene_segments_single_docid_shuffle(spark, sf_dir):
+    """mm_scene_change_segments: LAG delta, running-sum segment id, and the
+    (doc, segment) aggregate all ride ONE doc_id hash partitioning."""
+    plan = _plan(spark, sf_dir, "mm_scene_change_segments")
+    assert len(re.findall(r"Arguments: hashpartitioning\(", plan)) == 1, plan
+
+
+def test_quality_classifier_is_shuffle_free(spark, sf_dir):
+    """quality_classifier_filter is pure Catalyst over one scan: no
+    Exchange, no UDF, no join."""
+    plan = _plan(spark, sf_dir, "quality_classifier_filter")
+    assert "Exchange" not in plan, plan
+    assert "Scan parquet" in plan, plan
