@@ -88,12 +88,17 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_funnel_view_click_purchase",
     "mm_scene_change_segments",
     "quality_classifier_filter",
+    "embedding_pq_codes",
+    "events_value_outliers",
     # (stream_chunk_documents_overlap — stateless re-expression sharing
     # chunk_documents_overlap's oracle verbatim — deferred to round 6 by
     # the sibling rule)
     # stalest first: last driver row in ROUND 2 (3 rounds old)
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
+    # (dedup_ngram_jaccard, dedup_simhash — labeled quadratic ground-truth
+    # BASELINES, bench-excluded, r2-driver-green and unchanged since; their
+    # job is validating the banded/LSH scale paths, which hold r4/r5 rows —
+    # displaced by the late additions; they lead r6's rotation with the
+    # other displaced members)
     "text_quality_score",
     "text_fingerprint",
     "mm_image_metadata",

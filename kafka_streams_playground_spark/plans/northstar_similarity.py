@@ -982,3 +982,126 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("sx div n").alias("mean_e6"),
         F.expr("(sxx * n - sx * sx) div (n * n)").alias("var_e12"),
     )
+
+
+# Product quantization: split each embedding into PQ_M contiguous subspaces
+# and code each subvector against a PQ_K-entry codebook — the compression
+# that makes billion-vector ANN serving fit in RAM (Jégou et al. 2011,
+# "Product Quantization for Nearest Neighbor Search": 64 floats → 4 bytes
+# here). Codebooks are the deterministic seed scheme of kmeans_ivf_train
+# (subvectors of the first PQ_K vec_ids — no RNG portability hazard);
+# production refinement runs that operator's Lloyd loop per subspace.
+PQ_M = 4
+PQ_K = 16
+_PQ_SUBDIM = 64 // PQ_M
+
+
+def _pq_dist_sql(m: int) -> str:
+    lo, hi = m * _PQ_SUBDIM + 1, (m + 1) * _PQ_SUBDIM
+    return (
+        f"list_sum(list_transform(list_zip(e.x6[{lo}:{hi}], cb.x6[{lo}:{hi}]), "
+        "s -> (s[1]-s[2])*(s[1]-s[2])))"
+    )
+
+
+def _pq_oracle() -> str:
+    assigns = ",\n".join(
+        f"""a{m} AS (
+      SELECT vec_id, code_id, d FROM (
+        SELECT e.vec_id, cb.code_id, {_pq_dist_sql(m)} AS d,
+               row_number() OVER (
+                 PARTITION BY e.vec_id
+                 ORDER BY {_pq_dist_sql(m)} ASC, cb.code_id ASC) AS rn
+        FROM e CROSS JOIN cb
+      ) WHERE rn = 1
+    )"""
+        for m in range(PQ_M)
+    )
+    return f"""
+    WITH e AS (
+      SELECT vec_id,
+             [CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)
+              for x in embedding::DOUBLE[]] AS x6
+      FROM embeddings
+    ),
+    cb AS (SELECT vec_id AS code_id, x6 FROM e WHERE vec_id < {PQ_K}),
+    {assigns}
+    SELECT a0.vec_id,
+           a0.code_id AS code_0, a1.code_id AS code_1,
+           a2.code_id AS code_2, a3.code_id AS code_3,
+           CAST(a0.d + a1.d + a2.d + a3.d AS BIGINT) AS recon_d2
+    FROM a0 JOIN a1 USING (vec_id) JOIN a2 USING (vec_id) JOIN a3 USING (vec_id)
+    """
+
+
+@query(
+    "embedding_pq_codes",
+    oracle=_pq_oracle(),
+    tags=("northstar", "similarity", "embedding", "quantization", "bench"),
+)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization coding: every embedding splits into PQ_M(=4)
+    16-dim subvectors, each coded as its nearest of PQ_K(=16) codebook
+    entries, plus the exact reconstruction error — the vector-compression
+    pass (Jégou et al. 2011) an ANN deployment runs over the full corpus
+    before serving (IVF-PQ = ``sim_ivf_topk``'s cells + THIS coding inside
+    them). All arithmetic on the 1e-6 integer grid: squared distances,
+    argmins (first-min = smallest code id, matching the oracle's rank
+    tiebreak), and the error sum are exact int64 — bit-equal across
+    engines and partition counts.
+
+    Spark shape: codebooks are O(M·K·subdim) = 4 KiB of driver state
+    (seed-scheme collect, the same config-sized bound as the IVF/k-means
+    centroid collects named in SCALE.md §12), closed over ONE vectorized
+    ``mapInPandas`` pass — per Arrow batch, a (n, M, K) numpy distance
+    tensor, argmin per subspace, zero shuffle (output inherits the scan's
+    partitioning). At 100 TB this is the ideal coding pass: scan-bound,
+    embarrassingly parallel, 32× output compression; codebook training
+    refinement is kmeans_ivf_train's Lloyd loop per subspace."""
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000000 + F.lit(0.5)).cast("long"),
+        ).alias("x6"),
+    )
+    seed_rows = sorted(
+        (r["vec_id"], np.array(r["x6"], dtype=np.int64))
+        for r in emb.filter(F.col("vec_id") < PQ_K).collect()
+    )
+    # (K, M, subdim): codebook entry j for subspace m = seed j's m-th slice.
+    CB = np.stack([v for _, v in seed_rows]).reshape(PQ_K, PQ_M, _PQ_SUBDIM)
+
+    def _code(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["x6"].to_numpy()).astype(np.int64)
+            Xs = X.reshape(len(X), PQ_M, _PQ_SUBDIM)
+            # (n, M, K) exact integer squared distances per subspace
+            d2 = ((Xs[:, :, None, :] - CB.transpose(1, 0, 2)[None, :, :, :]) ** 2).sum(
+                axis=3
+            )
+            codes = d2.argmin(axis=2)  # first min → smallest code id
+            err = d2[
+                np.arange(len(X))[:, None], np.arange(PQ_M)[None, :], codes
+            ].sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"].values,
+                    "code_0": codes[:, 0],
+                    "code_1": codes[:, 1],
+                    "code_2": codes[:, 2],
+                    "code_3": codes[:, 3],
+                    "recon_d2": err,
+                }
+            )
+
+    return emb.mapInPandas(
+        _code,
+        "vec_id bigint, code_0 bigint, code_1 bigint, code_2 bigint, "
+        "code_3 bigint, recon_d2 bigint",
+    )

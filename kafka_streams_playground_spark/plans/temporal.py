@@ -760,3 +760,66 @@ def wf_order_gap_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.floor(F.avg("gap_days") * 100 + F.lit(0.5)) / 100).alias("avg_gap_days"),
         F.max("gap_days").alias("max_gap_days"),
     )
+
+
+@query(
+    "events_value_outliers",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, event_type,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s1,
+             CAST(SUM(cents * cents) AS BIGINT) AS s2
+      FROM e GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type, e.cents
+    FROM e JOIN s USING (event_type)
+    WHERE (CAST(s.n AS DOUBLE) * CAST(e.cents AS DOUBLE) - CAST(s.s1 AS DOUBLE))
+          * (CAST(s.n AS DOUBLE) * CAST(e.cents AS DOUBLE) - CAST(s.s1 AS DOUBLE))
+          > 9.0 * (CAST(s.n AS DOUBLE) * CAST(s.s2 AS DOUBLE)
+                   - CAST(s.s1 AS DOUBLE) * CAST(s.s1 AS DOUBLE))
+    """,
+    tags=("extension", "temporal", "anomaly", "bench"),
+)
+def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-score anomaly detection: events whose value sits more than three
+    standard deviations from their event-type mean — the monitoring /
+    data-validation pass every event pipeline runs before training on
+    telemetry. The |z| > 3 test is algebraically rearranged to
+    (n·x − S)² > 9(n·Q − S²) over EXACT integer-cents moments (S = Σx,
+    Q = Σx²), so there is no division, no sqrt, and no float SUM anywhere —
+    the only floating point is a fixed tree of IEEE multiplies on exact
+    integers, identical in both engines (a naive float mean/stddev would
+    diverge with partition-summation order).
+
+    Spark shape: the per-type moment table is |event_types| rows — a
+    broadcast join back onto the stream (map-side flag, no second shuffle);
+    the moments themselves are one map-side-partial aggregate. At 100 TB
+    this is the canonical two-pass stats pattern (aggregate → broadcast →
+    scan); the one-pass streaming alternative is Welford state per key
+    (the stream_ts_ewma recipe), and Q's int64 headroom bounds the exact
+    path at ~1e8 rows per type × (10^5 cents)² — past that, shift to the
+    documented double-moment variant."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    s = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+    )
+    j = ev.join(F.broadcast(s), "event_type")
+    nd = F.col("n").cast("double")
+    cd = F.col("cents").cast("double")
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    dev = nd * cd - s1d
+    return j.filter(dev * dev > 9.0 * (nd * s2d - s1d * s1d)).select(
+        "event_id", "event_type", "cents"
+    )

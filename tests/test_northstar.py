@@ -608,3 +608,114 @@ def test_quality_weighted_sample_is_deterministic_and_calibrated(spark, sf_dir):
     # 4 sigma of a Bernoulli sum bounds the honest keep-rate drift
     sigma = (n * mean_q * (1 - mean_q)) ** 0.5
     assert abs(len(kept1) - expect) <= 4 * sigma + 1
+
+
+def test_pq_codes_seed_vectors_self_code(spark, sf_dir):
+    """Each codebook seed vector must code to itself in every subspace with
+    zero reconstruction error (distance to its own subvector is 0), and all
+    reconstruction errors are nonnegative."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+    from kafka_streams_playground_spark.plans.northstar_similarity import PQ_K
+
+    rows = REGISTRY["embedding_pq_codes"].fn(spark, sf_dir).collect()
+    by_id = {r["vec_id"]: r for r in rows}
+    for j in range(PQ_K):
+        r = by_id[j]
+        assert r["recon_d2"] == 0, r
+        assert (r["code_0"], r["code_1"], r["code_2"], r["code_3"]) == (j, j, j, j), r
+    assert all(r["recon_d2"] >= 0 for r in rows)
+
+
+def test_substring_chunk_dedup_counts_consistent(spark, sf_dir):
+    """n_dup_chunks <= n_chunks; flagged iff ratio >= threshold; total chunk
+    count equals sum over docs of floor(n_tokens / W)."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+    from kafka_streams_playground_spark.plans.northstar_dedup import (
+        CHUNK_DUP_FLAG_RATIO,
+        CHUNK_W,
+    )
+    from kafka_streams_playground_spark.sources.parquet import load_table
+
+    rows = REGISTRY["dedup_substring_chunks"].fn(spark, sf_dir).collect()
+    for r in rows:
+        assert 0 <= r["n_dup_chunks"] <= r["n_chunks"], r
+        assert r["flagged"] == int(r["dup_chunk_ratio"] >= CHUNK_DUP_FLAG_RATIO), r
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    expect = (
+        docs.select(
+            F.floor(F.size(F.split("text", " ")) / CHUNK_W).cast("long").alias("k")
+        )
+        .agg(F.sum("k"))
+        .collect()[0][0]
+    )
+    assert sum(r["n_chunks"] for r in rows) == expect
+
+
+def test_scene_segments_tile_the_frames(spark, sf_dir):
+    """Per video: segments are disjoint, contiguous from frame 0, and their
+    lengths sum to the video's frame count."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+    from kafka_streams_playground_spark.plans.northstar_multimodal import (
+        CHARS_PER_FRAME,
+    )
+    from kafka_streams_playground_spark.sources.parquet import load_table
+    from pyspark.sql import functions as F
+
+    rows = REGISTRY["mm_scene_change_segments"].fn(spark, sf_dir).collect()
+    per_doc: dict[int, list] = {}
+    for r in rows:
+        per_doc.setdefault(r["doc_id"], []).append(r)
+    docs = load_table(spark, sf_dir, "documents")
+    frames = {
+        r["doc_id"]: r["nf"]
+        for r in docs.select(
+            "doc_id", (F.col("n_chars") / CHARS_PER_FRAME).cast("long").alias("nf")
+        ).collect()
+        if r["nf"] > 0
+    }
+    assert set(per_doc) == set(frames)
+    for doc_id, segs in per_doc.items():
+        segs.sort(key=lambda r: r["segment_idx"])
+        assert [s["segment_idx"] for s in segs] == list(range(len(segs)))
+        pos = 0
+        for s in segs:
+            assert s["start_frame"] == pos, (doc_id, s, pos)
+            pos += s["n_frames_seg"]
+        assert pos == frames[doc_id]
+
+
+def test_outliers_are_extreme_within_type(spark, sf_dir):
+    """Every flagged event's cents must be farther from its type mean than
+    every unflagged event of the same type is on the same side — i.e. the
+    flag set is exactly the two distribution tails."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+    from kafka_streams_playground_spark.sources.parquet import load_table
+    from pyspark.sql import functions as F
+
+    flagged = REGISTRY["events_value_outliers"].fn(spark, sf_dir).collect()
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_id",
+            "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        .collect()
+    )
+    import statistics
+
+    by_type: dict[str, list[int]] = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append(r["cents"])
+    flag_ids = {r["event_id"] for r in flagged}
+    for t, xs in by_type.items():
+        mu = statistics.fmean(xs)
+        sd = statistics.pstdev(xs)
+        lo, hi = mu - 3 * sd, mu + 3 * sd
+        for r in ev:
+            if r["event_type"] != t:
+                continue
+            outside = r["cents"] < lo - 1e-6 or r["cents"] > hi + 1e-6
+            assert outside == (r["event_id"] in flag_ids), (r, lo, hi)
