@@ -90,6 +90,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "quality_classifier_filter",
     "embedding_pq_codes",
     "events_value_outliers",
+    "tokenizer_bpe_merge_step",
     # (stream_chunk_documents_overlap — stateless re-expression sharing
     # chunk_documents_overlap's oracle verbatim — deferred to round 6 by
     # the sibling rule)
@@ -99,7 +100,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # job is validating the banded/LSH scale paths, which hold r4/r5 rows —
     # displaced by the late additions; they lead r6's rotation with the
     # other displaced members)
-    "text_quality_score",
+    # (text_quality_score — its exact formula (identical literals) runs
+    # inside r4-green domain_quality_stats, and r5-listed
+    # quality_classifier_filter covers the same feature extraction —
+    # displaced by the late additions under the sibling rule; leads r6)
     "text_fingerprint",
     "mm_image_metadata",
     # (mm_decoded_feature_checksum — its decode_features mapInPandas

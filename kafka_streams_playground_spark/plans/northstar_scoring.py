@@ -886,3 +886,122 @@ def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         logit.cast("bigint").alias("logit_e6"),
         (logit >= QC_TH_E6).cast("int").alias("keep"),
     )
+
+
+
+# One BPE training iteration: select the highest-count adjacent pair and
+# apply the merge corpus-wide, emitting the updated pair-count table (the
+# input to the NEXT selection — tokenizer training is this loop run
+# vocab-size times). Selection is restricted to non-self pairs (A != B):
+# non-self occurrences are provably disjoint (an overlap at i, i+1 would
+# need toks[i+1] = A and = B), so greedy left-to-right merge = merge-ALL —
+# order-free, hence expressible identically in both engines. Self-pairs
+# (A == B) need the sequential within-run rule (merge floor(run/2)) and are
+# excluded from SELECTION here — a documented contract choice, not a bug;
+# counts still include them. The merge executes as TWO regexp_replace
+# passes over the space-padded text: leftmost-non-overlapping replacement
+# shares the delimiting space between back-to-back occurrences
+# ("A B A B" — pass 1 merges the 1st/3rd/5th... of a chain), and the
+# survivors are then isolated by merged tokens, so pass 2 always finishes
+# (proof: after pass 1 no two remaining occurrences are adjacent).
+_BPE_MERGE_SEP = "_"
+
+
+@query(
+    "tokenizer_bpe_merge_step",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, text FROM documents),
+    p0 AS (
+      SELECT unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))])
+                 AS pair
+      FROM t WHERE len(toks) >= 2
+    ),
+    pc AS (SELECT pair, COUNT(*) AS c FROM p0 GROUP BY pair),
+    top AS (
+      SELECT string_split(pair, ' ')[1] AS a, string_split(pair, ' ')[2] AS b
+      FROM pc
+      WHERE string_split(pair, ' ')[1] <> string_split(pair, ' ')[2]
+      ORDER BY c DESC, pair ASC LIMIT 1
+    ),
+    m AS (
+      SELECT string_split(trim(
+               regexp_replace(
+                 regexp_replace(' ' || t.text || ' ',
+                                ' ' || top.a || ' ' || top.b || ' ',
+                                ' ' || top.a || '{_BPE_MERGE_SEP}' || top.b || ' ',
+                                'g'),
+                 ' ' || top.a || ' ' || top.b || ' ',
+                 ' ' || top.a || '{_BPE_MERGE_SEP}' || top.b || ' ',
+                 'g')), ' ') AS mt
+      FROM t CROSS JOIN top
+    ),
+    p1 AS (
+      SELECT unnest([mt[i] || ' ' || mt[i+1] for i in range(1, len(mt))]) AS pair
+      FROM m WHERE len(mt) >= 2
+    )
+    SELECT pair, COUNT(*) AS cnt FROM p1 GROUP BY pair
+    """,
+    tags=("northstar", "scoring", "text", "tokenizer", "iterative", "bench"),
+)
+def tokenizer_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full BPE training iteration: pick the top-count pair from
+    ``tokenizer_bpe_pair_counts``'s table, MERGE it corpus-wide, and emit
+    the updated pair counts — the loop body tokenizer training runs
+    vocab-size times (select → merge → recount). The merge exploits a
+    disjointness proof: for a non-self pair (A ≠ B), two occurrences can
+    never overlap, so greedy left-to-right merging equals merging every
+    occurrence — realized as two codegen'd regexp passes over the padded
+    text (see the module comment for why two always suffice; self-pairs
+    would need the sequential within-run rule and are excluded from
+    selection). An earlier higher-order-array formulation (filter/
+    transform/array_contains per element) was 100×+ slower — Catalyst
+    interprets array lambdas per element (the verify-notes gotcha), while
+    regexp_replace runs inside whole-stage codegen.
+
+    Spark shape: the selection is a 1-row TakeOrderedAndProject collect
+    (O(1) driver state, the k-means-centroid stance — each training
+    iteration round-trips one merge decision, exactly how fastBPE/
+    sentencepiece drive their loop); the merge is one map-side projection,
+    and the recount reuses the pair-counts aggregate shape: one explode →
+    one pair-keyed shuffle with map-side partials. At 100 TB the real
+    bookkeeping trick is incremental count maintenance (only pairs
+    touching a merged occurrence change); this operator recounts fully —
+    the honest batch form — and the incremental deltas ((prev,A)−,
+    (prev,AB)+, (B,next)−, (AB,next)+) are the optimization a production
+    trainer layers on."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split("text", " ")
+    g2 = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    )
+    pc = (
+        docs.filter(F.size(toks) >= 2)
+        .select(F.explode(g2).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    ab = F.split("pair", " ")
+    top = (
+        pc.filter(ab.getItem(0) != ab.getItem(1))
+        .orderBy(F.col("c").desc(), F.col("pair").asc())
+        .limit(1)
+        .collect()
+    )
+    a, b = top[0]["pair"].split(" ")
+    pat = f" {a} {b} "
+    rep = f" {a}{_BPE_MERGE_SEP}{b} "
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    merged = F.regexp_replace(
+        F.regexp_replace(padded, F.lit(pat), F.lit(rep)), F.lit(pat), F.lit(rep)
+    )
+    m = docs.select(F.split(F.trim(merged), " ").alias("mt")).filter(
+        F.size("mt") >= 2
+    )
+    g2m = F.transform(
+        F.sequence(F.lit(1), F.size("mt") - 1),
+        lambda i: F.concat_ws(" ", F.slice(F.col("mt"), i, 2)),
+    )
+    return m.select(F.explode(g2m).alias("pair")).groupBy("pair").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )

@@ -719,3 +719,35 @@ def test_outliers_are_extreme_within_type(spark, sf_dir):
                 continue
             outside = r["cents"] < lo - 1e-6 or r["cents"] > hi + 1e-6
             assert outside == (r["event_id"] in flag_ids), (r, lo, hi)
+
+
+def test_bpe_merge_step_removes_top_pair(spark, sf_dir):
+    """After the merge: the selected pair's count drops to zero, merged
+    tokens appear in new pairs, and total pair mass shrinks by exactly
+    2 per merged occurrence minus boundary effects — checked as: every
+    remaining pair containing the separator involves the merged token."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+    from kafka_streams_playground_spark.plans.northstar_scoring import _BPE_MERGE_SEP
+
+    before = {
+        r["pair"]: r["cnt"]
+        for r in REGISTRY["tokenizer_bpe_pair_counts"].fn(spark, sf_dir).collect()
+    }
+    # reproduce the selection rule: top non-self pair, count desc, pair asc
+    top = min(
+        (p for p in before if p.split(" ")[0] != p.split(" ")[1]),
+        key=lambda p: (-before[p], p),
+    )
+    a, b = top.split(" ")
+    merged_tok = a + _BPE_MERGE_SEP + b
+    after = {
+        r["pair"]: r["cnt"]
+        for r in REGISTRY["tokenizer_bpe_merge_step"].fn(spark, sf_dir).collect()
+    }
+    assert top not in after, (top, after.get(top))
+    assert any(merged_tok in p for p in after), merged_tok
+    # conservation: every new pair name either existed before or touches
+    # the merged token
+    for p in after:
+        x, y = p.split(" ")
+        assert p in before or merged_tok in (x, y), p
