@@ -91,8 +91,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_pq_codes",
     "events_value_outliers",
     "tokenizer_bpe_merge_step",
-    # (stream_chunk_documents_overlap — stateless re-expression sharing
-    # chunk_documents_overlap's oracle verbatim — deferred to round 6 by
+    # (stream_chunk_documents_overlap and stream_events_value_outliers —
+    # stateless/stream-static re-expressions sharing their batch twins'
+    # oracles verbatim (both twins hold r5 slots) — deferred to round 6 by
     # the sibling rule)
     # stalest first: last driver row in ROUND 2 (3 rounds old)
     # (dedup_ngram_jaccard, dedup_simhash — labeled quadratic ground-truth

@@ -1024,3 +1024,61 @@ def _share_chunk_oracle() -> None:
 
 
 _share_chunk_oracle()
+
+
+@query(
+    "stream_events_value_outliers",
+    oracle=None,  # set below: shares the batch outlier oracle
+    tags=("extension", "streaming", "anomaly"),
+)
+def stream_events_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anomaly flagging AT INGEST — the stream-static form of
+    ``events_value_outliers``: per-type moment rows (n, Σx, Σx²) are
+    computed once batch-side (|event_types| rows, O(config) like the
+    benchmark shingle set), joined broadcast-style onto the live stream,
+    and each arriving event is flagged row-locally with the same
+    divisionless (n·x−S)² > 9(nQ−S²) test — no state store, no
+    stream-side shuffle, append mode. This is how a production monitor
+    actually runs: score the live stream against the reference window's
+    statistics (here: the full fixture, so the drained output equals the
+    batch twin row-for-row and the batch oracle applies unchanged; in
+    deployment the static side refreshes on a schedule and the oracle is
+    the nightly batch audit)."""
+    ev_b = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    stats = ev_b.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+    )
+    stream = read_stream_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    j = stream.join(F.broadcast(stats), "event_type")
+    nd = F.col("n").cast("double")
+    cd = F.col("cents").cast("double")
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    dev = nd * cd - s1d
+    out = j.filter(dev * dev > 9.0 * (nd * s2d - s1d * s1d)).select(
+        "event_id", "event_type", "cents"
+    )
+    return run_to_completion(out, output_mode="append", spark=spark)
+
+
+def _share_outlier_oracle() -> None:
+    from dataclasses import replace
+
+    from kafka_streams_playground_spark.plans import temporal  # noqa: F401
+
+    REGISTRY["stream_events_value_outliers"] = replace(
+        REGISTRY["stream_events_value_outliers"],
+        oracle=REGISTRY["events_value_outliers"].oracle,
+    )
+
+
+_share_outlier_oracle()
