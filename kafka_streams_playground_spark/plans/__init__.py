@@ -94,7 +94,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # (stream_chunk_documents_overlap and stream_events_value_outliers —
     # stateless/stream-static re-expressions sharing their batch twins'
     # oracles verbatim (both twins hold r5 slots) — deferred to round 6 by
-    # the sibling rule)
+    # the sibling rule; likewise events_value_winsorized, whose machinery
+    # is agg_price_percentiles' exact interpolated percentile (r4-green)
+    # plus events_value_outliers' broadcast-clip join (r5 slot))
     # stalest first: last driver row in ROUND 2 (3 rounds old)
     # (dedup_ngram_jaccard, dedup_simhash — labeled quadratic ground-truth
     # BASELINES, bench-excluded, r2-driver-green and unchanged since; their

