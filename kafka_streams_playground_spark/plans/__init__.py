@@ -91,6 +91,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_pq_codes",
     "events_value_outliers",
     "tokenizer_bpe_merge_step",
+    "q_market_share_promo_asia",
     # (stream_chunk_documents_overlap and stream_events_value_outliers —
     # stateless/stream-static re-expressions sharing their batch twins'
     # oracles verbatim (both twins hold r5 slots) — deferred to round 6 by
@@ -108,7 +109,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # quality_classifier_filter covers the same feature extraction —
     # displaced by the late additions under the sibling rule; leads r6)
     "text_fingerprint",
-    "mm_image_metadata",
+    # (mm_image_metadata — metadata-only projection over
+    # attach_binary_payload, whose machinery runs inside the r4-green
+    # resize/audio siblings — displaced by the late additions under the
+    # sibling rule; leads r6)
     # (mm_decoded_feature_checksum — its decode_features mapInPandas
     # machinery runs inside r4-green mm_resize_audit / mm_audio_chunk_energy
     # — displaced by the late additions under the sibling rule; leads r6)

@@ -1209,3 +1209,120 @@ def agg_unpivot_status_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "stack(3, 'F', status_F, 'O', status_O, 'P', status_P) AS (status, n)"
         ),
     )
+
+
+# TPC-H Q8 ("national market share") adapted to the fixture schema: within
+# one customer region and one part type, the share of yearly revenue
+# supplied by one nation. Revenue folds as floored integer cents (the
+# q_shipping_priority stance); the share itself is an exact parts-per-
+# million integer (num*1e6 div den — no float division anywhere).
+Q8_REGION = "ASIA"
+Q8_PART_TYPE = "PROMO"
+Q8_NATION = "NATION_3"
+
+
+@query(
+    "q_market_share_promo_asia",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+             CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                  AS BIGINT) AS rev_cents,
+             sn.n_name AS supp_nation
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN part p ON l.l_partkey = p.p_partkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+      JOIN region r ON cn.n_regionkey = r.r_regionkey
+      WHERE r.r_name = '{Q8_REGION}' AND p.p_type = '{Q8_PART_TYPE}'
+    )
+    SELECT o_year,
+           CAST(SUM(CASE WHEN supp_nation = '{Q8_NATION}'
+                         THEN rev_cents ELSE 0 END) AS BIGINT)
+               AS nation_rev_cents,
+           CAST(SUM(rev_cents) AS BIGINT) AS total_rev_cents,
+           CAST(SUM(CASE WHEN supp_nation = '{Q8_NATION}'
+                         THEN rev_cents ELSE 0 END) * 1000000
+                // SUM(rev_cents) AS BIGINT) AS share_ppm
+    FROM base GROUP BY o_year
+    """,
+    tags=("extension", "tpch", "join", "bench"),
+)
+def q_market_share_promo_asia(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 shape — national market share: within ASIA customers and
+    PROMO parts, NATION_3's share of yearly supplier revenue. The widest
+    join tree in the registry (lineitem ⋈ orders ⋈ part ⋈ supplier ⋈
+    nation ⋈ customer ⋈ nation ⋈ region — 8 relations), which is exactly
+    the class of query Catalyst's join reordering + broadcast planning
+    exists for.
+
+    Spark shape: every dimension (part, supplier, nation ×2, customer,
+    region) is filter-pruned BEFORE its join and broadcast by AQE at this
+    scale (only the lineitem⋈orders fact-fact edge shuffles, on the
+    orderkey both sides already share); the p_type and r_name predicates
+    push into the dimension scans (row-group pruning). Revenue folds as
+    floored integer cents map-side-partially; the share is exact integer
+    ppm — no float division. At 100 TB: fact-fact stays a co-shuffle
+    (bucket both on orderkey to erase it — sinks.write_bucketed_table),
+    customer outgrows broadcast first and flips to a shuffled hash join on
+    custkey; everything else is classic small-dim broadcast."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == Q8_PART_TYPE)
+        .select("p_partkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    reg = (
+        load_table(spark, sf_dir, "region")
+        .filter(F.col("r_name") == Q8_REGION)
+        .select("r_regionkey")
+    )
+    cust_region = (
+        cust.join(F.broadcast(nat.select("n_nationkey", "n_regionkey")),
+                  cust["c_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), F.col("n_regionkey") == reg["r_regionkey"])
+        .select("c_custkey")
+    )
+    supp_nat = supp.join(
+        F.broadcast(nat.select(F.col("n_nationkey").alias("sn_key"),
+                               F.col("n_name").alias("supp_nation"))),
+        supp["s_nationkey"] == F.col("sn_key"),
+    ).select("s_suppkey", "supp_nation")
+    rev_cents = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("bigint")
+    base = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp_nat), li["l_suppkey"] == F.col("s_suppkey"))
+        .join(cust_region, orders["o_custkey"] == F.col("c_custkey"), "inner")
+        .select(
+            F.year("o_orderdate").cast("bigint").alias("o_year"),
+            rev_cents.alias("rev_cents"),
+            "supp_nation",
+        )
+    )
+    nation_rev = F.sum(
+        F.when(F.col("supp_nation") == Q8_NATION, F.col("rev_cents")).otherwise(0)
+    )
+    return base.groupBy("o_year").agg(
+        nation_rev.alias("nation_rev_cents"),
+        F.sum("rev_cents").alias("total_rev_cents"),
+        F.expr(
+            f"cast(sum(case when supp_nation = '{Q8_NATION}' then rev_cents "
+            "else 0 end) * 1000000 div sum(rev_cents) as bigint)"
+        ).alias("share_ppm"),
+    )

@@ -376,3 +376,13 @@ def test_quality_classifier_is_shuffle_free(spark, sf_dir):
     plan = _plan(spark, sf_dir, "quality_classifier_filter")
     assert "Exchange" not in plan, plan
     assert "Scan parquet" in plan, plan
+
+
+def test_q8_market_share_dims_broadcast_filters_pushed(spark, sf_dir):
+    """The 8-relation Q8 join tree: dimension filters reach their scans and
+    the dims join broadcast; only the fact-fact edge may shuffle."""
+    plan = _plan(spark, sf_dir, "q_market_share_promo_asia")
+    assert re.search(r"PushedFilters:.*EqualTo\(p_type,PROMO\)", plan), plan
+    assert re.search(r"PushedFilters:.*EqualTo\(r_name,ASIA\)", plan), plan
+    assert plan.count("BroadcastHashJoin") >= 4, plan
+    assert "CartesianProduct" not in plan, plan
