@@ -97,7 +97,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # oracles verbatim (both twins hold r5 slots) — deferred to round 6 by
     # the sibling rule; likewise events_value_winsorized, whose machinery
     # is agg_price_percentiles' exact interpolated percentile (r4-green)
-    # plus events_value_outliers' broadcast-clip join (r5 slot))
+    # plus events_value_outliers' broadcast-clip join (r5 slot); and
+    # graph_related_parts_jaccard, which shares _support_edges verbatim
+    # with r5-listed graph_triangle_count and the same wedge-join shape)
     # stalest first: last driver row in ROUND 2 (3 rounds old)
     # (dedup_ngram_jaccard, dedup_simhash — labeled quadratic ground-truth
     # BASELINES, bench-excluded, r2-driver-green and unchanged since; their

@@ -713,6 +713,27 @@ def graph_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 TRI_MIN_SUPPORT = 2
 
 
+def _support_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Support-thresholded co-purchase edges, oriented ``s < t`` and
+    PERSISTED — the shared graph substrate of ``graph_triangle_count`` and
+    ``graph_related_parts_jaccard`` (one scan, one orderkey shuffle into
+    per-order part sets, in-set pair expansion bounded by order width,
+    one pair-keyed count with map-side partials)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("parts"))
+        .select(F.explode("parts").alias("s"), "parts")
+        .select("s", F.explode("parts").alias("t"))
+        .filter(F.col("s") < F.col("t"))
+        .groupBy("s", "t")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .filter(F.col("n_orders") >= TRI_MIN_SUPPORT)
+        .select("s", "t")
+        .persist()
+    )
+
+
 @query(
     "graph_triangle_count",
     oracle=f"""
@@ -768,19 +789,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out for power-law graphs; skewed hub nodes take the salted-agg
     recipe. Support raises with scale (affinity needs more evidence in
     bigger data), keeping |E| sub-quadratic by construction."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    e = (
-        li.groupBy("l_orderkey")
-        .agg(F.collect_set("l_partkey").alias("parts"))
-        .select(F.explode("parts").alias("s"), "parts")
-        .select("s", F.explode("parts").alias("t"))
-        .filter(F.col("s") < F.col("t"))
-        .groupBy("s", "t")
-        .agg(F.count(F.lit(1)).alias("n_orders"))
-        .filter(F.col("n_orders") >= TRI_MIN_SUPPORT)
-        .select("s", "t")
-        .persist()
-    )
+    e = _support_edges(spark, sf_dir)
     wedge = e.select(F.col("s").alias("a"), F.col("t").alias("b")).join(
         e.select(F.col("s").alias("b"), F.col("t").alias("c")), "b"
     )
@@ -799,4 +808,81 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return deg.join(node_tri, "part_id", "left").select(
         "part_id", "degree", F.coalesce("n", F.lit(0)).alias("n_triangles")
+    )
+
+
+# Related-items similarity needs a common-neighbor floor for the same
+# reason triangles need edge support: one shared neighbor is noise on a
+# dense co-occurrence graph.
+RELATED_MIN_COMMON = 2
+
+
+@query(
+    "graph_related_parts_jaccard",
+    oracle=f"""
+    WITH e AS (
+      SELECT a.l_partkey AS s, b.l_partkey AS t
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(DISTINCT a.l_orderkey) >= {TRI_MIN_SUPPORT}
+    ),
+    adj AS (SELECT s AS v, t AS u FROM e UNION ALL SELECT t, s FROM e),
+    deg AS (SELECT u, COUNT(*) AS d FROM adj GROUP BY u),
+    cn AS (
+      SELECT a1.u AS part_a, a2.u AS part_b, COUNT(*) AS common
+      FROM adj a1 JOIN adj a2 ON a1.v = a2.v AND a1.u < a2.u
+      GROUP BY 1, 2 HAVING COUNT(*) >= {RELATED_MIN_COMMON}
+    )
+    SELECT cn.part_a, cn.part_b, cn.common,
+           CAST(cn.common * 1000000 // (da.d + db.d - cn.common) AS BIGINT)
+               AS jaccard_ppm
+    FROM cn
+    JOIN deg da ON da.u = cn.part_a
+    JOIN deg db ON db.u = cn.part_b
+    """,
+    tags=("northstar", "graph", "similarity", "bench"),
+)
+def graph_related_parts_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Related-items mining: part pairs ranked by neighborhood Jaccard
+    |N(a)∩N(b)| / |N(a)∪N(b)| on the support-thresholded co-purchase graph
+    — the item-item collaborative-filtering signal ("customers who bought
+    X also bought the things Y's buyers bought") that complements direct
+    co-purchase edges with second-order structure. Exact integer ppm — no
+    float division.
+
+    Spark shape: SHARES the persisted ``_support_edges`` materialization
+    with ``graph_triangle_count``; the common-neighbor count is one
+    center-keyed self-join over the doubled adjacency (the same
+    sum(deg²)-bounded wedge set as triangles, same support prune keeping
+    it sub-quadratic, same degree-orientation/salting levers at 100 TB)
+    followed by a pair-keyed count with map-side partials; degrees attach
+    via two joins against the |nodes|-row degree table (broadcast-sized
+    here; co-shuffle above broadcast budget)."""
+    e = _support_edges(spark, sf_dir)
+    adj = e.select(F.col("s").alias("v"), F.col("t").alias("u")).unionAll(
+        e.select(F.col("t").alias("v"), F.col("s").alias("u"))
+    )
+    deg = adj.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    cn = (
+        adj.select(F.col("v"), F.col("u").alias("part_a"))
+        .join(adj.select("v", F.col("u").alias("part_b")), "v")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("common"))
+        .filter(F.col("common") >= RELATED_MIN_COMMON)
+    )
+    da = deg.select(F.col("u").alias("part_a"), F.col("d").alias("da"))
+    db = deg.select(F.col("u").alias("part_b"), F.col("d").alias("db"))
+    return (
+        cn.join(F.broadcast(da), "part_a")
+        .join(F.broadcast(db), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "common",
+            F.expr("cast(common * 1000000 div (da + db - common) as bigint)").alias(
+                "jaccard_ppm"
+            ),
+        )
     )
