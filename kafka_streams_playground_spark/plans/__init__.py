@@ -99,7 +99,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # is agg_price_percentiles' exact interpolated percentile (r4-green)
     # plus events_value_outliers' broadcast-clip join (r5 slot); and
     # graph_related_parts_jaccard, which shares _support_edges verbatim
-    # with r5-listed graph_triangle_count and the same wedge-join shape)
+    # with r5-listed graph_triangle_count and the same wedge-join shape;
+    # and pipeline_epoch_mixture_plan — a |sources|-row aggregate + literal
+    # broadcast join, machinery inside r4-green domain_quality_stats and
+    # the r3-green temperature-mix family)
     # stalest first: last driver row in ROUND 2 (3 rounds old)
     # (dedup_ngram_jaccard, dedup_simhash — labeled quadratic ground-truth
     # BASELINES, bench-excluded, r2-driver-green and unchanged since; their

@@ -586,3 +586,73 @@ def chunk_documents_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.lit(CHUNK_WIN), nt - F.col("s") + 1).cast("bigint").alias("n_tok"),
         F.md5(F.array_join(F.slice(F.col("t"), F.col("s"), CHUNK_WIN), " ")).alias("fp"),
     )
+
+
+# Data-mixing plan: fixed per-source target weights (the hand-tuned mixture
+# table of a pretraining run) and a global token budget; each source's
+# repeat factor ("epochs") is how many passes over its data the sampler
+# takes to hit its share — >1e4 (q4 grid) means upsampling, the standard
+# treatment of small high-quality sources.
+MIX_BUDGET_TOKENS = 200_000
+MIX_WEIGHTS = tuple((f"src{i}", (i % 5) + 1) for i in range(20))
+_MIX_W_SQL = ", ".join(f"('{s}', {w})" for s, w in MIX_WEIGHTS)
+_MIX_W_SUM = sum(w for _, w in MIX_WEIGHTS)
+
+
+@query(
+    "pipeline_epoch_mixture_plan",
+    oracle=f"""
+    WITH w(source, wt) AS (VALUES {_MIX_W_SQL}),
+    t AS (
+      SELECT source, COUNT(*) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+      FROM documents GROUP BY source
+    )
+    SELECT t.source, t.n_docs, t.n_tokens,
+           CAST({MIX_BUDGET_TOKENS} * w.wt // {_MIX_W_SUM} AS BIGINT)
+               AS target_tokens,
+           CAST(({MIX_BUDGET_TOKENS} * w.wt // {_MIX_W_SUM}) * 10000
+                // t.n_tokens AS BIGINT) AS epochs_q4
+    FROM t JOIN w USING (source)
+    """,
+    tags=("northstar", "curation", "mixture", "bench"),
+)
+def pipeline_epoch_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-mixing plan: given hand-tuned per-source weights and a
+    global token budget, emit each source's target token share and repeat
+    factor ("epochs", q4 fixed-point) — the mixture table a pretraining
+    run publishes (upweighted small high-quality sources show epochs > 1,
+    the standard practice reported by LLaMA-class data recipes;
+    ``sample_temperature_mix`` next door derives weights from frequency,
+    this operator APPLIES a chosen mixture). All integer arithmetic —
+    budget × weight floor-divides, then the q4 epoch ratio — so the plan
+    is bit-equal across engines.
+
+    Spark shape: one map-side token count + a |sources|-row aggregate,
+    joined against the literal weight table (broadcast by construction).
+    At 100 TB the plan stays |sources| rows; its downstream consumer is
+    the sampler (md5-uniform keep rule of ``sample_quality_weighted``)
+    run with rate = epochs for epochs < 1 and full passes + fractional
+    tail for epochs > 1."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    t = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n_tokens"),
+    )
+    w = docs.sparkSession.createDataFrame(
+        list(MIX_WEIGHTS), ["source", "wt"]
+    )
+    tgt = F.expr(f"cast({MIX_BUDGET_TOKENS} * wt div {_MIX_W_SUM} as bigint)")
+    return (
+        t.join(F.broadcast(w), "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            tgt.alias("target_tokens"),
+            F.expr(
+                f"cast(({MIX_BUDGET_TOKENS} * wt div {_MIX_W_SUM}) * 10000"
+                " div n_tokens as bigint)"
+            ).alias("epochs_q4"),
+        )
+    )
