@@ -386,3 +386,12 @@ def test_q8_market_share_dims_broadcast_filters_pushed(spark, sf_dir):
     assert re.search(r"PushedFilters:.*EqualTo\(r_name,ASIA\)", plan), plan
     assert plan.count("BroadcastHashJoin") >= 4, plan
     assert "CartesianProduct" not in plan, plan
+
+
+def test_related_parts_share_edge_materialization(spark, sf_dir):
+    """graph_related_parts_jaccard must read the persisted support-edge
+    table (one parquet scan node total), like the triangle query."""
+    plan = _plan(spark, sf_dir, "graph_related_parts_jaccard")
+    assert "InMemoryTableScan" in plan, plan
+    scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", plan))
+    assert len(scan_ids) == 1, (scan_ids, plan)
