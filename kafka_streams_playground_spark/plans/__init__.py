@@ -92,6 +92,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_value_outliers",
     "tokenizer_bpe_merge_step",
     "q_market_share_promo_asia",
+    "sim_pq_adc_recall_audit",
+    # (text_langid_confusion — a |labels|² rollup over r4-green
+    # text_langid's unchanged projection — deferred to round 6 by the
+    # sibling rule)
     # (stream_chunk_documents_overlap and stream_events_value_outliers —
     # stateless/stream-static re-expressions sharing their batch twins'
     # oracles verbatim (both twins hold r5 slots) — deferred to round 6 by
@@ -113,7 +117,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # inside r4-green domain_quality_stats, and r5-listed
     # quality_classifier_filter covers the same feature extraction —
     # displaced by the late additions under the sibling rule; leads r6)
-    "text_fingerprint",
+    # (text_fingerprint — its md5-shingle/minhash signature machinery
+    # (functions/text.py) runs inside every r4/r5-green MinHash consumer —
+    # displaced by the late additions under the sibling rule; leads r6)
     # (mm_image_metadata — metadata-only projection over
     # attach_binary_payload, whose machinery runs inside the r4-green
     # resize/audio siblings — displaced by the late additions under the

@@ -1004,7 +1004,10 @@ def _pq_dist_sql(m: int) -> str:
     )
 
 
-def _pq_oracle() -> str:
+def _pq_assign_ctes() -> str:
+    """CTE prefix shared by the PQ-coding oracle and the ADC recall audit:
+    grid embeddings (e), seed codebook (cb), per-subspace assignments
+    (a0..a{M-1})."""
     assigns = ",\n".join(
         f"""a{m} AS (
       SELECT vec_id, code_id, d FROM (
@@ -1017,15 +1020,19 @@ def _pq_oracle() -> str:
     )"""
         for m in range(PQ_M)
     )
-    return f"""
-    WITH e AS (
+    return f"""e AS (
       SELECT vec_id,
              [CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)
               for x in embedding::DOUBLE[]] AS x6
       FROM embeddings
     ),
     cb AS (SELECT vec_id AS code_id, x6 FROM e WHERE vec_id < {PQ_K}),
-    {assigns}
+    {assigns}"""
+
+
+def _pq_oracle() -> str:
+    return f"""
+    WITH {_pq_assign_ctes()}
     SELECT a0.vec_id,
            a0.code_id AS code_0, a1.code_id AS code_1,
            a2.code_id AS code_2, a3.code_id AS code_3,
@@ -1034,46 +1041,33 @@ def _pq_oracle() -> str:
     """
 
 
-@query(
-    "embedding_pq_codes",
-    oracle=_pq_oracle(),
-    tags=("northstar", "similarity", "embedding", "quantization", "bench"),
-)
-def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization coding: every embedding splits into PQ_M(=4)
-    16-dim subvectors, each coded as its nearest of PQ_K(=16) codebook
-    entries, plus the exact reconstruction error — the vector-compression
-    pass (Jégou et al. 2011) an ANN deployment runs over the full corpus
-    before serving (IVF-PQ = ``sim_ivf_topk``'s cells + THIS coding inside
-    them). All arithmetic on the 1e-6 integer grid: squared distances,
-    argmins (first-min = smallest code id, matching the oracle's rank
-    tiebreak), and the error sum are exact int64 — bit-equal across
-    engines and partition counts.
-
-    Spark shape: codebooks are O(M·K·subdim) = 4 KiB of driver state
-    (seed-scheme collect, the same config-sized bound as the IVF/k-means
-    centroid collects named in SCALE.md §12), closed over ONE vectorized
-    ``mapInPandas`` pass — per Arrow batch, a (n, M, K) numpy distance
-    tensor, argmin per subspace, zero shuffle (output inherits the scan's
-    partitioning). At 100 TB this is the ideal coding pass: scan-bound,
-    embarrassingly parallel, 32× output compression; codebook training
-    refinement is kmeans_ivf_train's Lloyd loop per subspace."""
-    import numpy as np
-    import pandas as pd
-
-    emb = load_table(spark, sf_dir, "embeddings").select(
+def _pq_grid_emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings on the exact 1e-6 integer grid (vec_id, x6)."""
+    return load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
         F.transform(
             "embedding",
             lambda x: F.floor(x.cast("double") * 1000000 + F.lit(0.5)).cast("long"),
         ).alias("x6"),
     )
+
+
+def _pq_codebook(emb: DataFrame):
+    """Seed codebook as a (K, M, subdim) int64 array — O(M·K·subdim) ≈ 4 KiB
+    of driver state (one of SCALE.md §12's bounded collects)."""
+    import numpy as np
+
     seed_rows = sorted(
         (r["vec_id"], np.array(r["x6"], dtype=np.int64))
         for r in emb.filter(F.col("vec_id") < PQ_K).collect()
     )
-    # (K, M, subdim): codebook entry j for subspace m = seed j's m-th slice.
-    CB = np.stack([v for _, v in seed_rows]).reshape(PQ_K, PQ_M, _PQ_SUBDIM)
+    return np.stack([v for _, v in seed_rows]).reshape(PQ_K, PQ_M, _PQ_SUBDIM)
+
+
+def _pq_codes(emb: DataFrame, CB) -> DataFrame:
+    """One vectorized mapInPandas coding pass: (vec_id, code_0..3, recon_d2)."""
+    import numpy as np
+    import pandas as pd
 
     def _code(batches):
         for pdf in batches:
@@ -1104,4 +1098,194 @@ def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
         _code,
         "vec_id bigint, code_0 bigint, code_1 bigint, code_2 bigint, "
         "code_3 bigint, recon_d2 bigint",
+    )
+
+
+@query(
+    "embedding_pq_codes",
+    oracle=_pq_oracle(),
+    tags=("northstar", "similarity", "embedding", "quantization", "bench"),
+)
+def embedding_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization coding: every embedding splits into PQ_M(=4)
+    16-dim subvectors, each coded as its nearest of PQ_K(=16) codebook
+    entries, plus the exact reconstruction error — the vector-compression
+    pass (Jégou et al. 2011) an ANN deployment runs over the full corpus
+    before serving (IVF-PQ = ``sim_ivf_topk``'s cells + THIS coding inside
+    them). All arithmetic on the 1e-6 integer grid: squared distances,
+    argmins (first-min = smallest code id, matching the oracle's rank
+    tiebreak), and the error sum are exact int64 — bit-equal across
+    engines and partition counts.
+
+    Spark shape: codebooks are O(M·K·subdim) = 4 KiB of driver state
+    (seed-scheme collect, the same config-sized bound as the IVF/k-means
+    centroid collects named in SCALE.md §12), closed over ONE vectorized
+    ``mapInPandas`` pass — per Arrow batch, a (n, M, K) numpy distance
+    tensor, argmin per subspace, zero shuffle (output inherits the scan's
+    partitioning). At 100 TB this is the ideal coding pass: scan-bound,
+    embarrassingly parallel, 32× output compression; codebook training
+    refinement is kmeans_ivf_train's Lloyd loop per subspace."""
+    emb = _pq_grid_emb(spark, sf_dir)
+    return _pq_codes(emb, _pq_codebook(emb))
+
+
+PQ_NQ = 10  # audit query count (first N vec_ids, the recall-audit stance)
+PQ_TOP_K = 5
+
+
+def _pq_lut_dist_sql(m: int) -> str:
+    lo, hi = m * _PQ_SUBDIM + 1, (m + 1) * _PQ_SUBDIM
+    return (
+        f"list_sum(list_transform(list_zip(q.x6[{lo}:{hi}], cb.x6[{lo}:{hi}]), "
+        "s -> (s[1]-s[2])*(s[1]-s[2])))"
+    )
+
+
+def _pq_adc_oracle() -> str:
+    luts = ",\n".join(
+        f"""lut{m} AS (
+      SELECT q.qid, cb.code_id, {_pq_lut_dist_sql(m)} AS d
+      FROM q CROSS JOIN cb
+    )"""
+        for m in range(PQ_M)
+    )
+    return f"""
+    WITH {_pq_assign_ctes()},
+    q AS (SELECT vec_id AS qid, x6 FROM e WHERE vec_id < {PQ_NQ}),
+    {luts},
+    codes AS (
+      SELECT a0.vec_id, a0.code_id AS c0, a1.code_id AS c1,
+             a2.code_id AS c2, a3.code_id AS c3
+      FROM a0 JOIN a1 USING (vec_id) JOIN a2 USING (vec_id) JOIN a3 USING (vec_id)
+    ),
+    adc AS (
+      SELECT l0.qid, c.vec_id,
+             CAST(l0.d + l1.d + l2.d + l3.d AS BIGINT) AS d2
+      FROM codes c
+      JOIN lut0 l0 ON l0.code_id = c.c0
+      JOIN lut1 l1 ON l1.qid = l0.qid AND l1.code_id = c.c1
+      JOIN lut2 l2 ON l2.qid = l0.qid AND l2.code_id = c.c2
+      JOIN lut3 l3 ON l3.qid = l0.qid AND l3.code_id = c.c3
+      WHERE c.vec_id <> l0.qid
+    ),
+    at AS (
+      SELECT qid, vec_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY qid ORDER BY d2 ASC, vec_id ASC) AS rk FROM adc
+      ) WHERE rk <= {PQ_TOP_K}
+    ),
+    ex AS (
+      SELECT q.qid, e.vec_id,
+             list_sum(list_transform(list_zip(q.x6, e.x6),
+                                     s -> (s[1]-s[2])*(s[1]-s[2]))) AS d2
+      FROM q JOIN e ON e.vec_id <> q.qid
+    ),
+    et AS (
+      SELECT qid, vec_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY qid ORDER BY d2 ASC, vec_id ASC) AS rk FROM ex
+      ) WHERE rk <= {PQ_TOP_K}
+    )
+    SELECT et.qid AS query_id,
+           COUNT(at.vec_id) AS n_hits,
+           CAST(COUNT(at.vec_id) * 1000000 // {PQ_TOP_K} AS BIGINT) AS recall_ppm
+    FROM et LEFT JOIN at USING (qid, vec_id)
+    GROUP BY et.qid
+    """
+
+
+@query(
+    "sim_pq_adc_recall_audit",
+    oracle=_pq_adc_oracle(),
+    tags=("northstar", "similarity", "quantization", "eval", "bench"),
+)
+def sim_pq_adc_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k audit of PQ asymmetric-distance search against exact L2 —
+    the measurement that decides PQ_M/PQ_K before a compressed index
+    ships (the quantized sibling of ``sim_ivf_recall_audit``). ADC is the
+    real serving math (Jégou et al. 2011): per query, a (M × K) lookup
+    table of exact subvector distances to every codeword; a corpus
+    vector's distance is then M table lookups summed — the corpus's full
+    vectors are never touched, only its 4-code rows.
+
+    Spark shape: the LUT is O(NQ·M·K) ints — driver-built from the
+    bounded query/codebook collects and closed over ONE vectorized
+    ``mapInPandas`` over the CODES table (the 32×-compressed relation, not
+    the embeddings); per batch, numpy gathers LUT[q, m, code_m] and sums.
+    Both top-k sides rank (d2 asc, vec_id asc) on exact int64 grids; the
+    exact side is the same broadcast-queries brute-force shape as
+    ``sim_topk_bruteforce``. Audit output is |queries| rows of exact ppm.
+    At 100 TB the audit runs on a sample of queries (NQ is a config), and
+    the ADC pass over codes IS the production query path being measured."""
+    import numpy as np
+    import pandas as pd
+
+    emb = _pq_grid_emb(spark, sf_dir)
+    CB = _pq_codebook(emb)
+    codes = _pq_codes(emb, CB)
+    q_rows = sorted(
+        (r["vec_id"], np.array(r["x6"], dtype=np.int64))
+        for r in emb.filter(F.col("vec_id") < PQ_NQ).collect()
+    )
+    qids = np.array([k for k, _ in q_rows], dtype=np.int64)
+    Q = np.stack([v for _, v in q_rows])  # (NQ, d)
+    Qs = Q.reshape(len(Q), PQ_M, _PQ_SUBDIM)
+    # (NQ, M, K) exact integer LUT: query subvector vs every codeword
+    LUT = ((Qs[:, :, None, :] - CB.transpose(1, 0, 2)[None, :, :, :]) ** 2).sum(axis=3)
+
+    def _adc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            cm = pdf[["code_0", "code_1", "code_2", "code_3"]].to_numpy(np.int64)
+            vids = pdf["vec_id"].to_numpy(np.int64)
+            frames = []
+            for qi in range(len(qids)):
+                d2 = sum(LUT[qi, m, cm[:, m]] for m in range(PQ_M))
+                keep = vids != qids[qi]
+                frames.append(
+                    pd.DataFrame(
+                        {"qid": qids[qi], "vec_id": vids[keep], "d2": d2[keep]}
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    adc = codes.mapInPandas(_adc, "qid bigint, vec_id bigint, d2 bigint")
+
+    def _exact(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.stack(pdf["x6"].to_numpy()).astype(np.int64)
+            vids = pdf["vec_id"].to_numpy(np.int64)
+            frames = []
+            for qi in range(len(qids)):
+                d2 = ((X - Q[qi][None, :]) ** 2).sum(axis=1)
+                keep = vids != qids[qi]
+                frames.append(
+                    pd.DataFrame(
+                        {"qid": qids[qi], "vec_id": vids[keep], "d2": d2[keep]}
+                    )
+                )
+            yield pd.concat(frames, ignore_index=True)
+
+    ex = emb.mapInPandas(_exact, "qid bigint, vec_id bigint, d2 bigint")
+
+    w = Window.partitionBy("qid").orderBy(F.col("d2").asc(), F.col("vec_id").asc())
+    at = adc.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= PQ_TOP_K
+    ).select("qid", "vec_id")
+    et = ex.withColumn("rk", F.row_number().over(w)).filter(
+        F.col("rk") <= PQ_TOP_K
+    ).select("qid", "vec_id")
+    hit = at.withColumn("hit", F.lit(1))
+    return (
+        et.join(hit, ["qid", "vec_id"], "left")
+        .groupBy(F.col("qid").alias("query_id"))
+        .agg(
+            F.count("hit").alias("n_hits"),
+            F.expr(f"cast(count(hit) * 1000000 div {PQ_TOP_K} as bigint)").alias(
+                "recall_ppm"
+            ),
+        )
     )

@@ -294,3 +294,51 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor((num * 1.0 * num) / (den * 1.0 * deny) * 10000 + F.lit(0.5)) / 10000
         ).alias("r2"),
     )
+
+
+@query(
+    "text_langid_confusion",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents),
+    f AS (
+      SELECT doc_id, lang,
+             len([x for x in toks if list_contains([{_STOP_SQL}], x)]) * 1.0
+                 / len(toks) AS stop_ratio,
+             CAST(regexp_matches(array_to_string(toks, ' '),
+                                 '[\\x{{4e00}}-\\x{{9fff}}]') AS INT) AS has_cjk
+      FROM t
+    ),
+    p AS (
+      SELECT lang AS lang_label,
+             CASE WHEN has_cjk = 1 THEN 'zh'
+                  WHEN stop_ratio >= 0.05 THEN 'en'
+                  ELSE 'und' END AS lang_pred
+      FROM f
+    )
+    SELECT lang_label, lang_pred, COUNT(*) AS n,
+           CAST(CASE WHEN lang_label = lang_pred THEN 1 ELSE 0 END AS INT)
+               AS agree
+    FROM p GROUP BY lang_label, lang_pred
+    """,
+    tags=("northstar", "text", "eval", "bench"),
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-ID confusion matrix: the classifier-evaluation rollup over
+    ``text_langid``'s predictions against the corpus's ``lang`` labels —
+    per (label, prediction) cell count plus an agreement flag. This is the
+    component self-audit every pipeline publishes for its quality gates
+    (the langid analogue of ``sim_ivf_recall_audit`` for the ANN index and
+    ``dedup_minhash_estimate_audit`` for the LSH signatures): mixture
+    decisions key on per-language counts, so a drifting classifier is a
+    silent corpus-composition bug until this table catches it.
+
+    Spark shape: the prediction pass is the same shuffle-free scan
+    projection as ``text_langid``; the confusion rollup aggregates to
+    |labels|×|predictions| rows with map-side partials — one narrow
+    shuffle on a two-string key, output O(label-vocabulary²), independent
+    of corpus size."""
+    pred = text_langid(spark, sf_dir)
+    return pred.groupBy("lang_label", "lang_pred").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.col("lang_label") == F.col("lang_pred")).cast("int").alias("agree"),
+    )
