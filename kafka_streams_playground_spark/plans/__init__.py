@@ -95,7 +95,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sim_pq_adc_recall_audit",
     # (text_langid_confusion — a |labels|² rollup over r4-green
     # text_langid's unchanged projection — deferred to round 6 by the
-    # sibling rule)
+    # sibling rule; likewise dedup_lsh_band_tuning, which re-bands the
+    # same persisted signatures r5-listed dedup_minhash_estimate_audit and
+    # dedup_containment_lsh exercise)
     # (stream_chunk_documents_overlap and stream_events_value_outliers —
     # stateless/stream-static re-expressions sharing their batch twins'
     # oracles verbatim (both twins hold r5 slots) — deferred to round 6 by

@@ -684,3 +684,148 @@ def dedup_substring_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             (ratio >= CHUNK_DUP_FLAG_RATIO).cast("int").alias("flagged"),
         )
     )
+
+
+# LSH band/row tuning sweep: K = 16 hashes arranged as (bands, rows) in
+# {(16,1), (8,2), (4,4)} — the S-curve knob (collision prob = 1-(1-j^r)^b).
+# Looser bands (small r) catch more true pairs at more candidate cost; the
+# sweep table is how a pipeline picks its operating point. Recall is
+# measured against the (16,1) true set, a PROVABLE superset: an r-row band
+# collision implies equality at each of its r signature positions, hence a
+# 1-row collision — so every pair any config catches, (16,1) catches.
+LSH_TUNING_CONFIGS = ((16, 1), (8, 2), (4, 4))
+
+
+def _lsh_tuning_oracle() -> str:
+    from kafka_streams_playground_spark.functions import text as T
+
+    parts = []
+    for b, r in LSH_TUNING_CONFIGS:
+        ors = " OR ".join(f"a.b{j} = b.b{j}" for j in range(b))
+        parts.append(f"""bands_{b}_{r} AS (
+      SELECT doc_id, {T.duck_band_select(MINHASH_K, r)} FROM sig
+    ),
+    pairs_{b}_{r} AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands_{b}_{r} a JOIN bands_{b}_{r} b
+        ON a.doc_id < b.doc_id AND ({ors})
+    ),
+    stat_{b}_{r} AS (
+      SELECT CAST({b} AS BIGINT) AS n_bands, CAST({r} AS BIGINT) AS rows_per_band,
+             COUNT(*) AS n_candidates,
+             CAST(SUM(CASE WHEN len(list_intersect(ha.hs, hb.hs)) * 1.0
+                  / (len(ha.hs) + len(hb.hs) - len(list_intersect(ha.hs, hb.hs)))
+                  >= {JACCARD_THRESHOLD} THEN 1 ELSE 0 END) AS BIGINT) AS n_true
+      FROM pairs_{b}_{r} p
+      JOIN hv ha ON p.doc_a = ha.doc_id JOIN hv hb ON p.doc_b = hb.doc_id
+    )""")
+    union = " UNION ALL ".join(
+        f"SELECT * FROM stat_{b}_{r}" for b, r in LSH_TUNING_CONFIGS
+    )
+    return f"""
+    WITH {T.duck_shingles_cte()},
+    hv AS (
+      SELECT doc_id, list_distinct({T.duck_shingle_hashes()}) AS hs FROM sh
+    ),
+    sig AS (
+      SELECT doc_id,
+        {T.duck_minhash_select(MINHASH_K)}
+      FROM hv
+    ),
+    {",".join(parts)},
+    allstats AS ({union})
+    SELECT n_bands, rows_per_band, n_candidates, n_true,
+           CAST(CASE WHEN n_candidates > 0
+                THEN n_true * 1000000 // n_candidates ELSE 0 END AS BIGINT)
+               AS precision_ppm,
+           CAST(n_true * 1000000
+                // (SELECT n_true FROM stat_16_1) AS BIGINT) AS recall_ppm
+    FROM allstats
+    """
+
+
+@query(
+    "dedup_lsh_band_tuning",
+    oracle=_lsh_tuning_oracle(),
+    tags=("northstar", "dedup", "lsh", "eval", "bench"),
+)
+def dedup_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH operating-point sweep: candidate volume, true-pair yield,
+    precision, and recall for three (bands, rows-per-band) arrangements of
+    the SAME 16-hash signatures — the S-curve tuning table (collision
+    probability 1-(1-j^r)^b) that decides a near-dup pipeline's
+    cost/recall trade before it ships (the tuning sibling of
+    ``dedup_minhash_estimate_audit``'s calibration). Recall is exact
+    against the (16,1) true set, a provable superset of every config's
+    catch (band collision ⇒ per-position collision).
+
+    Spark shape: ONE persisted (hs, sig) index feeds all three configs —
+    signatures are never recomputed; each config re-bands the 16 ints
+    map-side and runs the same narrow (band_idx, bucket) self-join as
+    ``dedup_minhash_lsh`` (ids-only shuffle, arrays joined back only for
+    surviving candidates). Cost scales with collisions per config — the
+    sweep's entire point is measuring exactly that. Output: 3 rows."""
+    hv0, _ = _minhash_hv_pairs(spark, sf_dir)
+    stats = []
+    for b, r in LSH_TUNING_CONFIGS:
+        bands = hv0.select(
+            "doc_id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.concat_ws(
+                            "|", *[F.col("sig")[j * r + t] for t in range(r)]
+                        )
+                        for j in range(b)
+                    ]
+                )
+            ).alias("band_idx", "bucket"),
+        )
+        pairs = (
+            bands.alias("a")
+            .join(
+                bands.alias("b"),
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.bucket") == F.col("b.bucket"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+        cand = (
+            pairs.join(
+                hv0.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hsa")),
+                "doc_a",
+            ).join(
+                hv0.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hsb")),
+                "doc_b",
+            )
+        )
+        jac = T.jaccard(F.col("hsa"), F.col("hsb"))
+        stats.append(
+            cand.agg(
+                F.lit(b).cast("bigint").alias("n_bands"),
+                F.lit(r).cast("bigint").alias("rows_per_band"),
+                F.count(F.lit(1)).alias("n_candidates"),
+                F.sum((jac >= JACCARD_THRESHOLD).cast("int"))
+                .cast("bigint")
+                .alias("n_true"),
+            )
+        )
+    allstats = stats[0].unionAll(stats[1]).unionAll(stats[2])
+    denom = allstats.filter(F.col("rows_per_band") == 1).select(
+        F.col("n_true").alias("denom")
+    )
+    return allstats.crossJoin(F.broadcast(denom)).select(
+        "n_bands",
+        "rows_per_band",
+        "n_candidates",
+        "n_true",
+        F.when(
+            F.col("n_candidates") > 0,
+            F.expr("cast(n_true * 1000000 div n_candidates as bigint)"),
+        )
+        .otherwise(F.lit(0).cast("bigint"))
+        .alias("precision_ppm"),
+        F.expr("cast(n_true * 1000000 div denom as bigint)").alias("recall_ppm"),
+    )
