@@ -97,7 +97,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # text_langid's unchanged projection — deferred to round 6 by the
     # sibling rule; likewise dedup_lsh_band_tuning, which re-bands the
     # same persisted signatures r5-listed dedup_minhash_estimate_audit and
-    # dedup_containment_lsh exercise)
+    # dedup_containment_lsh exercise; and funnel_conversion_summary, the
+    # global rollup of r4-green funnel_view_click_purchase's stage
+    # aggregates, whose streaming twin holds an r5 slot)
     # (stream_chunk_documents_overlap and stream_events_value_outliers —
     # stateless/stream-static re-expressions sharing their batch twins'
     # oracles verbatim (both twins hold r5 slots) — deferred to round 6 by

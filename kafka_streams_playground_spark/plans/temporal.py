@@ -885,3 +885,83 @@ def events_value_winsorized(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("clipped"),
     )
+
+
+@query(
+    "funnel_conversion_summary",
+    oracle="""
+    WITH s1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'view' GROUP BY 1
+    ),
+    s2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN s1 USING (user_id)
+      WHERE e.event_type = 'click' AND e.ts >= s1.t1 GROUP BY 1
+    ),
+    s3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN s2 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts >= s2.t2 GROUP BY 1
+    ),
+    u AS (SELECT COUNT(DISTINCT user_id) AS n_users FROM events)
+    SELECT u.n_users,
+           (SELECT COUNT(*) FROM s1) AS n_viewed,
+           (SELECT COUNT(*) FROM s2) AS n_clicked,
+           (SELECT COUNT(*) FROM s3) AS n_purchased,
+           CAST((SELECT COUNT(*) FROM s2) * 1000000
+                // (SELECT COUNT(*) FROM s1) AS BIGINT) AS view_to_click_ppm,
+           CAST((SELECT COUNT(*) FROM s3) * 1000000
+                // (SELECT COUNT(*) FROM s2) AS BIGINT) AS click_to_purchase_ppm,
+           CAST((SELECT COUNT(*) FROM s3) * 1000000
+                // u.n_users AS BIGINT) AS overall_conversion_ppm
+    FROM u
+    """,
+    tags=("extension", "temporal", "funnel", "bench"),
+)
+def funnel_conversion_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The one-row funnel report: stage populations and conversion rates
+    (view→click, click→purchase, overall) in exact ppm — the number a
+    product team actually reads off ``funnel_view_click_purchase``'s
+    per-user table. Same chained filtered-min stage aggregates (one hash
+    partitioning on user_id end-to-end), collapsed to a single global
+    rollup — counts only, so the final reduce moves four integers."""
+    events = load_table(spark, sf_dir, "events")
+    s1 = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s2 = (
+        events.filter(F.col("event_type") == "click")
+        .join(s1, "user_id")
+        .filter(F.col("ts") >= F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    s3 = (
+        events.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter(F.col("ts") >= F.col("t2"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t3"))
+    )
+    counts = (
+        events.agg(F.countDistinct("user_id").alias("n_users"))
+        .crossJoin(F.broadcast(s1.agg(F.count(F.lit(1)).alias("n_viewed"))))
+        .crossJoin(F.broadcast(s2.agg(F.count(F.lit(1)).alias("n_clicked"))))
+        .crossJoin(F.broadcast(s3.agg(F.count(F.lit(1)).alias("n_purchased"))))
+    )
+    return counts.select(
+        "n_users",
+        "n_viewed",
+        "n_clicked",
+        "n_purchased",
+        F.expr("cast(n_clicked * 1000000 div n_viewed as bigint)").alias(
+            "view_to_click_ppm"
+        ),
+        F.expr("cast(n_purchased * 1000000 div n_clicked as bigint)").alias(
+            "click_to_purchase_ppm"
+        ),
+        F.expr("cast(n_purchased * 1000000 div n_users as bigint)").alias(
+            "overall_conversion_ppm"
+        ),
+    )
