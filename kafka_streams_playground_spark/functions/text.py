@@ -94,6 +94,21 @@ def jaccard(a: Column, b: Column) -> Column:
     return inter / (F.size(a) + F.size(b) - inter)
 
 
+def adjacent_pair_structs(toks: Column) -> Column:
+    """Adjacent-token-pair structs: element i = struct(toks[i], toks[i+1])
+    (fields "0"/"1") — the 2-gram list behind BPE pair counting and
+    bigram-LM scoring. Built from ``arrays_zip`` over two shifted slices,
+    ALL codegen'd; consumers explode and then ``concat_ws(" ", z["0"],
+    z["1"])`` POST-explode. The lambda formulation
+    (``transform(sequence(...), i -> concat_ws(slice(toks,i,2)))``) is
+    interpreted per element by Catalyst and measured 5× slower on the
+    sf0.1 corpus (the same HOF trap the BPE merge step hit; even a
+    transform over the zip halves the win — keep the row path
+    lambda-free). Empty for single-token inputs."""
+    n = F.size(toks)
+    return F.arrays_zip(F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1))
+
+
 # ---------------------------------------------------------------------------
 # DuckDB SQL fragment twins (kept next to the Spark forms they mirror, so a
 # change to one is a change to both). Used by the oracle strings in

@@ -89,10 +89,11 @@ def text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     t = docs.select("doc_id", T.tokens("text").alias("toks"))
-    g2 = F.transform(
-        F.sequence(F.lit(1), F.size("toks") - 1),
-        lambda i: F.concat_ws(" ", F.slice("toks", i, 2)),
-    )
+    # Pair structs, not concat'd strings: array_distinct compares structs
+    # fieldwise, so the dup-fraction needs no string build at all — and the
+    # codegen'd zip form avoids the per-element HOF lambda (5× on sf0.1;
+    # see functions/text.py::adjacent_pair_structs).
+    g2 = T.adjacent_pair_structs(F.col("toks"))
     base = t.select(
         "doc_id",
         F.size("toks").cast("bigint").alias("n_tokens"),

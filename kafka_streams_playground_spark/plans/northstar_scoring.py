@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kafka_streams_playground_spark.functions import text as T
 from kafka_streams_playground_spark.plans.northstar_dedup import (
     MINHASH_PAIRS_CTES,
     minhash_verified_pairs,
@@ -487,11 +488,11 @@ def tokenizer_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     is ≪ corpus and the shuffle carries one row per (partition, pair)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = F.split("text", " ")
-    g2 = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+    pairs = (
+        docs.filter(F.size(toks) >= 2)
+        .select(F.explode(T.adjacent_pair_structs(toks)).alias("z"))
+        .select(F.concat_ws(" ", F.col("z")["0"], F.col("z")["1"]).alias("pair"))
     )
-    pairs = docs.filter(F.size(toks) >= 2).select(F.explode(g2).alias("pair"))
     return pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
 
 
@@ -624,12 +625,13 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     len >= 2 filter)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = F.split("text", " ")
-    g2 = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
-    )
-    bg = docs.filter(F.size(toks) >= 2).select(
-        "doc_id", F.explode(g2).alias("pair")
+    bg = (
+        docs.filter(F.size(toks) >= 2)
+        .select("doc_id", F.explode(T.adjacent_pair_structs(toks)).alias("z"))
+        .select("doc_id", F.concat_ws(" ", F.col("z")["0"], F.col("z")["1"]).alias("pair"))
+        # bg feeds the model build AND the scoring join — persist caps the
+        # corpus explode at one pass (it previously ran twice).
+        .persist()
     )
     # The pair-count model table feeds BOTH lp (directly) and w1c (re-agg);
     # without materialization Spark would re-explode the corpus for each
@@ -971,13 +973,10 @@ def tokenizer_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     trainer layers on."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = F.split("text", " ")
-    g2 = F.transform(
-        F.sequence(F.lit(1), F.size(toks) - 1),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
-    )
     pc = (
         docs.filter(F.size(toks) >= 2)
-        .select(F.explode(g2).alias("pair"))
+        .select(F.explode(T.adjacent_pair_structs(toks)).alias("z"))
+        .select(F.concat_ws(" ", F.col("z")["0"], F.col("z")["1"]).alias("pair"))
         .groupBy("pair")
         .agg(F.count(F.lit(1)).alias("c"))
     )
@@ -998,10 +997,9 @@ def tokenizer_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = docs.select(F.split(F.trim(merged), " ").alias("mt")).filter(
         F.size("mt") >= 2
     )
-    g2m = F.transform(
-        F.sequence(F.lit(1), F.size("mt") - 1),
-        lambda i: F.concat_ws(" ", F.slice(F.col("mt"), i, 2)),
-    )
-    return m.select(F.explode(g2m).alias("pair")).groupBy("pair").agg(
-        F.count(F.lit(1)).alias("cnt")
+    return (
+        m.select(F.explode(T.adjacent_pair_structs(F.col("mt"))).alias("z"))
+        .select(F.concat_ws(" ", F.col("z")["0"], F.col("z")["1"]).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
