@@ -258,7 +258,7 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     O(N²·d); the join itself is the quadratic part, which the LSH-bucketed
     ANN variant (northstar_similarity) replaces at scale."""
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
 
     def dot(a, b):

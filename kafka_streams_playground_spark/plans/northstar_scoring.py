@@ -441,7 +441,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     Codes are exact integers after one double rounding, so every aggregate
     is order-free and cross-engine exact."""
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     d = emb.select("vec_id", F.posexplode("v").alias("pos", "x")).select(
         "vec_id", (F.col("pos") + 1).alias("dim"), "x"

@@ -59,7 +59,7 @@ def _dot_udf(a: Column, b: Column) -> Column:
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     return emb.select("vec_id", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"))
 
@@ -181,7 +181,7 @@ def sim_lsh_bucket_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     health check of the ANN scale path). One narrow map + one groupBy on the
     bucket id — at 100 TB this is the partitioning key for the ANN index."""
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     b = emb.select("vec_id", _bucket_expr_spark().alias("bucket"))
     return b.groupBy("bucket").agg(
@@ -217,7 +217,7 @@ def sim_ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle on bucket id (widen recall with multi-probe: also join the
     Hamming-1 neighbor buckets; single-probe here keeps the oracle simple)."""
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     # Persisted: the bucketed-vector index feeds BOTH join branches (query
     # side and candidate side); without it the full-corpus bucket UDF pass
@@ -428,7 +428,7 @@ def sim_ann_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     (probes × Q rows, tiny), never a Hamming-distance theta join; the
     oracle states the same set declaratively via bit_count(xor) <= 1."""
     emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     # Persisted: the bucketed-vector index feeds BOTH join branches (query
     # side and candidate side); without it the full-corpus bucket UDF pass
@@ -593,7 +593,7 @@ def knn_label_vote(spark: SparkSession, sf_dir: str) -> DataFrame:
     vote/argmax tail — the classifier head is index-agnostic."""
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        F.col("embedding").cast("array<double>").alias("v"),
         "label",
     )
     n = emb.select(
@@ -662,7 +662,7 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     total, embarrassingly parallel — the cheapest query in the similarity
     family at any scale."""
     emb = load_table(spark, sf_dir, "embeddings").select(
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"), "label"
+        F.col("embedding").cast("array<double>").alias("v"), "label"
     )
     nrm6 = F.floor(
         F.sqrt(_dot_udf(F.col("v"), F.col("v"))) * 1000000 + F.lit(0.5)
@@ -960,7 +960,7 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     approach BIGINT range; production widens the moments to DECIMAL(38,0)
     (Spark and DuckDB both support it) — same plan, wider lanes."""
     emb = load_table(spark, sf_dir, "embeddings").select(
-        F.posexplode(F.transform("embedding", lambda x: x.cast("double"))).alias(
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
             "dim", "xv"
         )
     )
