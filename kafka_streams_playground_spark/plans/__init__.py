@@ -95,7 +95,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sim_pq_adc_recall_audit",
     # (text_langid_confusion — a |labels|² rollup over r4-green
     # text_langid's unchanged projection — deferred to round 6 by the
-    # sibling rule; likewise dedup_lsh_band_tuning, which re-bands the
+    # sibling rule; likewise q_returned_item_top_customers (TPC-H Q10
+    # shape), whose pushdown + fact-join + floored-cents + heap-top-k
+    # machinery is r4-green q_shipping_priority_top10's, plan-test-pinned;
+    # likewise dedup_lsh_band_tuning, which re-bands the
     # same persisted signatures r5-listed dedup_minhash_estimate_audit and
     # dedup_containment_lsh exercise; and funnel_conversion_summary, the
     # global rollup of r4-green funnel_view_click_purchase's stage

@@ -1326,3 +1326,91 @@ def q_market_share_promo_asia(spark: SparkSession, sf_dir: str) -> DataFrame:
             "else 0 end) * 1000000 div sum(rev_cents) as bigint)"
         ).alias("share_ppm"),
     )
+
+
+# TPC-H Q10 ("returned item reporting") adapted: top customers by revenue
+# lost to returns in one quarter. Classic funnel of fact filters into a
+# customer-grain aggregate with a bounded top-k.
+Q10_FROM = "1995-01-01"
+Q10_TO = "1995-04-01"
+Q10_TOP = 20
+
+
+@query(
+    "q_returned_item_top_customers",
+    oracle=f"""
+    SELECT c.c_custkey AS custkey, c.c_name AS name, n.n_name AS nation,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100
+                               + 0.5) AS BIGINT)) AS BIGINT) AS lost_rev_cents,
+           COUNT(*) AS n_returned_items
+    FROM customer c
+    JOIN orders o ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    WHERE l.l_returnflag = 'R'
+      AND o.o_orderdate >= TIMESTAMP '{Q10_FROM}'
+      AND o.o_orderdate < TIMESTAMP '{Q10_TO}'
+    GROUP BY 1, 2, 3
+    ORDER BY lost_rev_cents DESC, custkey ASC
+    LIMIT {Q10_TOP}
+    """,
+    tags=("extension", "tpch", "join", "topk", "bench"),
+)
+def q_returned_item_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 shape — returned-item reporting: the Q10_TOP (= 20) customers
+    who returned the most revenue in one quarter, with their nation — the
+    churn-risk report. Completes the recognizable TPC-H set next to the
+    Q1/Q3/Q5/Q8 shapes.
+
+    Spark shape: the return flag and both date bounds push into their
+    fact scans (plan-pinned below); the orders⋈lineitem fact edge
+    co-shuffles on orderkey, the customer join keys on custkey after the
+    aggregate has ALREADY collapsed to customer grain (aggregate-then-
+    join: the heavy fact rows never carry the name/nation payload), the
+    nation dim broadcasts, and the top-20 is TakeOrderedAndProject
+    (per-partition heaps + a 20-row driver merge, never a global sort).
+    Revenue folds as floored integer cents map-side-partially — exact
+    across engines and partition counts."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_returnflag",
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("rev_cents"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    fact = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit(Q10_FROM).cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit(Q10_TO).cast("timestamp"))
+            ),
+            li["l_orderkey"] == orders["o_orderkey"],
+        )
+        .groupBy("o_custkey")
+        .agg(
+            F.sum("rev_cents").alias("lost_rev_cents"),
+            F.count(F.lit(1)).alias("n_returned_items"),
+        )
+    )
+    out = (
+        fact.join(cust, fact["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nat), cust["c_nationkey"] == nat["n_nationkey"])
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.col("n_name").alias("nation"),
+            "lost_rev_cents",
+            "n_returned_items",
+        )
+    )
+    return out.orderBy(F.col("lost_rev_cents").desc(), F.col("custkey").asc()).limit(
+        Q10_TOP
+    )

@@ -395,3 +395,12 @@ def test_related_parts_share_edge_materialization(spark, sf_dir):
     assert "InMemoryTableScan" in plan, plan
     scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", plan))
     assert len(scan_ids) == 1, (scan_ids, plan)
+
+
+def test_q10_pushdown_and_heap_topk(spark, sf_dir):
+    """Q10: return-flag and date bounds reach their fact scans; the top-20
+    is a per-partition heap (TakeOrderedAndProject), not a global sort."""
+    plan = _plan(spark, sf_dir, "q_returned_item_top_customers")
+    assert re.search(r"PushedFilters:.*EqualTo\(l_returnflag,R\)", plan), plan
+    assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(o_orderdate", plan), plan
+    assert "TakeOrderedAndProject" in plan, plan

@@ -151,3 +151,30 @@ def test_levenshtein_matches_duckdb(spark, pairs):
     ]
     con.close()
     assert got == want
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(docs=st.lists(_doc, min_size=1, max_size=8))
+def test_adjacent_pairs_match_lambda_reference(spark, docs):
+    """The codegen'd arrays_zip pair construction must produce exactly the
+    per-document pair sequence of the interpreted-lambda reference
+    formulation (transform(sequence, i -> concat_ws(slice))) — the 5×
+    performance rewrite (functions/text.py::adjacent_pair_structs) is only
+    valid because the two are element-for-element equal, including on
+    single-token documents (both empty)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame([(i, d) for i, d in enumerate(docs)], ["i", "text"])
+    toks = F.split("text", " ")
+    ref = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 1),
+        lambda j: F.concat_ws(" ", F.slice(toks, j, 2)),
+    )
+    ref = F.when(F.size(toks) >= 2, ref).otherwise(F.array().cast("array<string>"))
+    new = F.transform(
+        T.adjacent_pair_structs(toks),
+        lambda z: F.concat_ws(" ", z["0"], z["1"]),
+    )
+    rows = df.select("i", ref.alias("a"), new.alias("b")).collect()
+    for r in rows:
+        assert list(r["a"]) == list(r["b"]), (r["i"], r["a"], r["b"])
