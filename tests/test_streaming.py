@@ -304,3 +304,69 @@ def test_ewma_state_across_microbatches(spark):
     assert (200, 200 * 128 + 100 * 64) in got
     assert (250, 250 * 128 + 100 * 64) in got          # same-day fold re-emission
     assert (400, 400 * 128 + 250 * 64 + 100 * 32) in got
+
+
+def test_stream_stream_full_outer_join_emits_both_sides(spark):
+    """Watermarked stream-stream FULL OUTER join (the remaining member of
+    the §2.3 outer-join matrix; interval_join exposes it via how=
+    "fullOuter"): matched rows emit immediately; an unmatched LEFT row
+    null-pads once the watermark passes its horizon; an unmatched RIGHT
+    row null-pads on its own state eviction. (The right side's exact
+    eviction instant depends on Spark-internal state-watermark margins —
+    rows that can never match any key may bypass state entirely — so this
+    unit pins the guaranteed outcomes, not an instant-exact oracle; the
+    left-outer twin carries the value-exact eviction oracle.)"""
+    import os
+    from datetime import datetime
+
+    lschema = "order_id string, lts timestamp"
+    rschema = "pay_id string, order_ref string, rts timestamp"
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    ldir = _write_batches(
+        spark,
+        [
+            [("o1", t0), ("o2", t0)],
+            [("o_late1", datetime(2024, 1, 1, 3, 0, 0))],
+            [("o_late2", datetime(2024, 1, 1, 6, 0, 0))],
+        ],
+        lschema,
+    )
+    rdir = _write_batches(
+        spark,
+        [
+            # p1 matches o1; p_orphan references a key with no left row
+            [("p1", "o1", datetime(2024, 1, 1, 0, 1, 0)),
+             ("p_orphan", "nope", datetime(2024, 1, 1, 0, 1, 0))],
+            [("px", "zz", datetime(2024, 1, 1, 3, 0, 0))],
+            [("py", "zz", datetime(2024, 1, 1, 6, 0, 0))],
+        ],
+        rschema,
+    )
+    left = (
+        spark.readStream.schema(lschema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(os.path.dirname(ldir[0]), "b*"))
+        .withWatermark("lts", "0 seconds")
+    )
+    right = (
+        spark.readStream.schema(rschema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(os.path.dirname(rdir[0]), "b*"))
+        .withWatermark("rts", "0 seconds")
+    )
+    joined = left.join(
+        right,
+        F.expr(
+            "order_id = order_ref AND rts BETWEEN lts AND lts + INTERVAL 5 MINUTES"
+        ),
+        "fullOuter",
+    )
+    out = run_to_completion(joined, output_mode="append", spark=spark)
+    rows = out.collect()
+    by_order = {r["order_id"]: r for r in rows if r["order_id"] is not None}
+    right_padded = {r["pay_id"] for r in rows if r["order_id"] is None}
+    assert by_order["o1"]["pay_id"] == "p1"       # matched
+    assert by_order["o2"]["pay_id"] is None       # left evicted → null-padded
+    assert "p_orphan" in right_padded             # unmatched right emits too
+    # matched pair must not ALSO appear null-padded (no double emission)
+    assert "p1" not in right_padded
