@@ -102,7 +102,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # same persisted signatures r5-listed dedup_minhash_estimate_audit and
     # dedup_containment_lsh exercise; and funnel_conversion_summary, the
     # global rollup of r4-green funnel_view_click_purchase's stage
-    # aggregates, whose streaming twin holds an r5 slot)
+    # aggregates, whose streaming twin holds an r5 slot; and
+    # text_rolling_hash — Arrow mapInPandas over the same scan the
+    # r4-green mm_* passes exercise, exact-int math, replica-checked)
     # (stream_chunk_documents_overlap and stream_events_value_outliers —
     # stateless/stream-static re-expressions sharing their batch twins'
     # oracles verbatim (both twins hold r5 slots) — deferred to round 6 by

@@ -342,3 +342,86 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         (F.col("lang_label") == F.col("lang_pred")).cast("int").alias("agree"),
     )
+
+
+# Rabin-Karp polynomial rolling hash: Horner fold acc = (acc*B + byte) mod P
+# with B = 256 and P = 2^31 - 1 (Mersenne). The 2^31 state bound keeps every
+# intermediate product under 2^39 — exact int64 in both engines, no 128-bit
+# arithmetic needed. The 128-byte prefix hash is the cheap first-pass key
+# for prefix-duplication detection (mirrored boilerplate heads).
+RK_BASE = 256
+RK_MOD = 2_147_483_647
+RK_PREFIX = 128
+
+
+@query(
+    "text_rolling_hash",
+    oracle=f"""
+    WITH c AS (
+      SELECT doc_id,
+             [CAST(ascii(x) AS BIGINT) for x in string_split_regex(text, '')]
+                 AS cs,
+             octet_length(encode(text)) AS nb
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(list_reduce(cs, (a, b) -> (a * {RK_BASE} + b) % {RK_MOD})
+                AS BIGINT) AS rk_hash,
+           CAST(list_reduce(cs[1:{RK_PREFIX}],
+                            (a, b) -> (a * {RK_BASE} + b) % {RK_MOD})
+                AS BIGINT) AS prefix_rk,
+           CAST(nb AS BIGINT) AS n_bytes
+    FROM c
+    """,
+    tags=("northstar", "text", "fingerprint", "bench"),
+)
+def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rabin-Karp rolling-hash fingerprinting: the full-document polynomial
+    hash plus a 128-byte prefix hash — the classic O(1)-update content key
+    behind substring search and content-defined chunking (and the cheap
+    prefix-dup detector for mirrored boilerplate heads). Complements
+    ``text_fingerprint``'s MinHash signature: RK is positional and exact
+    (one flipped byte changes it), MinHash is set-based and similarity-
+    preserving.
+
+    Spark shape: one Arrow-batched ``mapInPandas`` pass — the Horner
+    recurrence is sequential in the BYTE dimension but vectorizes across
+    DOCUMENTS (numpy iterates max-doc-length steps per batch, each a
+    whole-batch fused multiply-add; the Catalyst ``aggregate`` HOF twin
+    would interpret every byte per row — the measured-5× trap). Zero
+    shuffle, output inherits the scan partitioning; the 2^31-1 modulus
+    bounds intermediates inside exact int64 on both engines."""
+    import numpy as np
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _rk(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            bss = [t.encode("utf-8") for t in pdf["text"]]
+            lens = np.array([len(b) for b in bss], dtype=np.int64)
+            mx = int(lens.max())
+            M = np.zeros((len(bss), mx), dtype=np.int64)
+            for i, bs in enumerate(bss):
+                M[i, : len(bs)] = np.frombuffer(bs, dtype=np.uint8)
+            acc = np.zeros(len(bss), dtype=np.int64)
+            pre = np.zeros(len(bss), dtype=np.int64)
+            for j in range(mx):
+                live = j < lens
+                acc = np.where(live, (acc * RK_BASE + M[:, j]) % RK_MOD, acc)
+                if j < RK_PREFIX:
+                    pre = np.where(live, (pre * RK_BASE + M[:, j]) % RK_MOD, pre)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "rk_hash": acc,
+                    "prefix_rk": pre,
+                    "n_bytes": lens,
+                }
+            )
+
+    return docs.mapInPandas(
+        _rk, "doc_id bigint, rk_hash bigint, prefix_rk bigint, n_bytes bigint"
+    )
