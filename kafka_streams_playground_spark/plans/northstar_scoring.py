@@ -900,13 +900,27 @@ def quality_classifier_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 # order-free, hence expressible identically in both engines. Self-pairs
 # (A == B) need the sequential within-run rule (merge floor(run/2)) and are
 # excluded from SELECTION here — a documented contract choice, not a bug;
-# counts still include them. The merge executes as TWO regexp_replace
-# passes over the space-padded text: leftmost-non-overlapping replacement
-# shares the delimiting space between back-to-back occurrences
-# ("A B A B" — pass 1 merges the 1st/3rd/5th... of a chain), and the
-# survivors are then isolated by merged tokens, so pass 2 always finishes
-# (proof: after pass 1 no two remaining occurrences are adjacent).
+# counts still include them. The merge executes as TWO plain-string
+# replace() passes over the space-padded text (PLAIN string matching, not
+# regex — tokens containing regex metacharacters ('.', '+', '(', '\')
+# would mis-match or diverge between Java regex and DuckDB RE2; ADVICE
+# r5): leftmost-non-overlapping replacement shares the delimiting space
+# between back-to-back occurrences ("A B A B" — pass 1 merges the
+# 1st/3rd/5th... of a chain), and the survivors are then isolated by
+# merged tokens, so pass 2 always finishes (proof: after pass 1 no two
+# remaining occurrences are adjacent).
 _BPE_MERGE_SEP = "_"
+
+
+def _bpe_merge_text_sql(src: str, sel: str) -> str:
+    """DuckDB fragment: apply ``sel``'s (a, b) merge to ``src.text`` via the
+    two plain-replace passes (same construction as the Spark side)."""
+    pat = f"' ' || {sel}.a || ' ' || {sel}.b || ' '"
+    rep = f"' ' || {sel}.a || '{_BPE_MERGE_SEP}' || {sel}.b || ' '"
+    return (
+        f"trim(replace(replace(' ' || {src}.text || ' ', {pat}, {rep}),"
+        f" {pat}, {rep}))"
+    )
 
 
 @query(
@@ -926,15 +940,7 @@ _BPE_MERGE_SEP = "_"
       ORDER BY c DESC, pair ASC LIMIT 1
     ),
     m AS (
-      SELECT string_split(trim(
-               regexp_replace(
-                 regexp_replace(' ' || t.text || ' ',
-                                ' ' || top.a || ' ' || top.b || ' ',
-                                ' ' || top.a || '{_BPE_MERGE_SEP}' || top.b || ' ',
-                                'g'),
-                 ' ' || top.a || ' ' || top.b || ' ',
-                 ' ' || top.a || '{_BPE_MERGE_SEP}' || top.b || ' ',
-                 'g')), ' ') AS mt
+      SELECT string_split({_bpe_merge_text_sql('t', 'top')}, ' ') AS mt
       FROM t CROSS JOIN top
     ),
     p1 AS (
@@ -952,13 +958,14 @@ def tokenizer_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab-size times (select → merge → recount). The merge exploits a
     disjointness proof: for a non-self pair (A ≠ B), two occurrences can
     never overlap, so greedy left-to-right merging equals merging every
-    occurrence — realized as two codegen'd regexp passes over the padded
-    text (see the module comment for why two always suffice; self-pairs
-    would need the sequential within-run rule and are excluded from
-    selection). An earlier higher-order-array formulation (filter/
-    transform/array_contains per element) was 100×+ slower — Catalyst
-    interprets array lambdas per element (the verify-notes gotcha), while
-    regexp_replace runs inside whole-stage codegen.
+    occurrence — realized as two codegen'd PLAIN-STRING replace passes
+    over the padded text (see the module comment for why two always
+    suffice and why plain replace, not regexp — token text never becomes
+    pattern syntax; self-pairs would need the sequential within-run rule
+    and are excluded from selection). An earlier higher-order-array
+    formulation (filter/transform/array_contains per element) was 100×+
+    slower — Catalyst interprets array lambdas per element (the
+    verify-notes gotcha), while replace runs inside whole-stage codegen.
 
     Spark shape: the selection is a 1-row TakeOrderedAndProject collect
     (O(1) driver state, the k-means-centroid stance — each training
@@ -991,8 +998,8 @@ def tokenizer_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
     pat = f" {a} {b} "
     rep = f" {a}{_BPE_MERGE_SEP}{b} "
     padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
-    merged = F.regexp_replace(
-        F.regexp_replace(padded, F.lit(pat), F.lit(rep)), F.lit(pat), F.lit(rep)
+    merged = F.replace(
+        F.replace(padded, F.lit(pat), F.lit(rep)), F.lit(pat), F.lit(rep)
     )
     m = docs.select(F.split(F.trim(merged), " ").alias("mt")).filter(
         F.size("mt") >= 2
@@ -1002,4 +1009,121 @@ def tokenizer_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.concat_ws(" ", F.col("z")["0"], F.col("z")["1"]).alias("pair"))
         .groupBy("pair")
         .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+# Multi-iteration BPE training (the loop ``tokenizer_bpe_merge_step`` is
+# one body of, run to completion): select the top pair, merge corpus-wide,
+# recount, repeat. Output is the learned MERGE TABLE — (iteration, pair,
+# merged token, count at selection) — i.e. the trained-tokenizer artifact
+# itself. Correctness of row i+1 transitively pins the iteration-i merge:
+# the next selection is computed over the merged corpus, so a wrong
+# replace would surface as a diverging later row.
+_BPE_TRAIN_ITERS = 3
+
+
+def _bpe_train_oracle(n_iters: int) -> str:
+    """Self-contained DuckDB CTE chain: n_iters of (pair-count → top-1
+    select → two-pass plain replace), emitting the merge table."""
+    ctes = ["t0 AS (SELECT doc_id, text FROM documents)"]
+    for i in range(n_iters):
+        ctes.append(
+            f"k{i} AS (SELECT string_split(text, ' ') AS toks FROM t{i})"
+        )
+        ctes.append(
+            f"p{i} AS (SELECT unnest([toks[j] || ' ' || toks[j+1]"
+            f" for j in range(1, len(toks))]) AS pair"
+            f" FROM k{i} WHERE len(toks) >= 2)"
+        )
+        ctes.append(f"c{i} AS (SELECT pair, COUNT(*) AS c FROM p{i} GROUP BY pair)")
+        ctes.append(
+            f"s{i} AS (SELECT pair, string_split(pair, ' ')[1] AS a,"
+            f" string_split(pair, ' ')[2] AS b, c FROM c{i}"
+            f" WHERE string_split(pair, ' ')[1] <> string_split(pair, ' ')[2]"
+            f" ORDER BY c DESC, pair ASC LIMIT 1)"
+        )
+        ctes.append(
+            f"t{i + 1} AS (SELECT doc_id,"
+            f" {_bpe_merge_text_sql(f't{i}', f's{i}')} AS text"
+            f" FROM t{i} CROSS JOIN s{i})"
+        )
+    rows = " UNION ALL ".join(
+        f"SELECT {i + 1} AS it, pair,"
+        f" a || '{_BPE_MERGE_SEP}' || b AS merged,"
+        f" CAST(c AS BIGINT) AS cnt FROM s{i}"
+        for i in range(n_iters)
+    )
+    return f"WITH {', '.join(ctes)} {rows}"
+
+
+@query(
+    "tokenizer_bpe_train3",
+    oracle=_bpe_train_oracle(_BPE_TRAIN_ITERS),
+    tags=("northstar", "scoring", "text", "tokenizer", "iterative", "bench"),
+)
+def tokenizer_bpe_train3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING, three full iterations of the select → merge
+    → recount loop (``tokenizer_bpe_merge_step`` run to completion, the
+    way ``kmeans_ivf_train`` completes the IVF story): each round picks
+    the highest-count non-self adjacent pair (count desc, pair asc
+    tie-break) and merges it corpus-wide with the two-pass plain-string
+    replace (disjointness proof in the module comment). The output is the
+    learned merge table — (it, pair, merged, cnt) — the exact artifact a
+    BPE tokenizer ships; later rows transitively verify earlier merges
+    because each selection is computed over the previously merged corpus.
+
+    Spark shape: per iteration, one pair-keyed shuffle with map-side
+    partials (the recount) and a 1-row TakeOrderedAndProject collect
+    (O(1) driver state per round — the centroid-collect stance fastBPE /
+    sentencepiece training loops share); the merge itself is a map-side
+    codegen'd projection. The merged corpus is persisted each round so
+    iteration i+1's recount scans materialized batches instead of
+    replaying i rounds of lineage — at 100 TB a trainer checkpoints the
+    merged corpus the same way (and layers on incremental pair-delta
+    maintenance, the documented optimization this honest batch form
+    omits)."""
+    from pyspark import StorageLevel
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cur = docs
+    persisted = []
+    merges = []
+    try:
+        for it in range(1, _BPE_TRAIN_ITERS + 1):
+            toks = F.split("text", " ")
+            pc = (
+                cur.filter(F.size(toks) >= 2)
+                .select(F.explode(T.adjacent_pair_structs(toks)).alias("z"))
+                .select(
+                    F.concat_ws(" ", F.col("z")["0"], F.col("z")["1"]).alias("pair")
+                )
+                .groupBy("pair")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            ab = F.split("pair", " ")
+            top = (
+                pc.filter(ab.getItem(0) != ab.getItem(1))
+                .orderBy(F.col("c").desc(), F.col("pair").asc())
+                .limit(1)
+                .collect()
+            )
+            a, b = top[0]["pair"].split(" ")
+            merges.append((it, top[0]["pair"], a + _BPE_MERGE_SEP + b, top[0]["c"]))
+            pat = f" {a} {b} "
+            rep = f" {a}{_BPE_MERGE_SEP}{b} "
+            padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+            merged = F.replace(
+                F.replace(padded, F.lit(pat), F.lit(rep)), F.lit(pat), F.lit(rep)
+            )
+            cur = cur.select("doc_id", F.trim(merged).alias("text")).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            persisted.append(cur)
+    finally:
+        # the returned DataFrame is driver-local (the merge table), so the
+        # intermediate corpora can be released eagerly
+        for df in persisted:
+            df.unpersist()
+    return spark.createDataFrame(
+        merges, "it int, pair string, merged string, cnt bigint"
     )

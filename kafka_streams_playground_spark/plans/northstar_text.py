@@ -344,11 +344,17 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Rabin-Karp polynomial rolling hash: Horner fold acc = (acc*B + byte) mod P
-# with B = 256 and P = 2^31 - 1 (Mersenne). The 2^31 state bound keeps every
-# intermediate product under 2^39 — exact int64 in both engines, no 128-bit
-# arithmetic needed. The 128-byte prefix hash is the cheap first-pass key
-# for prefix-duplication detection (mirrored boilerplate heads).
+# Rabin-Karp polynomial rolling hash: Horner fold acc = (acc*B + codepoint)
+# mod P with B = 256 and P = 2^31 - 1 (Mersenne). The fold unit is the
+# UNICODE CODE POINT on both engines (DuckDB's ascii(ch) returns the code
+# point of a single-character string; the numpy path iterates the same code
+# points), so non-ASCII corpora (the documents schema declares zh/de/fr
+# text) hash identically cross-engine — folding UTF-8 bytes on one side and
+# code points on the other agrees only on pure-ASCII fixtures (ADVICE r5).
+# The 2^31 state bound keeps every intermediate product under
+# 2^31 * 256 + 0x10FFFF < 2^40 — exact int64 in both engines, no 128-bit
+# arithmetic needed. The 128-code-point prefix hash is the cheap first-pass
+# key for prefix-duplication detection (mirrored boilerplate heads).
 RK_BASE = 256
 RK_MOD = 2_147_483_647
 RK_PREFIX = 128
@@ -377,18 +383,20 @@ RK_PREFIX = 128
 )
 def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rabin-Karp rolling-hash fingerprinting: the full-document polynomial
-    hash plus a 128-byte prefix hash — the classic O(1)-update content key
-    behind substring search and content-defined chunking (and the cheap
+    hash plus a 128-code-point prefix hash — the classic O(1)-update content
+    key behind substring search and content-defined chunking (and the cheap
     prefix-dup detector for mirrored boilerplate heads). Complements
     ``text_fingerprint``'s MinHash signature: RK is positional and exact
-    (one flipped byte changes it), MinHash is set-based and similarity-
-    preserving.
+    (one flipped character changes it), MinHash is set-based and similarity-
+    preserving. Both engines fold the same unit — Unicode code points — so
+    non-ASCII text hashes identically (``n_bytes`` stays the UTF-8 byte
+    length, the dedup-pipeline size key).
 
     Spark shape: one Arrow-batched ``mapInPandas`` pass — the Horner
-    recurrence is sequential in the BYTE dimension but vectorizes across
-    DOCUMENTS (numpy iterates max-doc-length steps per batch, each a
+    recurrence is sequential in the CODE-POINT dimension but vectorizes
+    across DOCUMENTS (numpy iterates max-doc-length steps per batch, each a
     whole-batch fused multiply-add; the Catalyst ``aggregate`` HOF twin
-    would interpret every byte per row — the measured-5× trap). Zero
+    would interpret every element per row — the measured-5× trap). Zero
     shuffle, output inherits the scan partitioning; the 2^31-1 modulus
     bounds intermediates inside exact int64 on both engines."""
     import numpy as np
@@ -400,14 +408,21 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in batches:
             if not len(pdf):
                 continue
-            bss = [t.encode("utf-8") for t in pdf["text"]]
-            lens = np.array([len(b) for b in bss], dtype=np.int64)
+            texts = list(pdf["text"])
+            lens = np.array([len(t) for t in texts], dtype=np.int64)
+            nbytes = np.array(
+                [len(t.encode("utf-8")) for t in texts], dtype=np.int64
+            )
             mx = int(lens.max())
-            M = np.zeros((len(bss), mx), dtype=np.int64)
-            for i, bs in enumerate(bss):
-                M[i, : len(bs)] = np.frombuffer(bs, dtype=np.uint8)
-            acc = np.zeros(len(bss), dtype=np.int64)
-            pre = np.zeros(len(bss), dtype=np.int64)
+            M = np.zeros((len(texts), mx), dtype=np.int64)
+            for i, t in enumerate(texts):
+                # fromiter over ord(): one row of code points; max code
+                # point 0x10FFFF keeps acc*256+cp < 2^40, exact in int64.
+                M[i, : len(t)] = np.fromiter(
+                    map(ord, t), dtype=np.int64, count=len(t)
+                )
+            acc = np.zeros(len(texts), dtype=np.int64)
+            pre = np.zeros(len(texts), dtype=np.int64)
             for j in range(mx):
                 live = j < lens
                 acc = np.where(live, (acc * RK_BASE + M[:, j]) % RK_MOD, acc)
@@ -418,7 +433,7 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "doc_id": pdf["doc_id"].values,
                     "rk_hash": acc,
                     "prefix_rk": pre,
-                    "n_bytes": lens,
+                    "n_bytes": nbytes,
                 }
             )
 

@@ -751,3 +751,59 @@ def test_bpe_merge_step_removes_top_pair(spark, sf_dir):
     for p in after:
         x, y = p.split(" ")
         assert p in before or merged_tok in (x, y), p
+
+
+def test_rolling_hash_non_ascii_cross_engine(spark):
+    """Pin the fold unit (ADVICE r5): both engines hash Unicode CODE POINTS,
+    so zh/fr/emoji text must agree exactly — not just ASCII fixtures. Also
+    pins n_bytes as UTF-8 byte length (≠ character count for non-ASCII) and
+    the 128-unit prefix boundary (a doc longer than 128 code points whose
+    non-ASCII chars straddle the cut)."""
+    import os
+    import tempfile
+
+    import duckdb
+
+    from kafka_streams_playground_spark.plans import REGISTRY
+    from tests.helpers import assert_matches_oracle
+
+    long_zh = ("数据处理流水线" * 30)[:200]  # > 128 code points, all CJK
+    df = spark.createDataFrame(
+        [
+            (1, "plain ascii text only", "en"),
+            (2, "你好世界 数据 处理", "zh"),
+            (3, "déjà vu — café, naïveté, œuvre", "fr"),
+            (4, long_zh, "zh"),
+            (5, "mixed 中文 and ascii with émojis \U0001F600\U0001F680", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    d = tempfile.mkdtemp()
+    df.write.parquet(os.path.join(d, "documents.parquet"))
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{os.path.join(d, 'documents.parquet')}/*.parquet')"
+    )
+    spec = REGISTRY["text_rolling_hash"]
+    try:
+        assert_matches_oracle(spec.fn(spark, d), con, spec.oracle)
+    finally:
+        con.close()
+    # independent recomputation of one row: pure-python Horner over ord()
+    from kafka_streams_playground_spark.plans.northstar_text import (
+        RK_BASE,
+        RK_MOD,
+        RK_PREFIX,
+    )
+
+    got = {r["doc_id"]: r for r in spec.fn(spark, d).collect()}
+    acc = 0
+    for ch in long_zh:
+        acc = (acc * RK_BASE + ord(ch)) % RK_MOD
+    pre = 0
+    for ch in long_zh[:RK_PREFIX]:
+        pre = (pre * RK_BASE + ord(ch)) % RK_MOD
+    assert got[4]["rk_hash"] == acc
+    assert got[4]["prefix_rk"] == pre
+    assert got[4]["n_bytes"] == len(long_zh.encode("utf-8"))
