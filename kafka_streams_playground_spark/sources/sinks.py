@@ -144,18 +144,22 @@ def idempotent_foreach_batch_writer(path: str):
     subtract a bad deploy's batch range without touching other data (the
     columnar analogue of a Kafka offset-range reprocess).
 
-    At 100 TB the same protocol holds: the marker check is one object-store
-    HEAD per micro-batch, and per-batch directories keep replaying
-    partitions isolated from committed ones."""
-    import os
+    At 100 TB the same protocol holds: the marker check/create go through
+    the Hadoop FileSystem API resolved from the path's scheme (ADVICE r5 —
+    a driver-local ``os.path`` check would silently re-write forever on
+    ``s3a://``/``abfs://`` paths), so it is one object-store HEAD per
+    micro-batch on any supported filesystem, and per-batch directories
+    keep replaying partitions isolated from committed ones."""
 
     def _write(df: DataFrame, batch_id: int) -> None:
-        bdir = os.path.join(path, f"batch_id={batch_id}")
-        marker = os.path.join(bdir, "_committed")
-        if os.path.exists(marker):
+        spark = df.sparkSession
+        bdir = f"{path.rstrip('/')}/batch_id={batch_id}"
+        jvm = spark._jvm
+        marker = jvm.org.apache.hadoop.fs.Path(bdir + "/_committed")
+        fs = marker.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(marker):
             return  # replayed batch: already landed, exactly-once preserved
         df.write.mode("overwrite").parquet(bdir)
-        with open(marker, "w") as f:
-            f.write("ok\n")
+        fs.create(marker, True).close()
 
     return _write

@@ -292,13 +292,29 @@ def test_dataset_card_is_joinless_single_pass(spark, sf_dir):
     assert plan.count("HashAggregate") >= 2, plan  # partial/final split
 
 
-def test_vocab_coverage_rank_over_vocab_only(spark, sf_dir):
-    """The coverage sweep's ranking window runs over the vocabulary-sized
-    count table (post-aggregate), and the N-spine joins broadcast — the
-    corpus itself must see only the one token-count shuffle."""
+def test_vocab_coverage_rank_over_topk_only(spark, sf_dir):
+    """The coverage sweep must truncate with a distributed two-phase top-k
+    (TakeOrderedAndProject: per-partition top-max_n, merged once) BEFORE
+    any ranking window — the only window runs over the ≤max_n survivor
+    rows, never the full vocabulary (r5 verdict: a global rank over a
+    web-scale 10⁸⁺-term vocab on one task). N-spine joins broadcast."""
     plan = _plan(spark, sf_dir, "tokenizer_vocab_coverage")
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+    assert "TakeOrderedAndProject" in plan, plan
     assert len(re.findall(r"\(\d+\) Window\b", plan)) == 1, plan
+
+
+def test_zipf_rank_is_range_partitioned(spark, sf_dir):
+    """Zipf needs EVERY term's rank, so instead of a global window the plan
+    must range-partition the vocab and compose rank = partition prefix
+    offset + per-partition row_number: the heavy row_number window is
+    partitioned by pid (parallel); the only unpartitioned window is the
+    prefix-sum over the |partitions|-row count table (O(config))."""
+    plan = _plan(spark, sf_dir, "text_zipf_fit")
+    assert "rangepartitioning" in plan.lower(), plan
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    ranked = [s for s in specs if "cnt" in s and "token" in s]
+    assert ranked and all(s.startswith("pid") for s in ranked), specs
 
 
 def test_containment_band_join_carries_no_arrays(spark, sf_dir):
