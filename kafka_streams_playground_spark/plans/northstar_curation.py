@@ -657,3 +657,144 @@ def pipeline_epoch_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("epochs_q4"),
         )
     )
+
+
+# C4-style line-level boilerplate filtering (Raffel et al. 2020 §2.2): the
+# rules C4 applies per LINE before document-level filters — drop lines with
+# fewer than MIN_WORDS words, drop lines containing policy strings
+# ("javascript" — the cookie/JS-warning boilerplate class), count lines
+# lacking terminal punctuation, and drop whole documents containing
+# "lorem ipsum" or a curly brace (code leakage). The fixture corpus has no
+# newlines, so line structure is synthesized deterministically: one
+# codegen'd regexp_replace turns every LINE_TOKENS-th inter-token space
+# into '\n' (leftmost non-overlapping — identical in Java regex and RE2),
+# and both engines then split on '\n'. A real crawl corpus already has the
+# '\n's and skips the segmentation pass. The terminal-punctuation rule is
+# REPORTED (n_no_punct) but not part of the keep predicate here — the
+# token-soup fixture has no punctuation, so gating on it would zero the
+# output; a production profile moves it into the predicate (documented
+# adaptation, same stance as the multimodal decode stubs).
+C4_LINE_TOKENS = 12
+C4_MIN_WORDS = 3
+C4_MIN_KEPT_LINES = 2
+_C4_SEG_RE = r"((?:\S+ ){%d}\S+) " % (C4_LINE_TOKENS - 1)
+
+
+@query(
+    "text_line_filter",
+    oracle=f"""
+    WITH seg AS (
+      SELECT doc_id,
+             string_split(regexp_replace(text, '{_C4_SEG_RE}',
+                                         '\\1' || chr(10), 'g'),
+                          chr(10)) AS lines,
+             CAST(contains(lower(text), 'lorem ipsum') OR contains(text, '{{')
+                  AS INT) AS doc_flag
+      FROM documents
+    ),
+    l AS (
+      SELECT doc_id, doc_flag, unnest(lines) AS line,
+             generate_subscripts(lines, 1) AS i
+      FROM seg
+    ),
+    r AS (
+      SELECT doc_id, doc_flag, line, i,
+             len(string_split(line, ' ')) >= {C4_MIN_WORDS} AS words_ok,
+             NOT contains(lower(line), 'javascript') AS policy_ok,
+             (line LIKE '%.' OR line LIKE '%!' OR line LIKE '%?'
+              OR line LIKE '%"') AS punct_ok
+      FROM l
+    )
+    SELECT doc_id,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CASE WHEN words_ok AND policy_ok THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN NOT words_ok THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_short,
+           CAST(SUM(CASE WHEN NOT punct_ok THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_no_punct,
+           string_agg(CASE WHEN words_ok AND policy_ok THEN line END,
+                      '|' ORDER BY i) AS kept_text,
+           CAST(MAX(doc_flag) = 0
+                AND SUM(CASE WHEN words_ok AND policy_ok THEN 1 ELSE 0 END)
+                    >= {C4_MIN_KEPT_LINES} AS INT) AS keep_doc
+    FROM r GROUP BY doc_id
+    """,
+    tags=("northstar", "curation", "text", "bench"),
+)
+def text_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style line-level boilerplate filtering (Raffel et al. 2020 §2.2):
+    per document, segment into lines, apply per-line keep rules (≥3 words;
+    no 'javascript' policy string), count terminal-punctuation violations,
+    re-assemble the surviving lines in order, and gate the document on
+    doc-level rules ('lorem ipsum', curly braces — code/boilerplate
+    leakage) plus a minimum kept-line count. This is the one standard
+    curation pass that runs BELOW document granularity — doc-level
+    quality/PII/dedup passes keep or drop whole documents; C4's insight is
+    that most crawl boilerplate is line-shaped (menus, cookie banners).
+
+    Spark shape: zero joins, two shuffles total, all string work codegen'd
+    (no HOF lambdas — the r5 perf lesson): one regexp_replace injects the
+    line breaks (a real corpus arrives with them), posexplode yields
+    (line_idx, line), the rule columns are plain string expressions, and
+    the per-doc re-aggregation is one doc_id-keyed shuffle where
+    ``listagg(... ) within group (order by line_idx)`` rebuilds the kept
+    text in order and conditional sums produce the per-rule drop counts —
+    map-side partials throughout, nothing ever carries the corpus through
+    more than one wide exchange. At 100 TB this is scan-bound; the reported
+    per-rule counts aggregate into exactly the per-rule removal dashboard
+    the C4 paper publishes."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    seg = docs.select(
+        "doc_id",
+        F.split(
+            F.regexp_replace("text", _C4_SEG_RE, "$1\n"), "\n"
+        ).alias("lines"),
+        (
+            F.contains(F.lower("text"), F.lit("lorem ipsum"))
+            | F.contains("text", F.lit("{"))
+        )
+        .cast("int")
+        .alias("doc_flag"),
+    )
+    l = seg.select(
+        "doc_id", "doc_flag", F.posexplode("lines").alias("i", "line")
+    )
+    words_ok = F.size(F.split("line", " ")) >= C4_MIN_WORDS
+    policy_ok = ~F.contains(F.lower("line"), F.lit("javascript"))
+    punct_ok = (
+        F.endswith("line", F.lit("."))
+        | F.endswith("line", F.lit("!"))
+        | F.endswith("line", F.lit("?"))
+        | F.endswith("line", F.lit('"'))
+    )
+    r = l.select(
+        "doc_id",
+        "doc_flag",
+        "line",
+        "i",
+        words_ok.alias("words_ok"),
+        policy_ok.alias("policy_ok"),
+        punct_ok.alias("punct_ok"),
+    )
+    return r.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum((F.col("words_ok") & F.col("policy_ok")).cast("bigint")).alias(
+            "n_kept"
+        ),
+        F.sum((~F.col("words_ok")).cast("bigint")).alias("n_short"),
+        F.sum((~F.col("punct_ok")).cast("bigint")).alias("n_no_punct"),
+        F.expr(
+            "listagg(case when words_ok and policy_ok then line end, '|') "
+            "within group (order by i)"
+        ).alias("kept_text"),
+        (
+            (F.max("doc_flag") == 0)
+            & (
+                F.sum((F.col("words_ok") & F.col("policy_ok")).cast("bigint"))
+                >= C4_MIN_KEPT_LINES
+            )
+        )
+        .cast("int")
+        .alias("keep_doc"),
+    )

@@ -807,3 +807,49 @@ def test_rolling_hash_non_ascii_cross_engine(spark):
     assert got[4]["rk_hash"] == acc
     assert got[4]["prefix_rk"] == pre
     assert got[4]["n_bytes"] == len(long_zh.encode("utf-8"))
+
+
+def test_c4_line_filter_rules(spark):
+    """Each C4 rule on real multi-line text: min-words drops short lines,
+    the javascript policy string drops its line, 'lorem ipsum' and curly
+    braces kill the whole document, terminal punctuation is counted, kept
+    lines re-assemble in original order, and the doc gate needs >=2 kept
+    lines."""
+    import os
+    import tempfile
+
+    from kafka_streams_playground_spark.plans import REGISTRY
+
+    df = spark.createDataFrame(
+        [
+            # 3 good lines + 1 short + 1 js line; punct on 2 lines
+            (1, "the first good line here.\nok\nplease enable javascript to view\nanother quite good line!\nthird good line stays", "en"),
+            # lorem ipsum → doc dropped even with good lines
+            (2, "a perfectly fine line one.\nlorem ipsum dolor sit amet\nanother fine line two.", "en"),
+            # brace → doc dropped
+            (3, "function call { return x }\na normal prose line here.\nmore normal prose here too.", "en"),
+            # only one kept line → below the 2-line doc gate
+            (4, "just one single good line.\nno\nup", "en"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    d = tempfile.mkdtemp()
+    df.write.parquet(os.path.join(d, "documents.parquet"))
+    out = {
+        r["doc_id"]: r
+        for r in REGISTRY["text_line_filter"].fn(spark, d).collect()
+    }
+    r1 = out[1]
+    assert r1["n_lines"] == 5
+    assert r1["n_kept"] == 3          # short 'ok' + javascript line dropped
+    assert r1["n_short"] == 1
+    assert r1["n_no_punct"] == 3      # 'ok', js line, trailing no-punct line
+    assert r1["kept_text"] == (
+        "the first good line here.|another quite good line!|third good line stays"
+    )
+    assert r1["keep_doc"] == 1
+    assert out[2]["keep_doc"] == 0    # lorem ipsum
+    assert out[2]["n_kept"] == 3      # line rules themselves all pass
+    assert out[3]["keep_doc"] == 0    # curly brace
+    assert out[4]["keep_doc"] == 0    # only 1 kept line < 2
+    assert out[4]["n_kept"] == 1
