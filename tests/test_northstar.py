@@ -239,14 +239,20 @@ def test_cc_clique_chain_labels_and_rounds(spark):
     )
 
     pairs = [(1, 2), (1, 3), (2, 3), (10, 11), (11, 12), (12, 13), (13, 14), (20, 21)]
+    # plus a 17-node chain (diameter 16): label propagation would need 17
+    # rounds; the alternating large-star/small-star contraction must beat
+    # the diameter bound decisively (Kiveris et al.: O(log n) rounds)
+    chain = [(100 + i, 100 + i + 1) for i in range(16)]
+    pairs = pairs + chain
     sym = pairs + [(b, a) for a, b in pairs]
     edges = spark.createDataFrame(sym, "src long, dst long").persist()
     labels, rounds = min_label_propagation(edges)
     got = {r["node"]: r["comp"] for r in labels.collect()}
     edges.unpersist()
     want = {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 12: 10, 13: 10, 14: 10, 20: 20, 21: 20}
+    want.update({100 + i: 100 for i in range(17)})
     assert got == want
-    assert rounds <= 4 + 1, f"chain diameter 4 must converge in <=5 rounds, took {rounds}"
+    assert rounds <= 6, f"star contraction must beat the diameter-16 bound, took {rounds}"
 
 
 def test_semdedup_cluster_minimum_never_pruned(spark, sf_dir):
