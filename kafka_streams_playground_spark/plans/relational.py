@@ -1419,3 +1419,388 @@ def q_returned_item_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame
     return out.orderBy(F.col("lost_rev_cents").desc(), F.col("custkey").asc()).limit(
         Q10_TOP
     )
+
+
+# TPC-H Q7 ("volume shipping"): bilateral trade volume between two nations
+# by year — supplier in one, customer in the other, either direction.
+Q7_NATION_A = "NATION_1"
+Q7_NATION_B = "NATION_2"
+Q7_FROM = "1996-01-01"
+Q7_TO = "1998-01-01"
+
+
+@query(
+    "q_volume_shipping_pair",
+    oracle=f"""
+    SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+           CAST(year(l.l_shipdate) AS BIGINT) AS l_year,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100
+                               + 0.5) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+    WHERE ((sn.n_name = '{Q7_NATION_A}' AND cn.n_name = '{Q7_NATION_B}')
+        OR (sn.n_name = '{Q7_NATION_B}' AND cn.n_name = '{Q7_NATION_A}'))
+      AND l.l_shipdate >= TIMESTAMP '{Q7_FROM}'
+      AND l.l_shipdate < TIMESTAMP '{Q7_TO}'
+    GROUP BY 1, 2, 3
+    """,
+    tags=("extension", "tpch", "join", "bench"),
+)
+def q_volume_shipping_pair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 shape — volume shipping: yearly bilateral revenue between
+    two nations, supplier on one side and customer on the other, both
+    directions reported separately (the trade-balance report).
+
+    Spark shape: the shipdate band pushes into the lineitem scan; supplier
+    and customer each pre-join their nation dim FILTERED to the two-nation
+    set (broadcast — the filter prunes 23/25 nations before any fact row
+    is touched), so the disjunctive either-direction predicate runs over
+    already-tiny sides and the final pair filter is a cheap post-join
+    check; the lineitem⋈orders fact edge co-shuffles on orderkey; revenue
+    folds as floored integer cents with map-side partials into at most
+    2 pairs × |years| output rows."""
+    both = (Q7_NATION_A, Q7_NATION_B)
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_suppkey",
+        "l_shipdate",
+        F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("rev_cents"),
+    ).filter(
+        (F.col("l_shipdate") >= F.lit(Q7_FROM).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q7_TO).cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    supp_nat = (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(
+            F.broadcast(nat.filter(F.col("n_name").isin(*both))),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    )
+    cust_nat = (
+        load_table(spark, sf_dir, "customer")
+        .select("c_custkey", "c_nationkey")
+        .join(
+            F.broadcast(
+                nat.filter(F.col("n_name").isin(*both)).select(
+                    F.col("n_nationkey").alias("cn_key"),
+                    F.col("n_name").alias("cust_nation"),
+                )
+            ),
+            F.col("c_nationkey") == F.col("cn_key"),
+        )
+        .select("c_custkey", "cust_nation")
+    )
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp_nat), li["l_suppkey"] == F.col("s_suppkey"))
+        .join(cust_nat, orders["o_custkey"] == F.col("c_custkey"))
+        .filter(
+            (
+                (F.col("supp_nation") == Q7_NATION_A)
+                & (F.col("cust_nation") == Q7_NATION_B)
+            )
+            | (
+                (F.col("supp_nation") == Q7_NATION_B)
+                & (F.col("cust_nation") == Q7_NATION_A)
+            )
+        )
+        .groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("bigint").alias("l_year"),
+        )
+        .agg(F.sum("rev_cents").alias("revenue_cents"))
+    )
+
+
+# TPC-H Q9 shape ("product type profit"): supply cost adapted to
+# p_retailprice × Q9_COST_FRAC since the fixture set has no partsupp table
+# (documented adaptation; the dataflow — part-filtered fact join, per-line
+# profit, nation × year rollup — is Q9's).
+Q9_PART_TYPE = "ECONOMY"
+Q9_COST_FRAC = 0.4
+
+
+@query(
+    "q_product_type_profit",
+    oracle=f"""
+    SELECT sn.n_name AS nation, CAST(year(o.o_orderdate) AS BIGINT) AS o_year,
+           CAST(SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100
+                               + 0.5) AS BIGINT)
+                    - CAST(FLOOR(p.p_retailprice * {Q9_COST_FRAC} * l.l_quantity
+                                 * 100 + 0.5) AS BIGINT))
+                AS BIGINT) AS profit_cents
+    FROM lineitem l
+    JOIN part p ON l.l_partkey = p.p_partkey
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE p.p_type = '{Q9_PART_TYPE}'
+    GROUP BY 1, 2
+    """,
+    tags=("extension", "tpch", "join", "bench"),
+)
+def q_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape — product-type profit: per supplier nation and order
+    year, the profit (revenue minus supply cost) on one part type. The
+    fixture set carries no partsupp table, so supply cost is adapted to
+    ``p_retailprice × {Q9_COST_FRAC} × quantity`` (stated in the oracle
+    too — the join/rollup dataflow is exactly Q9's).
+
+    Spark shape: the p_type filter prunes the part dim BEFORE its join
+    (broadcast), cutting ~5/6 of fact rows at the first hash probe;
+    supplier⋈nation pre-collapses to a broadcast (suppkey → nation) map;
+    the lineitem⋈orders fact edge co-shuffles on orderkey; profit is a
+    difference of two floored-integer-cents terms computed PER LINE (so
+    the sum is order-free and cross-engine exact) with map-side partials
+    into |nations| × |years| rows."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == Q9_PART_TYPE)
+        .select("p_partkey", "p_retailprice")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount",
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp_nat = (
+        load_table(spark, sf_dir, "supplier")
+        .select("s_suppkey", "s_nationkey")
+        .join(F.broadcast(nat), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("s_suppkey", F.col("n_name").alias("nation"))
+    )
+    rev = F.floor(
+        F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+    ).cast("bigint")
+    cost = F.floor(
+        F.col("p_retailprice") * Q9_COST_FRAC * F.col("l_quantity") * 100 + F.lit(0.5)
+    ).cast("bigint")
+    return (
+        li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .join(F.broadcast(supp_nat), li["l_suppkey"] == F.col("s_suppkey"))
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("nation", F.year("o_orderdate").cast("bigint").alias("o_year"))
+        .agg(F.sum(rev - cost).alias("profit_cents"))
+    )
+
+
+# TPC-H Q12 shape ("shipping modes and order priority"): the fixture
+# lineitem has no shipmode/commitdate, so the "late" predicate is adapted
+# to shipdate > orderdate + Q12_LATE_DAYS and the grouping key to
+# l_returnflag (documented; the join + conditional-priority-count rollup
+# is Q12's).
+Q12_LATE_DAYS = 90
+Q12_YEAR_FROM = "1996-01-01"
+Q12_YEAR_TO = "1997-01-01"
+
+
+@query(
+    "q_late_shipment_priority",
+    oracle=f"""
+    SELECT l.l_returnflag,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '{Q12_YEAR_FROM}'
+      AND l.l_shipdate < TIMESTAMP '{Q12_YEAR_TO}'
+      AND l.l_shipdate > o.o_orderdate + INTERVAL '{Q12_LATE_DAYS} days'
+    GROUP BY 1
+    """,
+    tags=("extension", "tpch", "join", "bench"),
+)
+def q_late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape — late shipments by priority class: for lines
+    shipped more than {Q12_LATE_DAYS} days after their order date within
+    one year, count critical-priority vs other orders per return-flag
+    group (the logistics SLA report; shipmode/commitdate don't exist in
+    the fixture schema, so the late predicate and grouping key are the
+    documented adaptations of Q12's).
+
+    Spark shape: the shipdate year band pushes into the lineitem scan;
+    the orders⋈lineitem edge co-shuffles on orderkey with the
+    date-difference predicate evaluated at the join (non-equi residual on
+    a co-partitioned equi-join — never a range join); the conditional
+    counts are map-side-partial CASE sums into 3 output rows."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_returnflag", "l_shipdate"
+    ).filter(
+        (F.col("l_shipdate") >= F.lit(Q12_YEAR_FROM).cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit(Q12_YEAR_TO).cast("timestamp"))
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(
+            orders,
+            (li["l_orderkey"] == orders["o_orderkey"])
+            & (
+                li["l_shipdate"]
+                > F.col("o_orderdate") + F.expr(f"INTERVAL {Q12_LATE_DAYS} DAYS")
+            ),
+        )
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(hi.cast("bigint")).alias("high_line_count"),
+            F.sum((~hi).cast("bigint")).alias("low_line_count"),
+        )
+    )
+
+
+# TPC-H Q16 shape ("parts/supplier relationship"): the part-supplier
+# relation comes from the distinct (partkey, suppkey) pairs observed in
+# lineitem (no partsupp table in the fixture set); "customer complaints"
+# suppliers are adapted to negative account balance.
+Q16_EXCL_BRAND = "Brand#1"
+Q16_SIZES = (1, 5, 9, 13, 17, 21, 25, 29)
+
+
+@query(
+    "q_supplier_cnt_by_part",
+    oracle=f"""
+    SELECT p.p_brand, p.p_type, CAST(p.p_size AS BIGINT) AS p_size,
+           CAST(COUNT(DISTINCT ps.l_suppkey) AS BIGINT) AS supplier_cnt
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem) ps
+    JOIN part p ON p.p_partkey = ps.l_partkey
+    WHERE p.p_brand <> '{Q16_EXCL_BRAND}'
+      AND p.p_size IN ({", ".join(str(s) for s in Q16_SIZES)})
+      AND ps.l_suppkey NOT IN (
+        SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY 1, 2, 3
+    """,
+    tags=("extension", "tpch", "join", "distinct", "bench"),
+)
+def q_supplier_cnt_by_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape — supplier count per part classification: how many
+    distinct (non-excluded) suppliers can furnish parts of each
+    (brand, type, size) cell, skipping one brand and restricting to a size
+    set. The part-supplier relation is the distinct (partkey, suppkey)
+    pairs observed in lineitem and the complaints exclusion is adapted to
+    negative account balance (no partsupp table in the fixture set —
+    documented; the distinct-pair + NOT-IN + COUNT(DISTINCT) dataflow is
+    Q16's).
+
+    Spark shape: the brand/size filters prune the part dim before its
+    broadcast join; the excluded-supplier set is a broadcast
+    left-anti join (NOT IN over a dim-bounded set — never a shuffle);
+    the distinct pair projection and the COUNT(DISTINCT suppkey) rollup
+    share one partkey-side shuffle with partial aggregation (Spark plans
+    count-distinct as a two-phase expand+agg, map-side partials both
+    phases)."""
+    pairs = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(
+            (F.col("p_brand") != Q16_EXCL_BRAND)
+            & F.col("p_size").isin(*Q16_SIZES)
+        )
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        pairs.join(bad_supp, pairs["l_suppkey"] == bad_supp["s_suppkey"], "left_anti")
+        .join(F.broadcast(part), F.col("l_partkey") == part["p_partkey"])
+        .groupBy("p_brand", "p_type", F.col("p_size").cast("bigint").alias("p_size"))
+        .agg(F.count_distinct("l_suppkey").cast("bigint").alias("supplier_cnt"))
+    )
+
+
+# TPC-H Q22 shape ("global sales opportunity"): rich-but-dormant customers.
+# The per-country phone prefix is adapted to c_custkey % Q22_BUCKETS; the
+# "above average positive balance" comparison is an exact integer
+# cross-multiply (bal_cents × n_pos > sum_pos_cents) so no float mean ever
+# crosses engines.
+Q22_BUCKETS = 5
+Q22_SINCE = "1999-01-01"  # dormant = no order on/after this date (every
+# fixture customer has SOME order, so Q22's never-ordered predicate is
+# adapted to lapsed-since; the anti-join dataflow is unchanged)
+
+
+@query(
+    "q_dormant_rich_customers",
+    oracle=f"""
+    WITH pos AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_pos,
+             CAST(SUM(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+                 AS sum_cents
+      FROM customer WHERE c_acctbal > 0
+    )
+    SELECT CAST(c.c_custkey % {Q22_BUCKETS} AS BIGINT) AS cust_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_custs,
+           CAST(SUM(CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS total_bal_cents
+    FROM customer c CROSS JOIN pos
+    WHERE CAST(FLOOR(c.c_acctbal * 100 + 0.5) AS BIGINT) * pos.n_pos
+              > pos.sum_cents
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '{Q22_SINCE}')
+    GROUP BY 1
+    """,
+    tags=("extension", "tpch", "antijoin", "bench"),
+)
+def q_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 shape — global sales opportunity: customers whose balance
+    beats the mean POSITIVE balance but who have placed no order since
+    {Q22_SINCE} (every fixture customer has some order, so Q22's
+    never-ordered test is adapted to lapsed-since — documented), bucketed (custkey mod {Q22_BUCKETS} stands in for the phone-prefix
+    country code — documented adaptation; the scalar-aggregate compare +
+    anti-join + bucket rollup dataflow is Q22's).
+
+    Spark shape: the positive-balance mean is a 1-row broadcast scalar
+    (cross join of an aggregate — never a correlated re-scan), and the
+    above-mean test is an exact integer cross-multiply, so the comparison
+    is bit-identical across engines and no float mean is ever computed;
+    the never-ordered test is a left-anti join shuffled on custkey (the
+    orders side projects to the bare key — at 100 TB the anti join
+    co-partitions both sides on custkey and the bucket rollup is
+    map-side-partial into {Q22_BUCKETS} rows)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.floor(F.col("c_acctbal") * 100 + F.lit(0.5)).cast("bigint").alias(
+            "bal_cents"
+        ),
+        F.col("c_acctbal"),
+    )
+    pos = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.count(F.lit(1)).alias("n_pos"),
+        F.sum("bal_cents").alias("sum_cents"),
+    )
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit(Q22_SINCE).cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        cust.crossJoin(F.broadcast(pos))
+        .filter(F.col("bal_cents") * F.col("n_pos") > F.col("sum_cents"))
+        .join(orders, cust["c_custkey"] == orders["o_custkey"], "left_anti")
+        .groupBy((F.col("c_custkey") % Q22_BUCKETS).cast("bigint").alias("cust_bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_custs"),
+            F.sum("bal_cents").alias("total_bal_cents"),
+        )
+    )
