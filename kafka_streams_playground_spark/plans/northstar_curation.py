@@ -798,3 +798,91 @@ def text_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("keep_doc"),
     )
+
+
+# Global exact line-level dedup (the C4 move one granularity below
+# document dedup: C4 removes any three-sentence span occurring more than
+# once in the corpus; at line granularity this is "keep only the FIRST
+# occurrence of every distinct line"). First = minimum (doc_id, line_idx),
+# encoded as doc_id * LINE_KEY_BASE + idx — exact int64 for corpora to
+# ~9e12 docs of < 10^6 lines each; the encoding is monotone in
+# (doc_id, idx) so both engines select the same occurrence regardless of
+# their 0-/1-based index origin.
+LINE_KEY_BASE = 1_000_000
+
+
+@query(
+    "dedup_lines_global",
+    oracle=f"""
+    WITH seg AS (
+      SELECT doc_id,
+             string_split(regexp_replace(text, '{_C4_SEG_RE}',
+                                         '\\1' || chr(10), 'g'),
+                          chr(10)) AS lines
+      FROM documents
+    ),
+    l AS (
+      SELECT doc_id, unnest(lines) AS line,
+             generate_subscripts(lines, 1) AS i
+      FROM seg
+    ),
+    k AS (
+      SELECT doc_id, line, i,
+             doc_id * {LINE_KEY_BASE} + i AS key
+      FROM l
+    ),
+    f AS (SELECT line, MIN(key) AS first_key FROM k GROUP BY line)
+    SELECT k.doc_id,
+           COUNT(*) AS n_lines,
+           CAST(SUM(CASE WHEN k.key = f.first_key THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(CASE WHEN k.key <> f.first_key THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_dup_dropped,
+           string_agg(CASE WHEN k.key = f.first_key THEN k.line END,
+                      '|' ORDER BY k.i) AS kept_text
+    FROM k JOIN f USING (line)
+    GROUP BY k.doc_id
+    """,
+    tags=("northstar", "curation", "dedup", "text", "bench"),
+)
+def dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global exact line deduplication: every distinct line survives only
+    at its FIRST corpus occurrence (minimum (doc_id, line_idx)); later
+    copies — the mirrored navigation/boilerplate lines C4's span-dedup
+    targets — are dropped, and each document reports its kept/dropped
+    counts plus the re-assembled surviving text. Complements
+    ``text_line_filter`` (rule-based, per-line) and
+    ``dedup_substring_chunks`` (ExactSubstr at chunk granularity): this is
+    the corpus-global exact-match tier of the line-level story.
+
+    Spark shape: lines explode off the same codegen'd segmentation pass as
+    ``text_line_filter``; the first-occurrence table is a line-keyed
+    groupBy-min — map-side partial combine makes the hot boilerplate lines
+    (exactly the skew risk of this operator at 100 TB) pre-collapse per
+    partition before the shuffle — and survivors resolve with one
+    co-shuffled join back (AQE skew-join splits any still-hot line key on
+    the probe side; a WINDOW min-over-line formulation would put every
+    copy of a hot line on one task with no partial aggregation — the
+    rejected shape). Re-assembly is the ordered-listagg doc_id rollup.
+    Keys ride as int64 (doc_id × 10⁶ + idx), monotone in (doc_id, idx) in
+    both engines."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    seg = docs.select(
+        "doc_id",
+        F.split(F.regexp_replace("text", _C4_SEG_RE, "$1\n"), "\n").alias("lines"),
+    )
+    k = seg.select(
+        "doc_id", F.posexplode("lines").alias("i", "line")
+    ).withColumn("key", F.col("doc_id") * LINE_KEY_BASE + F.col("i"))
+    f = k.groupBy("line").agg(F.min("key").alias("first_key"))
+    j = k.join(f, "line")
+    kept = F.col("key") == F.col("first_key")
+    return j.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum(kept.cast("bigint")).alias("n_kept"),
+        F.sum((~kept).cast("bigint")).alias("n_dup_dropped"),
+        F.expr(
+            "listagg(case when key = first_key then line end, '|') "
+            "within group (order by i)"
+        ).alias("kept_text"),
+    )

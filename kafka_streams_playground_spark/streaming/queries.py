@@ -1139,3 +1139,76 @@ def _share_outlier_oracle() -> None:
 
 
 _share_outlier_oracle()
+
+
+@query(
+    "stream_text_line_filter",
+    oracle=None,  # set below: builds on the C4 segmentation CTEs
+    tags=("northstar", "streaming", "curation", "text"),
+)
+def stream_text_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The C4 line filter ONLINE — the per-LINE stage of
+    ``text_line_filter`` as a stateless append-mode stream: documents
+    arrive, lines explode off the same codegen'd segmentation, the
+    min-words and policy-string rules evaluate per line, and KEPT lines
+    emit as (doc_id, line_idx, line) rows — the streaming half of the
+    split a production pipeline actually deploys (line rules are
+    embarrassingly per-record and run at ingest; the doc-level gate and
+    ordered re-assembly are the downstream batch rollup, which is where
+    the batch twin's listagg lives — sort-based aggregation doesn't exist
+    in streaming state).
+
+    Exactness: stateless projection ⇒ the drained append stream equals
+    the batch per-line rule table row-for-row, micro-batch boundaries
+    irrelevant; zero state, zero shuffle — at 100 TB this runs at source
+    parallelism."""
+    from kafka_streams_playground_spark.plans.northstar_curation import (
+        C4_MIN_WORDS,
+        _C4_SEG_RE,
+    )
+
+    docs = read_stream_table(spark, sf_dir, "documents").select("doc_id", "text")
+    seg = docs.select(
+        "doc_id",
+        F.split(F.regexp_replace("text", _C4_SEG_RE, "$1\n"), "\n").alias("lines"),
+    )
+    l = seg.select("doc_id", F.posexplode("lines").alias("i", "line"))
+    out = l.filter(
+        (F.size(F.split("line", " ")) >= C4_MIN_WORDS)
+        & ~F.contains(F.lower("line"), F.lit("javascript"))
+    ).select("doc_id", F.col("i").cast("bigint").alias("line_idx"), "line")
+    return run_to_completion(out, output_mode="append", spark=spark)
+
+
+def _set_line_filter_oracle() -> None:
+    from dataclasses import replace
+
+    from kafka_streams_playground_spark.plans.northstar_curation import (
+        C4_MIN_WORDS,
+        _C4_SEG_RE,
+    )
+
+    REGISTRY["stream_text_line_filter"] = replace(
+        REGISTRY["stream_text_line_filter"],
+        oracle=f"""
+        WITH seg AS (
+          SELECT doc_id,
+                 string_split(regexp_replace(text, '{_C4_SEG_RE}',
+                                             '\\1' || chr(10), 'g'),
+                              chr(10)) AS lines
+          FROM documents
+        ),
+        l AS (
+          SELECT doc_id, unnest(lines) AS line,
+                 generate_subscripts(lines, 1) - 1 AS line_idx
+          FROM seg
+        )
+        SELECT doc_id, CAST(line_idx AS BIGINT) AS line_idx, line
+        FROM l
+        WHERE len(string_split(line, ' ')) >= {C4_MIN_WORDS}
+          AND NOT contains(lower(line), 'javascript')
+        """,
+    )
+
+
+_set_line_filter_oracle()
