@@ -213,11 +213,18 @@ def min_label_propagation(edges: DataFrame, max_rounds: int = 64):
     minimum node id of the node's component, and the number of
     large+small round pairs executed (pinned by tests/test_northstar.py::
     test_cc_clique_chain_labels_and_rounds, which requires BEATING the
-    diameter bound on a chain). Convergence is detected when the edge
-    set's (count, xxhash64-sum) signature is unchanged across a round —
-    one cheap aggregate over the per-round ``localCheckpoint`` blocks,
-    which also truncate lineage; superseded tables are dereferenced each
-    iteration so ContextCleaner frees their blocks."""
+    diameter bound on a chain). Per round there is exactly ONE eager
+    materialization (``localCheckpoint`` of the round's output — also the
+    lineage truncation) and one (count, xxhash64-xor) signature aggregate
+    over its blocks. A stable signature across a round is only a
+    convergence CANDIDATE (a large↔small 2-cycle could also hold the set
+    fixed); it triggers a one-off star-forest verification — every node
+    appears as source at most once and no center has an outgoing edge —
+    which, with the (hi → lo) canonical orientation, is exactly the
+    "every edge points at its component minimum" invariant the paper
+    proves for joint fixpoints. Intermediate large-star output is
+    ``persist()``-reused within the round (both the min table and the
+    hook join read it), never separately materialized."""
     nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
     # canonical directed (hi → lo) edge set; self-loops contribute nothing
     cur = (
@@ -228,17 +235,22 @@ def min_label_propagation(edges: DataFrame, max_rounds: int = 64):
         .distinct()
         .localCheckpoint()
     )
-    sig = cur.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
-    ).first()
-    prev_sig = (sig["n"], sig["h"])
+
+    def _sig(df):
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    prev_sig = _sig(cur)
     if prev_sig[0] == 0:
         return nodes.select("node", F.col("node").alias("comp")), 0
     for rounds in range(1, max_rounds + 1):
         # LARGE-STAR: key every node u on its full neighborhood; hook each
         # larger neighbor v onto m = min(N(u) ∪ {u}). v > u ≥ m keeps the
-        # (hi → lo) canonical orientation with no self-loops.
+        # (hi → lo) canonical orientation with no self-loops. No dedup
+        # here — small-star's distinct absorbs duplicates one stage later.
         sym = cur.union(cur.select(F.col("v").alias("u"), F.col("u").alias("v")))
         big_m = sym.groupBy("u").agg(
             F.least(F.min("v"), F.first("u")).alias("m")
@@ -247,16 +259,14 @@ def min_label_propagation(edges: DataFrame, max_rounds: int = 64):
             sym.join(big_m, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
-            .distinct()
-            .localCheckpoint()
+            .persist()
         )
-        ls_sig_row = ls.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
-        ).first()
-        ls_sig = (ls_sig_row["n"], ls_sig_row["h"])
         # SMALL-STAR: key on the larger endpoint (ls is already hi → lo);
         # hook every smaller neighbor and u itself onto m = min(N(u) ∪ {u}).
+        # groupBy-min + join, NOT a min-over-window: partial aggregation
+        # pre-collapses hot star centers map-side and AQE splits skewed
+        # probe keys — a window would pin a giant component's center to
+        # one task.
         small_m = ls.groupBy("u").agg(F.min("v").alias("m"))
         ss = (
             ls.join(small_m, "u")
@@ -266,20 +276,33 @@ def min_label_propagation(edges: DataFrame, max_rounds: int = 64):
             .distinct()
             .localCheckpoint()
         )
-        sig = ss.agg(
-            F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
-        ).first()
+        ls.unpersist()
+        sig = _sig(ss)
         cur = ss
-        # Converged only when NEITHER pass changed the set (a pair-level
-        # check alone could terminate on a large↔small 2-cycle that is not
-        # a star forest; joint fixpoints are star forests per the paper).
-        if ls_sig == prev_sig and (sig["n"], sig["h"]) == ls_sig:
-            labels = nodes.join(cur, nodes["node"] == cur["u"], "left").select(
-                "node", F.coalesce("v", "node").alias("comp")
+        if sig == prev_sig:
+            # Candidate fixpoint: verify the star-forest invariant before
+            # declaring convergence (guards the theoretical 2-cycle case).
+            src_stats = cur.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_distinct("u").alias("nd"),
+            ).first()
+            one_edge_per_node = src_stats["n"] == src_stats["nd"]
+            center_outgoing = (
+                cur.alias("a")
+                .join(
+                    cur.alias("b"),
+                    F.col("a.v") == F.col("b.u"),
+                    "left_semi",
+                )
+                .limit(1)
+                .count()
             )
-            return labels, rounds
-        prev_sig = (sig["n"], sig["h"])
+            if one_edge_per_node and center_outgoing == 0:
+                labels = nodes.join(
+                    cur, nodes["node"] == cur["u"], "left"
+                ).select("node", F.coalesce("v", "node").alias("comp"))
+                return labels, rounds
+        prev_sig = sig
     raise RuntimeError(f"connected components did not converge in {max_rounds} rounds")
 
 

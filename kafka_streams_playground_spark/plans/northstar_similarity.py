@@ -1289,3 +1289,112 @@ def sim_pq_adc_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# Matryoshka (MRL) truncation audit: how much ANN recall survives when the
+# index keys on only the leading MRL_DIM coordinates (Kusupati et al. 2022
+# train embeddings so nested prefixes stay usable; serving stacks exploit
+# that by retrieving on a prefix and re-ranking on the full vector). The
+# audit quantifies the retrieval half of that trade on THIS corpus.
+MRL_DIM = 16
+
+
+@query(
+    "sim_matryoshka_recall_audit",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    t AS (
+      SELECT vec_id, v[1:{MRL_DIM}] AS tv,
+             sqrt(list_dot_product(v[1:{MRL_DIM}], v[1:{MRL_DIM}])) AS tnrm
+      FROM e
+    ),
+    full_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS cosine
+      FROM n q JOIN n c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+    ),
+    bt AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM full_scored
+      ) WHERE rank <= {TOP_K}
+    ),
+    tr_scored AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             ROUND(list_dot_product(q.tv, c.tv) / (q.tnrm * c.tnrm), 6)
+                 AS cosine
+      FROM t q JOIN t c ON q.vec_id < {N_QUERIES} AND c.vec_id <> q.vec_id
+    ),
+    tt AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+        FROM tr_scored
+      ) WHERE rank <= {TOP_K}
+    )
+    SELECT bt.query_id,
+           COUNT(tt.neighbor_id) AS n_hits,
+           COUNT(tt.neighbor_id) * 1000000 // {TOP_K} AS recall_ppm
+    FROM bt LEFT JOIN tt USING (query_id, neighbor_id)
+    GROUP BY bt.query_id
+    """,
+    tags=("northstar", "similarity", "embedding", "bench"),
+)
+def sim_matryoshka_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-truncation recall audit: per query, how many of the exact
+    full-dimension cosine top-k survive when retrieval keys on only the
+    leading {MRL_DIM} of {DIM} coordinates — the measurement behind the
+    MRL-style serving pattern (retrieve on a cheap prefix, re-rank on the
+    full vector): prefix recall IS the quantity that decides whether the
+    4× dot-product saving is free or lossy on a given corpus.
+
+    Spark shape: two instances of the brute-force panel scorer —
+    broadcast Q-row query sets, candidates never shuffle, per-query heap
+    ranks — the truncated side just slices the array BEFORE scoring, so
+    its dot products cost DIM/{MRL_DIM}-fold less (exactly the saving the
+    audit prices); one co-shuffled left join on (query, neighbor) and a
+    |Q|-row exact-ppm aggregate close the loop. Both sides rank on
+    ROUND(cosine, 6) with neighbor-id tiebreaks, so rank boundaries are
+    engine-deterministic. At 100 TB: sampled query panel (Q is config),
+    same as every recall dashboard here."""
+    n = _vectors(spark, sf_dir)
+    tr = n.select(
+        "vec_id",
+        F.slice("v", 1, MRL_DIM).alias("tv"),
+    ).select(
+        "vec_id", "tv", F.sqrt(_dot(F.col("tv"), F.col("tv"))).alias("tnrm")
+    )
+    bt = sim_topk_bruteforce(spark, sf_dir).select("query_id", "neighbor_id")
+    q = tr.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("tv").alias("qv"),
+        F.col("tnrm").alias("qn"),
+    )
+    c = tr.select(F.col("vec_id").alias("neighbor_id"), "tv", "tnrm")
+    scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id",
+        "neighbor_id",
+        F.round(
+            _dot_udf(F.col("qv"), F.col("tv")) / (F.col("qn") * F.col("tnrm")), 6
+        ).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    tt = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= TOP_K)
+        .select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    )
+    return (
+        bt.join(tt, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(F.count("hit").alias("n_hits"))
+        .select(
+            "query_id",
+            "n_hits",
+            F.expr(f"n_hits * 1000000 div {TOP_K}").alias("recall_ppm"),
+        )
+    )

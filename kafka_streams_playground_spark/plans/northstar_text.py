@@ -456,3 +456,67 @@ def text_rolling_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.mapInPandas(
         _rk, "doc_id bigint, rk_hash bigint, prefix_rk bigint, n_bytes bigint"
     )
+
+
+@query(
+    "text_token_entropy",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    c AS (SELECT doc_id, tok, COUNT(*) AS cnt FROM tok GROUP BY 1, 2),
+    a AS (
+      SELECT doc_id,
+             CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS nd,
+             CAST(SUM(cnt * CAST(FLOOR(ln(cnt) * 1000000 + 0.5) AS BIGINT))
+                  AS BIGINT) AS s6
+      FROM c GROUP BY 1
+    )
+    SELECT doc_id, n AS n_tokens, nd AS n_distinct,
+           FLOOR((CAST(FLOOR(ln(n) * 1000000 + 0.5) AS BIGINT) * n - s6)
+                 * 1.0 / (n * 100) + 0.5) / 10000 AS entropy_nats
+    FROM a
+    """,
+    tags=("northstar", "text", "curation", "bench"),
+)
+def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Shannon entropy of the token distribution (nats):
+    H = ln(n) − (Σ cᵢ·ln cᵢ)/n — the information-theoretic quality signal
+    that catches what threshold rules miss: templated/boilerplate pages
+    score low-entropy even when their length and stopword ratios look
+    organic, and machine-generated keyword-stuffing scores anomalously
+    high for its length. Complements ``text_repetition_stats`` (Gopher's
+    discrete repetition fractions) with the continuous summary statistic,
+    and ``text_zipf_fit`` (corpus-level) at document granularity.
+
+    Exactness: per-(doc, token) counts are exact integers; ln(count)
+    quantizes to a 1e-6 grid BEFORE the Σ cᵢ·lc₆ fold, so the per-doc sum
+    is an order-free integer fold (the ``text_unigram_lm_score`` stance)
+    and both engines divide the very same integers at the end. Spark
+    shape: explode → (doc, token)-keyed count → doc-keyed moment fold,
+    both with map-side partials — two narrow shuffles, nothing carrying
+    text past the first projection; at 100 TB this is the same
+    scan-bound two-level aggregate as the repetition stats."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    c = (
+        docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    lc6 = F.floor(F.log("cnt") * 1000000 + F.lit(0.5)).cast("bigint")
+    a = c.groupBy("doc_id").agg(
+        F.sum("cnt").cast("bigint").alias("n"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.sum(F.col("cnt") * lc6).cast("bigint").alias("s6"),
+    )
+    lnn6 = F.floor(F.log("n") * 1000000 + F.lit(0.5)).cast("bigint")
+    return a.select(
+        "doc_id",
+        F.col("n").alias("n_tokens"),
+        "n_distinct",
+        (
+            F.floor((lnn6 * F.col("n") - F.col("s6")) / (F.col("n") * 100) + F.lit(0.5))
+            / 10000
+        ).alias("entropy_nats"),
+    )
