@@ -42,149 +42,83 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q4_products_per_user_10s",
     "q5_paid_orders",
     "orders_products_array",
-    # round 4's only red row, re-fixed this round ('|'-joined postings):
-    # the driver row turning green IS the done-criterion (VERDICT r4 #1)
-    "index_inverted_postings",
-    # NEW this round (round 5)
-    "text_bm25_topk",
-    "stream_domain_quality_stats",
-    "text_tfidf_topterms",
-    "text_bigram_lm_score",
-    "q_local_supplier_volume",
-    "wf_ntile_price_quartiles",
-    "knn_label_vote",
-    "embedding_norm_stats",
-    "text_length_histogram",
-    "sample_hash_split",
-    "text_zipf_fit",
-    "dedup_minhash_estimate_audit",
-    "kmeans_ivf_train",
-    "asof_nearest_click",
-    "ts_ewma_user_daily",
-    "decontaminate_corpus",
-    "pipeline_dataset_card",
-    "tokenizer_vocab_coverage",
-    "dedup_containment_lsh",
-    "stream_text_token_stats",
-    "stream_decontaminate_corpus",
-    "graph_copurchase_pagerank",
-    "sim_ivf_recall_audit",
-    "text_perplexity_buckets",
-    "embedding_dim_stats",
-    "sample_quality_weighted",
-    "stream_ts_ewma_user_daily",
-    # CHANGED this round (integer-cents fold; quantize hi==lo guard)
-    "topk_customers_by_revenue",
-    "stream_topk_customers_by_revenue",
-    "embedding_quantize_int8",
-    # NEW this round, late additions (substring-chunk dedup, overlap
-    # chunking, triangle count, unpivot, LAG gaps, streaming funnel) —
-    # first driver signal outranks rotation per the (b)>(c) policy above
-    "dedup_substring_chunks",
-    "chunk_documents_overlap",
-    "graph_triangle_count",
-    "agg_unpivot_status_counts",
-    "wf_order_gap_days",
-    "stream_funnel_view_click_purchase",
-    "mm_scene_change_segments",
-    "quality_classifier_filter",
-    "embedding_pq_codes",
-    "events_value_outliers",
+    # ---- the 10 round-5 queries that have never had a driver row
+    # (VERDICT r5 next-round #1: hard CORRECTNESS_r6 signal outranks all
+    # other rotation) — text_rolling_hash is additionally CHANGED this
+    # round (code-point fold, ADVICE r5)
+    "dedup_lsh_band_tuning",
+    "events_value_winsorized",
+    "funnel_conversion_summary",
+    "graph_related_parts_jaccard",
+    "pipeline_epoch_mixture_plan",
+    "q_returned_item_top_customers",
+    "stream_chunk_documents_overlap",
+    "stream_events_value_outliers",
+    "text_langid_confusion",
+    "text_rolling_hash",
+    # ---- NEW this round (round 6)
+    "tokenizer_bpe_train3",
+    "text_line_filter",
+    "stream_text_line_filter",
+    "dedup_lines_global",
+    "stream_join_full_outer_interval",
+    "q_volume_shipping_pair",
+    "q_product_type_profit",
+    "q_late_shipment_priority",
+    "q_supplier_cnt_by_part",
+    "q_dormant_rich_customers",
+    "sim_matryoshka_recall_audit",
+    "text_token_entropy",
+    # ---- CHANGED this round: plain-string BPE merges (ADVICE r5),
+    # two-phase vocabulary ranks (VERDICT r5 #2), DECIMAL(38,0) ppm
+    # numerator (ADVICE r5), large-star/small-star CC (VERDICT r5 #7)
     "tokenizer_bpe_merge_step",
+    "tokenizer_vocab_coverage",
+    "text_zipf_fit",
     "q_market_share_promo_asia",
-    "sim_pq_adc_recall_audit",
-    # (text_langid_confusion — a |labels|² rollup over r4-green
-    # text_langid's unchanged projection — deferred to round 6 by the
-    # sibling rule; likewise q_returned_item_top_customers (TPC-H Q10
-    # shape), whose pushdown + fact-join + floored-cents + heap-top-k
-    # machinery is r4-green q_shipping_priority_top10's, plan-test-pinned;
-    # likewise dedup_lsh_band_tuning, which re-bands the
-    # same persisted signatures r5-listed dedup_minhash_estimate_audit and
-    # dedup_containment_lsh exercise; and funnel_conversion_summary, the
-    # global rollup of r4-green funnel_view_click_purchase's stage
-    # aggregates, whose streaming twin holds an r5 slot; and
-    # text_rolling_hash — Arrow mapInPandas over the same scan the
-    # r4-green mm_* passes exercise, exact-int math, replica-checked)
-    # (stream_chunk_documents_overlap and stream_events_value_outliers —
-    # stateless/stream-static re-expressions sharing their batch twins'
-    # oracles verbatim (both twins hold r5 slots) — deferred to round 6 by
-    # the sibling rule; likewise events_value_winsorized, whose machinery
-    # is agg_price_percentiles' exact interpolated percentile (r4-green)
-    # plus events_value_outliers' broadcast-clip join (r5 slot); and
-    # graph_related_parts_jaccard, which shares _support_edges verbatim
-    # with r5-listed graph_triangle_count and the same wedge-join shape;
-    # and pipeline_epoch_mixture_plan — a |sources|-row aggregate + literal
-    # broadcast join, machinery inside r4-green domain_quality_stats and
-    # the r3-green temperature-mix family)
-    # stalest first: last driver row in ROUND 2 (3 rounds old)
-    # (dedup_ngram_jaccard, dedup_simhash — labeled quadratic ground-truth
-    # BASELINES, bench-excluded, r2-driver-green and unchanged since; their
-    # job is validating the banded/LSH scale paths, which hold r4/r5 rows —
-    # displaced by the late additions; they lead r6's rotation with the
-    # other displaced members)
-    # (text_quality_score — its exact formula (identical literals) runs
-    # inside r4-green domain_quality_stats, and r5-listed
-    # quality_classifier_filter covers the same feature extraction —
-    # displaced by the late additions under the sibling rule; leads r6)
-    # (text_fingerprint — its md5-shingle/minhash signature machinery
-    # (functions/text.py) runs inside every r4/r5-green MinHash consumer —
-    # displaced by the late additions under the sibling rule; leads r6)
-    # (mm_image_metadata — metadata-only projection over
-    # attach_binary_payload, whose machinery runs inside the r4-green
-    # resize/audio siblings — displaced by the late additions under the
-    # sibling rule; leads r6)
-    # (mm_decoded_feature_checksum — its decode_features mapInPandas
-    # machinery runs inside r4-green mm_resize_audit / mm_audio_chunk_energy
-    # — displaced by the late additions under the sibling rule; leads r6)
-    # last driver row in ROUND 3 (21 of 43; the 22 deferred lead round 6's
-    # rotation — an r3 row is exactly 2 rounds old at r5, the policy edge,
-    # so deferral picks the lowest-RISK members: stateless streaming twins
-    # of pinned batch queries (stream_q1..q4, stream_s2_latest_event_per_user,
-    # stream_q5_daily_revenue, stream_pipeline_quality_filter), trivial
-    # relational forms (setop_* ×3, json_props_extract,
-    # agg_pivot_status_by_segment, merge_order_ship_activity), and queries
-    # whose machinery is exercised by an r4/r5-checked sibling
-    # (sim_topk_bruteforce→knn_label_vote, sim_ann_lsh_topk→
-    # sim_ann_multiprobe_topk, agg_cube→agg_rollup/grouping_sets,
-    # wf_running_customer_spend→wf_top3/wf_ntile, sample_temperature_mix→
-    # sample_stratified_by_lang, text_repetition_stats→bpe/bigram array
-    # slicing, train_shuffle_shards→sample_hash_split's md5 recipe,
-    # asof_purchase_last_click and session_windows_per_user→their r4-green
-    # streaming twins sharing the same oracles; additionally deferred for the
-    # late-r5 additions, by the same sibling rule: agg_pricing_summary→
-    # agg_rollup/grouping_sets, wf_top3→wf_ntile, join_left_order_lineitem_
-    # counts→join_left_interval_unpaid, sliding_window_event_counts→its
-    # r4-green streaming twin, dedup_exact→stream_dedup_exact + dataset-card
-    # md5 fold, dedup_keep_best_by_quality→minhash pair machinery,
-    # text_contamination_check→decontaminate_corpus which composes it and
-    # shares its oracle CTE chain verbatim) — all unchanged since their last
-    # driver green and re-checked every round by the full-registry local
-    # replica
-    # (agg_rollup_nation_segment → r4-green agg_grouping_sets_mixed,
-    # join_ktable_ktable_latest → r4-green s2_latest/tombstone latest-per-key
-    # machinery — deferred to round 6 by the sibling rule)
-    # (agg_salted_skew → r4-green join_salted_skew_above_avg salting recipe —
-    # deferred to round 6 by the sibling rule)
-    # (displaced by the six late-r5 additions above, each with an
-    # r4/r5-checked sibling: join_range_price_band → r4-green
-    # join_left_interval_unpaid interval machinery; agg_kmv_distinct_sketch
-    # → bounded K-row merge, r3-green unchanged; stream_dedup_within_
-    # watermark → r4-green stream_dedup_exact; dedup_minhash_lsh → its
-    # _minhash_hv_pairs machinery runs inside r4-green domain_quality_stats
-    # and r5-listed dedup_containment_lsh; dedup_simhash_banded → r3-green
-    # unchanged, r4 bench-audited; pack_sequences → r3-green unchanged.
-    # All six lead round 6's rotation.)
-    # (sample_stratified_by_lang → sample_hash_split/temperature_mix md5
-    # machinery, pii_scrub_events → stateless regex projection — both
-    # deferred to round 6 by the sibling rule above)
-    # (cogroup_order_reconciliation — r3-green Arrow cogroup machinery,
-    # unchanged; deferred to lead round 6's rotation)
-    # (pipeline_quality_filter → its r4-green streaming twin shares the
-    # composed gate semantics — deferred to round 6's rotation)
-    # (dedup_cluster_components — r3-green unchanged iterative CC; its
-    # LSH-edge input machinery runs inside r4-green domain_quality_stats,
-    # and the loop's convergence/diameter bounds are unit-pinned —
-    # displaced by the late additions under the sibling rule; leads r6)
+    "dedup_cluster_components",
+    # ---- stalest: last driver row in ROUND 2 (4 rounds old) — all six
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "mm_decoded_feature_checksum",
+    "mm_image_metadata",
+    "text_fingerprint",
+    "text_quality_score",
+    # ---- last driver row in ROUND 3: the eleven members the r5 comment
+    # block explicitly promised would lead round 6
+    "join_range_price_band",
+    "agg_kmv_distinct_sketch",
+    "stream_dedup_within_watermark",
+    "dedup_minhash_lsh",
+    "dedup_simhash_banded",
+    "pack_sequences",
+    "cogroup_order_reconciliation",
+    "pipeline_quality_filter",
+    "agg_rollup_nation_segment",
+    "join_ktable_ktable_latest",
+    "agg_salted_skew",
+    # (the remaining 32 r3-last-seen queries — sample_stratified_by_lang,
+    # pii_scrub_events, sample_temperature_mix, the stateless streaming
+    # twins of pinned batch queries (stream_q1..q4,
+    # stream_s2_latest_event_per_user, stream_q5_daily_revenue,
+    # stream_pipeline_quality_filter), the setop_*/json/pivot/merge
+    # trivial relational forms, and the sibling-covered similarity/window
+    # members (sim_topk_bruteforce → r6-listed sim_matryoshka_recall_audit
+    # composes it verbatim; sim_ann_lsh_topk → r4-green multiprobe;
+    # agg_cube → r4-green grouping_sets; wf_top3/wf_running_customer_spend
+    # → r5-green wf_ntile/order_gap; asof_purchase_last_click,
+    # session_windows_per_user, sliding_window_event_counts,
+    # train_shuffle_shards, dedup_exact, dedup_keep_best_by_quality,
+    # text_contamination_check, text_repetition_stats, agg_pricing_summary,
+    # join_left_order_lineitem_counts, agg_pivot_status_by_segment,
+    # setop_active_or_negative_customers, setop_except_never_urgent,
+    # setop_intersect_urgent_returned, json_props_extract,
+    # merge_order_ship_activity, asof_forward... — each unchanged since
+    # its last driver green, each with its machinery exercised by an
+    # r4/r5/r6-slotted sibling or a pinned streaming/batch twin, all
+    # re-checked every round by the full-registry local replica) — lead
+    # round 7's rotation together with the 41 r4-last-seen queries as they
+    # age to the policy edge
 )
 
 
