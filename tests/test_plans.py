@@ -420,3 +420,68 @@ def test_q10_pushdown_and_heap_topk(spark, sf_dir):
     assert re.search(r"PushedFilters:.*EqualTo\(l_returnflag,R\)", plan), plan
     assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(o_orderdate", plan), plan
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_line_filter_single_exchange_no_lambdas(spark, sf_dir):
+    """C4 line filter: all string work codegen'd (no interpreted HOF
+    lambdas — the r5 perf lesson), one explode, ONE wide exchange (the
+    doc_id re-aggregation; listagg rides it as an ObjectHashAggregate)."""
+    plan = _plan(spark, sf_dir, "text_line_filter")
+    assert "lambdafunction" not in plan.lower(), plan
+    assert len(re.findall(r"\(\d+\) Exchange", plan)) == 1, plan
+    assert "ObjectHashAggregate" in plan, plan
+
+
+def test_lines_global_dedup_uses_join_not_window(spark, sf_dir):
+    """Global line dedup must resolve first-occurrence via groupBy-min +
+    join back (map-side partials absorb hot boilerplate lines; AQE can
+    split skewed probe keys), never a min-over-window on the line key
+    (which would pin every copy of a hot line to one task)."""
+    plan = _plan(spark, sf_dir, "dedup_lines_global")
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 0, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "lambdafunction" not in plan.lower(), plan
+
+
+def test_q7_pair_filter_pushed_and_dims_broadcast(spark, sf_dir):
+    """Q7: the two-nation In() filter must reach the nation scans and the
+    shipdate band the lineitem scan; every dim side broadcasts — only the
+    lineitem⋈orders fact edge may shuffle."""
+    plan = _plan(spark, sf_dir, "q_volume_shipping_pair")
+    assert re.search(r"PushedFilters:.*In\(n_name", plan), plan
+    assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(l_shipdate", plan), plan
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
+def test_q16_exclusion_is_broadcast_anti_join(spark, sf_dir):
+    """Q16: the NOT-IN supplier exclusion must plan as a broadcast
+    LeftAnti hash join (dim-bounded set), with brand/size pushed to the
+    part scan."""
+    plan = _plan(spark, sf_dir, "q_supplier_cnt_by_part")
+    assert "LeftAnti" in plan, plan
+    assert re.search(r"PushedFilters:.*Not\(EqualTo\(p_brand", plan), plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_q22_scalar_mean_broadcast_and_lapse_pushed(spark, sf_dir):
+    """Q22: the positive-balance mean joins as a broadcast single row
+    (nested-loop over ONE row, never a correlated re-scan) and the
+    lapsed-since date bound pushes into the orders scan feeding the anti
+    join."""
+    plan = _plan(spark, sf_dir, "q_dormant_rich_customers")
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert re.search(
+        r"PushedFilters:.*GreaterThanOrEqual\(o_orderdate,1999", plan
+    ), plan
+    assert "LeftAnti" in plan, plan
+
+
+def test_q12_late_predicate_is_residual_not_range_join(spark, sf_dir):
+    """Q12: the shipdate > orderdate + 90d comparison must ride the
+    co-partitioned orderkey equi-join as a residual condition — the plan
+    may not degrade to a nested-loop/cartesian range join — and the
+    shipdate year band must push into the lineitem scan."""
+    plan = _plan(spark, sf_dir, "q_late_shipment_priority")
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(l_shipdate", plan), plan
