@@ -69,6 +69,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_dormant_rich_customers",
     "sim_matryoshka_recall_audit",
     "text_token_entropy",
+    "ts_cusum_drift_per_type",
+    "stream_ts_cusum_drift_per_type",
     # ---- CHANGED this round: plain-string BPE merges (ADVICE r5),
     # two-phase vocabulary ranks (VERDICT r5 #2), DECIMAL(38,0) ppm
     # numerator (ADVICE r5), large-star/small-star CC (VERDICT r5 #7)
@@ -84,8 +86,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "mm_image_metadata",
     "text_fingerprint",
     "text_quality_score",
-    # ---- last driver row in ROUND 3: the eleven members the r5 comment
-    # block explicitly promised would lead round 6
+    # ---- last driver row in ROUND 3: nine of the eleven members the r5
+    # comment block promised would lead round 6 (two displaced below)
     "join_range_price_band",
     "agg_kmv_distinct_sketch",
     "stream_dedup_within_watermark",
@@ -95,8 +97,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "cogroup_order_reconciliation",
     "pipeline_quality_filter",
     "agg_rollup_nation_segment",
-    "join_ktable_ktable_latest",
-    "agg_salted_skew",
+    # (join_ktable_ktable_latest and agg_salted_skew — the last two of the
+    # promised r3 cohort — are displaced by the late-round CUSUM pair
+    # under the new>stale policy; their machinery is sibling-covered
+    # (latest-per-key: r4-green s2_latest/tombstones; salting recipe:
+    # r4-green join_salted_skew_above_avg) and both lead round 7)
     # (the remaining 32 r3-last-seen queries — sample_stratified_by_lang,
     # pii_scrub_events, sample_temperature_mix, the stateless streaming
     # twins of pinned batch queries (stream_q1..q4,

@@ -965,3 +965,131 @@ def funnel_conversion_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overall_conversion_ppm"
         ),
     )
+
+
+# CUSUM drift detection (Page 1954 — the control chart every streaming
+# data-quality monitor runs): s_t = max(0, s_{t-1} + (x_t − μ − K)),
+# alarm when s_t > H. Everything rides an exact integer grid with ZERO
+# divisions: increments are scaled by the per-type count n
+# (inc = n·x_t − S − n·K, so μ = S/n never materializes), s and H scale
+# by n with them. The sequential max(0, ·) fold is window-expressible via
+# the prefix identity  s_t = P_t − min(0, min_{j≤t} P_j)  (P = running
+# sum of increments), so the BATCH form is two stacked window functions —
+# one sort per series — and the oracle is value-exact.
+CUSUM_K_CENTS = 500  # drift allowance above the mean ($5)
+CUSUM_H_CENTS = 80_000  # alarm threshold ($800 of accumulated drift; ~2% of fixture events alarm)
+
+
+@query(
+    "ts_cusum_drift_per_type",
+    oracle=f"""
+    WITH x AS (
+      SELECT event_id, event_type, ts,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    m AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s
+      FROM x GROUP BY 1
+    ),
+    i AS (
+      SELECT x.event_id, x.event_type, x.ts, x.cents,
+             x.cents * m.n - m.s - m.n * {CUSUM_K_CENTS} AS inc, m.n AS n
+      FROM x JOIN m USING (event_type)
+    ),
+    p AS (
+      SELECT event_id, event_type, ts, cents, n,
+             CAST(SUM(inc) OVER (PARTITION BY event_type
+                                 ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS pr
+      FROM i
+    ),
+    q AS (
+      SELECT event_id, event_type, cents, n, pr,
+             CAST(MIN(pr) OVER (PARTITION BY event_type
+                                ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS mn
+      FROM p
+    )
+    SELECT event_id, event_type, cents,
+           CAST(pr - LEAST(mn, 0) AS BIGINT) AS cusum_xn,
+           CAST(pr - LEAST(mn, 0) > {CUSUM_H_CENTS} * n AS INT) AS alarm
+    FROM q
+    """,
+    tags=("extension", "temporal", "window_fn", "monitoring", "bench"),
+)
+def ts_cusum_drift_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM drift detection per event type (Page's cumulative-sum control
+    chart): every event carries its post-update CUSUM statistic and an
+    alarm flag — the sequential drift monitor that catches slow mean
+    shifts z-score outlier gates miss (``events_value_outliers`` flags
+    single extremes; CUSUM integrates small persistent deviations until
+    they cross H). The two-pass shape (per-type moments, then scoring)
+    is the ``events_value_outliers`` precedent.
+
+    The nonlinear recurrence s_t = max(0, s_{t-1} + inc_t) looks
+    unparallelizable, but the prefix identity s_t = P_t − min(0, min_{j≤t}
+    P_j) turns it into a running SUM stacked with a running MIN — both
+    engines evaluate the same two windows over the same exact integers
+    (n-scaled, division-free), so the oracle is value-exact with no float
+    path. Spark shape: one broadcast of the |types|-row moment table, ONE
+    sort per series serving both windows (same partition+order spec —
+    Catalyst reuses the exchange and sort). A control-chart series is
+    inherently sequential, so per-series work is one task BY DESIGN;
+    parallelism comes from series cardinality, which at 100 TB is keyed
+    finer (type × region × day) exactly as a production monitor shards its
+    charts. Int64 headroom: |inc| ≤ n·max|dev|, P ≤ n²·max|dev| — ~10⁹
+    rows/series at 10⁵-cent deviations before DECIMAL(38,0) is needed
+    (documented bound, the events_value_outliers stance)."""
+    events = load_table(spark, sf_dir, "events")
+    x = events.select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    m = x.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s")
+    )
+    i = x.join(F.broadcast(m), "event_type").select(
+        "event_id",
+        "event_type",
+        "ts",
+        "cents",
+        "n",
+        (
+            F.col("cents") * F.col("n")
+            - F.col("s")
+            - F.col("n") * CUSUM_K_CENTS
+        ).alias("inc"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p = i.select(
+        "event_id",
+        "event_type",
+        "ts",
+        "cents",
+        "n",
+        F.sum("inc").over(w).cast("bigint").alias("pr"),
+    )
+    q = p.select(
+        "event_id",
+        "event_type",
+        "cents",
+        "n",
+        "pr",
+        F.min("pr").over(w).cast("bigint").alias("mn"),
+    )
+    cusum = F.col("pr") - F.least(F.col("mn"), F.lit(0))
+    return q.select(
+        "event_id",
+        "event_type",
+        "cents",
+        cusum.alias("cusum_xn"),
+        (cusum > CUSUM_H_CENTS * F.col("n")).cast("int").alias("alarm"),
+    )

@@ -1212,3 +1212,58 @@ def _set_line_filter_oracle() -> None:
 
 
 _set_line_filter_oracle()
+
+
+@query(
+    "stream_ts_cusum_drift_per_type",
+    oracle=None,  # set below: shares the batch CUSUM oracle
+    tags=("extension", "streaming", "temporal", "monitoring", "stateful"),
+)
+def stream_ts_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The drift control chart ONLINE — ``ts_cusum_drift_per_type`` as a
+    CUSTOM KEYED STATEFUL operator (streaming/stateful.py::cusum_per_key):
+    per-series state carries exactly one integer (the chart statistic) and
+    every arriving event emits its post-update CUSUM value and alarm flag
+    at ingest latency — the deployment shape of a data-quality monitor,
+    where the batch twin re-sorts history. Per-type baselines (n, Σcents)
+    come from a batch pre-pass broadcast onto the stream (the calibrated
+    two-pass shape of ``stream_events_value_outliers``); increments are
+    n-scaled exact integers, so the drained single-batch replay equals
+    the batch twin bit-for-bit."""
+    from kafka_streams_playground_spark.plans.temporal import CUSUM_K_CENTS
+    from kafka_streams_playground_spark.streaming.stateful import cusum_per_key
+
+    m = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("cents").alias("s"))
+    )
+    stream = read_stream_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "ts",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    j = stream.join(F.broadcast(m), "event_type").withColumn(
+        "inc",
+        F.col("cents") * F.col("n") - F.col("s") - F.col("n") * CUSUM_K_CENTS,
+    )
+    return run_to_completion(cusum_per_key(j), output_mode="append", spark=spark)
+
+
+def _share_cusum_oracle() -> None:
+    from dataclasses import replace
+
+    from kafka_streams_playground_spark.plans import temporal  # noqa: F401
+
+    REGISTRY["stream_ts_cusum_drift_per_type"] = replace(
+        REGISTRY["stream_ts_cusum_drift_per_type"],
+        oracle=REGISTRY["ts_cusum_drift_per_type"].oracle,
+    )
+
+
+_share_cusum_oracle()

@@ -292,3 +292,62 @@ def funnel_per_key(sdf: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+def _cusum_fold(key: tuple, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+    """Per-series streaming CUSUM: keyed state carries ONE integer — the
+    chart statistic s — and each micro-batch folds its (pre-computed,
+    n-scaled) increments on top of it, vectorized via the prefix identity
+    s_t = max(0, c + P_t, P_t − min_{j≤t} P_j) with carry c (the
+    associative composition of the max(0, ·) recurrence across batch
+    boundaries; numpy cumsum + minimum.accumulate, no per-row Python).
+
+    PRECONDITION (the stream_asof stance): events replayed in event-time
+    order across micro-batches; the replay harness's single availableNow
+    batch satisfies it, making the drained output equal the batch twin
+    row-for-row. Memory bound = one key's rows in one micro-batch; state
+    is O(1) per series forever."""
+    import numpy as np
+
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if not chunks:
+        return
+    pdf = pd.concat(chunks, ignore_index=True).sort_values(["ts", "event_id"])
+    c = state.get[0] if state.exists else 0
+    inc = pdf["inc"].to_numpy(dtype="int64")
+    P = np.cumsum(inc)
+    Mn = np.minimum.accumulate(P)
+    s = np.maximum(np.maximum(c + P, P - Mn), 0)
+    n = pdf["n"].to_numpy(dtype="int64")
+    from kafka_streams_playground_spark.plans.temporal import CUSUM_H_CENTS
+
+    yield pd.DataFrame(
+        {
+            "event_id": pdf["event_id"].values,
+            "event_type": key[0],
+            "cents": pdf["cents"].values,
+            "cusum_xn": s,
+            "alarm": (s > CUSUM_H_CENTS * n).astype("int32"),
+        }
+    )
+    state.update((int(s[-1]),))
+
+
+def cusum_per_key(joined: DataFrame) -> DataFrame:
+    """Streaming CUSUM drift chart; batch twin =
+    plans/temporal.py::ts_cusum_drift_per_type (two stacked windows via
+    the prefix identity), whose oracle this operator shares. Input must
+    already carry (event_id, event_type, ts, cents, n, inc) — the
+    stream-static broadcast of the per-type moment table happens in the
+    query (the stream_events_value_outliers two-pass precedent). State
+    per key: one BIGINT."""
+    return joined.groupBy("event_type").applyInPandasWithState(
+        _cusum_fold,
+        outputStructType=(
+            "event_id BIGINT, event_type STRING, cents BIGINT, "
+            "cusum_xn BIGINT, alarm INT"
+        ),
+        stateStructType="c BIGINT",
+        outputMode="append",
+        timeoutConf="NoTimeout",
+    )

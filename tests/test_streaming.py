@@ -370,3 +370,46 @@ def test_stream_stream_full_outer_join_emits_both_sides(spark):
     assert "p_orphan" in right_padded             # unmatched right emits too
     # matched pair must not ALSO appear null-padded (no double emission)
     assert "p1" not in right_padded
+
+
+def test_cusum_state_across_microbatches(spark):
+    """The streaming CUSUM must carry the chart statistic across
+    micro-batches: the vectorized prefix-identity fold composed over
+    batch boundaries must equal the plain sequential recurrence
+    s_t = max(0, s_{t-1} + inc_t) over the full event sequence —
+    including a boundary where s is strictly positive (the carry case)
+    and a mid-sequence reset to 0."""
+    import os
+    from datetime import datetime, timedelta
+
+    from kafka_streams_playground_spark.streaming.stateful import cusum_per_key
+    from kafka_streams_playground_spark.plans.temporal import CUSUM_H_CENTS
+
+    schema = (
+        "event_id long, event_type string, ts timestamp, cents long, "
+        "n long, inc long"
+    )
+    t0 = datetime(2024, 1, 1)
+    # hand-picked increments: rise (+5, +7), dip below zero (-20 → reset),
+    # rise again across the batch boundary (+9 | +4, +1)
+    incs = [5, 7, -20, 9, 4, 1]
+    rows = [
+        (i + 1, "t", t0 + timedelta(seconds=i), 100 + i, 1, inc)
+        for i, inc in enumerate(incs)
+    ]
+    paths = _write_batches(spark, [rows[:4], rows[4:]], schema)
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(os.path.dirname(paths[0]), "b*"))
+    )
+    out = run_to_completion(cusum_per_key(sdf), output_mode="append", spark=spark)
+    got = {r["event_id"]: r["cusum_xn"] for r in out.collect()}
+    s, want = 0, {}
+    for i, inc in enumerate(incs):
+        s = max(0, s + inc)
+        want[i + 1] = s
+    assert got == want, (got, want)
+    # alarm rule sanity on the same rows (n=1 → threshold = H)
+    alarms = {r["event_id"]: r["alarm"] for r in out.collect()}
+    assert all(a == int(want[e] > CUSUM_H_CENTS) for e, a in alarms.items())
