@@ -102,6 +102,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # under the new>stale policy; their machinery is sibling-covered
     # (latest-per-key: r4-green s2_latest/tombstones; salting recipe:
     # r4-green join_salted_skew_above_avg) and both lead round 7)
+    # (tokenizer_bpe_compression_curve and pipeline_expectation_checks —
+    # added after the 50 slots filled — are deferred by the sibling rule:
+    # the curve runs train3's loop verbatim (train3 holds an r6 slot) with
+    # only a token-count aggregate added, and the expectation report's
+    # anti-join/conditional-count machinery is r4-green
+    # join_anti_parts_never_shipped + every conditional agg in the
+    # registry; both lead round 7 with hard driver signal)
     # (the remaining 32 r3-last-seen queries — sample_stratified_by_lang,
     # pii_scrub_events, sample_temperature_mix, the stateless streaming
     # twins of pinned batch queries (stream_q1..q4,

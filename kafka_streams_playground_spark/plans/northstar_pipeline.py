@@ -956,3 +956,120 @@ def graph_related_parts_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@query(
+    "pipeline_expectation_checks",
+    oracle="""
+    SELECT 'orders_custkey_fk' AS check_name,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_checked,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+             WHERE NOT EXISTS (SELECT 1 FROM customer c
+                               WHERE c.c_custkey = o.o_custkey)) AS n_violations
+    UNION ALL
+    SELECT 'lineitem_orderkey_fk',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+             WHERE NOT EXISTS (SELECT 1 FROM orders o
+                               WHERE o.o_orderkey = l.l_orderkey))
+    UNION ALL
+    SELECT 'lineitem_price_nonneg',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+             WHERE l_extendedprice < 0 OR l_extendedprice IS NULL)
+    UNION ALL
+    SELECT 'customer_custkey_unique',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM customer),
+           (SELECT CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) FROM
+             (SELECT COUNT(*) AS c FROM customer GROUP BY c_custkey) t
+             WHERE c > 1)
+    UNION ALL
+    SELECT 'documents_text_nonempty',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM documents
+             WHERE text IS NULL OR length(text) = 0)
+    UNION ALL
+    SELECT 'events_value_present',
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM events),
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM events WHERE value IS NULL)
+    """,
+    tags=("northstar", "pipeline", "quality", "bench"),
+)
+def pipeline_expectation_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Great-Expectations/dbt-test-style data-validation report: one row
+    per expectation — referential integrity (orders→customer,
+    lineitem→orders orphans), uniqueness (customer key), domain rules
+    (non-negative prices, non-empty text, non-null values) — with checked
+    and violation counts. This is the contract gate a pipeline runs on
+    every ingest BEFORE any curation operator consumes the batch; the
+    dedup/quality/mixture stages above all assume these invariants.
+
+    Spark shape: each FK check is a left-anti join on its key (broadcast
+    when the dimension fits, shuffled co-partitioned otherwise — exactly
+    the join the downstream queries run, so the check costs what the
+    pipeline pays anyway); uniqueness is a partial-aggregated key count;
+    domain rules are map-side conditional sums. The six one-row results
+    union into the report — at 100 TB each check is one scan-bound pass,
+    and the report shape (name, checked, violations) is what lands in the
+    run's quality dashboard."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    li = load_table(spark, sf_dir, "lineitem")
+    docs = load_table(spark, sf_dir, "documents")
+    events = load_table(spark, sf_dir, "events")
+
+    def one(name, n_checked_df, viol_df):
+        n = n_checked_df.agg(F.count(F.lit(1)).alias("n")).first()["n"]
+        v = viol_df.agg(F.count(F.lit(1)).alias("n")).first()["n"]
+        return (name, n, v)
+
+    rows = [
+        one(
+            "orders_custkey_fk",
+            orders,
+            orders.join(
+                cust.select("c_custkey"),
+                orders["o_custkey"] == F.col("c_custkey"),
+                "left_anti",
+            ),
+        ),
+        one(
+            "lineitem_orderkey_fk",
+            li,
+            li.join(
+                orders.select("o_orderkey"),
+                li["l_orderkey"] == F.col("o_orderkey"),
+                "left_anti",
+            ),
+        ),
+        one(
+            "lineitem_price_nonneg",
+            li,
+            li.filter(
+                (F.col("l_extendedprice") < 0) | F.col("l_extendedprice").isNull()
+            ),
+        ),
+    ]
+    dup = (
+        cust.groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") > 1)
+        .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).alias("n"))
+        .first()["n"]
+    )
+    rows.append(
+        ("customer_custkey_unique", cust.count(), int(dup))
+    )
+    rows.append(
+        one(
+            "documents_text_nonempty",
+            docs,
+            docs.filter(F.col("text").isNull() | (F.length("text") == 0)),
+        )
+    )
+    rows.append(
+        one("events_value_present", events, events.filter(F.col("value").isNull()))
+    )
+    return spark.createDataFrame(
+        rows, "check_name string, n_checked bigint, n_violations bigint"
+    )

@@ -1031,9 +1031,10 @@ def tokenizer_bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_TRAIN_ITERS = 3
 
 
-def _bpe_train_oracle(n_iters: int) -> str:
-    """Self-contained DuckDB CTE chain: n_iters of (pair-count → top-1
-    select → two-pass plain replace), emitting the merge table."""
+def _bpe_train_ctes(n_iters: int) -> list:
+    """CTE fragments for n_iters of (pair-count → top-1 select → two-pass
+    plain replace); t{i} is the corpus after i merges, s{i} the i-th
+    selection. Shared by the merge-table and compression-curve oracles."""
     ctes = ["t0 AS (SELECT doc_id, text FROM documents)"]
     for i in range(n_iters):
         ctes.append(
@@ -1056,11 +1057,29 @@ def _bpe_train_oracle(n_iters: int) -> str:
             f" {_bpe_merge_text_sql(f't{i}', f's{i}')} AS text"
             f" FROM t{i} CROSS JOIN s{i})"
         )
+    return ctes
+
+
+def _bpe_train_oracle(n_iters: int) -> str:
+    """Self-contained DuckDB CTE chain emitting the merge table."""
+    ctes = _bpe_train_ctes(n_iters)
     rows = " UNION ALL ".join(
         f"SELECT {i + 1} AS it, pair,"
         f" a || '{_BPE_MERGE_SEP}' || b AS merged,"
         f" CAST(c AS BIGINT) AS cnt FROM s{i}"
         for i in range(n_iters)
+    )
+    return f"WITH {', '.join(ctes)} {rows}"
+
+
+def _bpe_compression_oracle(n_iters: int) -> str:
+    """Self-contained DuckDB CTE chain emitting the compression curve:
+    total corpus token count after 0..n_iters merges."""
+    ctes = _bpe_train_ctes(n_iters)
+    rows = " UNION ALL ".join(
+        f"SELECT {i} AS it, CAST(SUM(len(string_split(text, ' ')))"
+        f" AS BIGINT) AS n_tokens FROM t{i}"
+        for i in range(n_iters + 1)
     )
     return f"WITH {', '.join(ctes)} {rows}"
 
@@ -1136,3 +1155,72 @@ def tokenizer_bpe_train3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "it int, pair string, merged string, cnt bigint"
     )
+
+
+@query(
+    "tokenizer_bpe_compression_curve",
+    oracle=_bpe_compression_oracle(_BPE_TRAIN_ITERS),
+    tags=("northstar", "scoring", "text", "tokenizer", "iterative", "bench"),
+)
+def tokenizer_bpe_compression_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The merge-table's OBJECTIVE curve: total corpus token count after
+    0..{n} BPE merges — each merge of a pair with count c removes exactly
+    c tokens, so this is the compression-per-merge report a tokenizer
+    build reads to decide when additional merges stop paying (the
+    diminishing-returns curve next to ``tokenizer_vocab_coverage``'s
+    OOV sweep). Shares ``tokenizer_bpe_train3``'s loop machinery verbatim
+    (same selections, same two-pass plain-string merges, same per-round
+    persist); the output invariant n_tokens(it) = n_tokens(it−1) −
+    cnt(it) against the merge table is pinned by a unit test.
+
+    Spark shape: per iteration one pair-keyed shuffle (the recount), a
+    1-row selection collect, and ONE extra map-side token-count aggregate
+    over the persisted merged corpus — O(iters) passes total, the honest
+    cost of the honest training loop."""
+    from pyspark import StorageLevel
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def _ntok(df):
+        return df.agg(
+            F.sum(F.size(F.split("text", " "))).cast("bigint").alias("n")
+        ).first()["n"]
+
+    cur = docs
+    persisted = []
+    curve = [(0, _ntok(docs))]
+    try:
+        for it in range(1, _BPE_TRAIN_ITERS + 1):
+            toks = F.split("text", " ")
+            pc = (
+                cur.filter(F.size(toks) >= 2)
+                .select(F.explode(T.adjacent_pair_structs(toks)).alias("z"))
+                .select(
+                    F.concat_ws(" ", F.col("z")["0"], F.col("z")["1"]).alias("pair")
+                )
+                .groupBy("pair")
+                .agg(F.count(F.lit(1)).alias("c"))
+            )
+            ab = F.split("pair", " ")
+            top = (
+                pc.filter(ab.getItem(0) != ab.getItem(1))
+                .orderBy(F.col("c").desc(), F.col("pair").asc())
+                .limit(1)
+                .collect()
+            )
+            a, b = top[0]["pair"].split(" ")
+            pat = f" {a} {b} "
+            rep = f" {a}{_BPE_MERGE_SEP}{b} "
+            padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+            merged = F.replace(
+                F.replace(padded, F.lit(pat), F.lit(rep)), F.lit(pat), F.lit(rep)
+            )
+            cur = cur.select("doc_id", F.trim(merged).alias("text")).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            persisted.append(cur)
+            curve.append((it, _ntok(cur)))
+    finally:
+        for df in persisted:
+            df.unpersist()
+    return spark.createDataFrame(curve, "it int, n_tokens bigint")

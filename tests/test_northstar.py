@@ -859,3 +859,23 @@ def test_c4_line_filter_rules(spark):
     assert out[3]["keep_doc"] == 0    # curly brace
     assert out[4]["keep_doc"] == 0    # only 1 kept line < 2
     assert out[4]["n_kept"] == 1
+
+
+def test_bpe_compression_matches_merge_counts(spark, sf_dir):
+    """Invariant tying the two BPE-training outputs together: merging a
+    pair with selection count c removes exactly c tokens (each occurrence
+    fuses two tokens into one), so n_tokens(it) = n_tokens(it-1) - cnt(it)
+    for every training iteration."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+
+    merges = {
+        r["it"]: r["cnt"]
+        for r in REGISTRY["tokenizer_bpe_train3"].fn(spark, sf_dir).collect()
+    }
+    curve = {
+        r["it"]: r["n_tokens"]
+        for r in REGISTRY["tokenizer_bpe_compression_curve"].fn(spark, sf_dir).collect()
+    }
+    assert set(curve) == {0, 1, 2, 3}
+    for it in (1, 2, 3):
+        assert curve[it] == curve[it - 1] - merges[it], (it, curve, merges)

@@ -485,3 +485,15 @@ def test_q12_late_predicate_is_residual_not_range_join(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert re.search(r"PushedFilters:.*GreaterThanOrEqual\(l_shipdate", plan), plan
+
+
+def test_cusum_windows_share_one_sort(spark, sf_dir):
+    """The CUSUM prefix identity stacks a running SUM and a running MIN
+    over the SAME (event_type, ts, event_id) window spec — the plan must
+    reuse one exchange+sort for both (two Window nodes, one Sort per
+    series, no second shuffle), and the moment table must broadcast."""
+    plan = _plan(spark, sf_dir, "ts_cusum_drift_per_type")
+    assert len(re.findall(r"\(\d+\) Window\b", plan)) == 2, plan
+    assert "BroadcastHashJoin" in plan, plan
+    n_shuffles = len(re.findall(r"\(\d+\) Exchange", plan))
+    assert n_shuffles <= 2, plan  # moment agg + the one series sort
