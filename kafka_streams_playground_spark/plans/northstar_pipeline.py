@@ -237,13 +237,17 @@ def min_label_propagation(edges: DataFrame, max_rounds: int = 64):
     )
 
     def _sig(df):
+        # one aggregate returning the set signature AND the star-forest
+        # half-condition (each source exactly once) so candidate
+        # verification needs no extra aggregate job
         row = df.agg(
             F.count(F.lit(1)).alias("n"),
             F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+            F.count_distinct("u").alias("nd"),
         ).first()
-        return (row["n"], row["h"])
+        return (row["n"], row["h"]), row["n"] == row["nd"]
 
-    prev_sig = _sig(cur)
+    prev_sig, _one_edge = _sig(cur)
     if prev_sig[0] == 0:
         return nodes.select("node", F.col("node").alias("comp")), 0
     for rounds in range(1, max_rounds + 1):
@@ -277,16 +281,14 @@ def min_label_propagation(edges: DataFrame, max_rounds: int = 64):
             .localCheckpoint()
         )
         ls.unpersist()
-        sig = _sig(ss)
+        sig, one_edge_per_node = _sig(ss)
         cur = ss
-        if sig == prev_sig:
-            # Candidate fixpoint: verify the star-forest invariant before
-            # declaring convergence (guards the theoretical 2-cycle case).
-            src_stats = cur.agg(
-                F.count(F.lit(1)).alias("n"),
-                F.count_distinct("u").alias("nd"),
-            ).first()
-            one_edge_per_node = src_stats["n"] == src_stats["nd"]
+        if sig == prev_sig and one_edge_per_node:
+            # Candidate fixpoint: the signature is stable and every node
+            # has one outgoing edge; the remaining star-forest condition
+            # (no center has an outgoing edge) guards the theoretical
+            # large↔small 2-cycle — one small semi-join, only ever run at
+            # candidate rounds.
             center_outgoing = (
                 cur.alias("a")
                 .join(
@@ -297,7 +299,7 @@ def min_label_propagation(edges: DataFrame, max_rounds: int = 64):
                 .limit(1)
                 .count()
             )
-            if one_edge_per_node and center_outgoing == 0:
+            if center_outgoing == 0:
                 labels = nodes.join(
                     cur, nodes["node"] == cur["u"], "left"
                 ).select("node", F.coalesce("v", "node").alias("comp"))
