@@ -108,7 +108,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # only a token-count aggregate added, and the expectation report's
     # anti-join/conditional-count machinery is r4-green
     # join_anti_parts_never_shipped + every conditional agg in the
-    # registry; both lead round 7 with hard driver signal)
+    # registry; both lead round 7 with hard driver signal — as do
+    # agg_kmv_merge_by_type (its bottom-K machinery is r6-slotted
+    # agg_kmv_distinct_sketch's, merge exactness unit-pinned) and
+    # drift_psi_value_halves (1e-6 ln-grid integer folds, the
+    # unigram-LM/entropy convention; monitoring family holds the r6
+    # CUSUM slots))
     # (the remaining 32 r3-last-seen queries — sample_stratified_by_lang,
     # pii_scrub_events, sample_temperature_mix, the stateless streaming
     # twins of pinned batch queries (stream_q1..q4,

@@ -1804,3 +1804,90 @@ def q_dormant_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("bal_cents").alias("total_bal_cents"),
         )
     )
+
+
+@query(
+    "agg_kmv_merge_by_type",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             (('0x' || substr(md5(user_id::VARCHAR), 1, 8)))::BIGINT AS hv
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM h
+    ),
+    sk AS (SELECT event_type, hv FROM r WHERE rn <= {KMV_K}),
+    pt AS (
+      SELECT event_type AS scope, COUNT(*) AS k_n, MAX(hv) AS kth
+      FROM sk GROUP BY 1
+    ),
+    ak AS (
+      SELECT hv FROM (SELECT DISTINCT hv FROM sk) ORDER BY hv LIMIT {KMV_K}
+    ),
+    pa AS (SELECT '__all__' AS scope, COUNT(*) AS k_n, MAX(hv) AS kth FROM ak),
+    u AS (SELECT * FROM pt UNION ALL SELECT * FROM pa)
+    SELECT scope, CAST(k_n AS BIGINT) AS k_n,
+           CASE WHEN k_n < {KMV_K} THEN CAST(k_n AS BIGINT)
+                ELSE CAST(FLOOR(({KMV_K} - 1) * {2**32}.0 / kth) AS BIGINT)
+           END AS est_distinct
+    FROM u
+    """,
+    tags=("extension", "agg", "sketch", "bench"),
+)
+def agg_kmv_merge_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable KMV sketches: one distinct-user sketch PER event type plus
+    the MERGED all-types sketch — the property that makes sketches the
+    distributed cardinality answer: the K smallest of the union of
+    per-partition bottom-Ks IS the bottom-K of the union (any global
+    K-minimum is necessarily inside its own partition's K minimums), so
+    partial sketches combine without revisiting data. This is the
+    operator a 100 TB pipeline runs per source/day and folds upward for
+    rollup cardinalities (`agg_kmv_distinct_sketch` is the single-scope
+    form; this is its merge tier).
+
+    Spark shape: the per-type bottom-K is a TWO-PHASE rank — a salted
+    (type, hv mod 64) window prunes to 64·K candidates per type in
+    parallel, then the per-type window ranks only that bounded set (the
+    zipf/pack_sequences recipe: no window ever sorts a type's full
+    distinct-hash population on one task); the merged sketch re-sorts the
+    |types|·K union with TakeOrderedAndProject. All arithmetic is md5 +
+    integers — the sketches themselves are oracle-checked bit-for-bit,
+    which an HLL (engine-specific registers) can never be."""
+    events = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    h = events.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("hv"),
+    ).distinct()
+    salted = h.withColumn("salt", F.pmod("hv", F.lit(64)))
+    w1 = Window.partitionBy("event_type", "salt").orderBy("hv")
+    cand = (
+        salted.withColumn("rn", F.row_number().over(w1))
+        .filter(F.col("rn") <= KMV_K)
+        .select("event_type", "hv")
+    )
+    w2 = Window.partitionBy("event_type").orderBy("hv")
+    sk = (
+        cand.withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= KMV_K)
+        .select("event_type", "hv")
+    )
+    pt = sk.groupBy(F.col("event_type").alias("scope")).agg(
+        F.count(F.lit(1)).alias("k_n"), F.max("hv").alias("kth")
+    )
+    ak = sk.select("hv").distinct().orderBy("hv").limit(KMV_K)
+    pa = ak.agg(
+        F.lit("__all__").alias("scope"),
+        F.count(F.lit(1)).alias("k_n"),
+        F.max("hv").alias("kth"),
+    )
+    est = (
+        F.when(F.col("k_n") < KMV_K, F.col("k_n").cast("long"))
+        .otherwise(F.floor((KMV_K - 1) * float(2**32) / F.col("kth")).cast("long"))
+        .alias("est_distinct")
+    )
+    return pt.unionByName(pa).select("scope", F.col("k_n").cast("long").alias("k_n"), est)

@@ -1093,3 +1093,117 @@ def ts_cusum_drift_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         cusum.alias("cusum_xn"),
         (cusum > CUSUM_H_CENTS * F.col("n")).cast("int").alias("alarm"),
     )
+
+
+# Population-stability-index drift audit: PSI = Σ_buckets (p−q)·ln(p/q)
+# between two deterministic halves of the stream (event_id parity — the
+# reproducible stand-in for "last week vs this week"). Division-free until
+# the last step: counts are +1-smoothed integers, the log-ratio quantizes
+# to a 1e-6 grid as ln(ca·nb) − ln(cb·na) (one ln of integer products, no
+# ratio ever formed), and the per-bucket terms (ca·nb − cb·na)·l6 fold as
+# exact int64 — both engines divide the identical sum at the end. PSI
+# reading: <0.1 stable, 0.1-0.25 drifting, >0.25 shifted (the credit-
+# scoring convention).
+PSI_BAND_CENTS = 2_500
+PSI_MAX_BUCKET = 19
+
+
+@query(
+    "drift_psi_value_halves",
+    oracle=f"""
+    WITH x AS (
+      SELECT event_type, event_id % 2 AS half,
+             LEAST(CAST(FLOOR(value * 100 + 0.5) AS BIGINT) // {PSI_BAND_CENTS},
+                   {PSI_MAX_BUCKET}) AS b
+      FROM events
+    ),
+    c AS (
+      SELECT event_type, b,
+             CAST(SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS ca,
+             CAST(SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS cb
+      FROM x GROUP BY 1, 2
+    ),
+    t AS (
+      SELECT event_type, CAST(SUM(ca) AS BIGINT) AS na,
+             CAST(SUM(cb) AS BIGINT) AS nb
+      FROM c GROUP BY 1
+    ),
+    g AS (
+      SELECT c.event_type, ca, cb, na, nb,
+             CAST(FLOOR((ln(ca * 1.0 * nb) - ln(cb * 1.0 * na)) * 1000000 + 0.5)
+                  AS BIGINT) AS l6
+      FROM c JOIN t USING (event_type)
+    )
+    SELECT event_type, MAX(na) AS n_a, MAX(nb) AS n_b,
+           FLOOR(CAST(SUM((ca * nb - cb * na) * l6) AS BIGINT) * 1.0
+                 / (MAX(na) * MAX(nb)) / 100 + 0.5) / 10000 AS psi
+    FROM g GROUP BY 1
+    """,
+    tags=("extension", "temporal", "monitoring", "drift", "bench"),
+)
+def drift_psi_value_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population-stability-index drift audit per event type: bucket the
+    value distribution into fixed cent bands, compare the two
+    deterministic stream halves, and report PSI — the distribution-shift
+    monitor that complements ``ts_cusum_drift_per_type`` (CUSUM catches
+    mean shifts sequentially; PSI catches SHAPE changes between cohorts —
+    a bimodal split or variance blow-up with an unchanged mean is
+    invisible to CUSUM and loud in PSI). In a production pipeline the two
+    cohorts are consecutive ingest windows; event-id parity makes the
+    audit reproducible on the fixtures.
+
+    Exactness: +1-smoothed integer bucket counts; the log-ratio is ONE ln
+    of integer products quantized to the 1e-6 grid (ln(ca·nb) − ln(cb·na)
+    — no ratio, no division until the final scalar), so the bucket-term
+    fold is an exact int64 sum and both engines floor the same quotient.
+    Spark shape: one (type, bucket)-keyed partial-aggregated shuffle, a
+    |types|-row total join (broadcast), and a |types|-row rollup — three
+    narrow exchanges, scan-bound, output O(|types|). Headroom:
+    (ca·nb − cb·na)·l6 stays inside int64 to ~10⁸ rows/type at this
+    band count; past that, DECIMAL(38,0) the term."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    cents = F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")
+    x = events.select(
+        "event_type",
+        (F.col("event_id") % 2).alias("half"),
+        F.least(
+            F.expr(f"cast(floor(value * 100 + 0.5) as bigint) div {PSI_BAND_CENTS}"),
+            F.lit(PSI_MAX_BUCKET),
+        ).alias("b"),
+    )
+    c = x.groupBy("event_type", "b").agg(
+        (F.sum((F.col("half") == 0).cast("bigint")) + 1).alias("ca"),
+        (F.sum((F.col("half") == 1).cast("bigint")) + 1).alias("cb"),
+    )
+    t = c.groupBy("event_type").agg(
+        F.sum("ca").alias("na"), F.sum("cb").alias("nb")
+    )
+    g = c.join(F.broadcast(t), "event_type").select(
+        "event_type",
+        "ca",
+        "cb",
+        "na",
+        "nb",
+        F.floor(
+            (F.log(F.col("ca") * F.col("nb")) - F.log(F.col("cb") * F.col("na")))
+            * 1000000
+            + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("l6"),
+    )
+    return g.groupBy("event_type").agg(
+        F.max("na").alias("n_a"),
+        F.max("nb").alias("n_b"),
+        (
+            F.floor(
+                F.sum((F.col("ca") * F.col("nb") - F.col("cb") * F.col("na")) * F.col("l6"))
+                / (F.max("na") * F.max("nb"))
+                / 100
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("psi"),
+    )

@@ -497,3 +497,35 @@ def test_cusum_windows_share_one_sort(spark, sf_dir):
     assert "BroadcastHashJoin" in plan, plan
     n_shuffles = len(re.findall(r"\(\d+\) Exchange", plan))
     assert n_shuffles <= 2, plan  # moment agg + the one series sort
+
+
+def test_kmv_merge_equals_direct_sketch(spark, sf_dir):
+    """The sketch-merge contract, exactly: the '__all__' row (K smallest of
+    the union of per-type bottom-Ks) must equal the sketch built directly
+    over ALL distinct user hashes — and the per-type rank must be the
+    two-phase salted shape (both window specs present, no unpartitioned
+    window)."""
+    from kafka_streams_playground_spark.plans.relational import KMV_K
+    from kafka_streams_playground_spark.sources.parquet import load_table
+
+    rows = {r["scope"]: r for r in REGISTRY["agg_kmv_merge_by_type"].fn(spark, sf_dir).collect()}
+    events = load_table(spark, sf_dir, "events").select("user_id")
+    direct = (
+        events.select(
+            F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+            .cast("long")
+            .alias("hv")
+        )
+        .distinct()
+        .orderBy("hv")
+        .limit(KMV_K)
+    )
+    import math
+
+    k_n = direct.count()
+    kth = direct.agg(F.max("hv")).first()[0]
+    want = k_n if k_n < KMV_K else math.floor((KMV_K - 1) * float(2**32) / kth)
+    assert rows["__all__"]["est_distinct"] == want
+    plan = _plan(spark, sf_dir, "agg_kmv_merge_by_type")
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all(s.startswith("event_type") for s in specs), specs

@@ -178,3 +178,64 @@ def test_adjacent_pairs_match_lambda_reference(spark, docs):
     rows = df.select("i", ref.alias("a"), new.alias("b")).collect()
     for r in rows:
         assert list(r["a"]) == list(r["b"]), (r["i"], r["a"], r["b"])
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(incs=st.lists(st.integers(min_value=-50, max_value=50), min_size=1, max_size=40))
+def test_cusum_prefix_identity_matches_sequential_fold(incs):
+    """The window form s_t = P_t − min(0, min_{j≤t} P_j) must equal the
+    sequential recurrence s_t = max(0, s_{t-1} + inc_t) on arbitrary
+    integer increment sequences (pure Python, no Spark needed — this pins
+    the algebra both engines evaluate)."""
+    s, P, mn = 0, 0, 0
+    for inc in incs:
+        s = max(0, s + inc)
+        P += inc
+        mn = min(mn, P)
+        assert s == P - min(mn, 0)
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(min_value=0, max_value=14),
+                  st.integers(min_value=0, max_value=14)),
+        min_size=0, max_size=20,
+    )
+)
+def test_star_contraction_matches_bruteforce_components(spark, edges):
+    """Large-star/small-star CC must label every node with its component's
+    minimum id on ARBITRARY small graphs (self-loops, parallel edges,
+    chains, cliques) — checked against a pure-Python union-find."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_playground_spark.plans.northstar_pipeline import (
+        min_label_propagation,
+    )
+
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    def union(a, b):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+
+    for a, b in edges:
+        union(a, b)
+    nodes = sorted({n for e in edges for n in e})
+    want = {n: find(n) for n in nodes}
+    # symmetric edge list, the operator's input contract
+    sym = [(a, b) for a, b in edges] + [(b, a) for a, b in edges]
+    if not sym:
+        return
+    df = spark.createDataFrame(sym, "src long, dst long")
+    labels, _ = min_label_propagation(df)
+    got = {r["node"]: r["comp"] for r in labels.collect()}
+    assert got == want, (sorted(edges), got, want)
