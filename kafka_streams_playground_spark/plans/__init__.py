@@ -113,7 +113,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # agg_kmv_distinct_sketch's, merge exactness unit-pinned) and
     # drift_psi_value_halves (1e-6 ln-grid integer folds, the
     # unigram-LM/entropy convention; monitoring family holds the r6
-    # CUSUM slots))
+    # CUSUM slots), stream_kmv_distinct_by_type (state machinery =
+    # applyInPandasWithState precedents holding r6 slots, estimate formula
+    # = slotted agg_kmv_distinct_sketch), and tokenizer_bpe_train3_delta
+    # (identical oracle AND output to r6-slotted tokenizer_bpe_train3 —
+    # the strongest sibling tie in the registry))
     # (the remaining 32 r3-last-seen queries — sample_stratified_by_lang,
     # pii_scrub_events, sample_temperature_mix, the stateless streaming
     # twins of pinned batch queries (stream_q1..q4,

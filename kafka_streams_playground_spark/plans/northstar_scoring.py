@@ -1224,3 +1224,100 @@ def tokenizer_bpe_compression_curve(spark: SparkSession, sf_dir: str) -> DataFra
         for df in persisted:
             df.unpersist()
     return spark.createDataFrame(curve, "it int, n_tokens bigint")
+
+
+def _pair_counts(df: DataFrame) -> DataFrame:
+    """(pair, c) adjacent-pair counts of a (doc_id, text) corpus — the
+    recount kernel shared by the full and delta-maintained BPE trainers."""
+    toks = F.split("text", " ")
+    return (
+        df.filter(F.size(toks) >= 2)
+        .select(F.explode(T.adjacent_pair_structs(toks)).alias("z"))
+        .select(F.concat_ws(" ", F.col("z")["0"], F.col("z")["1"]).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+
+
+@query(
+    "tokenizer_bpe_train3_delta",
+    oracle=_bpe_train_oracle(_BPE_TRAIN_ITERS),
+    tags=("northstar", "scoring", "text", "tokenizer", "iterative", "bench"),
+)
+def tokenizer_bpe_train3_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``tokenizer_bpe_train3`` with INCREMENTAL pair-count maintenance —
+    the optimization every production BPE trainer layers on (and the one
+    the full-recount form documents as omitted): after a merge, only
+    documents that CONTAIN the merged pair can change any count, so the
+    counts table updates as counts − pairs(affected-before) +
+    pairs(affected-after) instead of a corpus-wide recount. The merge
+    table output — and therefore the oracle — is IDENTICAL to the full
+    trainer's (same selections, same two-pass plain-string merges); a
+    unit additionally pins the maintained counts table against a from-
+    scratch recount after all iterations.
+
+    Spark shape: one full pair count (the unavoidable first pass), then
+    per iteration: a contains() filter prunes the corpus to affected
+    docs BEFORE any explode (codegen'd substring scan — at 100 TB this
+    is the whole point: after the first few merges most selected pairs
+    live in a shrinking fraction of documents, so the recount cost
+    tracks the affected set, not the corpus), two delta counts over that
+    subset, and a three-way unionByName + groupBy-sum fold into the new
+    counts table (persisted; extinct pairs filtered at exactly zero).
+    The merged corpus itself still applies map-side to all rows —
+    replace() is a no-op on unaffected documents."""
+    from pyspark import StorageLevel
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cur = docs
+    counts = _pair_counts(docs).persist(StorageLevel.MEMORY_AND_DISK)
+    persisted = [counts]
+    merges = []
+    try:
+        for it in range(1, _BPE_TRAIN_ITERS + 1):
+            ab = F.split("pair", " ")
+            top = (
+                counts.filter(ab.getItem(0) != ab.getItem(1))
+                .orderBy(F.col("c").desc(), F.col("pair").asc())
+                .limit(1)
+                .collect()
+            )
+            a, b = top[0]["pair"].split(" ")
+            merges.append((it, top[0]["pair"], a + _BPE_MERGE_SEP + b, top[0]["c"]))
+            pat = f" {a} {b} "
+            rep = f" {a}{_BPE_MERGE_SEP}{b} "
+            padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+            merged = F.trim(
+                F.replace(
+                    F.replace(padded, F.lit(pat), F.lit(rep)), F.lit(pat), F.lit(rep)
+                )
+            )
+            affected = cur.filter(F.contains(padded, F.lit(pat))).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            persisted.append(affected)
+            delta_minus = _pair_counts(affected).select(
+                "pair", (-F.col("c")).alias("c")
+            )
+            delta_plus = _pair_counts(
+                affected.select("doc_id", merged.alias("text"))
+            )
+            counts = (
+                counts.unionByName(delta_minus)
+                .unionByName(delta_plus)
+                .groupBy("pair")
+                .agg(F.sum("c").alias("c"))
+                .filter(F.col("c") > 0)
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
+            persisted.append(counts)
+            cur = cur.select("doc_id", merged.alias("text")).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
+            persisted.append(cur)
+    finally:
+        for df in persisted:
+            df.unpersist()
+    return spark.createDataFrame(
+        merges, "it int, pair string, merged string, cnt bigint"
+    )

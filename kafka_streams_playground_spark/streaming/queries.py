@@ -1267,3 +1267,62 @@ def _share_cusum_oracle() -> None:
 
 
 _share_cusum_oracle()
+
+
+@query(
+    "stream_kmv_distinct_by_type",
+    oracle=f"""
+    WITH h AS (
+      SELECT DISTINCT event_type,
+             (('0x' || substr(md5(user_id::VARCHAR), 1, 8)))::BIGINT AS hv
+      FROM events
+    ),
+    r AS (
+      SELECT event_type, hv,
+             row_number() OVER (PARTITION BY event_type ORDER BY hv) AS rn
+      FROM h
+    ),
+    sk AS (SELECT event_type, hv FROM r WHERE rn <= {{K}}),
+    s AS (
+      SELECT event_type, COUNT(*) AS k_n, MAX(hv) AS kth
+      FROM sk GROUP BY 1
+    )
+    SELECT event_type, CAST(k_n AS BIGINT) AS k_n,
+           CASE WHEN k_n < {{K}} THEN CAST(k_n AS BIGINT)
+                ELSE CAST(FLOOR(({{K}} - 1) * {2**32}.0 / kth) AS BIGINT)
+           END AS est_distinct
+    FROM s
+    """.replace("{K}", "256"),
+    tags=("extension", "streaming", "agg", "sketch", "stateful"),
+)
+def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live distinct-user cardinality per event type — the KMV sketch as
+    STREAMING KEYED STATE (streaming/stateful.py::kmv_sketch_per_key):
+    the state is the sketch (K smallest distinct hashes), every
+    micro-batch folds its hashes in with the associative bottom-K merge
+    and emits the updated estimate — exactly how a production ingest
+    monitor keeps per-source cardinalities without holding the key sets
+    (state is K longs per source forever, vs an exact-distinct state that
+    grows with the stream). The update-mode drain keeps each key's LAST
+    emission, which after the single-batch replay is the full-stream
+    sketch — bit-equal to the batch bottom-K, so the estimate is
+    oracle-exact (the HLL-impossible property; see
+    ``agg_kmv_distinct_sketch``)."""
+    from kafka_streams_playground_spark.plans.relational import KMV_K
+    from kafka_streams_playground_spark.streaming.stateful import kmv_sketch_per_key
+
+    stream = read_stream_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("hv"),
+    )
+    out = run_to_completion(
+        kmv_sketch_per_key(stream), output_mode="update", spark=spark
+    )
+    est = (
+        F.when(F.col("k_n") < KMV_K, F.col("k_n").cast("long"))
+        .otherwise(F.floor((KMV_K - 1) * float(2**32) / F.col("kth")).cast("long"))
+        .alias("est_distinct")
+    )
+    return out.select("event_type", "k_n", est)

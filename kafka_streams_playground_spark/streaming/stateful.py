@@ -351,3 +351,48 @@ def cusum_per_key(joined: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf="NoTimeout",
     )
+
+
+def _kmv_bottom_k(key: tuple, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+    """Per-key streaming KMV sketch: keyed state IS the sketch — the K
+    smallest distinct 32-bit hashes seen so far (the mergeable-sketch
+    contract makes the state update associative: bottom-K of
+    state ∪ batch). Emits one (k_n, kth) row per key per micro-batch —
+    the live cardinality estimate. numpy unique+sort per batch, no
+    per-row Python."""
+    import numpy as np
+
+    from kafka_streams_playground_spark.plans.relational import KMV_K
+
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if not chunks:
+        return
+    batch = pd.concat(chunks, ignore_index=True)["hv"].to_numpy(dtype="int64")
+    prev = (
+        np.array(state.get[0], dtype="int64") if state.exists else
+        np.array([], dtype="int64")
+    )
+    sk = np.unique(np.concatenate([prev, batch]))[:KMV_K]  # unique() sorts
+    state.update((sk.tolist(),))
+    yield pd.DataFrame(
+        {
+            "event_type": [key[0]],
+            "k_n": [int(len(sk))],
+            "kth": [int(sk[-1])],
+        }
+    )
+
+
+def kmv_sketch_per_key(sdf: DataFrame) -> DataFrame:
+    """Streaming mergeable KMV distinct sketch per key; batch twin =
+    plans/relational.py::agg_kmv_merge_by_type's per-type rows, whose
+    estimate formula the query applies to the drained state. State per
+    key: ≤K int64 hashes — fixed-size regardless of stream length, the
+    sketch property itself."""
+    return sdf.groupBy("event_type").applyInPandasWithState(
+        _kmv_bottom_k,
+        outputStructType="event_type STRING, k_n BIGINT, kth BIGINT",
+        stateStructType="sk ARRAY<BIGINT>",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

@@ -879,3 +879,62 @@ def test_bpe_compression_matches_merge_counts(spark, sf_dir):
     assert set(curve) == {0, 1, 2, 3}
     for it in (1, 2, 3):
         assert curve[it] == curve[it - 1] - merges[it], (it, curve, merges)
+
+
+def test_bpe_delta_trainer_matches_full_trainer(spark, sf_dir):
+    """The delta-maintained trainer must select the identical merge table
+    as the full-recount trainer — if any incremental count drifted, a
+    later selection would diverge (selection is argmax over the
+    maintained table, so table errors surface as merge differences;
+    rounds 2-3 transitively pin rounds 1-2's deltas)."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+
+    full = sorted(
+        tuple(r) for r in REGISTRY["tokenizer_bpe_train3"].fn(spark, sf_dir).collect()
+    )
+    delta = sorted(
+        tuple(r)
+        for r in REGISTRY["tokenizer_bpe_train3_delta"].fn(spark, sf_dir).collect()
+    )
+    assert full == delta
+
+
+def test_bpe_delta_counts_equal_recount_on_crafted_corpus(spark):
+    """Direct pin of the delta identity on a corpus where the merged pair
+    overlaps its own context (back-to-back 'a b a b', boundary pairs,
+    unaffected docs): after one delta update, the maintained counts must
+    equal a from-scratch recount of the merged corpus."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_playground_spark.plans.northstar_scoring import (
+        _BPE_MERGE_SEP,
+        _pair_counts,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b a b a"),        # chain: two-pass merge case
+            (2, "x a b y a b"),      # two isolated occurrences
+            (3, "p q r s"),          # unaffected
+            (4, "a b"),              # whole doc is the pair
+        ],
+        "doc_id long, text string",
+    )
+    pat, rep = " a b ", f" a{_BPE_MERGE_SEP}b "
+    padded = F.concat(F.lit(" "), F.col("text"), F.lit(" "))
+    merged = F.trim(
+        F.replace(F.replace(padded, F.lit(pat), F.lit(rep)), F.lit(pat), F.lit(rep))
+    )
+    affected = docs.filter(F.contains(padded, F.lit(pat)))
+    maintained = (
+        _pair_counts(docs)
+        .unionByName(_pair_counts(affected).select("pair", (-F.col("c")).alias("c")))
+        .unionByName(_pair_counts(affected.select("doc_id", merged.alias("text"))))
+        .groupBy("pair")
+        .agg(F.sum("c").alias("c"))
+        .filter(F.col("c") > 0)
+    )
+    recount = _pair_counts(docs.select("doc_id", merged.alias("text")))
+    m = {r["pair"]: r["c"] for r in maintained.collect()}
+    r = {r["pair"]: r["c"] for r in recount.collect()}
+    assert m == r, (m, r)

@@ -413,3 +413,38 @@ def test_cusum_state_across_microbatches(spark):
     # alarm rule sanity on the same rows (n=1 → threshold = H)
     alarms = {r["event_id"]: r["alarm"] for r in out.collect()}
     assert all(a == int(want[e] > CUSUM_H_CENTS) for e, a in alarms.items())
+
+
+def test_kmv_sketch_state_across_microbatches(spark):
+    """The streaming KMV state must fold associatively across
+    micro-batches: after replaying hashes split over three batches (with
+    cross-batch duplicates), the final emission per key equals the
+    bottom-K of the full distinct union."""
+    import os
+
+    from kafka_streams_playground_spark.plans.relational import KMV_K
+    from kafka_streams_playground_spark.streaming.stateful import kmv_sketch_per_key
+
+    schema = "event_type string, hv long"
+    b1 = [("a", h) for h in (5, 3, 9, 3)] + [("b", 100)]
+    b2 = [("a", h) for h in (1, 9, 7)]          # 9 duplicates batch 1
+    b3 = [("a", 2), ("b", 50), ("b", 100)]      # 100 duplicates batch 1
+    paths = _write_batches(spark, [b1, b2, b3], schema)
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(os.path.dirname(paths[0]), "b*"))
+    )
+    out = run_to_completion(
+        kmv_sketch_per_key(sdf), output_mode="update", spark=spark
+    )
+    rows = out.collect()
+    # update mode emits once per key per batch; the LAST row per key is
+    # the final state (rows arrive in batch order within the sink)
+    final = {}
+    for r in rows:
+        final[r["event_type"]] = (r["k_n"], r["kth"])
+    a_union = sorted({5, 3, 9, 1, 7, 2})[:KMV_K]
+    b_union = sorted({100, 50})[:KMV_K]
+    assert final["a"] == (len(a_union), a_union[-1])
+    assert final["b"] == (len(b_union), b_union[-1])
