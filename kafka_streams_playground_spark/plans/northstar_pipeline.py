@@ -215,16 +215,19 @@ def min_label_propagation(edges: DataFrame, max_rounds: int = 64):
     test_cc_clique_chain_labels_and_rounds, which requires BEATING the
     diameter bound on a chain). Per round there is exactly ONE eager
     materialization (``localCheckpoint`` of the round's output — also the
-    lineage truncation) and one (count, xxhash64-xor) signature aggregate
-    over its blocks. A stable signature across a round is only a
-    convergence CANDIDATE (a large↔small 2-cycle could also hold the set
-    fixed); it triggers a one-off star-forest verification — every node
-    appears as source at most once and no center has an outgoing edge —
-    which, with the (hi → lo) canonical orientation, is exactly the
-    "every edge points at its component minimum" invariant the paper
-    proves for joint fixpoints. Intermediate large-star output is
-    ``persist()``-reused within the round (both the min table and the
-    hook join read it), never separately materialized."""
+    lineage truncation) and one (count, distinct-source) aggregate over
+    its blocks. Convergence is the star-forest test applied DIRECTLY:
+    every node appears as source at most once (free from the per-round
+    aggregate) and no center has an outgoing edge (one small semi-join,
+    attempted only when the first condition holds). A star forest is
+    itself a joint fixpoint of both passes, and the alternation preserves
+    connectivity with centers below their members under the (hi → lo)
+    canonical orientation — so the test needs no signature comparison
+    across rounds and no confirm round: the loop stops the moment the
+    stars form (one round earlier than a stability check would).
+    Intermediate large-star output is ``persist()``-reused within the
+    round (both the min table and the hook join read it), never
+    separately materialized."""
     nodes = edges.select(F.col("src").alias("node")).distinct().localCheckpoint()
     # canonical directed (hi → lo) edge set; self-loops contribute nothing
     cur = (
@@ -236,20 +239,35 @@ def min_label_propagation(edges: DataFrame, max_rounds: int = 64):
         .localCheckpoint()
     )
 
-    def _sig(df):
-        # one aggregate returning the set signature AND the star-forest
-        # half-condition (each source exactly once) so candidate
-        # verification needs no extra aggregate job
+    def _stats(df):
+        # one aggregate: edge count + the star-forest half-condition
+        # (each source exactly once)
         row = df.agg(
             F.count(F.lit(1)).alias("n"),
-            F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
             F.count_distinct("u").alias("nd"),
         ).first()
-        return (row["n"], row["h"]), row["n"] == row["nd"]
+        return row["n"], row["n"] == row["nd"]
 
-    prev_sig, _one_edge = _sig(cur)
-    if prev_sig[0] == 0:
+    def _is_star_forest(df, one_edge_per_node):
+        if not one_edge_per_node:
+            return False
+        # no center may have an outgoing edge
+        return (
+            df.alias("a")
+            .join(df.alias("b"), F.col("a.v") == F.col("b.u"), "left_semi")
+            .limit(1)
+            .count()
+            == 0
+        )
+
+    n0, one0 = _stats(cur)
+    if n0 == 0:
         return nodes.select("node", F.col("node").alias("comp")), 0
+    if _is_star_forest(cur, one0):
+        labels = nodes.join(cur, nodes["node"] == cur["u"], "left").select(
+            "node", F.coalesce("v", "node").alias("comp")
+        )
+        return labels, 0
     for rounds in range(1, max_rounds + 1):
         # LARGE-STAR: key every node u on its full neighborhood; hook each
         # larger neighbor v onto m = min(N(u) ∪ {u}). v > u ≥ m keeps the
@@ -281,30 +299,13 @@ def min_label_propagation(edges: DataFrame, max_rounds: int = 64):
             .localCheckpoint()
         )
         ls.unpersist()
-        sig, one_edge_per_node = _sig(ss)
+        _n, one_edge_per_node = _stats(ss)
         cur = ss
-        if sig == prev_sig and one_edge_per_node:
-            # Candidate fixpoint: the signature is stable and every node
-            # has one outgoing edge; the remaining star-forest condition
-            # (no center has an outgoing edge) guards the theoretical
-            # large↔small 2-cycle — one small semi-join, only ever run at
-            # candidate rounds.
-            center_outgoing = (
-                cur.alias("a")
-                .join(
-                    cur.alias("b"),
-                    F.col("a.v") == F.col("b.u"),
-                    "left_semi",
-                )
-                .limit(1)
-                .count()
+        if _is_star_forest(cur, one_edge_per_node):
+            labels = nodes.join(cur, nodes["node"] == cur["u"], "left").select(
+                "node", F.coalesce("v", "node").alias("comp")
             )
-            if center_outgoing == 0:
-                labels = nodes.join(
-                    cur, nodes["node"] == cur["u"], "left"
-                ).select("node", F.coalesce("v", "node").alias("comp"))
-                return labels, rounds
-        prev_sig = sig
+            return labels, rounds
     raise RuntimeError(f"connected components did not converge in {max_rounds} rounds")
 
 
