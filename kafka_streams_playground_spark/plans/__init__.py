@@ -117,7 +117,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # applyInPandasWithState precedents holding r6 slots, estimate formula
     # = slotted agg_kmv_distinct_sketch), and tokenizer_bpe_train3_delta
     # (identical oracle AND output to r6-slotted tokenizer_bpe_train3 —
-    # the strongest sibling tie in the registry))
+    # the strongest sibling tie in the registry); text_ngram_novelty's
+    # machinery is the shared shingle-hash pass (r6-slotted
+    # decontaminate/contamination family) + dedup_lines_global's
+    # first-occurrence groupBy-min, both r6-slotted)
     # (the remaining 32 r3-last-seen queries — sample_stratified_by_lang,
     # pii_scrub_events, sample_temperature_mix, the stateless streaming
     # twins of pinned batch queries (stream_q1..q4,

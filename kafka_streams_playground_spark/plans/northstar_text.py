@@ -520,3 +520,68 @@ def text_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("entropy_nats"),
     )
+
+
+@query(
+    "text_ngram_novelty",
+    oracle=f"""
+    WITH {T.duck_shingles_cte()},
+    hv AS (
+      SELECT doc_id, list_distinct({T.duck_shingle_hashes()}) AS hs FROM sh
+    ),
+    x AS (SELECT doc_id, unnest(hs) AS h FROM hv),
+    f AS (SELECT h, MIN(doc_id) AS first_doc FROM x GROUP BY h)
+    SELECT x.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = x.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           CAST(SUM(CASE WHEN f.first_doc = x.doc_id THEN 1 ELSE 0 END)
+                * 1000000 // COUNT(*) AS BIGINT) AS novelty_ppm
+    FROM x JOIN f USING (h)
+    GROUP BY x.doc_id
+    """,
+    tags=("northstar", "text", "curation", "dedup", "bench"),
+)
+def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram novelty scoring: per document, the fraction of its distinct
+    3-gram shingles that FIRST appear (by doc_id order) in that document —
+    the contribution/freshness metric curriculum builders and crawl-delta
+    curation read (a doc whose shingles all appeared earlier adds no new
+    n-gram mass even if it is not a near-duplicate of any single earlier
+    doc — the gap MinHash pair-dedup cannot see, because novelty is a
+    corpus-cumulative property, not a pairwise one).
+
+    Spark shape: shingle hashes come from the shared Arrow
+    ``shingle_sig_fn`` pass (same md5-32bit ints as MinHash/contamination,
+    so the shingle TEXT never leaves the map side); first occurrences are
+    a hash-keyed groupBy-min with map-side partial combine (hot
+    boilerplate shingles pre-collapse per partition — the
+    ``dedup_lines_global`` skew stance, one granularity down), and the
+    resolve is a co-shuffled join back on the 8-byte hash plus a
+    doc_id-keyed exact-ppm rollup. Two narrow shuffles keyed on ints; at
+    100 TB this is the same scale class as the contamination check, with
+    the first-occurrence table replacing the broadcast benchmark set."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ss = F.pandas_udf(T.shingle_sig_fn(1), "hs: array<bigint>, sig: array<bigint>")
+    x = (
+        docs.select("doc_id", ss("text").alias("ss"))
+        .select("doc_id", F.explode("ss.hs").alias("h"))
+    )
+    f = x.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    novel = (F.col("first_doc") == F.col("doc_id")).cast("bigint")
+    return (
+        x.join(f, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(novel).alias("n_novel"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            "n_novel",
+            F.expr("cast(n_novel * 1000000 div n_shingles as bigint)").alias(
+                "novelty_ppm"
+            ),
+        )
+    )

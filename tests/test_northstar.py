@@ -938,3 +938,27 @@ def test_bpe_delta_counts_equal_recount_on_crafted_corpus(spark):
     m = {r["pair"]: r["c"] for r in maintained.collect()}
     r = {r["pair"]: r["c"] for r in recount.collect()}
     assert m == r, (m, r)
+
+
+def test_ngram_novelty_conservation(spark, sf_dir):
+    """Novelty invariants: the earliest doc introduces everything it
+    contains (novelty = 1e6); every corpus-distinct shingle is introduced
+    exactly once, so Σ n_novel = |distinct shingle set|; and novelty is a
+    cumulative property — n_novel ≤ n_shingles everywhere."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+    from kafka_streams_playground_spark.sources.parquet import load_table
+    from kafka_streams_playground_spark.functions import text as T
+
+    rows = REGISTRY["text_ngram_novelty"].fn(spark, sf_dir).collect()
+    by_id = {r["doc_id"]: r for r in rows}
+    first = min(by_id)
+    assert by_id[first]["novelty_ppm"] == 1_000_000
+    assert all(r["n_novel"] <= r["n_shingles"] for r in rows)
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    distinct_total = (
+        docs.select(F.explode(T.shingle_hashes(T.shingles(T.tokens("text")))).alias("h"))
+        .select("h")
+        .distinct()
+        .count()
+    )
+    assert sum(r["n_novel"] for r in rows) == distinct_total
