@@ -529,3 +529,29 @@ def test_kmv_merge_equals_direct_sketch(spark, sf_dir):
     plan = _plan(spark, sf_dir, "agg_kmv_merge_by_type")
     specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
     assert specs and all(s.startswith("event_type") for s in specs), specs
+
+
+def test_plan_lint_no_cartesian_no_row_python(spark, sf_dir):
+    """Registry-wide physical-plan lint: NO batch query may plan a
+    CartesianProduct (a non-broadcast cartesian is never acceptable — the
+    deliberate tiny-dim nested loops are BroadcastNestedLoopJoin, which
+    this does not flag) and none may contain BatchEvalPython (a
+    row-at-a-time Python UDF — every Python crossing must be Arrow-batched,
+    i.e. ArrowEvalPython / mapInPandas / applyInPandas*). This guards the
+    two regressions that silently destroy 100 TB viability; one test
+    builds every batch plan (~1 min — iterative queries execute their
+    fixpoint loops at plan-build time, which is also why this doubles as
+    a does-every-query-still-compose smoke test)."""
+    bad = {}
+    for name, spec in REGISTRY.items():
+        if name.startswith("stream_"):
+            continue
+        plan = _plan(spark, sf_dir, name)
+        flags = []
+        if "CartesianProduct" in plan:
+            flags.append("CartesianProduct")
+        if "BatchEvalPython" in plan:
+            flags.append("BatchEvalPython")
+        if flags:
+            bad[name] = flags
+    assert not bad, bad
