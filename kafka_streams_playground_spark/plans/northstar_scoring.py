@@ -78,19 +78,20 @@ def text_unigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-digit GB even at web scale) so it BROADCASTS to the scoring join;
     the corpus side explodes to (doc_id, token) and re-aggregates with
     map-side partials — one shuffle on doc_id, one on token, none carrying
-    text. The unpartitioned window computing the corpus total runs over
-    vocabulary rows only (same bounded-window stance as
-    sample_temperature_mix). Log-probs ride as 1e-6-grid integers so the
-    per-doc sum is order-free and cross-engine exact."""
+    text. The corpus token total is a partial-aggregated scalar attached
+    by a 1-row broadcast cross join — NOT a `SUM OVER ()` window, which
+    would move the full vocabulary (10⁸⁺ terms at web scale) onto one
+    task (the round-6 sweep caught this as the last unbounded
+    unpartitioned window; the q22 scalar-mean precedent). Log-probs ride
+    as 1e-6-grid integers so the per-doc sum is order-free and
+    cross-engine exact."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     tok = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
     v = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("cnt"))
-    wall = Window.partitionBy().rowsBetween(
-        Window.unboundedPreceding, Window.unboundedFollowing
-    )
-    v2 = v.select(
+    tot = v.agg(F.sum("cnt").alias("tot"))
+    v2 = v.crossJoin(F.broadcast(tot)).select(
         "tok",
-        F.floor(F.log(F.col("cnt") / F.sum("cnt").over(wall)) * LP_GRID + F.lit(0.5))
+        F.floor(F.log(F.col("cnt") / F.col("tot")) * LP_GRID + F.lit(0.5))
         .cast("bigint")
         .alias("lp6"),
     )

@@ -555,3 +555,43 @@ def test_plan_lint_no_cartesian_no_row_python(spark, sf_dir):
         if flags:
             bad[name] = flags
     assert not bad, bad
+
+
+# Queries ALLOWED an unpartitioned window, each bounded by construction —
+# the window input is O(config), never corpus-scale (the r5/r6 sweep
+# stance). Any new unpartitioned window must be consciously added here
+# with its bound.
+UNPARTITIONED_WINDOW_WHITELIST = {
+    "pack_sequences": "bucket-total prefix sum over N/1000 rows",
+    "sample_temperature_mix": "per-language aggregate rows",
+    "text_zipf_fit": "prefix offsets over |range partitions| rows",
+    "tokenizer_vocab_coverage": "rank over the <=max(N) TakeOrdered survivors",
+}
+
+
+def test_plan_lint_unpartitioned_windows_whitelisted(spark, sf_dir):
+    """Registry-wide sweep: the set of batch queries whose plans contain an
+    unpartitioned window must EQUAL the documented whitelist — a global
+    window over an unbounded input serializes onto one task at 100 TB
+    (the failure mode fixed for zipf/coverage in r6 and for the unigram-LM
+    corpus total right after); pinning set-equality means a fixed query
+    must leave the list and a new offender cannot slip in."""
+    def unpartitioned(plan):
+        for m in re.finditer(
+            r"windowspecdefinition\(([^)]*?)specifiedwindowframe", plan
+        ):
+            toks = [t.strip() for t in m.group(1).rstrip(", ").split(",") if t.strip()]
+            if not toks or all(("ASC" in t or "DESC" in t) for t in toks):
+                return True
+        return False
+
+    hits = set()
+    for name, spec in REGISTRY.items():
+        if name.startswith("stream_"):
+            continue
+        if unpartitioned(_plan(spark, sf_dir, name)):
+            hits.add(name)
+    assert hits == set(UNPARTITIONED_WINDOW_WHITELIST), (
+        hits - set(UNPARTITIONED_WINDOW_WHITELIST),
+        set(UNPARTITIONED_WINDOW_WHITELIST) - hits,
+    )
