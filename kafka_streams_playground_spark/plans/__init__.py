@@ -102,6 +102,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # under the new>stale policy; their machinery is sibling-covered
     # (latest-per-key: r4-green s2_latest/tombstones; salting recipe:
     # r4-green join_salted_skew_above_avg) and both lead round 7)
+    # (text_unigram_lm_score changed late in r6 — PLAN-only: the
+    # SUM-OVER() corpus total became an agg + 1-row broadcast cross join;
+    # values are bit-identical, the full-registry replica re-validated it
+    # green, and text_perplexity_buckets — whose plan composes the changed
+    # function directly — is re-checked by the same replica; it leads
+    # round 7 with the other deferrals below)
     # (tokenizer_bpe_compression_curve and pipeline_expectation_checks —
     # added after the 50 slots filled — are deferred by the sibling rule:
     # the curve runs train3's loop verbatim (train3 holds an r6 slot) with
