@@ -126,7 +126,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # the strongest sibling tie in the registry); text_ngram_novelty's
     # machinery is the shared shingle-hash pass (r6-slotted
     # decontaminate/contamination family) + dedup_lines_global's
-    # first-occurrence groupBy-min, both r6-slotted)
+    # first-occurrence groupBy-min, both r6-slotted;
+    # wf_rank_family_order_totals is the wf_ntile/wf_order_gap window
+    # machinery — both r6-slotted — with different ranking expressions)
     # (the remaining 32 r3-last-seen queries — sample_stratified_by_lang,
     # pii_scrub_events, sample_temperature_mix, the stateless streaming
     # twins of pinned batch queries (stream_q1..q4,

@@ -1891,3 +1891,50 @@ def agg_kmv_merge_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("est_distinct")
     )
     return pt.unionByName(pa).select("scope", F.col("k_n").cast("long").alias("k_n"), est)
+
+
+@query(
+    "wf_rank_family_order_totals",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority,
+           RANK() OVER w AS rnk,
+           DENSE_RANK() OVER w AS drnk,
+           FLOOR(PERCENT_RANK() OVER w * 1000000 + 0.5) / 1000000 AS pct_rank,
+           FLOOR(CUME_DIST() OVER w * 1000000 + 0.5) / 1000000 AS cume
+    FROM orders
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC)
+    """,
+    tags=("extension", "window_fn", "bench"),
+)
+def wf_rank_family_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full SQL ranking-function family in one pass — RANK (gapped),
+    DENSE_RANK (gapless), PERCENT_RANK, CUME_DIST — over order totals per
+    priority class, completing §2.5 next to row_number/ntile/lag/lead
+    (duplicate totals exist, so RANK ≠ DENSE_RANK ≠ row_number is actually
+    exercised; with ties the four values are deterministic regardless of
+    within-tie row order, so no tiebreak column is needed and the oracle
+    hash-compare is exact — PERCENT_RANK and CUME_DIST are ratios of the
+    same integers in both engines, quantized to the 1e-6 grid per
+    convention).
+
+    Spark shape: one hash exchange on the partition key, one in-partition
+    sort serving all four functions (same window spec → single Window
+    operator); per-partition row counts are bounded by the priority-class
+    share of orders — the ranking is embarrassingly parallel across
+    classes at any scale."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", "o_totalprice"
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy(F.col("o_totalprice").desc())
+    return orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        (F.floor(F.percent_rank().over(w) * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "pct_rank"
+        ),
+        (F.floor(F.cume_dist().over(w) * 1000000 + F.lit(0.5)) / 1000000).alias(
+            "cume"
+        ),
+    )
