@@ -1,0 +1,878 @@
+"""TPC-H completion: the twelve decision-support shapes the relational
+surface was still missing (Q2, Q4, Q6, Q11, Q13, Q14, Q15, Q17, Q18, Q19,
+Q20, Q21 — relational.py already carries Q1/Q3/Q5/Q7/Q8/Q9/Q10/Q12/Q16/Q22).
+Together these close the full 22-query TPC-H dial, which matters because the
+suite is the canonical catalogue of correlated-subquery dataflows: scalar
+aggregates in predicates (Q2/Q11/Q15/Q17), EXISTS/NOT-EXISTS (Q4/Q20/Q21),
+HAVING-driven semi-joins (Q18), and disjunctive multi-column predicates
+(Q19). Every correlated subquery is re-expressed as the decorrelated Spark
+plan a 1000-executor cluster wants: a grouped aggregate joined back on the
+correlation key (never a per-row re-scan), scalar thresholds as 1-row
+broadcast cross-joins, EXISTS as left-semi / NOT EXISTS as left-anti joins.
+
+Fixture-schema adaptations (same policy as relational.py's Q12/Q16/Q22,
+documented per query): no partsupp table → the part-supplier relation and
+its cost/stock columns derive from lineitem aggregates; no
+commitdate/receiptdate → "late" means shipped > N days after the order
+date. The dataflow graph of each query — which relations join, where the
+correlation sits, what gets counted — is unchanged.
+
+Cross-engine exactness follows the registry conventions: money on a
+BIGINT cents grid via FLOOR(x*100+0.5), quantity thresholds as integer
+cross-multiplies (qty*5*n < sum instead of qty < 0.2*avg), double
+aggregates ROUND(...,2), dates as epoch BIGINT, ratio outputs in ppm with
+a DECIMAL(38,0) numerator (int64 wraps silently at ~9.2e18; DuckDB's SUM
+promotes to HUGEINT — the decimal cast keeps both engines exact at any SF;
+see ADVICE r5 on q_market_share_promo_asia).
+
+Reference: rcardin/kafka-streams-playground KafkaStreamsApp.scala:104-189
+has no analytical queries at all — this module is extension surface
+(SURVEY.md §2.5-2.7) so reference users get a full OLAP suite on Spark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_streams_playground_spark.plans.registry import query
+from kafka_streams_playground_spark.sources.parquet import load_table
+
+
+def _cents(col: str | F.Column) -> F.Column:
+    c = F.col(col) if isinstance(col, str) else col
+    return F.floor(c * 100 + F.lit(0.5)).cast("bigint")
+
+
+# --------------------------------------------------------------------------
+# Q2 — minimum-cost supplier. No partsupp: supply cost is adapted to the
+# minimum observed line price (cents) per (partkey, suppkey) pair in
+# lineitem; region scoping and the correlated per-part MIN are Q2's.
+Q2_REGION = "EUROPE"
+Q2_SIZE = 15
+Q2_TYPE = "STANDARD"
+
+
+@query(
+    "q_min_cost_supplier",
+    oracle=f"""
+    WITH cost AS (
+      SELECT l_partkey, l_suppkey,
+             MIN(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT)) AS cost_cents
+      FROM lineitem GROUP BY 1, 2
+    ),
+    eligible AS (
+      SELECT c.l_partkey, c.l_suppkey, c.cost_cents
+      FROM cost c JOIN supplier s ON s.s_suppkey = c.l_suppkey
+      JOIN nation n ON n.n_nationkey = s.s_nationkey
+      JOIN region r ON r.r_regionkey = n.n_regionkey
+      WHERE r.r_name = '{Q2_REGION}'
+    )
+    SELECT CAST(p.p_partkey AS BIGINT) AS p_partkey, s.s_name, n.n_name,
+           CAST(e.cost_cents AS BIGINT) AS cost_cents
+    FROM eligible e
+    JOIN part p ON p.p_partkey = e.l_partkey
+    JOIN supplier s ON s.s_suppkey = e.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_size = {Q2_SIZE} AND p.p_type = '{Q2_TYPE}'
+      AND e.cost_cents = (SELECT MIN(e2.cost_cents) FROM eligible e2
+                          WHERE e2.l_partkey = e.l_partkey)
+    """,
+    tags=("extension", "tpch", "correlated", "bench"),
+)
+def q_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape — minimum-cost supplier: for {Q2_TYPE} parts of size
+    {Q2_SIZE}, which {Q2_REGION} supplier offers them cheapest (supply cost
+    adapted to the min observed line price per part-supplier pair — no
+    partsupp in the fixture schema, documented). The correlated
+    ``cost = (SELECT MIN ... WHERE partkey = outer.partkey)`` is the
+    textbook decorrelation target.
+
+    Spark shape: per-pair MIN is one partkey+suppkey-grouped partial agg
+    over the lineitem scan (projected to 3 columns); supplier/nation/region
+    are broadcast dims so the region filter never shuffles the fact; the
+    correlated MIN decorrelates into a PARTKEY-PARTITIONED window MIN over
+    the pair aggregate — single lineage, so lineitem is scanned exactly
+    once (a groupBy-min + join-back reads the fact twice here: column
+    pruning makes the two aggregate subplans non-canonical, defeating
+    ReuseExchange — measured, and pinned by the plan test), and the window
+    rides the pair shuffle's existing partkey clustering with a handful of
+    suppliers per part. At 100 TB the only wide exchange is the
+    pair-grouping; the part dim filter ({Q2_SIZE}/{Q2_TYPE}) broadcasts
+    and prunes before the window."""
+    cost = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", _cents("l_extendedprice").alias("pc"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min("pc").alias("cost_cents"))
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_nationkey"
+    )
+    nat = load_table(spark, sf_dir, "nation")
+    reg = load_table(spark, sf_dir, "region").filter(F.col("r_name") == Q2_REGION)
+    region_supp = (
+        supp.join(F.broadcast(nat), supp["s_nationkey"] == nat["n_nationkey"])
+        .join(F.broadcast(reg), F.col("n_regionkey") == reg["r_regionkey"])
+        .select("s_suppkey", "s_name", "n_name")
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_size") == Q2_SIZE) & (F.col("p_type") == Q2_TYPE))
+        .select("p_partkey")
+    )
+    eligible = (
+        cost.join(
+            F.broadcast(region_supp), cost["l_suppkey"] == region_supp["s_suppkey"]
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == part["p_partkey"])
+        .select("p_partkey", "s_name", "n_name", "cost_cents")
+    )
+    best = F.min("cost_cents").over(Window.partitionBy("p_partkey"))
+    return (
+        eligible.withColumn("best_cents", best)
+        .filter(F.col("cost_cents") == F.col("best_cents"))
+        .select(
+            F.col("p_partkey").cast("bigint").alias("p_partkey"),
+            "s_name",
+            "n_name",
+            F.col("cost_cents").cast("bigint").alias("cost_cents"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q4 — order-priority checking. "Late" adapted to shipped > Q4_LATE_DAYS
+# after the order date (no commitdate/receiptdate); EXISTS dataflow is Q4's.
+Q4_FROM = "1996-01-01"
+Q4_TO = "1996-04-01"
+Q4_LATE_DAYS = 60
+
+
+@query(
+    "q_order_priority_checking",
+    oracle=f"""
+    SELECT o.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '{Q4_FROM}'
+      AND o.o_orderdate < TIMESTAMP '{Q4_TO}'
+      AND EXISTS (SELECT 1 FROM lineitem l WHERE l.l_orderkey = o.o_orderkey
+                  AND l.l_shipdate > o.o_orderdate + INTERVAL '{Q4_LATE_DAYS} days')
+    GROUP BY 1
+    """,
+    tags=("extension", "tpch", "semijoin", "bench"),
+)
+def q_order_priority_checking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 shape — order-priority checking: per priority class, how
+    many one-quarter orders had at least one line shipped more than
+    {Q4_LATE_DAYS} days after ordering ("late" adapted from
+    commitdate<receiptdate, which the fixture schema lacks — documented).
+    Distinct from the Q12 shape (`q_late_shipment_priority` counts LINES
+    per returnflag); Q4's EXISTS counts ORDERS at most once however many
+    lines are late.
+
+    Spark shape: EXISTS becomes a left-semi join on orderkey with the
+    date-difference residual evaluated at the join — semi joins emit each
+    left row at most once, so no post-join distinct is needed; the
+    one-quarter filter prunes the orders scan before the shuffle, and the
+    5-row priority rollup is map-side partial. At 100 TB both sides
+    co-partition on orderkey; the semi join's early-out keeps the probe
+    cheap for orders with many lines."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= F.lit(Q4_FROM).cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit(Q4_TO).cast("timestamp"))
+        )
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    return (
+        orders.join(
+            li,
+            (orders["o_orderkey"] == li["l_orderkey"])
+            & (
+                li["l_shipdate"]
+                > F.col("o_orderdate") + F.expr(f"INTERVAL {Q4_LATE_DAYS} DAYS")
+            ),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q6 — forecasting revenue change: the pure scan-filter-aggregate probe.
+Q6_FROM = "1996-01-01"
+Q6_TO = "1997-01-01"
+Q6_DISC_LO = 0.05
+Q6_DISC_HI = 0.07
+Q6_QTY = 24
+
+
+@query(
+    "q_forecast_revenue",
+    oracle=f"""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '{Q6_FROM}' AND l_shipdate < TIMESTAMP '{Q6_TO}'
+      AND l_discount BETWEEN {Q6_DISC_LO} AND {Q6_DISC_HI}
+      AND l_quantity < {Q6_QTY}
+    """,
+    tags=("extension", "tpch", "scan", "bench"),
+)
+def q_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape — revenue-change forecast: the discount revenue that
+    would vanish if small-quantity discounts in one year were eliminated.
+    Deliberately the simplest plan in the suite: scan → conjunctive filter
+    → global sum, zero joins.
+
+    Spark shape: all three predicates and the 3-column projection push into
+    the parquet scan (`PushedFilters`/`ReadSchema` — pinned by the plan
+    test); the sum is a map-side partial into a 1-row final agg, so the
+    only exchange is 32 partial rows. This is the query that proves
+    pushdown works end-to-end: at 100 TB it reads the shipdate-pruned row
+    groups of 3 columns and nothing else."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit(Q6_FROM).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(Q6_TO).cast("timestamp"))
+            & (F.col("l_discount") >= Q6_DISC_LO)
+            & (F.col("l_discount") <= Q6_DISC_HI)
+            & (F.col("l_quantity") < Q6_QTY)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            )
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q11 — important stock. No partsupp: a part's "stock value" for one
+# nation's suppliers is adapted to the summed line price (cents) of that
+# nation's shipments of the part; the scalar-fraction HAVING is Q11's.
+Q11_NATIONKEY = 2
+Q11_FRACTION_DEN = 500  # keep parts worth > 1/500 of the nation's total
+
+
+@query(
+    "q_important_stock",
+    oracle=f"""
+    WITH v AS (
+      SELECT l.l_partkey AS p_partkey,
+             SUM(CAST(FLOOR(l.l_extendedprice * 100 + 0.5) AS BIGINT)) AS value_cents
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      WHERE s.s_nationkey = {Q11_NATIONKEY}
+      GROUP BY 1
+    ), tot AS (SELECT SUM(value_cents) AS total_cents FROM v)
+    SELECT CAST(v.p_partkey AS BIGINT) AS p_partkey,
+           CAST(v.value_cents AS BIGINT) AS value_cents
+    FROM v CROSS JOIN tot
+    WHERE CAST(v.value_cents AS DECIMAL(38,0)) * {Q11_FRACTION_DEN}
+              > tot.total_cents
+    """,
+    tags=("extension", "tpch", "scalar-subquery", "bench"),
+)
+def q_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape — important stock: parts whose value held via one
+    nation's suppliers exceeds 1/{Q11_FRACTION_DEN} of that nation's total
+    (value adapted to summed shipment price — no partsupp availqty in the
+    fixture schema, documented). The HAVING-against-a-global-scalar is the
+    canonical scalar-subquery-in-predicate dataflow.
+
+    Spark shape: the nation's suppliers are a broadcast filter on the
+    lineitem scan (dim-bounded — never a fact shuffle); per-part value is
+    one partkey-grouped partial agg, PERSISTED so both consumers — the
+    global total and the threshold filter — read the #parts-row aggregate
+    instead of re-scanning the fact (without the persist Spark planned two
+    full lineitem scans: column pruning de-canonicalizes the two aggregate
+    subplans so ReuseExchange never fires — measured, pinned by the plan
+    test); the total folds the persisted result into a 1-row broadcast
+    cross-join; the fraction test is an exact integer
+    cross-multiply with a DECIMAL(38,0) guard (int64 would wrap at
+    ~9.2e16 cents × {Q11_FRACTION_DEN} — DuckDB's HUGEINT doesn't, so the
+    decimal keeps engines bit-identical at any SF)."""
+    nation_supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_nationkey") == Q11_NATIONKEY)
+        .select("s_suppkey")
+    )
+    value = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_partkey", "l_suppkey", _cents("l_extendedprice").alias("pc"))
+        .join(F.broadcast(nation_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum("pc").alias("value_cents"))
+        .persist()
+    )
+    total = value.agg(F.sum("value_cents").alias("total_cents"))
+    return (
+        value.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("value_cents").cast("decimal(38,0)") * Q11_FRACTION_DEN
+            > F.col("total_cents")
+        )
+        .select(
+            F.col("l_partkey").cast("bigint").alias("p_partkey"),
+            F.col("value_cents").cast("bigint").alias("value_cents"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q13 — customer order-count distribution ("how many customers have k
+# orders"), excluding one priority class via the join condition (the
+# fixture orders table has no comment column for Q13's NOT LIKE —
+# documented; the outer-join-with-residual + double aggregation is Q13's).
+Q13_EXCL_PRIORITY = "1-URGENT"
+
+
+@query(
+    "q_cust_order_distribution",
+    oracle=f"""
+    WITH co AS (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT JOIN orders o
+        ON o.o_custkey = c.c_custkey
+       AND o.o_orderpriority <> '{Q13_EXCL_PRIORITY}'
+      GROUP BY 1
+    )
+    SELECT CAST(c_count AS BIGINT) AS c_count,
+           CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM co GROUP BY 1
+    """,
+    tags=("extension", "tpch", "outer-join", "bench"),
+)
+def q_cust_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 shape — customer distribution: the histogram of per-customer
+    order counts, where the exclusion predicate ({Q13_EXCL_PRIORITY}) lives
+    in the OUTER join condition, not a WHERE — customers whose every order
+    is excluded must still appear with count 0 (the subtlety Q13 exists to
+    test; a WHERE would silently drop them).
+
+    Spark shape: left-outer join shuffled on custkey with the priority
+    exclusion as a join-side residual (pushed to the orders scan as a
+    pre-join filter — safe on the non-preserved side); COUNT(o_orderkey)
+    counts matches only (NULL-skipping), giving the zero bucket for free;
+    the second aggregate runs over #customers rows keyed by the ~20
+    distinct counts — map-side partials collapse it to nearly nothing. At
+    100 TB the custkey shuffle is the only wide edge."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") != Q13_EXCL_PRIORITY)
+        .select("o_custkey", "o_orderkey")
+    )
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy(F.col("c_count").cast("bigint").alias("c_count")).agg(
+        F.count(F.lit(1)).alias("custdist")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q14 — promo revenue share over one month, in exact ppm.
+Q14_FROM = "1997-03-01"
+Q14_TO = "1997-04-01"
+Q14_PROMO_TYPE = "PROMO"
+
+
+@query(
+    "q_promo_revenue",
+    oracle=f"""
+    SELECT CAST(FLOOR(
+      CAST(SUM(CASE WHEN p.p_type = '{Q14_PROMO_TYPE}'
+           THEN CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                     AS BIGINT)
+           ELSE 0 END) AS DECIMAL(38,0)) * 1000000
+      / SUM(CAST(FLOOR(l.l_extendedprice * (1 - l.l_discount) * 100 + 0.5)
+                 AS BIGINT))
+    ) AS BIGINT) AS promo_rev_ppm
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '{Q14_FROM}'
+      AND l.l_shipdate < TIMESTAMP '{Q14_TO}'
+    """,
+    tags=("extension", "tpch", "join", "bench"),
+)
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape — promotion effect: the fraction of one month's
+    discounted revenue attributable to {Q14_PROMO_TYPE}-type parts,
+    reported in exact ppm (conditional-aggregate ratio over a dim join).
+
+    Spark shape: the month filter prunes the lineitem scan; the part dim
+    broadcasts (the fact never shuffles — the whole query is one scan plus
+    a 1-row agg); both ratio legs accumulate on the shared cents grid with
+    the numerator lifted to DECIMAL(38,0) before the ×1e6, matching
+    DuckDB's HUGEINT promotion so the ppm is bit-identical at any SF
+    (the *_ppm convention from ADVICE r5). At 100 TB: one pruned scan, one
+    broadcast, 32 partial rows."""
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit(Q14_FROM).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(Q14_TO).cast("timestamp"))
+        )
+        .select(
+            "l_partkey",
+            _cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rc"),
+        )
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    joined = li.join(F.broadcast(part), F.col("l_partkey") == part["p_partkey"])
+    promo = F.sum(
+        F.when(F.col("p_type") == Q14_PROMO_TYPE, F.col("rc")).otherwise(F.lit(0))
+    ).cast("decimal(38,0)")
+    return joined.agg(
+        F.floor(promo * 1000000 / F.sum("rc")).cast("bigint").alias("promo_rev_ppm")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q15 — top supplier of a quarter (ties kept, per the spec).
+Q15_FROM = "1996-01-01"
+Q15_TO = "1996-04-01"
+
+
+@query(
+    "q_top_supplier",
+    oracle=f"""
+    WITH rev AS (
+      SELECT l_suppkey,
+             SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 100 + 0.5)
+                      AS BIGINT)) AS total_rev_cents
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '{Q15_FROM}'
+        AND l_shipdate < TIMESTAMP '{Q15_TO}'
+      GROUP BY 1
+    )
+    SELECT CAST(r.l_suppkey AS BIGINT) AS s_suppkey, s.s_name,
+           CAST(r.total_rev_cents AS BIGINT) AS total_rev_cents
+    FROM rev r JOIN supplier s ON s.s_suppkey = r.l_suppkey
+    WHERE r.total_rev_cents = (SELECT MAX(total_rev_cents) FROM rev)
+    """,
+    tags=("extension", "tpch", "scalar-subquery", "bench"),
+)
+def q_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape — top supplier: the supplier(s) with the maximum
+    discounted revenue in one quarter (the spec's revenue view + scalar
+    MAX; ties must all surface, which is why this is an equality against
+    a scalar and not a LIMIT 1).
+
+    Spark shape: the quarter filter prunes the scan; per-supplier revenue
+    is one suppkey-grouped partial agg on the cents grid, PERSISTED — the
+    "view" is computed once and both legs (the MAX scalar and the equality
+    filter) read the #suppliers-row cache, never a second fact scan
+    (ReuseExchange does NOT fire here unaided: column pruning
+    de-canonicalizes the two aggregate subplans — measured, pinned by the
+    plan test); the MAX folds the cache into a 1-row broadcast
+    cross-join; the supplier dim
+    broadcasts for the name. Tie-keeping is exact because cents are
+    integers — no float-equality hazard. At 100 TB: one scan, one suppkey
+    shuffle, two broadcasts."""
+    rev = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit(Q15_FROM).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(Q15_TO).cast("timestamp"))
+        )
+        .select(
+            "l_suppkey",
+            _cents(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rc"),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("rc").alias("total_rev_cents"))
+        .persist()
+    )
+    best = rev.agg(F.max("total_rev_cents").alias("best_cents"))
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.crossJoin(F.broadcast(best))
+        .filter(F.col("total_rev_cents") == F.col("best_cents"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp["s_suppkey"])
+        .select(
+            F.col("l_suppkey").cast("bigint").alias("s_suppkey"),
+            "s_name",
+            F.col("total_rev_cents").cast("bigint").alias("total_rev_cents"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q17 — small-quantity-order revenue. The brand+container filter is adapted
+# to brand + size band (no p_container in the fixture schema); "below 20 %
+# of the part's average quantity" is the exact integer cross-multiply
+# qty*5*n < sum_qty.
+Q17_BRAND = "Brand#3"
+Q17_MAX_SIZE = 10
+
+
+@query(
+    "q_small_qty_revenue",
+    oracle=f"""
+    WITH pl AS (
+      SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+      FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+      WHERE p.p_brand = '{Q17_BRAND}' AND p.p_size <= {Q17_MAX_SIZE}
+    ),
+    pa AS (
+      SELECT l_partkey, COUNT(*) AS n_lines,
+             SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+      FROM pl GROUP BY 1
+    )
+    SELECT CAST(FLOOR(SUM(CAST(FLOOR(pl.l_extendedprice * 100 + 0.5) AS BIGINT))
+                      / 7.0) AS BIGINT) AS avg_yearly_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_small_lines
+    FROM pl JOIN pa ON pa.l_partkey = pl.l_partkey
+    WHERE CAST(pl.l_quantity AS BIGINT) * 5 * pa.n_lines < pa.sum_qty
+    """,
+    tags=("extension", "tpch", "correlated", "bench"),
+)
+def q_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape — small-quantity-order revenue: yearly revenue lost
+    if orders below 20 % of a part's average quantity were not filled,
+    over {Q17_BRAND} parts of size ≤ {Q17_MAX_SIZE} (brand+size stands in
+    for brand+container — no p_container column, documented). The
+    per-part correlated AVG in the predicate is Q17's signature.
+
+    Spark shape: the filtered part dim broadcasts onto the lineitem scan
+    (3 columns); the correlated AVG decorrelates into partkey-PARTITIONED
+    window (count, sum) aggregates over the brand's slice — single
+    lineage, one lineitem scan, one partkey shuffle (the groupBy +
+    join-back alternative reads the fact twice: pruning de-canonicalizes
+    the aggregate subplans and ReuseExchange never fires — measured);
+    the 20 % test is the integer cross-multiply qty×5×n < Σqty (exactly
+    qty < 0.2·avg for integral grid quantities — zero float averages
+    cross the engines). At 100 TB the brand filter makes the windowed
+    slice dim-sized before the exchange."""
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == Q17_BRAND) & (F.col("p_size") <= Q17_MAX_SIZE))
+        .select("p_partkey")
+    )
+    pl = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            "l_partkey",
+            F.col("l_quantity").cast("bigint").alias("qty"),
+            _cents("l_extendedprice").alias("pc"),
+        )
+        .join(F.broadcast(part), F.col("l_partkey") == part["p_partkey"])
+        .select("l_partkey", "qty", "pc")
+    )
+    w = Window.partitionBy("l_partkey")
+    return (
+        pl.withColumn("n_lines", F.count(F.lit(1)).over(w))
+        .withColumn("sum_qty", F.sum("qty").over(w))
+        .filter(F.col("qty") * 5 * F.col("n_lines") < F.col("sum_qty"))
+        .agg(
+            F.floor(F.sum("pc") / 7.0).cast("bigint").alias("avg_yearly_cents"),
+            F.count(F.lit(1)).alias("n_small_lines"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q18 — large-volume customers ("top customers by single-order quantity").
+Q18_MIN_QTY = 300
+
+
+@query(
+    "q_large_volume_customers",
+    oracle=f"""
+    WITH big AS (
+      SELECT l_orderkey, SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+      FROM lineitem GROUP BY 1
+      HAVING SUM(CAST(l_quantity AS BIGINT)) > {Q18_MIN_QTY}
+    )
+    SELECT c.c_name, CAST(c.c_custkey AS BIGINT) AS c_custkey,
+           CAST(o.o_orderkey AS BIGINT) AS o_orderkey,
+           CAST(floor(epoch(o.o_orderdate::TIMESTAMP)) AS BIGINT) AS order_epoch,
+           CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT) AS totalprice_cents,
+           CAST(big.sum_qty AS BIGINT) AS sum_qty
+    FROM big
+    JOIN orders o ON o.o_orderkey = big.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+    tags=("extension", "tpch", "having", "bench"),
+)
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape — large-volume customers: orders whose total line
+    quantity exceeds {Q18_MIN_QTY} units, with the customer who placed
+    them. The HAVING-subquery-in-IN dataflow; the classic trap is
+    re-scanning lineitem to recompute the quantity after the IN — the
+    aggregate that proved the order big already HAS the quantity.
+
+    Spark shape: one orderkey-grouped partial agg produces both the
+    HAVING filter and the output sum_qty (single lineitem scan — the IN
+    collapses into reusing the aggregate); the surviving orders are a tiny
+    fraction, so the orders join keys on orderkey and the customer dim
+    broadcasts. At 100 TB the orderkey shuffle is the only wide edge and
+    the HAVING prunes it to the big-order tail before either join."""
+    big = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", F.col("l_quantity").cast("bigint").alias("qty"))
+        .groupBy("l_orderkey")
+        .agg(F.sum("qty").alias("sum_qty"))
+        .filter(F.col("sum_qty") > Q18_MIN_QTY)
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), F.col("o_custkey") == cust["c_custkey"])
+        .select(
+            "c_name",
+            F.col("c_custkey").cast("bigint").alias("c_custkey"),
+            F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+            F.unix_timestamp("o_orderdate").alias("order_epoch"),
+            _cents("o_totalprice").alias("totalprice_cents"),
+            F.col("sum_qty").cast("bigint").alias("sum_qty"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q19 — discounted revenue under a disjunction of brand/size/quantity
+# bands (shipinstruct/shipmode conjuncts dropped — columns absent from the
+# fixture schema, documented; the OR-of-ANDs join predicate is Q19's).
+Q19_BANDS = (
+    ("Brand#1", 1, 5, 1, 11),
+    ("Brand#2", 1, 10, 10, 20),
+    ("Brand#3", 1, 15, 20, 30),
+)
+
+
+def _q19_band_sql() -> str:
+    parts = [
+        f"""(p.p_brand = '{b}' AND p.p_size BETWEEN {slo} AND {shi}
+             AND l.l_quantity BETWEEN {qlo} AND {qhi})"""
+        for b, slo, shi, qlo, qhi in Q19_BANDS
+    ]
+    return " OR ".join(parts)
+
+
+@query(
+    "q_disjunctive_revenue",
+    oracle=f"""
+    SELECT ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE {_q19_band_sql()}
+    """,
+    tags=("extension", "tpch", "join", "bench"),
+)
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 shape — discounted revenue across three disjunctive
+    brand/size/quantity bands (the OR-of-ANDs predicate that spans both
+    join sides — the optimizer-stressing query of the suite; fixture
+    schema lacks shipinstruct/shipmode so those conjuncts are dropped,
+    documented).
+
+    Spark shape: the part dim broadcasts, so the mixed predicate evaluates
+    map-side right after the broadcast probe — no fact shuffle at all;
+    Catalyst additionally extracts the disjunction's common part-side
+    implicant (brand ∈ {{bands}}) below the join to shrink the build side.
+    The quantity legs stay with the fact scan. One scan, one broadcast,
+    1-row agg — at 100 TB this is as cheap as Q6 plus a broadcast probe."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand", "p_size")
+    band = None
+    for b, slo, shi, qlo, qhi in Q19_BANDS:
+        leg = (
+            (F.col("p_brand") == b)
+            & F.col("p_size").between(slo, shi)
+            & F.col("l_quantity").between(qlo, qhi)
+        )
+        band = leg if band is None else (band | leg)
+    return (
+        li.join(F.broadcast(part), F.col("l_partkey") == part["p_partkey"])
+        .filter(band)
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q20 — potential part promotion. No partsupp availqty: "excess stock" is
+# adapted to "this supplier shipped more than half the part's total shipped
+# quantity in the window" (same shape: per-pair quantity vs a correlated
+# per-part threshold); part-name prefix and nation scoping are Q20's.
+Q20_FROM = "1998-01-01"
+Q20_TO = "1999-01-01"
+Q20_NAME_PREFIX = "small"
+Q20_NATION = "NATION_2"
+
+
+@query(
+    "q_dominant_part_suppliers",
+    oracle=f"""
+    WITH shipped AS (
+      SELECT l_partkey, l_suppkey, SUM(CAST(l_quantity AS BIGINT)) AS qty
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '{Q20_FROM}'
+        AND l_shipdate < TIMESTAMP '{Q20_TO}'
+      GROUP BY 1, 2
+    ),
+    ptot AS (SELECT l_partkey, SUM(qty) AS part_qty FROM shipped GROUP BY 1)
+    SELECT DISTINCT CAST(s.s_suppkey AS BIGINT) AS s_suppkey, s.s_name
+    FROM shipped sh
+    JOIN ptot pt ON pt.l_partkey = sh.l_partkey
+    JOIN part p ON p.p_partkey = sh.l_partkey
+    JOIN supplier s ON s.s_suppkey = sh.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE p.p_name LIKE '{Q20_NAME_PREFIX}%' AND sh.qty * 2 > pt.part_qty
+      AND n.n_name = '{Q20_NATION}'
+    """,
+    tags=("extension", "tpch", "correlated", "semijoin", "bench"),
+)
+def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape — potential part promotion: {Q20_NATION} suppliers
+    who dominated supply of a '{Q20_NAME_PREFIX}…' part in one year —
+    shipped more than half the part's total (no partsupp availqty in the
+    fixture schema, so "stock exceeding half of sold quantity" becomes
+    "shipped more than half of the part's shipped quantity"; the nested
+    IN-chains with a correlated half-sum threshold are Q20's dataflow).
+
+    Spark shape: Q20's three nested INs decorrelate into (a) a name-prefix
+    part dim broadcast-semi-joined onto the pair aggregate, (b) the
+    correlated half-sum as a partkey-PARTITIONED window SUM over the pair
+    aggregate — single lineage, the fact is scanned once and the window
+    rides the pair shuffle's partkey clustering over the few suppliers per
+    part (a re-aggregate + join-back scans the fact twice: pruning
+    de-canonicalizes the subplans and ReuseExchange never fires —
+    measured, pinned by the plan test), (c) the nation filter as a
+    broadcast supplier dim.
+    The final DISTINCT runs over an already-dim-bounded supplier set. At
+    100 TB the window filter prunes the scan and the single wide edge is
+    the (partkey, suppkey) grouping."""
+    shipped = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(
+            (F.col("l_shipdate") >= F.lit(Q20_FROM).cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit(Q20_TO).cast("timestamp"))
+        )
+        .select(
+            "l_partkey",
+            "l_suppkey",
+            F.col("l_quantity").cast("bigint").alias("qty"),
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("qty").alias("qty"))
+        .withColumn(
+            "part_qty", F.sum("qty").over(Window.partitionBy("l_partkey"))
+        )
+    )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").startswith(Q20_NAME_PREFIX))
+        .select("p_partkey")
+    )
+    nat = load_table(spark, sf_dir, "nation").filter(F.col("n_name") == Q20_NATION)
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(F.broadcast(nat), F.col("s_nationkey") == nat["n_nationkey"])
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        shipped.filter(F.col("qty") * 2 > F.col("part_qty"))
+        .join(F.broadcast(part), F.col("l_partkey") == part["p_partkey"], "left_semi")
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp["s_suppkey"])
+        .select(F.col("s_suppkey").cast("bigint").alias("s_suppkey"), "s_name")
+        .distinct()
+    )
+
+
+# --------------------------------------------------------------------------
+# Q21 — suppliers who kept orders waiting. "Late" adapted to shipped >
+# Q21_LATE_DAYS after the order date (no receipt/commit dates); the
+# EXISTS(other supplier) ∧ NOT EXISTS(other late supplier) pair is Q21's.
+Q21_LATE_DAYS = 60
+
+
+@query(
+    "q_waiting_suppliers",
+    oracle=f"""
+    WITH li AS (
+      SELECT l.l_orderkey, l.l_suppkey,
+             CASE WHEN l.l_shipdate > o.o_orderdate
+                       + INTERVAL '{Q21_LATE_DAYS} days'
+                  THEN 1 ELSE 0 END AS late
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      WHERE o.o_orderstatus = 'F'
+    ),
+    po AS (
+      SELECT l_orderkey,
+             COUNT(DISTINCT l_suppkey) AS n_supp,
+             COUNT(DISTINCT CASE WHEN late = 1 THEN l_suppkey END) AS n_late,
+             MAX(CASE WHEN late = 1 THEN l_suppkey END) AS late_supp
+      FROM li GROUP BY 1
+    )
+    SELECT s.s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+    FROM po JOIN supplier s ON s.s_suppkey = po.late_supp
+    WHERE po.n_supp > 1 AND po.n_late = 1
+    GROUP BY 1
+    """,
+    tags=("extension", "tpch", "antijoin", "bench"),
+)
+def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape — suppliers who kept orders waiting: for finalized
+    multi-supplier orders where EXACTLY ONE supplier shipped late
+    (> {Q21_LATE_DAYS} days after ordering — the documented adaptation of
+    receiptdate > commitdate), charge that supplier one "wait" and rank
+    suppliers by waits. The spec phrases this as EXISTS(another supplier
+    on the order) AND NOT EXISTS(another LATE supplier) — the hardest
+    correlated pair in the suite.
+
+    Spark shape: both correlated EXISTS quantifiers collapse into ONE
+    orderkey-grouped aggregate over the order-joined lineitem:
+    n_supp = COUNT(DISTINCT suppkey) proves the EXISTS, n_late = 1 proves
+    the NOT-EXISTS, and MAX(CASE WHEN late) recovers the unique culprit's
+    identity without any array state (valid exactly because n_late = 1
+    filters first). Three self-join re-scans in the literal spec plan
+    become one scan + one orderkey shuffle; the supplier dim broadcasts
+    for the name and the final rollup is dim-bounded. At 100 TB this
+    rewrite is the difference between 4 fact shuffles and 1."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    late = (
+        F.col("l_shipdate")
+        > F.col("o_orderdate") + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAYS")
+    ).cast("int")
+    po = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .select("l_orderkey", "l_suppkey", late.alias("late"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.count_distinct("l_suppkey").alias("n_supp"),
+            F.count_distinct(
+                F.when(F.col("late") == 1, F.col("l_suppkey"))
+            ).alias("n_late"),
+            F.max(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias("late_supp"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        po.join(F.broadcast(supp), po["late_supp"] == supp["s_suppkey"])
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
