@@ -98,12 +98,17 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_disjunctive_revenue",
     "q_dominant_part_suppliers",
     "q_waiting_suppliers",
-    # ---- stale retention: the three r3-last-seen members whose machinery
-    # has NO slotted sibling (bottom-K sketch fold, banded simhash,
-    # cogroup reconciliation) keep their promised r6 slots
+    # ---- NEW late in round 6: distributed Gram/covariance accumulation
+    # (the PCA-whitening pre-step; new>stale)
+    "embedding_covariance_matrix",
+    # ---- stale retention: the two r3-last-seen members whose machinery
+    # has NO slotted sibling (bottom-K sketch fold, banded simhash) keep
+    # their promised r6 slots; cogroup_order_reconciliation — the third
+    # no-sibling r3 member — is displaced by the covariance query under
+    # new>stale (r3-driver-green, unchanged since, replica-checked; it
+    # leads round 7)
     "agg_kmv_distinct_sketch",
     "dedup_simhash_banded",
-    "cogroup_order_reconciliation",
     # (displaced by the TPC-H dozen, each unchanged since its driver green
     # and re-checked every round by the full-registry replica:
     # r2-cohort — dedup_ngram_jaccard (exact-Jaccard leg runs verbatim

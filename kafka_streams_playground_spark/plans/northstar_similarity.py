@@ -1398,3 +1398,125 @@ def sim_matryoshka_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"n_hits * 1000000 div {TOP_K}").alias("recall_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Covariance / Gram matrix — the PCA-whitening pre-step
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_covariance_matrix",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id,
+             unnest(range(len(embedding))) AS dim,
+             CAST(FLOOR(unnest(embedding::DOUBLE[]) * 1000000 + 0.5) AS BIGINT)
+                 AS xi
+      FROM embeddings
+    ),
+    s AS (SELECT dim, CAST(SUM(xi) AS BIGINT) AS sx FROM x GROUP BY dim),
+    nn AS (SELECT COUNT(*) AS n FROM embeddings),
+    p AS (
+      SELECT a.dim AS i, b.dim AS j, CAST(SUM(a.xi * b.xi) AS BIGINT) AS sxy
+      FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.dim <= b.dim
+      GROUP BY 1, 2
+    )
+    SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
+           CAST((nn.n * p.sxy - si.sx * sj.sx) // (nn.n * nn.n) AS BIGINT)
+               AS cov_e12
+    FROM p
+    JOIN s si ON si.dim = p.i
+    JOIN s sj ON sj.dim = p.j
+    CROSS JOIN nn
+    """,
+    tags=("northstar", "similarity", "embedding", "quality", "bench"),
+)
+def embedding_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus covariance matrix over the embedding dimensions — the input
+    every PCA / ZCA-whitening / Mahalanobis pipeline stage needs before an
+    ANN index or SemDeDup pass consumes a new embedding drop (the
+    cross-dim complement of ``embedding_dim_stats``' per-dim moments: a
+    near-rank-deficient covariance flags an encoder collapse that per-dim
+    variance alone cannot see). Output: the d(d+1)/2 upper triangle as
+    (i, j, cov_e12) with the covariance numerator identity
+    (n·Σxᵢxⱼ − Σxᵢ·Σxⱼ) // n² on the 1e-6 coordinate grid — order-free
+    integer folds, bit-equal across engines and partition counts.
+
+    Spark shape: ONE Arrow ``mapInPandas`` pass computes a per-batch
+    (d × d) int64 Gram block with a single numpy matmul plus the per-dim
+    sums and row count, emitting only the d(d+1)/2 + d partial rows per
+    batch — the raw N·d² products NEVER materialize as rows (a
+    posexplode self-join — the oracle's shape — would shuffle N·d rows
+    and join-explode to N·d²; here the shuffle carries #batches·2 144
+    rows regardless of N). The diagonal partials carry (Σxᵢ, n) so one
+    2 080-row aggregate plus a broadcast join-back of its own diagonal
+    assembles the centered numerator — no second scan. At 100 TB this is
+    the canonical distributed Gram accumulation: scan-bound,
+    embarrassingly parallel, O(d²) state per task. Headroom: n·Σxᵢxⱼ and
+    Σxᵢ·Σxⱼ stay inside int64 while n·(max|x|·1e6)² < 9.2e18 — ~9 M
+    unit-normalized vectors; beyond that widen the final numerator to
+    DECIMAL(38,0) in both engines (same plan, wider lanes — the
+    ``embedding_dim_stats`` convention).
+
+    Eigendecomposition of the returned d×d matrix is O(d³) driver/client
+    work on config-sized data — deliberately out of plan scope (the
+    SCALE.md O(config)-collect stance, same class as the IVF centroid
+    collects)."""
+    import numpy as np
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+    d = DIM
+
+    def gram_blocks(batches):
+        iu, ju = np.triu_indices(d)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            xv = np.stack(pdf["v"].to_numpy())  # (b, d) float64
+            xi = np.floor(xv * 1e6 + 0.5).astype(np.int64)
+            g = xi.T @ xi  # (d, d) int64 Gram block
+            out = pd.DataFrame(
+                {"i": iu, "j": ju, "sxy": g[iu, ju], "sx": 0, "cnt": 0}
+            )
+            diag = out["i"] == out["j"]
+            out.loc[diag, "sx"] = xi.sum(axis=0)
+            out.loc[diag, "cnt"] = len(pdf)
+            yield out
+
+    partials = emb.mapInPandas(
+        gram_blocks, "i long, j long, sxy long, sx long, cnt long"
+    )
+    agg = (
+        partials.groupBy("i", "j")
+        .agg(
+            F.sum("sxy").alias("sxy"),
+            F.sum("sx").alias("sx"),
+            F.sum("cnt").alias("cnt"),
+        )
+        .persist()
+    )
+    diag = agg.filter(F.col("i") == F.col("j")).select(
+        F.col("i").alias("dim"), F.col("sx").alias("dim_sx"), F.col("cnt").alias("n")
+    )
+    di = diag.select(
+        F.col("dim").alias("di_dim"), F.col("dim_sx").alias("sx_i"), "n"
+    )
+    dj = diag.select(F.col("dim").alias("dj_dim"), F.col("dim_sx").alias("sx_j"))
+    return (
+        agg.join(F.broadcast(di), agg["i"] == F.col("di_dim"))
+        .join(F.broadcast(dj), agg["j"] == F.col("dj_dim"))
+        .select(
+            "i",
+            "j",
+            # integer `div` (truncating, pure int64) — matches DuckDB's
+            # `//`, which also truncates toward zero; a FLOOR(a / b) here
+            # would route through double division and lose exactness past
+            # 2^53 numerators (and floor≠truncate on negative covariances)
+            F.expr("(n * sxy - sx_i * sx_j) div (n * n)")
+            .cast("bigint")
+            .alias("cov_e12"),
+        )
+    )

@@ -595,3 +595,16 @@ def test_plan_lint_unpartitioned_windows_whitelisted(spark, sf_dir):
         hits - set(UNPARTITIONED_WINDOW_WHITELIST),
         set(UNPARTITIONED_WINDOW_WHITELIST) - hits,
     )
+
+
+def test_covariance_partials_never_materialize_nxd2(spark, sf_dir):
+    """The Gram accumulation must be ONE Arrow mapInPandas pass emitting
+    O(d^2) partial rows per batch — no posexplode (Generate) of the N*d
+    coordinates and no self-join of them (the oracle's shape, which would
+    shuffle N*d and explode to N*d^2); the diagonal join-back of the
+    2 080-row aggregate must broadcast."""
+    plan = _plan(spark, sf_dir, "embedding_covariance_matrix")
+    assert "MapInPandas" in plan, plan
+    assert "Generate" not in plan, plan
+    assert len(re.findall(r"Location:[^\n]*embeddings", plan)) == 1, plan
+    assert "BroadcastHashJoin" in plan, plan
