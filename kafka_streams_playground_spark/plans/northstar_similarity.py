@@ -1405,10 +1405,11 @@ def sim_matryoshka_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "embedding_covariance_matrix",
-    oracle="""
-    WITH x AS (
+# Shared covariance CTE chain (upper triangle on the exact grids) — the
+# oracle body of ``embedding_covariance_matrix`` and the seed relation of
+# ``embedding_pca_power_iteration``'s oracle.
+_COV_CTES = """
+    x AS (
       SELECT vec_id,
              unnest(range(len(embedding))) AS dim,
              CAST(FLOOR(unnest(embedding::DOUBLE[]) * 1000000 + 0.5) AS BIGINT)
@@ -1421,14 +1422,23 @@ def sim_matryoshka_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT a.dim AS i, b.dim AS j, CAST(SUM(a.xi * b.xi) AS BIGINT) AS sxy
       FROM x a JOIN x b ON a.vec_id = b.vec_id AND a.dim <= b.dim
       GROUP BY 1, 2
-    )
-    SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
-           CAST((nn.n * p.sxy - si.sx * sj.sx) // (nn.n * nn.n) AS BIGINT)
-               AS cov_e12
-    FROM p
-    JOIN s si ON si.dim = p.i
-    JOIN s sj ON sj.dim = p.j
-    CROSS JOIN nn
+    ),
+    cov AS (
+      SELECT CAST(p.i AS BIGINT) AS i, CAST(p.j AS BIGINT) AS j,
+             CAST((nn.n * p.sxy - si.sx * sj.sx) // (nn.n * nn.n) AS BIGINT)
+                 AS cov_e12
+      FROM p
+      JOIN s si ON si.dim = p.i
+      JOIN s sj ON sj.dim = p.j
+      CROSS JOIN nn
+    )"""
+
+
+@query(
+    "embedding_covariance_matrix",
+    oracle=f"""
+    WITH {_COV_CTES}
+    SELECT i, j, cov_e12 FROM cov
     """,
     tags=("northstar", "similarity", "embedding", "quality", "bench"),
 )
@@ -1463,6 +1473,13 @@ def embedding_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     work on config-sized data — deliberately out of plan scope (the
     SCALE.md O(config)-collect stance, same class as the IVF centroid
     collects)."""
+    return _covariance_upper(spark, sf_dir)
+
+
+def _covariance_upper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(i, j, cov_e12) upper triangle via the single-pass Gram accumulation
+    (see ``embedding_covariance_matrix``); shared with the power-iteration
+    query."""
     import numpy as np
 
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -1520,3 +1537,88 @@ def embedding_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cov_e12"),
         )
     )
+
+
+PCA_ITERS = 3  # fixed unrolled power-iteration rounds (plan-build-time)
+
+
+def _pca_iter_ctes() -> str:
+    ctes = [
+        """covf AS (
+      SELECT i, j, cov_e12 // 1000000 AS c6 FROM cov
+      UNION ALL
+      SELECT j, i, cov_e12 // 1000000 FROM cov WHERE i < j
+    ),
+    v0 AS (SELECT unnest(range(64)) AS dim, CAST(1000000 AS BIGINT) AS v)"""
+    ]
+    for t in range(1, PCA_ITERS + 1):
+        ctes.append(
+            f"""w{t} AS (
+      SELECT covf.i AS dim, CAST(SUM(covf.c6 * v{t-1}.v) AS BIGINT) AS w
+      FROM covf JOIN v{t-1} ON v{t-1}.dim = covf.j GROUP BY 1
+    ),
+    m{t} AS (SELECT MAX(ABS(w)) AS ma FROM w{t}),
+    v{t} AS (
+      SELECT dim, CAST((w * 1000000) // ma AS BIGINT) AS v
+      FROM w{t} CROSS JOIN m{t}
+    )"""
+        )
+    return ",\n    ".join(ctes)
+
+
+@query(
+    "embedding_pca_power_iteration",
+    oracle=f"""
+    WITH {_COV_CTES},
+    {_pca_iter_ctes()}
+    SELECT CAST(dim AS BIGINT) AS dim, v AS v_e6 FROM v{PCA_ITERS}
+    """,
+    tags=("northstar", "similarity", "embedding", "bench"),
+)
+def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dominant principal direction of the embedding corpus by {PCA_ITERS}
+    exact integer-grid power-iteration rounds over the distributed
+    covariance — the first eigenvector every PCA-whitening / spectral
+    drift check needs, computed WITHOUT any driver-side linear algebra:
+    matvec = join + grouped sum over the (i, j, cov) relation, rescale =
+    1-row broadcast max|w| with truncating integer division (both engines
+    truncate toward zero, so every round is bit-identical; starting
+    vector is the uniform 1e6 grid). Output: the 64-row direction
+    estimate (dim, v_e6), max-abs-normalized to ±1e6.
+
+    Spark shape: the covariance relation comes from the same single-pass
+    Gram accumulation as ``embedding_covariance_matrix`` (one fact scan,
+    O(d²) partials per batch); each unrolled round is a d²-row
+    broadcast-joined matvec + a 1-row max — all O(config) dataflow, so
+    the WHOLE iteration tail costs nothing at 100 TB; only the Gram pass
+    touches the corpus. The per-round rescale uses the e6 covariance grid
+    (cov_e12 div 1e6) so d · max|c6| · 1e6 · 1e6 stays inside int64 —
+    documented headroom, same stance as the covariance query. Fixed
+    iteration count at plan-build time (the ``kmeans_ivf_train``
+    precedent); convergence diagnostics (Rayleigh quotient deltas) are
+    client work over the 64-row output."""
+    cov = _covariance_upper(spark, sf_dir).persist()
+    lower = cov.filter(F.col("i") < F.col("j")).select(
+        F.col("j").alias("i"), F.col("i").alias("j"), "cov_e12"
+    )
+    covf = (
+        cov.select("i", "j", "cov_e12")
+        .unionAll(lower)
+        .select("i", "j", F.expr("cov_e12 div 1000000").alias("c6"))
+    )
+    v = spark.range(DIM).select(
+        F.col("id").cast("bigint").alias("dim"),
+        F.lit(1000000).cast("bigint").alias("v"),
+    )
+    for _ in range(PCA_ITERS):
+        w = (
+            covf.join(F.broadcast(v), covf["j"] == v["dim"])
+            .groupBy(covf["i"].alias("wdim"))
+            .agg(F.sum(F.col("c6") * F.col("v")).alias("w"))
+        )
+        m = w.agg(F.max(F.abs(F.col("w"))).alias("ma"))
+        v = w.crossJoin(F.broadcast(m)).select(
+            F.col("wdim").alias("dim"),
+            F.expr("(w * 1000000) div ma").cast("bigint").alias("v"),
+        )
+    return v.select("dim", F.col("v").alias("v_e6"))

@@ -802,6 +802,31 @@ def q_dominant_part_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 Q21_LATE_DAYS = 60
 
 
+
+
+def waiting_supplier_charges(lines: DataFrame) -> DataFrame:
+    """Q21's quantifier pair over a (l_orderkey, l_suppkey, late∈{0,1})
+    relation: one row per order where EXISTS another supplier on the order
+    AND NOT EXISTS another late supplier — i.e. ≥2 distinct suppliers and
+    EXACTLY ONE of them late — with ``late_supp`` recovering that unique
+    culprit. Both quantifiers collapse into a single orderkey-grouped
+    aggregate; MAX(CASE WHEN late) is a valid identity recovery precisely
+    because the n_late = 1 filter holds. Property-pinned against a literal
+    per-order quantifier evaluation on random relations
+    (test_waiting_charges_match_literal_quantifiers)."""
+    return (
+        lines.groupBy("l_orderkey")
+        .agg(
+            F.count_distinct("l_suppkey").alias("n_supp"),
+            F.count_distinct(
+                F.when(F.col("late") == 1, F.col("l_suppkey"))
+            ).alias("n_late"),
+            F.max(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias("late_supp"),
+        )
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+    )
+
+
 @query(
     "q_waiting_suppliers",
     oracle=f"""
@@ -857,18 +882,10 @@ def q_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_shipdate")
         > F.col("o_orderdate") + F.expr(f"INTERVAL {Q21_LATE_DAYS} DAYS")
     ).cast("int")
-    po = (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
-        .select("l_orderkey", "l_suppkey", late.alias("late"))
-        .groupBy("l_orderkey")
-        .agg(
-            F.count_distinct("l_suppkey").alias("n_supp"),
-            F.count_distinct(
-                F.when(F.col("late") == 1, F.col("l_suppkey"))
-            ).alias("n_late"),
-            F.max(F.when(F.col("late") == 1, F.col("l_suppkey"))).alias("late_supp"),
+    po = waiting_supplier_charges(
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"]).select(
+            "l_orderkey", "l_suppkey", late.alias("late")
         )
-        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
     )
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (

@@ -239,3 +239,48 @@ def test_star_contraction_matches_bruteforce_components(spark, edges):
     labels, _ = min_label_propagation(df)
     got = {r["node"]: r["comp"] for r in labels.collect()}
     assert got == want, (sorted(edges), got, want)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    lines=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),   # orderkey
+            st.integers(min_value=0, max_value=4),   # suppkey
+            st.integers(min_value=0, max_value=1),   # late flag
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_waiting_charges_match_literal_quantifiers(spark, lines):
+    """Q21's single-aggregate rewrite (n_supp > 1 ∧ n_late = 1 ∧ MAX-CASE
+    culprit recovery) must equal a LITERAL per-order evaluation of the
+    spec's quantifier pair — EXISTS(another supplier on the order) AND
+    NOT EXISTS(another late supplier) charging the late supplier — on
+    arbitrary (orderkey, suppkey, late) relations. The DuckDB oracle uses
+    the same rewrite, so only this test ties the rewrite to the spec
+    semantics."""
+    from kafka_streams_playground_spark.plans.tpch_completion import (
+        waiting_supplier_charges,
+    )
+
+    df = spark.createDataFrame(lines, "l_orderkey int, l_suppkey int, late int")
+    got = {
+        (r["l_orderkey"], r["late_supp"])
+        for r in waiting_supplier_charges(df).collect()
+    }
+
+    # literal quantifiers: for each order, each late supplier is charged
+    # iff another supplier exists on the order and no OTHER supplier is late
+    by_order: dict[int, dict[int, bool]] = {}
+    for ok, sk, late in lines:
+        by_order.setdefault(ok, {})
+        by_order[ok][sk] = by_order[ok].get(sk, False) or bool(late)
+    want = set()
+    for ok, supps in by_order.items():
+        late_supps = {s for s, is_late in supps.items() if is_late}
+        for s in late_supps:
+            if len(supps) > 1 and not (late_supps - {s}):
+                want.add((ok, s))
+    assert got == want, (sorted(got), sorted(want))
