@@ -1579,46 +1579,50 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
     """Dominant principal direction of the embedding corpus by {PCA_ITERS}
     exact integer-grid power-iteration rounds over the distributed
     covariance — the first eigenvector every PCA-whitening / spectral
-    drift check needs, computed WITHOUT any driver-side linear algebra:
-    matvec = join + grouped sum over the (i, j, cov) relation, rescale =
-    1-row broadcast max|w| with truncating integer division (both engines
-    truncate toward zero, so every round is bit-identical; starting
-    vector is the uniform 1e6 grid). Output: the 64-row direction
-    estimate (dim, v_e6), max-abs-normalized to ±1e6.
+    drift check needs, with zero driver-side linear algebra: the whole
+    iteration tail runs IN-CLUSTER as one Arrow task over the coalesced
+    O(d²) covariance relation (matvec = int64 matmul, rescale = max|w|
+    with truncation-toward-zero integer division — DuckDB's `//` and
+    Spark's `div` semantics, replicated exactly in numpy as
+    sign·(|a|//b); starting vector is the uniform 1e6 grid). Output: the
+    64-row direction estimate (dim, v_e6), max-abs-normalized to ±1e6.
 
-    Spark shape: the covariance relation comes from the same single-pass
-    Gram accumulation as ``embedding_covariance_matrix`` (one fact scan,
-    O(d²) partials per batch); each unrolled round is a d²-row
-    broadcast-joined matvec + a 1-row max — all O(config) dataflow, so
-    the WHOLE iteration tail costs nothing at 100 TB; only the Gram pass
-    touches the corpus. The per-round rescale uses the e6 covariance grid
-    (cov_e12 div 1e6) so d · max|c6| · 1e6 · 1e6 stays inside int64 —
-    documented headroom, same stance as the covariance query. Fixed
-    iteration count at plan-build time (the ``kmeans_ivf_train``
-    precedent); convergence diagnostics (Rayleigh quotient deltas) are
-    client work over the 64-row output."""
-    cov = _covariance_upper(spark, sf_dir).persist()
-    lower = cov.filter(F.col("i") < F.col("j")).select(
-        F.col("j").alias("i"), F.col("i").alias("j"), "cov_e12"
-    )
-    covf = (
-        cov.select("i", "j", "cov_e12")
-        .unionAll(lower)
-        .select("i", "j", F.expr("cov_e12 div 1000000").alias("c6"))
-    )
-    v = spark.range(DIM).select(
-        F.col("id").cast("bigint").alias("dim"),
-        F.lit(1000000).cast("bigint").alias("v"),
-    )
-    for _ in range(PCA_ITERS):
-        w = (
-            covf.join(F.broadcast(v), covf["j"] == v["dim"])
-            .groupBy(covf["i"].alias("wdim"))
-            .agg(F.sum(F.col("c6") * F.col("v")).alias("w"))
-        )
-        m = w.agg(F.max(F.abs(F.col("w"))).alias("ma"))
-        v = w.crossJoin(F.broadcast(m)).select(
-            F.col("wdim").alias("dim"),
-            F.expr("(w * 1000000) div ma").cast("bigint").alias("v"),
-        )
-    return v.select("dim", F.col("v").alias("v_e6"))
+    Spark shape: the covariance comes from the same single-pass Gram
+    accumulation as ``embedding_covariance_matrix`` (one fact scan, O(d²)
+    partials per batch); the tail is ONE coalesce(1) + mapInPandas stage
+    over d(d+1)/2 rows — a single job, no per-round shuffles (a first cut
+    ran each round as join + groupBy + broadcast-scalar DataFrame ops:
+    correct, but ~3.5 s of pure scheduling for 4 096 rows at sf0.1; the
+    one-task tail is the right shape because the relation is CONFIG-sized
+    — same O(d²)-bounded stance as the IVF/PQ codebook collects, except
+    the data never even leaves the cluster). The rescale uses the e6
+    covariance grid (cov_e12 trunc-div 1e6) so d · max|c6| · 1e6 · 1e6
+    stays inside int64 — documented headroom, same stance as the
+    covariance query. Fixed iteration count at plan-build time (the
+    ``kmeans_ivf_train`` precedent); convergence diagnostics (Rayleigh
+    quotient deltas) are client work over the 64-row output."""
+    import numpy as np
+
+    cov = _covariance_upper(spark, sf_dir)
+    d = DIM
+
+    def iterate(batches):
+        chunks = [pdf for pdf in batches if len(pdf)]
+        if not chunks:
+            return
+        up = pd.concat(chunks, ignore_index=True)
+        c6mat = np.zeros((d, d), dtype=np.int64)
+        ii = up["i"].to_numpy(dtype=np.int64)
+        jj = up["j"].to_numpy(dtype=np.int64)
+        cc = up["cov_e12"].to_numpy(dtype=np.int64)
+        c6 = np.sign(cc) * (np.abs(cc) // 1000000)  # trunc toward zero
+        c6mat[ii, jj] = c6
+        c6mat[jj, ii] = c6  # mirror the upper triangle
+        v = np.full(d, 1000000, dtype=np.int64)
+        for _ in range(PCA_ITERS):
+            w = c6mat @ v
+            ma = np.abs(w).max()
+            v = np.sign(w) * ((np.abs(w) * 1000000) // ma)
+        yield pd.DataFrame({"dim": np.arange(d, dtype=np.int64), "v_e6": v})
+
+    return cov.coalesce(1).mapInPandas(iterate, "dim long, v_e6 long")
