@@ -100,11 +100,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q_waiting_suppliers",
     # ---- NEW late in round 6: distributed Gram/covariance accumulation
     # (the PCA-whitening pre-step; new>stale).
-    # (embedding_pca_power_iteration — added right after — defers by the
-    # sibling rule: its covariance relation IS this slotted query's
-    # machinery verbatim, and the iteration tail is O(config) dataflow
-    # whose integer matvec/rescale rounds the full-registry replica
-    # checks; it leads round 7)
+    # (embedding_pca_power_iteration and stream_embedding_covariance —
+    # added right after — defer by the sibling rule: the covariance
+    # relation both consume IS this slotted query's machinery verbatim
+    # (the streaming twin even shares its oracle string), the PCA
+    # iteration tail is O(config) integer dataflow, and the stream twin's
+    # micro-batch fold is the property-pinned partition-invariant
+    # aggregate; the full-registry replica checks both; they lead
+    # round 7)
     "embedding_covariance_matrix",
     # ---- stale retention: the two r3-last-seen members whose machinery
     # has NO slotted sibling (bottom-K sketch fold, banded simhash) keep

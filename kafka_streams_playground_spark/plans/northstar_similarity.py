@@ -1476,15 +1476,18 @@ def embedding_covariance_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _covariance_upper(spark, sf_dir)
 
 
-def _covariance_upper(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(i, j, cov_e12) upper triangle via the single-pass Gram accumulation
-    (see ``embedding_covariance_matrix``); shared with the power-iteration
-    query."""
+def gram_partials(emb: DataFrame) -> DataFrame:
+    """Per-batch Gram partials over a ``v array<double>`` column: one Arrow
+    pass emitting (i, j, sxy, sx, cnt) rows — d(d+1)/2 upper-triangle
+    products per batch, with the per-dim sums and row count carried on the
+    diagonal rows. Works identically on a batch OR streaming DataFrame
+    (stateless map), which is what makes the streaming twin a one-liner:
+    the running groupBy(i, j) SUM of these partials IS the incremental
+    Gram state. Partition-invariance (any batch split folds to the same
+    aggregate) is property-pinned by
+    test_covariance_partials_are_partition_invariant."""
     import numpy as np
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        F.col("embedding").cast("array<double>").alias("v")
-    )
     d = DIM
 
     def gram_blocks(batches):
@@ -1503,18 +1506,25 @@ def _covariance_upper(spark: SparkSession, sf_dir: str) -> DataFrame:
             out.loc[diag, "cnt"] = len(pdf)
             yield out
 
-    partials = emb.mapInPandas(
+    return emb.mapInPandas(
         gram_blocks, "i long, j long, sxy long, sx long, cnt long"
     )
-    agg = (
-        partials.groupBy("i", "j")
-        .agg(
-            F.sum("sxy").alias("sxy"),
-            F.sum("sx").alias("sx"),
-            F.sum("cnt").alias("cnt"),
-        )
-        .persist()
+
+
+def gram_agg(partials: DataFrame) -> DataFrame:
+    """Fold Gram partials to the d(d+1)/2-row aggregate (sxy, sx, cnt per
+    (i, j)) — the mergeable state both the batch covariance and the
+    streaming twin's running fold maintain."""
+    return partials.groupBy("i", "j").agg(
+        F.sum("sxy").alias("sxy"),
+        F.sum("sx").alias("sx"),
+        F.sum("cnt").alias("cnt"),
     )
+
+
+def assemble_covariance(agg: DataFrame) -> DataFrame:
+    """(i, j, cov_e12) from the Gram aggregate: broadcast-join the
+    aggregate's own diagonal for the centering sums."""
     diag = agg.filter(F.col("i") == F.col("j")).select(
         F.col("i").alias("dim"), F.col("sx").alias("dim_sx"), F.col("cnt").alias("n")
     )
@@ -1537,6 +1547,16 @@ def _covariance_upper(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("cov_e12"),
         )
     )
+
+
+def _covariance_upper(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(i, j, cov_e12) upper triangle via the single-pass Gram accumulation
+    (see ``embedding_covariance_matrix``); shared with the power-iteration
+    query."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+    return assemble_covariance(gram_agg(gram_partials(emb)).persist())
 
 
 PCA_ITERS = 3  # fixed unrolled power-iteration rounds (plan-build-time)

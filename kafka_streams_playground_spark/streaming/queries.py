@@ -1326,3 +1326,73 @@ def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("est_distinct")
     )
     return out.select("event_type", "k_n", est)
+
+
+@query(
+    "stream_embedding_covariance",
+    # Shares the batch covariance oracle: the running Gram fold drained to
+    # final state equals the one-shot batch aggregate (order-free integer
+    # sums; partition/micro-batch invariance property-pinned).
+    oracle=None,  # set below from the batch twin
+    tags=("northstar", "streaming", "similarity", "embedding"),
+)
+def stream_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PCA-whitening covariance ONLINE — the single-pass Gram
+    accumulation of ``embedding_covariance_matrix`` as a RUNNING streaming
+    aggregate over the embedding stream: the stateless Arrow partials map
+    runs per micro-batch, the groupBy(i, j) SUM is the incremental Gram
+    state (d(d+1)/2 + d integer triples — CONFIG-sized state however long
+    the stream runs), and the update-mode drain's final state feeds the
+    same diagonal-join assembly as the batch twin. This is how a 100 TB
+    ingest keeps a live covariance for drift detection (spectral shift of
+    a new embedding drop) without re-scanning the corpus: every partial
+    the stream folds is exactly the partial the batch job would have
+    produced, so the drained state is bit-equal to the batch aggregate
+    regardless of micro-batch boundaries — the mergeability that makes
+    the operator a valid distributed aggregate is the same property that
+    makes it a valid STREAMING one (property-pinned:
+    test_covariance_partials_are_partition_invariant)."""
+    from kafka_streams_playground_spark.plans.northstar_similarity import (
+        assemble_covariance,
+        gram_agg,
+        gram_partials,
+    )
+
+    emb = read_stream_table(spark, sf_dir, "embeddings").select(
+        F.col("embedding").cast("array<double>").alias("v")
+    )
+    drained = run_to_completion(
+        gram_agg(gram_partials(emb)), output_mode="update", spark=spark
+    )
+    # update-mode memory sink keeps every emission; the LAST row per (i, j)
+    # is the final state (single-file replay = one batch, so this is exact
+    # and also guards a multi-batch replay)
+    from pyspark.sql import Window as _W
+
+    last = (
+        drained.withColumn(
+            "rn",
+            F.row_number().over(
+                _W.partitionBy("i", "j").orderBy(F.col("cnt").desc())
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return assemble_covariance(last.persist())
+
+
+from dataclasses import replace as _replace  # noqa: E402
+
+from kafka_streams_playground_spark.plans import northstar_similarity as _NS  # noqa: E402
+
+REGISTRY["stream_embedding_covariance"] = _replace(
+    REGISTRY["stream_embedding_covariance"],
+    # the batch twin's oracle verbatim (same final state; built from the
+    # shared CTE constant because this module imports before the batch
+    # query registers)
+    oracle=f"""
+    WITH {_NS._COV_CTES}
+    SELECT i, j, cov_e12 FROM cov
+    """,
+)

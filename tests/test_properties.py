@@ -284,3 +284,72 @@ def test_waiting_charges_match_literal_quantifiers(spark, lines):
             if len(supps) > 1 and not (late_supps - {s}):
                 want.add((ok, s))
     assert got == want, (sorted(got), sorted(want))
+
+
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    rows=st.lists(
+        st.lists(
+            st.floats(min_value=-1.0, max_value=1.0, allow_nan=False, width=32),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=2,
+        max_size=12,
+    ),
+    nparts=st.integers(min_value=1, max_value=4),
+)
+def test_covariance_partials_are_partition_invariant(spark, rows, nparts):
+    """The single-pass Gram accumulation must give the same covariance for
+    ANY partitioning of the rows (the property that makes the per-batch
+    partials a valid distributed aggregate), and must equal a direct
+    whole-corpus integer-grid covariance computed in numpy. Uses d=4 via a
+    temporary DIM monkeypatch-free path: builds the same partial/assembly
+    pipeline inline on a repartitioned DataFrame."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    d = 4
+    df = spark.createDataFrame(
+        [(r,) for r in rows], "v array<double>"
+    ).repartition(nparts)
+
+    def gram_blocks(batches):
+        iu, ju = np.triu_indices(d)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            xv = np.stack(pdf["v"].to_numpy())
+            xi = np.floor(xv * 1e6 + 0.5).astype(np.int64)
+            g = xi.T @ xi
+            out = pd.DataFrame(
+                {"i": iu, "j": ju, "sxy": g[iu, ju], "sx": 0, "cnt": 0}
+            )
+            diag = out["i"] == out["j"]
+            out.loc[diag, "sx"] = xi.sum(axis=0)
+            out.loc[diag, "cnt"] = len(pdf)
+            yield out
+
+    agg = (
+        df.mapInPandas(gram_blocks, "i long, j long, sxy long, sx long, cnt long")
+        .groupBy("i", "j")
+        .agg(F.sum("sxy").alias("sxy"), F.sum("sx").alias("sx"), F.sum("cnt").alias("cnt"))
+    )
+    diag = {r["i"]: (r["sx"], r["cnt"]) for r in agg.filter("i = j").collect()}
+    got = {}
+    for r in agg.collect():
+        sx_i, n = diag[r["i"]]
+        sx_j, _ = diag[r["j"]]
+        num = n * r["sxy"] - sx_i * sx_j
+        den = n * n
+        got[(r["i"], r["j"])] = int(abs(num) // den) * (1 if num >= 0 else -1)
+
+    # direct whole-corpus reference on the same integer grid
+    xi = np.floor(np.array(rows) * 1e6 + 0.5).astype(np.int64)
+    n = len(rows)
+    for i in range(d):
+        for j in range(i, d):
+            num = int(n * int(xi[:, i] @ xi[:, j]) - int(xi[:, i].sum()) * int(xi[:, j].sum()))
+            want = abs(num) // (n * n) * (1 if num >= 0 else -1)
+            assert got[(i, j)] == want, (i, j, got[(i, j)], want)
