@@ -1619,10 +1619,15 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
     covariance grid (cov_e12 trunc-div 1e6) so d · max|c6| · 1e6 · 1e6
     stays inside int64 — documented headroom, same stance as the
     covariance query. Fixed iteration count at plan-build time (the
-    ``kmeans_ivf_train`` precedent); convergence diagnostics (Rayleigh
-    quotient deltas) are client work over the 64-row output."""
-    import numpy as np
-
+    ``kmeans_ivf_train`` precedent); convergence tracks the eigengap —
+    (λ2/λ1)^{PCA_ITERS} — so on a corpus with a real dominant direction
+    {PCA_ITERS} rounds recover it (unit-pinned on planted anisotropic
+    data: test_power_iterate_recovers_planted_direction), while on a
+    near-isotropic spectrum (the synthetic fixtures: λ2/λ1 ≈ 0.93) the
+    output is one refinement STEP whose exactness — not convergence — is
+    what the oracle checks; production raises the round count or chains
+    the query, and Rayleigh-quotient deltas over the 64-row output are
+    the client-side stop rule."""
     cov = _covariance_upper(spark, sf_dir)
     d = DIM
 
@@ -1631,18 +1636,29 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
         if not chunks:
             return
         up = pd.concat(chunks, ignore_index=True)
-        c6mat = np.zeros((d, d), dtype=np.int64)
-        ii = up["i"].to_numpy(dtype=np.int64)
-        jj = up["j"].to_numpy(dtype=np.int64)
-        cc = up["cov_e12"].to_numpy(dtype=np.int64)
-        c6 = np.sign(cc) * (np.abs(cc) // 1000000)  # trunc toward zero
-        c6mat[ii, jj] = c6
-        c6mat[jj, ii] = c6  # mirror the upper triangle
-        v = np.full(d, 1000000, dtype=np.int64)
-        for _ in range(PCA_ITERS):
-            w = c6mat @ v
-            ma = np.abs(w).max()
-            v = np.sign(w) * ((np.abs(w) * 1000000) // ma)
-        yield pd.DataFrame({"dim": np.arange(d, dtype=np.int64), "v_e6": v})
+        yield power_iterate_int(up, d, PCA_ITERS)
 
     return cov.coalesce(1).mapInPandas(iterate, "dim long, v_e6 long")
+
+
+def power_iterate_int(up: pd.DataFrame, d: int, iters: int) -> pd.DataFrame:
+    """The exact integer power-iteration tail over an (i, j, cov_e12)
+    upper-triangle frame: e6-grid covariance, int64 matvec, max-abs
+    rescale with truncation-toward-zero division (numpy sign·(|a|//b) —
+    DuckDB `//` / Spark `div` semantics). Factored out of the query so
+    the eigenvector-recovery unit can drive it on planted spectra."""
+    import numpy as np
+
+    c6mat = np.zeros((d, d), dtype=np.int64)
+    ii = up["i"].to_numpy(dtype=np.int64)
+    jj = up["j"].to_numpy(dtype=np.int64)
+    cc = up["cov_e12"].to_numpy(dtype=np.int64)
+    c6 = np.sign(cc) * (np.abs(cc) // 1000000)  # trunc toward zero
+    c6mat[ii, jj] = c6
+    c6mat[jj, ii] = c6  # mirror the upper triangle
+    v = np.full(d, 1000000, dtype=np.int64)
+    for _ in range(iters):
+        w = c6mat @ v
+        ma = np.abs(w).max()
+        v = np.sign(w) * ((np.abs(w) * 1000000) // ma)
+    return pd.DataFrame({"dim": np.arange(d, dtype=np.int64), "v_e6": v})
