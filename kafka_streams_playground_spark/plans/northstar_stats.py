@@ -1,0 +1,305 @@
+"""Distributed statistics operators: two-pass exact heavy hitters
+(Misra-Gries candidates + exact recount), bounded-hop BFS over the
+co-purchase graph (the recursive-traversal shape), and per-group OLS
+regression from mergeable sufficient statistics.
+
+These extend the reference's aggregation surface (SURVEY.md §2.4; the
+reference's only aggregates are count/fold at KafkaStreamsApp.scala:125-148)
+with the three classic "can't do it in one naive pass at 100 TB" shapes:
+
+* frequency estimation over a vocabulary that dwarfs memory → sketch pass
+  for candidates, exact pass for values (Misra-Gries is THE mergeable
+  frequency summary: Agarwal et al., "Mergeable Summaries", PODS'12);
+* graph traversal → hop-bounded frontier relaxation (Pregel shortest path);
+* model fitting → map-side-combinable sufficient statistics, the pattern
+  every distributed ML aggregation (linear models, covariance, Gram) uses.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_streams_playground_spark.functions import text as T
+from kafka_streams_playground_spark.plans.northstar_pipeline import (
+    TRI_MIN_SUPPORT,
+    _support_edges,
+)
+from kafka_streams_playground_spark.plans.registry import query
+from kafka_streams_playground_spark.sources.parquet import load_table
+
+# ---------------------------------------------------------------------------
+# Two-pass exact heavy hitters
+# ---------------------------------------------------------------------------
+
+# phi = 1/HH_K: report every bigram whose count strictly exceeds n/HH_K.
+HH_K = 800
+# Misra-Gries capacity. The two-pass guarantee needs MG_CAP + 1 >= HH_K:
+# an item evicted from a partition's summary has partition-local count
+# <= n_i/(MG_CAP+1) <= n_i/HH_K, and a global heavy hitter (cnt > n/HH_K)
+# must exceed n_i/HH_K in at least one partition (pigeonhole over the
+# partition counts), so the candidate union can never miss one.
+MG_CAP = HH_K - 1
+
+
+def mg_fold(batches: Iterator[pd.DataFrame], cap: int) -> dict[str, int]:
+    """Weighted Misra-Gries fold over one partition's item stream.
+
+    Each Arrow batch is first collapsed to exact (item, count) pairs
+    (``value_counts`` — an error-free summary), then merged into the
+    running summary with the Agarwal et al. merge: add counts, and when
+    the summary exceeds ``cap`` items subtract the (cap+1)-th largest
+    count from every item and drop the non-positives. State is O(cap)
+    regardless of partition size; guarantee: an item whose true partition
+    count exceeds n_i/(cap+1) always survives. Property-tested under
+    adversarial skew and arbitrary batch splits in tests/test_properties.py."""
+    state: dict[str, int] = {}
+    for pdf in batches:
+        for item, w in pdf["pair"].value_counts().items():
+            state[item] = state.get(item, 0) + int(w)
+        if len(state) > cap:
+            cut = sorted(state.values(), reverse=True)[cap]
+            state = {t: c - cut for t, c in state.items() if c > cut}
+    return state
+
+
+def _mg_candidates(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Candidate keys surviving the partition-local Misra-Gries summary —
+    the exact counts come from the second pass."""
+    yield pd.DataFrame(
+        {"pair": pd.Series(list(mg_fold(batches, MG_CAP)), dtype="object")}
+    )
+
+
+@query(
+    "agg_heavy_hitters_twopass",
+    oracle=f"""
+    WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+    p AS (
+      SELECT unnest([toks[i] || ' ' || toks[i+1] for i in range(1, len(toks))])
+                 AS pair
+      FROM t WHERE len(toks) >= 2
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM p),
+    c AS (SELECT pair, COUNT(*) AS cnt FROM p GROUP BY pair)
+    SELECT pair, cnt FROM c, tot WHERE cnt * {HH_K} > n
+    """,
+    tags=("northstar", "stats", "sketch", "bench"),
+)
+def agg_heavy_hitters_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT phi-heavy hitters (every bigram with count > n/{HH_K}) via the
+    two-pass candidate-then-recount pattern — the standard way to get exact
+    heavy hitters out of a corpus whose vocabulary dwarfs any single
+    machine. Pass 1 folds a Misra-Gries summary per partition inside one
+    ``mapInPandas`` task (state bounded at MG_CAP items — a mergeable
+    summary, never the raw vocabulary); the union of per-partition
+    survivors is a guaranteed superset of the true heavy hitters (see
+    MG_CAP note above). Pass 2 broadcast-semi-joins the tiny candidate set
+    against the bigram stream and recounts EXACTLY, then keeps counts
+    above the global threshold — so the output is exact, not estimated,
+    while no shuffle ever carries more than (partitions x MG_CAP)
+    candidate rows + one count row per surviving bigram. The sketch's
+    union-superset guarantee is property-tested under adversarial skew in
+    tests/test_properties.py; this query oracle-checks the end-to-end
+    exactness. Bigram build = tokenizer_bpe_pair_counts' codegen'd
+    adjacent-pair recipe (one explode, no Python in the count path)."""
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    toks = F.split("text", " ")
+    pairs = (
+        docs.filter(F.size(toks) >= 2)
+        .select(F.explode(T.adjacent_pair_structs(toks)).alias("z"))
+        .select(F.concat_ws(" ", F.col("z")["0"], F.col("z")["1"]).alias("pair"))
+    )
+    # Pass 1: O(MG_CAP) candidate summary per partition, map-side only.
+    cand = pairs.mapInPandas(_mg_candidates, "pair string").distinct()
+    # Pass 2: exact recount restricted to the broadcast candidate set.
+    tot = pairs.agg(F.count(F.lit(1)).alias("n"))
+    exact = (
+        pairs.join(F.broadcast(cand), "pair", "left_semi")
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return (
+        exact.crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") * HH_K > F.col("n"))
+        .select("pair", "cnt")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bounded-hop BFS over the support-thresholded co-purchase graph
+# ---------------------------------------------------------------------------
+
+BFS_HOPS = 3
+BFS_SEED_BRAND = "Brand#4"
+
+
+def relax_hops(dist: DataFrame, edges: DataFrame, k: int) -> DataFrame:
+    """``k`` rounds of min-hop frontier relaxation: dist after round i holds
+    MIN(path length <= i) per reachable node — exact BIGINT folds, order-
+    free, bit-equal across partitionings. ``dist`` needs columns
+    (node, hops); ``edges`` needs (s, t) and should already contain both
+    directions."""
+    for _ in range(k):
+        # Alias-qualified join: after round 1, dist's `node` attribute IS
+        # edges' `t` (relaxation lineage), so unqualified references would
+        # trip Spark's ambiguous-self-join check.
+        nxt = (
+            dist.alias("d")
+            .join(edges.alias("e"), F.col("d.node") == F.col("e.s"))
+            .select(
+                F.col("e.t").alias("node"),
+                (F.col("d.hops") + F.lit(1)).alias("hops"),
+            )
+        )
+        dist = dist.union(nxt).groupBy("node").agg(F.min("hops").alias("hops"))
+    return dist
+
+
+@query(
+    "graph_bfs_hops",
+    oracle=f"""
+    WITH RECURSIVE e AS (
+      SELECT a.l_partkey AS s, b.l_partkey AS t
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(DISTINCT a.l_orderkey) >= {TRI_MIN_SUPPORT}
+    ),
+    seeds AS (
+      SELECT p_partkey AS node FROM part WHERE p_brand = '{BFS_SEED_BRAND}'
+    ),
+    r(node, hops) AS (
+      SELECT node, CAST(0 AS BIGINT) FROM seeds
+      UNION
+      SELECT e.t, r.hops + 1 FROM r JOIN e ON e.s = r.node
+      WHERE r.hops < {BFS_HOPS}
+    )
+    SELECT node AS part_id, MIN(hops) AS hops FROM r GROUP BY node
+    """,
+    tags=("northstar", "graph", "iterative", "bench"),
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hop-bounded BFS (single-source-set shortest path) over the
+    support-thresholded co-purchase graph: minimum number of co-purchase
+    hops from any {BFS_SEED_BRAND} part, capped at BFS_HOPS — the
+    recursive-traversal query class (SQL's WITH RECURSIVE; the oracle IS
+    a recursive CTE), re-expressed as Pregel-style frontier relaxation.
+
+    Spark shape: the persisted ``_support_edges`` substrate (shared with
+    triangle count / Jaccard — built once per session) is mirrored into
+    both directions, then BFS_HOPS fixed relaxation rounds each run ONE
+    node-keyed equi-join (distances x edges) + ONE min-aggregate with
+    map-side partials — no driver loop over data, no recursion depth tied
+    to data size, lineage bounded by the hop cap (the pagerank fixed-
+    iteration stance; the open-ended CC loop next door localCheckpoints
+    instead). Distances are exact BIGINTs — min-folds are order-free, so
+    the result is bit-equal across engines and partition counts. At scale
+    the standard Pregel refinement is joining only the changed frontier
+    per round; the hop-bounded full relaxation keeps the plan static and
+    is exact either way. Skew = max co-purchase degree, salted like
+    agg_salted_skew if a node goes viral."""
+    e = _support_edges(spark, sf_dir)
+    edges = e.union(e.select(F.col("t").alias("s"), F.col("s").alias("t")))
+    dist = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_brand") == BFS_SEED_BRAND)
+        .select(
+            F.col("p_partkey").alias("node"),
+            F.lit(0).cast("long").alias("hops"),
+        )
+    )
+    dist = relax_hops(dist, edges, BFS_HOPS)
+    return dist.select(F.col("node").alias("part_id"), "hops")
+
+
+# ---------------------------------------------------------------------------
+# Per-group OLS from mergeable sufficient statistics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_ols_qty_price_by_nation",
+    oracle="""
+    WITH pts AS (
+      SELECT n_name,
+             CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS x,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+    ),
+    s AS (
+      SELECT n_name, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx
+      FROM pts GROUP BY n_name
+    )
+    SELECT n_name, n AS n_points,
+           CAST(FLOOR(CAST(n*sxy - sx*sy AS DOUBLE)
+                 / CAST(n*sxx - sx*sx AS DOUBLE) * 1000000 + 0.5)
+                AS BIGINT) AS slope_e6,
+           CAST(FLOOR(CAST(sy*sxx - sx*sxy AS DOUBLE)
+                 / CAST(n*sxx - sx*sx AS DOUBLE) * 1000000 + 0.5)
+                AS BIGINT) AS intercept_e6
+    FROM s WHERE n*sxx - sx*sx <> 0
+    """,
+    tags=("extension", "stats", "agg", "bench"),
+)
+def stats_ols_qty_price_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation least-squares fit of line-item price (cents) against
+    quantity — grouped model fitting as ONE mergeable aggregate. The five
+    sufficient statistics (n, Sx, Sy, Sxy, Sxx) are map-side-combinable
+    sums, so the whole regression is a single shuffle keyed on nation
+    carrying one 5-tuple per (partition, nation); slope and intercept are
+    then O(groups) closed-form arithmetic (normal equations). This is the
+    distributed-ML aggregation pattern (the Gram/covariance machinery in
+    embedding_covariance_matrix is its matrix-valued sibling).
+
+    Exactness stance: x and y are integer-grid (units / cents), the sums
+    accumulate in DECIMAL(38,0) (Spark) vs HUGEINT (DuckDB) — both exact,
+    matching the q_market_share_promo_asia widening precedent — and the
+    single float division happens on identical integers in both engines,
+    snapped back to the repo's 1e-6 BIGINT grid (the score6 convention).
+    Headroom: the largest cross-term n*Sxy at 100 TB
+    (n~6e9 rows/nation, Sxy~6e17) is ~4e27 << 1e38 — DECIMAL(38,0) holds;
+    the r^2 numerator would square that (1e55) and overflow, which is why
+    the query reports slope/intercept only."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        F.floor(F.col("l_quantity") + 0.5).cast("decimal(38,0)").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("decimal(38,0)")
+        .alias("y"),
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pts = li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"]).join(
+        F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"]
+    )
+    s = pts.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope_num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    icpt_num = F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")
+    return s.filter(den != 0).select(
+        "n_name",
+        F.col("n").cast("long").alias("n_points"),
+        F.floor(
+            slope_num.cast("double") / den.cast("double") * 1_000_000 + 0.5
+        )
+        .cast("long")
+        .alias("slope_e6"),
+        F.floor(
+            icpt_num.cast("double") / den.cast("double") * 1_000_000 + 0.5
+        )
+        .cast("long")
+        .alias("intercept_e6"),
+    )

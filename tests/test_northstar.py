@@ -997,3 +997,70 @@ def test_power_iterate_recovers_planted_direction():
     top = np.linalg.eigh(np.cov(x.T, bias=True))[1][:, -1]
     cos = abs(got @ top) / (np.linalg.norm(got) * np.linalg.norm(top))
     assert cos > 0.99, cos
+
+
+def test_ols_sufficient_stats_match_numpy(spark, sf_dir):
+    """stats_ols_qty_price_by_nation's closed-form normal-equation output
+    equals numpy's least-squares fit on the same integer-grid points, for
+    every nation — pins the sufficient-statistics algebra end to end."""
+    import numpy as np
+
+    from kafka_streams_playground_spark.plans import REGISTRY
+    from kafka_streams_playground_spark.sources.parquet import load_table
+
+    got = {
+        r["n_name"]: (r["n_points"], r["slope_e6"], r["intercept_e6"])
+        for r in REGISTRY["stats_ols_qty_price_by_nation"].fn(spark, sf_dir).collect()
+    }
+    li = load_table(spark, sf_dir, "lineitem").select("l_suppkey", "l_quantity", "l_extendedprice")
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    rows = (
+        li.join(sup, li["l_suppkey"] == sup["s_suppkey"])
+        .join(nat, sup["s_nationkey"] == nat["n_nationkey"])
+        .select("n_name", "l_quantity", "l_extendedprice")
+        .collect()
+    )
+    by_nation: dict[str, list[tuple[int, int]]] = {}
+    for r in rows:
+        x = int(np.floor(r["l_quantity"] + 0.5))
+        y = int(np.floor(r["l_extendedprice"] * 100 + 0.5))
+        by_nation.setdefault(r["n_name"], []).append((x, y))
+    assert set(got) == set(by_nation)
+    for name, pts in by_nation.items():
+        xs = np.array([p[0] for p in pts], dtype=np.float64)
+        ys = np.array([p[1] for p in pts], dtype=np.float64)
+        slope, icpt = np.polyfit(xs, ys, 1)
+        n_points, slope_e6, icpt_e6 = got[name]
+        assert n_points == len(pts)
+        # numpy solves by QR on doubles; agree to 1e-3 of a cent-per-unit
+        assert abs(slope_e6 / 1e6 - slope) < max(1e-3, abs(slope) * 1e-6)
+        assert abs(icpt_e6 / 1e6 - icpt) < max(1e-1, abs(icpt) * 1e-6)
+
+
+def test_heavy_hitters_exact_and_threshold(spark, sf_dir):
+    """agg_heavy_hitters_twopass returns EXACTLY the bigrams above the
+    1/HH_K frequency threshold with their exact counts — cross-checked
+    against a direct full groupBy count (no sketch) on the same corpus."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+    from kafka_streams_playground_spark.plans.northstar_stats import HH_K
+    from kafka_streams_playground_spark.sources.parquet import load_table
+
+    got = {
+        r["pair"]: r["cnt"]
+        for r in REGISTRY["agg_heavy_hitters_twopass"].fn(spark, sf_dir).collect()
+    }
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    toks = F.split("text", " ")
+    pairs = (
+        docs.filter(F.size(toks) >= 2)
+        .select(F.explode(T.adjacent_pair_structs(toks)).alias("z"))
+        .select(F.concat_ws(" ", F.col("z")["0"], F.col("z")["1"]).alias("pair"))
+    )
+    counts = {
+        r["pair"]: r["cnt"]
+        for r in pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    n = sum(counts.values())
+    want = {p: c for p, c in counts.items() if c * HH_K > n}
+    assert got == want

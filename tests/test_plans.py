@@ -608,3 +608,39 @@ def test_covariance_partials_never_materialize_nxd2(spark, sf_dir):
     assert "Generate" not in plan, plan
     assert len(re.findall(r"Location:[^\n]*embeddings", plan)) == 1, plan
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_heavy_hitters_candidates_broadcast_counts_partial(spark, sf_dir):
+    """agg_heavy_hitters_twopass: the candidate set and the corpus total
+    must attach via broadcast (semi-join + 1-row cross join — the fact
+    side never shuffles for them), the sketch pass must be Arrow-batched
+    (MapInPandas, not row Python), and the only hash shuffle is the
+    candidate recount."""
+    plan = _plan(spark, sf_dir, "agg_heavy_hitters_twopass")
+    assert "MapInPandas" in plan, plan
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan  # 1-row total attach
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Exchange hashpartitioning(pair") <= 2, plan
+
+
+def test_bfs_reuses_persisted_edges_no_cartesian(spark, sf_dir):
+    """graph_bfs_hops: every relaxation round must probe the PERSISTED
+    support-edge substrate (InMemoryTableScan; lineitem scanned at most
+    once for the edge build) and plan equi-joins only."""
+    plan = _plan(spark, sf_dir, "graph_bfs_hops")
+    assert "InMemoryTableScan" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    scans = re.findall(r"Scan parquet[^\n]*(lineitem|part)", plan)
+    assert scans.count("lineitem") <= 1, plan
+
+
+def test_ols_dims_broadcast_single_fact_shuffle(spark, sf_dir):
+    """stats_ols_qty_price_by_nation: supplier/nation attach map-side via
+    broadcast, the five sufficient statistics ride ONE nation-keyed
+    shuffle with map-side partial aggregation, and nothing sorts."""
+    plan = _plan(spark, sf_dir, "stats_ols_qty_price_by_nation")
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert len(re.findall(r"Arguments: hashpartitioning\(n_name", plan)) == 1, plan
+    assert "partial_sum" in plan, plan
+    assert "SortMergeJoin" not in plan, plan

@@ -353,3 +353,90 @@ def test_covariance_partials_are_partition_invariant(spark, rows, nparts):
             num = int(n * int(xi[:, i] @ xi[:, j]) - int(xi[:, i].sum()) * int(xi[:, j].sum()))
             want = abs(num) // (n * n) * (1 if num >= 0 else -1)
             assert got[(i, j)] == want, (i, j, got[(i, j)], want)
+
+
+@settings(max_examples=60, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    items=st.lists(
+        st.sampled_from("abcdefghijklmnop"), min_size=1, max_size=300
+    ),
+    cuts=st.lists(st.integers(min_value=0, max_value=300), max_size=6),
+    cap=st.integers(min_value=2, max_value=8),
+)
+def test_misra_gries_union_never_misses_a_heavy_hitter(items, cuts, cap):
+    """The two-pass heavy-hitter guarantee (agg_heavy_hitters_twopass):
+    for ANY partitioning of the stream into partitions and ANY batch split
+    within a partition, the union of per-partition Misra-Gries survivors
+    contains every item with global count > n/(cap+1), and each summary
+    stays within its O(cap) budget."""
+    import pandas as pd
+
+    from kafka_streams_playground_spark.plans.northstar_stats import mg_fold
+
+    bounds = sorted({min(c, len(items)) for c in cuts})
+    parts, prev = [], 0
+    for b in [*bounds, len(items)]:
+        if b > prev:
+            parts.append(items[prev:b])
+            prev = b
+    survivors: set[str] = set()
+    for part in parts:
+        # split each partition into two batches to exercise the cross-batch
+        # fold (Arrow hands mapInPandas a batch iterator, not one frame)
+        mid = len(part) // 2
+        batches = [
+            pd.DataFrame({"pair": pd.Series(part[:mid], dtype="object")}),
+            pd.DataFrame({"pair": pd.Series(part[mid:], dtype="object")}),
+        ]
+        state = mg_fold(iter(batches), cap)
+        assert len(state) <= cap
+        survivors |= set(state)
+    n = len(items)
+    true_counts: dict[str, int] = {}
+    for x in items:
+        true_counts[x] = true_counts.get(x, 0) + 1
+    heavy = {x for x, c in true_counts.items() if c * (cap + 1) > n}
+    assert heavy <= survivors, (heavy - survivors, parts, cap)
+
+
+@settings(max_examples=25, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    edges=st.lists(
+        st.tuples(st.integers(0, 9), st.integers(0, 9)),
+        min_size=0,
+        max_size=25,
+    ),
+    seeds=st.sets(st.integers(0, 9), min_size=1, max_size=3),
+    k=st.integers(min_value=1, max_value=4),
+)
+def test_relax_hops_matches_python_bfs(spark, edges, seeds, k):
+    """graph_bfs_hops' relaxation loop equals a pure-Python BFS truncated at
+    k hops, on arbitrary directed graphs — pins that k relaxation rounds
+    yield exactly min(path length <= k), seeds included at hop 0."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_playground_spark.plans.northstar_stats import relax_hops
+
+    edges = [(s, t) for s, t in edges if s != t]
+    adj: dict[int, set[int]] = {}
+    for s, t in edges:
+        adj.setdefault(s, set()).add(t)
+    want = {s: 0 for s in seeds}
+    frontier = set(seeds)
+    for hop in range(1, k + 1):
+        frontier = {
+            t for s in frontier for t in adj.get(s, ()) if t not in want
+        }
+        for t in frontier:
+            want[t] = hop
+
+    e_df = spark.createDataFrame(edges or [(99, 98)], "s int, t int")
+    if not edges:
+        e_df = e_df.filter("s < 0")
+    d0 = spark.createDataFrame(
+        [(s,) for s in seeds], "node int"
+    ).select("node", F.lit(0).cast("long").alias("hops"))
+    got = {
+        r["node"]: r["hops"] for r in relax_hops(d0, e_df, k).collect()
+    }
+    assert got == want, (got, want, edges, seeds, k)
