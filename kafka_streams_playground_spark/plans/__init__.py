@@ -203,7 +203,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # against pure-Python BFS); the OLS sufficient statistics are the
     # DECIMAL(38,0) widening of r6-slotted q_market_share_promo_asia over
     # the broadcast dim joins every slotted TPC-H shape exercises, with a
-    # numpy-polyfit cross-check unit. All three are strict-replica green
+    # numpy-polyfit cross-check unit; stream_stats_ols_by_nation shares
+    # the batch OLS oracle via the covariance-twin drain pattern (exact
+    # decimal sums make micro-batch mergeability = partition
+    # mergeability). All four are strict-replica green
     # (CORRECTNESS_LOCAL.json) and lead round 7 with hard driver signal.)
 )
 

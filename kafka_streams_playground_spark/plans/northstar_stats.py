@@ -221,9 +221,7 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query(
-    "stats_ols_qty_price_by_nation",
-    oracle="""
+OLS_ORACLE = """
     WITH pts AS (
       SELECT n_name,
              CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS x,
@@ -245,7 +243,58 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
                  / CAST(n*sxx - sx*sx AS DOUBLE) * 1000000 + 0.5)
                 AS BIGINT) AS intercept_e6
     FROM s WHERE n*sxx - sx*sx <> 0
-    """,
+    """
+
+
+def ols_sufficient_stats(pts: DataFrame) -> DataFrame:
+    """The five map-side-combinable OLS sufficient statistics per group —
+    exact DECIMAL(38,0) sums, so the fold is order-free and mergeable
+    across partitions AND micro-batches (the property that makes the
+    streaming twin's running aggregate bit-equal to the batch one).
+    ``pts`` needs columns (n_name, x, y) with x/y already DECIMAL(38,0)."""
+    return pts.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+
+
+def ols_assemble(s: DataFrame) -> DataFrame:
+    """Closed-form normal equations over the sufficient-statistics relation:
+    O(groups) arithmetic, single float division on exact integers, snapped
+    to the 1e-6 BIGINT grid (the score6 convention)."""
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    slope_num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    icpt_num = F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")
+    return s.filter(den != 0).select(
+        "n_name",
+        F.col("n").cast("long").alias("n_points"),
+        F.floor(slope_num.cast("double") / den.cast("double") * 1_000_000 + 0.5)
+        .cast("long")
+        .alias("slope_e6"),
+        F.floor(icpt_num.cast("double") / den.cast("double") * 1_000_000 + 0.5)
+        .cast("long")
+        .alias("intercept_e6"),
+    )
+
+
+def ols_point_columns(li: DataFrame) -> DataFrame:
+    """Project a lineitem relation (batch or stream) to the integer-grid
+    regression coordinates (l_suppkey, x=quantity units, y=price cents)."""
+    return li.select(
+        "l_suppkey",
+        F.floor(F.col("l_quantity") + 0.5).cast("decimal(38,0)").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("decimal(38,0)")
+        .alias("y"),
+    )
+
+
+@query(
+    "stats_ols_qty_price_by_nation",
+    oracle=OLS_ORACLE,
     tags=("extension", "stats", "agg", "bench"),
 )
 def stats_ols_qty_price_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -267,39 +316,10 @@ def stats_ols_qty_price_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame
     (n~6e9 rows/nation, Sxy~6e17) is ~4e27 << 1e38 — DECIMAL(38,0) holds;
     the r^2 numerator would square that (1e55) and overflow, which is why
     the query reports slope/intercept only."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        "l_suppkey",
-        F.floor(F.col("l_quantity") + 0.5).cast("decimal(38,0)").alias("x"),
-        F.floor(F.col("l_extendedprice") * 100 + 0.5)
-        .cast("decimal(38,0)")
-        .alias("y"),
-    )
+    li = ols_point_columns(load_table(spark, sf_dir, "lineitem"))
     sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
     pts = li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"]).join(
         F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"]
     )
-    s = pts.groupBy("n_name").agg(
-        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-    )
-    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
-    slope_num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
-    icpt_num = F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")
-    return s.filter(den != 0).select(
-        "n_name",
-        F.col("n").cast("long").alias("n_points"),
-        F.floor(
-            slope_num.cast("double") / den.cast("double") * 1_000_000 + 0.5
-        )
-        .cast("long")
-        .alias("slope_e6"),
-        F.floor(
-            icpt_num.cast("double") / den.cast("double") * 1_000_000 + 0.5
-        )
-        .cast("long")
-        .alias("intercept_e6"),
-    )
+    return ols_assemble(ols_sufficient_stats(pts))

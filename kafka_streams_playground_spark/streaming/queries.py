@@ -1396,3 +1396,64 @@ REGISTRY["stream_embedding_covariance"] = _replace(
     SELECT i, j, cov_e12 FROM cov
     """,
 )
+
+
+@query(
+    "stream_stats_ols_by_nation",
+    # Shares the batch OLS oracle: the running sufficient-statistics fold
+    # drained to final state equals the one-shot batch aggregate (exact
+    # DECIMAL(38,0) sums are order-free and mergeable across micro-batch
+    # boundaries — the same contract the covariance twin rides).
+    oracle=None,  # set below from the batch twin's shared constant
+    tags=("extension", "streaming", "stats"),
+)
+def stream_stats_ols_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation OLS ONLINE — ``stats_ols_qty_price_by_nation``'s five
+    sufficient statistics as a RUNNING streaming aggregate over the
+    lineitem stream: supplier/nation attach via stream-static broadcast
+    joins per micro-batch, the groupBy(n_name) sums are the incremental
+    regression state (five DECIMAL(38,0) cells per nation — O(groups)
+    state however long the stream runs), and the update-mode drain's
+    final emission feeds the same closed-form normal-equation assembly
+    as the batch twin. This is the live-model-fit shape: a 100 TB ingest
+    keeps per-group regression coefficients current without re-scanning,
+    because every partial the stream folds is exactly the partial the
+    batch job would produce — mergeability across partitions IS
+    mergeability across micro-batches."""
+    from kafka_streams_playground_spark.plans.northstar_stats import (
+        ols_assemble,
+        ols_point_columns,
+        ols_sufficient_stats,
+    )
+
+    li = ols_point_columns(read_stream_table(spark, sf_dir, "lineitem"))
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pts = li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"]).join(
+        F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"]
+    )
+    drained = run_to_completion(
+        ols_sufficient_stats(pts), output_mode="update", spark=spark
+    )
+    # update-mode memory sink keeps every emission; the LAST row per nation
+    # (monotone n) is the final state — exact for the single-file replay
+    # and guards a multi-batch one.
+    from pyspark.sql import Window as _W
+
+    last = (
+        drained.withColumn(
+            "rn",
+            F.row_number().over(_W.partitionBy("n_name").orderBy(F.col("n").desc())),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    return ols_assemble(last)
+
+
+from kafka_streams_playground_spark.plans import northstar_stats as _NST  # noqa: E402
+
+REGISTRY["stream_stats_ols_by_nation"] = _replace(
+    REGISTRY["stream_stats_ols_by_nation"],
+    oracle=_NST.OLS_ORACLE,
+)
