@@ -206,7 +206,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # numpy-polyfit cross-check unit; stream_stats_ols_by_nation shares
     # the batch OLS oracle via the covariance-twin drain pattern (exact
     # decimal sums make micro-batch mergeability = partition
-    # mergeability). All four are strict-replica green
+    # mergeability); dedup_incremental_new_vs_base probes new-snapshot
+    # bands against the SAME persisted signature/band machinery as the
+    # r6-slotted LSH family (its oracle is the shared verified-pairs CTE
+    # chain restricted to cross-snapshot pairs, plus a cross-check unit
+    # against minhash_verified_pairs). All five are strict-replica green
     # (CORRECTNESS_LOCAL.json) and lead round 7 with hard driver signal.)
 )
 

@@ -97,11 +97,11 @@ _MINHASH_ORACLE = f"""
 """
 
 
-def _minhash_hv_pairs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
-    """Shared MinHash front half: the persisted per-doc (hs, sig) index and
-    the LSH band-collision candidate pair list (doc_a < doc_b, distinct) —
-    consumed by :func:`minhash_verified_pairs` (exact-Jaccard gate) and by
-    the signature-calibration audit (``dedup_minhash_estimate_audit``)."""
+def _minhash_hv_bands(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Shared MinHash front front-half: the persisted per-doc (hs, sig)
+    index and its exploded (doc_id, band_idx, bucket) band table — the
+    unit the full-corpus pair join AND the incremental new-vs-base probe
+    both build on."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     ss = F.pandas_udf(T.shingle_sig_fn(MINHASH_K), "hs: array<bigint>, sig: array<bigint>")
     hv = (
@@ -126,6 +126,15 @@ def _minhash_hv_pairs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Data
             )
         ).alias("band_idx", "bucket"),
     )
+    return hv, bands
+
+
+def _minhash_hv_pairs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """Shared MinHash front half: the persisted per-doc (hs, sig) index and
+    the LSH band-collision candidate pair list (doc_a < doc_b, distinct) —
+    consumed by :func:`minhash_verified_pairs` (exact-Jaccard gate) and by
+    the signature-calibration audit (``dedup_minhash_estimate_audit``)."""
+    hv, bands = _minhash_hv_bands(spark, sf_dir)
     pairs = (
         bands.alias("a")
         .join(
@@ -828,4 +837,97 @@ def dedup_lsh_band_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0).cast("bigint"))
         .alias("precision_ppm"),
         F.expr("cast(n_true * 1000000 div denom as bigint)").alias("recall_ppm"),
+    )
+
+
+# Incremental (new-snapshot-vs-base) near-dup: tonight's crawl probed
+# against the standing corpus index. The split is a deterministic hash rule
+# so both engines agree on membership.
+NEW_SNAPSHOT_PRED = "doc_id % 10 >= 8"  # ~20% "new", rest "base"
+
+
+@query(
+    "dedup_incremental_new_vs_base",
+    oracle=f"""
+    WITH {MINHASH_PAIRS_CTES},
+    cross_pairs AS (
+      SELECT CASE WHEN doc_a % 10 >= 8 THEN doc_b ELSE doc_a END AS base_id,
+             CASE WHEN doc_a % 10 >= 8 THEN doc_a ELSE doc_b END AS new_id,
+             jaccard
+      FROM verified
+      WHERE (doc_a % 10 >= 8) <> (doc_b % 10 >= 8)
+    ),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY new_id ORDER BY jaccard DESC, base_id ASC) AS rn
+      FROM cross_pairs
+    )
+    SELECT new_id AS doc_id, base_id AS dup_of, jaccard FROM r WHERE rn = 1
+    """,
+    tags=("northstar", "dedup", "incremental", "bench"),
+)
+def dedup_incremental_new_vs_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL near-dup — the production nightly shape: a new snapshot
+    (here the deterministic ~20% slice ``{NEW_SNAPSHOT_PRED}``) is probed
+    against the standing base corpus, and each new doc that near-duplicates
+    a base doc gets its best match (highest exact Jaccard, ties to the
+    lowest base id) — the drop/link manifest an ingest pipeline applies
+    before admitting tonight's crawl.
+
+    Scale shape — why this is NOT dedup_minhash_lsh re-run on the union:
+    the band join is ASYMMETRIC. Only cross-snapshot band collisions are
+    generated (new bands x base bands), so candidate cost tracks
+    |new| x collision rate, not the quadratic-in-corpus full pair join;
+    new-new and base-base collisions never exist as rows. At 100 TB the
+    base side's (hs, sig, band) index is the PERSISTED artifact of the
+    previous run — stored bucketed by (band_idx, bucket), it is read, not
+    recomputed, and the nightly cost is one shingle+signature pass over
+    the new slice plus a co-located probe join; here both sides derive
+    from one shared signature pass (the fixture is one table). Verified
+    the same way as the full pipeline: exact Jaccard on the persisted
+    shingle sets, signatures never ride the candidate shuffle. The oracle
+    reuses the full-corpus verified-pairs CTE chain restricted to
+    cross-snapshot pairs — same collision physics, independently derived."""
+    hv, bands = _minhash_hv_bands(spark, sf_dir)
+    is_new = (F.col("doc_id") % 10) >= 8
+    new_b = bands.filter(is_new)
+    base_b = bands.filter(~is_new)
+    cand = (
+        new_b.alias("n")
+        .join(
+            base_b.alias("b"),
+            (F.col("n.band_idx") == F.col("b.band_idx"))
+            & (F.col("n.bucket") == F.col("b.bucket")),
+        )
+        .select(
+            F.col("b.doc_id").alias("base_id"), F.col("n.doc_id").alias("new_id")
+        )
+        .dropDuplicates(["base_id", "new_id"])
+    )
+    verified = (
+        cand.join(
+            hv.select(F.col("doc_id").alias("base_id"), F.col("hs").alias("hsb")),
+            "base_id",
+        )
+        .join(
+            hv.select(F.col("doc_id").alias("new_id"), F.col("hs").alias("hsn")),
+            "new_id",
+        )
+    )
+    jac = T.jaccard(F.col("hsb"), F.col("hsn"))
+    scored = verified.filter(jac >= JACCARD_THRESHOLD).select(
+        "new_id", "base_id", F.round(jac, 4).alias("jaccard")
+    )
+    from pyspark.sql import Window as _W
+
+    best = scored.withColumn(
+        "rn",
+        F.row_number().over(
+            _W.partitionBy("new_id").orderBy(
+                F.col("jaccard").desc(), F.col("base_id").asc()
+            )
+        ),
+    ).filter(F.col("rn") == 1)
+    return best.select(
+        F.col("new_id").alias("doc_id"), F.col("base_id").alias("dup_of"), "jaccard"
     )

@@ -1064,3 +1064,32 @@ def test_heavy_hitters_exact_and_threshold(spark, sf_dir):
     n = sum(counts.values())
     want = {p: c for p, c in counts.items() if c * HH_K > n}
     assert got == want
+
+
+def test_incremental_dedup_is_cross_snapshot_best_match(spark, sf_dir):
+    """dedup_incremental_new_vs_base: every row links a NEW doc (hash-rule
+    slice) to a BASE doc, one row per new doc, and the links are exactly
+    the best-scoring cross-snapshot members of the full-corpus verified
+    pair list (the machinery equivalence the oracle asserts by value)."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+    from kafka_streams_playground_spark.plans.northstar_dedup import (
+        minhash_verified_pairs,
+    )
+
+    rows = REGISTRY["dedup_incremental_new_vs_base"].fn(spark, sf_dir).collect()
+    assert len({r["doc_id"] for r in rows}) == len(rows)  # one best per new doc
+    for r in rows:
+        assert r["doc_id"] % 10 >= 8 and r["dup_of"] % 10 < 8
+
+    full = minhash_verified_pairs(spark, sf_dir).collect()
+    best: dict[int, tuple[float, int]] = {}
+    for p in full:
+        a, b = p["doc_a"], p["doc_b"]
+        if (a % 10 >= 8) == (b % 10 >= 8):
+            continue
+        new_id, base_id = (a, b) if a % 10 >= 8 else (b, a)
+        key = (-p["jaccard"], base_id)
+        if new_id not in best or key < best[new_id]:
+            best[new_id] = key
+    want = {(n, k[1], -k[0]) for n, k in best.items()}
+    assert {(r["doc_id"], r["dup_of"], r["jaccard"]) for r in rows} == want

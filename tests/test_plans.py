@@ -644,3 +644,15 @@ def test_ols_dims_broadcast_single_fact_shuffle(spark, sf_dir):
     assert len(re.findall(r"Arguments: hashpartitioning\(n_name", plan)) == 1, plan
     assert "partial_sum" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+
+
+def test_incremental_dedup_shares_index_and_probes_asymmetrically(spark, sf_dir):
+    """dedup_incremental_new_vs_base: one parquet scan of documents total
+    (the persisted signature index feeds bands and both verify sides via
+    InMemoryTableScan), band-bucket equi-join only — no cartesian, no SMJ
+    on the raw corpus."""
+    plan = _plan(spark, sf_dir, "dedup_incremental_new_vs_base")
+    assert "InMemoryTableScan" in plan, plan
+    scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", plan))
+    assert len(scan_ids) <= 1, (scan_ids, plan)
+    assert "CartesianProduct" not in plan, plan
