@@ -210,8 +210,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # bands against the SAME persisted signature/band machinery as the
     # r6-slotted LSH family (its oracle is the shared verified-pairs CTE
     # chain restricted to cross-snapshot pairs, plus a cross-check unit
-    # against minhash_verified_pairs). All five are strict-replica green
-    # (CORRECTNESS_LOCAL.json) and lead round 7 with hard driver signal.)
+    # against minhash_verified_pairs); its streaming twin
+    # stream_dedup_incremental_new_vs_base shares that oracle verbatim
+    # (stateless stream-static probe = batch rows, the
+    # stream_decontaminate precedent); diag_key_skew_report composes two
+    # r6-pinned physical shapes — the KMV TakeOrderedAndProject bottom/top-K
+    # path and persisted-aggregate reuse — over plain count aggregates.
+    # All seven are strict-replica green (CORRECTNESS_LOCAL.json) and lead
+    # round 7 with hard driver signal.)
 )
 
 

@@ -97,6 +97,27 @@ _MINHASH_ORACLE = f"""
 """
 
 
+def band_bucket_expr():
+    """(band_idx, bucket) posexplode over a ``sig`` column — the ONE band
+    construction every LSH consumer (batch pair join, incremental probe,
+    streaming ingest probe) shares, so bucket ids are bit-identical
+    everywhere."""
+    return F.posexplode(
+        F.array(
+            *[
+                F.concat_ws(
+                    "|",
+                    *[
+                        F.col("sig")[j * ROWS_PER_BAND + t]
+                        for t in range(ROWS_PER_BAND)
+                    ],
+                )
+                for j in range(MINHASH_K // ROWS_PER_BAND)
+            ]
+        )
+    )
+
+
 def _minhash_hv_bands(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """Shared MinHash front front-half: the persisted per-doc (hs, sig)
     index and its exploded (doc_id, band_idx, bucket) band table — the
@@ -109,23 +130,7 @@ def _minhash_hv_bands(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, Data
         .select("doc_id", "ss.hs", "ss.sig")
         .persist()
     )
-    bands = hv.select(
-        "doc_id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.concat_ws(
-                        "|",
-                        *[
-                            F.col("sig")[j * ROWS_PER_BAND + t]
-                            for t in range(ROWS_PER_BAND)
-                        ],
-                    )
-                    for j in range(MINHASH_K // ROWS_PER_BAND)
-                ]
-            )
-        ).alias("band_idx", "bucket"),
-    )
+    bands = hv.select("doc_id", band_bucket_expr().alias("band_idx", "bucket"))
     return hv, bands
 
 

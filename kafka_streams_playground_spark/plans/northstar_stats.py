@@ -323,3 +323,101 @@ def stats_ols_qty_price_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame
         F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"]
     )
     return ols_assemble(ols_sufficient_stats(pts))
+
+
+# ---------------------------------------------------------------------------
+# Key-skew diagnostics
+# ---------------------------------------------------------------------------
+
+SKEW_KEYS = (
+    ("orders.o_custkey", "orders", "o_custkey"),
+    ("lineitem.l_partkey", "lineitem", "l_partkey"),
+    ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+    ("events.user_id", "events", "user_id"),
+)
+SKEW_TOPK = 10
+
+
+def _skew_oracle() -> str:
+    parts = []
+    for label, table, col in SKEW_KEYS:
+        parts.append(f"""
+    SELECT '{label}' AS key_name, s.n_rows, s.n_keys, s.max_cnt, t.top10_cnt,
+           CAST((CAST(t.top10_cnt AS HUGEINT) * 2000000 + s.n_rows)
+                // (CAST(s.n_rows AS HUGEINT) * 2) AS BIGINT)
+               AS top10_share_ppm,
+           CAST((CAST(s.max_cnt AS HUGEINT) * s.n_keys * 2000000 + s.n_rows)
+                // (CAST(s.n_rows AS HUGEINT) * 2) AS BIGINT)
+               AS max_over_avg_ppm
+    FROM (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n_rows, COUNT(*) AS n_keys,
+             MAX(cnt) AS max_cnt
+      FROM (SELECT COUNT(*) AS cnt FROM {table} GROUP BY {col})
+    ) s, (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS top10_cnt FROM (
+        SELECT COUNT(*) AS cnt FROM {table} GROUP BY {col}
+        ORDER BY cnt DESC LIMIT {SKEW_TOPK}
+      )
+    ) t""")
+    return " UNION ALL ".join(parts)
+
+
+@query(
+    "diag_key_skew_report",
+    oracle=_skew_oracle(),
+    tags=("extension", "diagnostics", "agg", "bench"),
+)
+def diag_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/aggregation key-skew audit — the diagnostic a 100 TB pipeline
+    runs BEFORE choosing a physical strategy (salt this key? broadcast
+    that dim? AQE skew thresholds?): per candidate shuffle key, the row
+    and key cardinalities, the hottest key's count, the top-10 keys' traffic
+    share, and the max/avg hot-key ratio (both as exact integer ppm).
+
+    Scale shape: one count aggregate per audited key (map-side partials —
+    the same shuffle the real query would do, which is the honest way to
+    measure it), PERSISTED and read twice: once by the O(1) stats fold and
+    once by a TakeOrderedAndProject top-10 (per-partition heap top-K +
+    K-row merge — never a global sort; the KMV/top-k pattern). The top-10
+    SUM is tie-insensitive (any 10 rows with the largest counts carry the
+    same count multiset), so the report is deterministic even though the
+    tied key identities are not. Output is 4 rows however large the
+    corpus; nothing driver-side."""
+    out = None
+    for label, table, col in SKEW_KEYS:
+        c = (
+            load_table(spark, sf_dir, table)
+            .groupBy(col)
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .persist()
+        )
+        stats = c.agg(
+            F.sum("cnt").alias("n_rows"),
+            F.count(F.lit(1)).alias("n_keys"),
+            F.max("cnt").alias("max_cnt"),
+        )
+        top10 = (
+            c.orderBy(F.col("cnt").desc())
+            .limit(SKEW_TOPK)
+            .agg(F.sum("cnt").alias("top10_cnt"))
+        )
+        # ppm on the exact DECIMAL(38,0) grid with explicit round-half-up:
+        # floor(x + 1/2) for rational x = num/den is (2*num + den) div (2*den)
+        # — int64 would wrap on num at web scale (the ADVICE-r5 ppm lesson).
+        row = stats.crossJoin(F.broadcast(top10)).select(
+            F.lit(label).alias("key_name"),
+            "n_rows",
+            "n_keys",
+            "max_cnt",
+            "top10_cnt",
+            F.expr(
+                "CAST((CAST(top10_cnt AS DECIMAL(38,0)) * 2000000 + n_rows)"
+                " div (CAST(n_rows AS DECIMAL(38,0)) * 2) AS BIGINT)"
+            ).alias("top10_share_ppm"),
+            F.expr(
+                "CAST((CAST(max_cnt AS DECIMAL(38,0)) * n_keys * 2000000"
+                " + n_rows) div (CAST(n_rows AS DECIMAL(38,0)) * 2) AS BIGINT)"
+            ).alias("max_over_avg_ppm"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

@@ -1457,3 +1457,83 @@ REGISTRY["stream_stats_ols_by_nation"] = _replace(
     REGISTRY["stream_stats_ols_by_nation"],
     oracle=_NST.OLS_ORACLE,
 )
+
+
+@query(
+    "stream_dedup_incremental_new_vs_base",
+    oracle=None,  # set below: shares dedup_incremental_new_vs_base
+    tags=("northstar", "streaming", "dedup", "incremental"),
+)
+def stream_dedup_incremental_new_vs_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup AT INGEST — the streaming form of
+    ``dedup_incremental_new_vs_base``: new documents ARRIVE as a stream,
+    are signed with the same Arrow-batched shingle+MinHash UDF, exploded
+    into the shared band construction, and probed via STREAM-STATIC joins
+    against the standing base-corpus band index and shingle sets (both
+    batch-side, persisted — the artifacts of the previous run). Exact
+    Jaccard verifies row-locally on the joined arrays; everything is
+    stateless append mode, so the drained pair list equals the batch
+    candidate-verify output and the batch oracle applies unchanged after
+    the same best-match pick. Per-pair duplicates from multi-band
+    collisions carry identical scores, so the post-drain best-of collapses
+    them exactly like the batch path's dropDuplicates (at 100 TB you'd
+    additionally dedup in-stream with watermarked state to save the
+    repeated verify — an optimization, not a semantics change). The shingle
+    arrays ride only the stream side's map-local rows: with the static
+    index broadcast, NOTHING shuffles — per-document ingest cost is
+    O(shingles + band probes), the latency shape a production gate needs."""
+    from kafka_streams_playground_spark.functions import text as T
+    from kafka_streams_playground_spark.plans import northstar_dedup as ND
+
+    hv, bands = ND._minhash_hv_bands(spark, sf_dir)
+    base_bands = bands.filter((F.col("doc_id") % 10) < 8).select(
+        F.col("doc_id").alias("base_id"), "band_idx", "bucket"
+    )
+    base_hs = hv.filter((F.col("doc_id") % 10) < 8).select(
+        F.col("doc_id").alias("base_id"), F.col("hs").alias("hsb")
+    )
+
+    ss = F.pandas_udf(
+        T.shingle_sig_fn(ND.MINHASH_K), "hs: array<bigint>, sig: array<bigint>"
+    )
+    new = (
+        read_stream_table(spark, sf_dir, "documents")
+        .filter((F.col("doc_id") % 10) >= 8)
+        .select(F.col("doc_id").alias("new_id"), ss("text").alias("ss"))
+        .select("new_id", F.col("ss.hs").alias("hsn"), F.col("ss.sig").alias("sig"))
+    )
+    new_bands = new.select(
+        "new_id", "hsn", ND.band_bucket_expr().alias("band_idx", "bucket")
+    )
+    cand = new_bands.join(F.broadcast(base_bands), ["band_idx", "bucket"])
+    verified = cand.join(F.broadcast(base_hs), "base_id")
+    jac = T.jaccard(F.col("hsb"), F.col("hsn"))
+    scored = verified.filter(jac >= ND.JACCARD_THRESHOLD).select(
+        "new_id", "base_id", F.round(jac, 4).alias("jaccard")
+    )
+    drained = run_to_completion(scored, output_mode="append", spark=spark)
+
+    from pyspark.sql import Window as _W
+
+    best = drained.withColumn(
+        "rn",
+        F.row_number().over(
+            _W.partitionBy("new_id").orderBy(
+                F.col("jaccard").desc(), F.col("base_id").asc()
+            )
+        ),
+    ).filter(F.col("rn") == 1)
+    return best.select(
+        F.col("new_id").alias("doc_id"), F.col("base_id").alias("dup_of"), "jaccard"
+    )
+
+
+# Import for the registration side effect: this module executes BEFORE
+# plans/__init__ reaches northstar_dedup, so force the batch twin to
+# register its oracle first (the northstar_similarity precedent above).
+from kafka_streams_playground_spark.plans import northstar_dedup as _ND2  # noqa: E402,F401
+
+REGISTRY["stream_dedup_incremental_new_vs_base"] = _replace(
+    REGISTRY["stream_dedup_incremental_new_vs_base"],
+    oracle=REGISTRY["dedup_incremental_new_vs_base"].oracle,
+)

@@ -656,3 +656,15 @@ def test_incremental_dedup_shares_index_and_probes_asymmetrically(spark, sf_dir)
     scan_ids = set(re.findall(r"Scan parquet\s+\((\d+)\)", plan))
     assert len(scan_ids) <= 1, (scan_ids, plan)
     assert "CartesianProduct" not in plan, plan
+
+
+def test_skew_report_uses_heap_topk_not_global_sort(spark, sf_dir):
+    """diag_key_skew_report: each audited key's top-10 must plan as
+    TakeOrderedAndProject (per-partition heap + K-row merge), never a
+    global Sort, and the per-key count aggregates must be persisted
+    (InMemoryTableScan) so stats and top-k read ONE materialization."""
+    plan = _plan(spark, sf_dir, "diag_key_skew_report")
+    toap_nodes = set(re.findall(r"TakeOrderedAndProject \((\d+)\)", plan))
+    assert len(toap_nodes) == 4, (toap_nodes, plan)
+    assert "InMemoryTableScan" in plan, plan
+    assert not re.search(r"\bSort \(", plan), plan

@@ -448,3 +448,56 @@ def test_kmv_sketch_state_across_microbatches(spark):
     b_union = sorted({100, 50})[:KMV_K]
     assert final["a"] == (len(a_union), a_union[-1])
     assert final["b"] == (len(b_union), b_union[-1])
+
+
+def test_ols_running_fold_across_microbatches_equals_batch(spark):
+    """stream_stats_ols_by_nation's mergeability claim, pinned for real:
+    the running sufficient-statistics aggregate folded across SEPARATE
+    micro-batches, drained and assembled from the last emission per group,
+    must equal the one-shot batch normal-equation fit over the union —
+    exact decimal sums make micro-batch boundaries invisible."""
+    from kafka_streams_playground_spark.plans.northstar_stats import (
+        ols_assemble,
+        ols_sufficient_stats,
+    )
+
+    schema = "n_name string, xr long, yr long"
+    b1 = [("A", 1, 120), ("A", 2, 230), ("B", 5, 400)]
+    b2 = [("A", 3, 290), ("B", 7, 660), ("B", 2, 180), ("A", 1, 130)]
+    paths = _write_batches(spark, [b1, b2], schema)
+    src_dir = os.path.dirname(paths[0])
+
+    def pts(df):
+        return df.select(
+            "n_name",
+            F.col("xr").cast("decimal(38,0)").alias("x"),
+            F.col("yr").cast("decimal(38,0)").alias("y"),
+        )
+
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src_dir, "b*"))
+    )
+    drained = run_to_completion(
+        ols_sufficient_stats(pts(sdf)), output_mode="update", spark=spark
+    )
+    # at least one group must have emitted in BOTH micro-batches, or the
+    # test isn't exercising cross-batch state at all
+    assert drained.count() > drained.select("n_name").distinct().count()
+    from pyspark.sql import Window as W
+
+    last = (
+        drained.withColumn(
+            "rn", F.row_number().over(W.partitionBy("n_name").orderBy(F.col("n").desc()))
+        )
+        .filter("rn = 1")
+        .drop("rn")
+    )
+    got = {r["n_name"]: (r["n_points"], r["slope_e6"], r["intercept_e6"])
+           for r in ols_assemble(last).collect()}
+
+    both = spark.createDataFrame(b1 + b2, schema)
+    want = {r["n_name"]: (r["n_points"], r["slope_e6"], r["intercept_e6"])
+            for r in ols_assemble(ols_sufficient_stats(pts(both))).collect()}
+    assert got == want and set(got) == {"A", "B"}
