@@ -563,10 +563,16 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     the first-occurrence table replacing the broadcast benchmark set."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     ss = F.pandas_udf(T.shingle_sig_fn(1), "hs: array<bigint>, sig: array<bigint>")
-    x = (
-        docs.select("doc_id", ss("text").alias("ss"))
-        .select("doc_id", F.explode("ss.hs").alias("h"))
+    # Persist the COMPACT pre-explode (doc_id, hs) relation — the same
+    # persisted-signature-index stance as the MinHash family — so the Arrow
+    # hashing pass runs ONCE even though two branches (first-occurrence
+    # build, join probe) consume the exploded pairs; the explode itself is
+    # cheap codegen and re-runs per branch rather than caching |docs x
+    # shingles| rows.
+    hv = (
+        docs.select("doc_id", ss("text").getField("hs").alias("hs")).persist()
     )
+    x = hv.select("doc_id", F.explode("hs").alias("h"))
     f = x.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
     novel = (F.col("first_doc") == F.col("doc_id")).cast("bigint")
     return (
