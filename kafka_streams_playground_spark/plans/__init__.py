@@ -215,9 +215,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # (stateless stream-static probe = batch rows, the
     # stream_decontaminate precedent); diag_key_skew_report composes two
     # r6-pinned physical shapes — the KMV TakeOrderedAndProject bottom/top-K
-    # path and persisted-aggregate reuse — over plain count aggregates.
-    # All seven are strict-replica green (CORRECTNESS_LOCAL.json) and lead
-    # round 7 with hard driver signal.)
+    # path and persisted-aggregate reuse — over plain count aggregates;
+    # mm_audio_vad_segments is the one-shuffle gaps-and-islands shape of
+    # r5-driver-green mm_scene_change_segments over the same Arrow decode
+    # plumbing. All eight are strict-replica green (CORRECTNESS_LOCAL.json)
+    # and lead round 7 with hard driver signal.)
 )
 
 

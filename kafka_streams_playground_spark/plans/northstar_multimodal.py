@@ -333,3 +333,90 @@ def mm_scene_change_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("fi").alias("start_frame"),
         F.count(F.lit(1)).alias("n_frames_seg"),
     )
+
+
+VAD_THR_E4 = 3600  # active chunk: energy >= 0.3600 on the exact 1e-4 grid
+
+
+@query(
+    "mm_audio_vad_segments",
+    oracle=f"""
+    WITH a AS (
+      SELECT doc_id, text,
+             CAST(octet_length(encode(text)) // 32 AS BIGINT) AS n_chunks
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, text, CAST(unnest(range(0, n_chunks)) AS BIGINT) AS chunk_idx
+      FROM a WHERE n_chunks > 0
+    ),
+    e AS (
+      SELECT doc_id, chunk_idx,
+             CAST(FLOOR(({_CHUNK_SUM}) / (32 * 255.0) * 10000 + 0.5) AS BIGINT)
+                 AS e4
+      FROM c
+    ),
+    act AS (SELECT * FROM e WHERE e4 >= {VAD_THR_E4}),
+    g AS (
+      SELECT doc_id, chunk_idx, e4,
+             chunk_idx - row_number() OVER (
+               PARTITION BY doc_id ORDER BY chunk_idx) AS grp
+      FROM act
+    )
+    SELECT doc_id,
+           MIN(chunk_idx) AS start_chunk,
+           MAX(chunk_idx) AS end_chunk,
+           COUNT(*) AS n_active,
+           CAST(SUM(e4) // COUNT(*) AS BIGINT) AS mean_energy_e4
+    FROM g GROUP BY doc_id, grp
+    """,
+    tags=("northstar", "multimodal", "audio", "segmentation", "bench"),
+)
+def mm_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Voice-activity-detection segmentation over the audio-shaped payloads:
+    maximal runs of consecutive above-threshold chunks become segments
+    (start/end chunk, length, mean energy) — the speech-span manifest an
+    audio curation pipeline cuts training clips from, and the audio twin
+    of ``mm_scene_change_segments``'s shot boundaries. Activity compares
+    on the EXACT 1e-4 integer energy grid (the chunk sum is exact integer
+    arithmetic — same grid as mm_audio_chunk_energy), so both engines
+    agree on every run boundary bit-for-bit.
+
+    Spark shape: the per-chunk energies come from the same Arrow-batched
+    decode pass as mm_audio_chunk_energy (stub decode, real plumbing —
+    blobs stay map-side); segmentation is the gaps-and-islands identity
+    (chunk_idx minus per-doc row_number is constant within a run), which
+    costs ONE doc_id-keyed shuffle: the window sort and the (doc_id, grp)
+    aggregate both ride the same hashpartitioning(doc_id) — grouping keys
+    are a superset of the partitioning, so Catalyst inserts no second
+    exchange (pinned in test_plans). At 100 TB this is embarrassingly
+    parallel per recording; skew = longest single recording."""
+    from kafka_streams_playground_spark.functions.multimodal import (
+        audio_chunk_energy,
+    )
+    from pyspark.sql import Window as _W
+
+    mm = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    chunks = audio_chunk_energy(mm)
+    e4 = F.floor(F.col("energy") * 10000 + 0.5).cast("long")
+    act = chunks.select("doc_id", "chunk_idx", e4.alias("e4")).filter(
+        F.col("e4") >= VAD_THR_E4
+    )
+    w = _W.partitionBy("doc_id").orderBy("chunk_idx")
+    g = act.withColumn("grp", F.col("chunk_idx") - F.row_number().over(w))
+    return (
+        g.groupBy("doc_id", "grp")
+        .agg(
+            F.min("chunk_idx").alias("start_chunk"),
+            F.max("chunk_idx").alias("end_chunk"),
+            F.count(F.lit(1)).alias("n_active"),
+            F.sum("e4").alias("sum_e4"),
+        )
+        .select(
+            "doc_id",
+            "start_chunk",
+            "end_chunk",
+            "n_active",
+            F.expr("CAST(sum_e4 div n_active AS BIGINT)").alias("mean_energy_e4"),
+        )
+    )

@@ -668,3 +668,11 @@ def test_skew_report_uses_heap_topk_not_global_sort(spark, sf_dir):
     assert len(toap_nodes) == 4, (toap_nodes, plan)
     assert "InMemoryTableScan" in plan, plan
     assert not re.search(r"\bSort \(", plan), plan
+
+
+def test_vad_segments_single_docid_shuffle(spark, sf_dir):
+    """mm_audio_vad_segments: the islands window and the (doc_id, grp)
+    aggregate must share ONE doc_id hash partitioning (grouping keys are a
+    superset of the window partitioning — no second exchange)."""
+    plan = _plan(spark, sf_dir, "mm_audio_vad_segments")
+    assert len(re.findall(r"Arguments: hashpartitioning\(", plan)) == 1, plan
