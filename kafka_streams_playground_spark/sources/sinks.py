@@ -163,3 +163,71 @@ def idempotent_foreach_batch_writer(path: str):
         fs.create(marker, True).close()
 
     return _write
+
+
+Z_BITS = 16  # per-dimension resolution of the Morton curve
+
+
+def zorder_key(cols, mins, maxs, bits: int = Z_BITS):
+    """Morton (Z-curve) interleave of the given numeric columns, each
+    min-max normalized to ``bits`` bits — pure Catalyst bit arithmetic
+    (shifts/masks, codegen'd; no UDF). Returns a BIGINT sort key whose
+    ordering tiles the multi-dimensional space, so files written in key
+    ranges get LOW-OVERLAP bounding boxes on EVERY participating column.
+
+    ``mins``/``maxs`` are the per-column bounds (two scalars per column —
+    an O(1) driver-side agg, the same class as a broadcast payload)."""
+    from pyspark.sql import functions as F
+
+    d = len(cols)
+    quantized = []
+    for c, lo, hi in zip(cols, mins, maxs):
+        span = float(hi) - float(lo)
+        if span <= 0:
+            quantized.append(F.lit(0).cast("long"))
+            continue
+        q = F.floor(
+            (F.col(c).cast("double") - float(lo)) / span * ((1 << bits) - 1) + 0.5
+        ).cast("long")
+        quantized.append(F.greatest(F.lit(0), F.least(F.lit((1 << bits) - 1), q)))
+    z = F.lit(0).cast("long")
+    for b in range(bits):
+        for i, q in enumerate(quantized):
+            bit = F.shiftright(q, b).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, b * d + i))
+    return z
+
+
+def write_zorder_table(
+    df: DataFrame, path: str, cols, n_files: int, bits: int = Z_BITS
+) -> None:
+    """Write ``df`` as parquet clustered on the Z-curve of ``cols`` —
+    the multi-dimensional data-skipping layout (Delta/Iceberg OPTIMIZE
+    ZORDER re-expressed on vanilla parquet). Range-partition by the Morton
+    key into ``n_files`` write tasks and sort within each, so every output
+    file covers one key range = one tile of the space: a range predicate
+    on ANY clustered column intersects O(boundary) tiles instead of every
+    file, and parquet footer min/max stats skip the rest at scan time.
+
+    Scale stance: the column bounds are one O(1) aggregate; the write is
+    ONE range shuffle (sampled boundaries, the global-sort exchange) +
+    in-task sort — exactly a global orderBy's cost. Use for the
+    fact-table layouts whose hot predicates span two or three columns
+    where single-column sort or partitioning can serve only one
+    (bounding-box quality asserted in tests/test_plans.py)."""
+    from pyspark.sql import functions as F
+
+    bounds = df.agg(
+        *[F.min(c).alias(f"lo_{i}") for i, c in enumerate(cols)],
+        *[F.max(c).alias(f"hi_{i}") for i, c in enumerate(cols)],
+    ).collect()[0]
+    mins = [bounds[f"lo_{i}"] for i in range(len(cols))]
+    maxs = [bounds[f"hi_{i}"] for i in range(len(cols))]
+    zed = df.withColumn("__z", zorder_key(cols, mins, maxs, bits))
+    (
+        zed.repartitionByRange(n_files, "__z")
+        .sortWithinPartitions("__z")
+        .drop("__z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )

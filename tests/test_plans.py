@@ -676,3 +676,52 @@ def test_vad_segments_single_docid_shuffle(spark, sf_dir):
     superset of the window partitioning — no second exchange)."""
     plan = _plan(spark, sf_dir, "mm_audio_vad_segments")
     assert len(re.findall(r"Arguments: hashpartitioning\(", plan)) == 1, plan
+
+
+def test_zorder_layout_skips_files_on_both_dimensions(spark, sf_dir, tmp_path):
+    """write_zorder_table: the Morton layout must give every file a LOW
+    overlap bounding box on BOTH clustered columns, so a range predicate
+    on either column intersects a strict subset of files — whereas a
+    single-column sort layout serves only its own column (a predicate on
+    the OTHER column hits every file). This is the parquet-footer
+    data-skipping contract OPTIMIZE ZORDER buys at 100 TB."""
+    from kafka_streams_playground_spark.sources.parquet import load_table
+    from kafka_streams_playground_spark.sources.sinks import write_zorder_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.floor(F.col("value") * 100 + 0.5).alias("cents")
+    )
+    zpath = str(tmp_path / "z")
+    spath = str(tmp_path / "s")
+    write_zorder_table(ev, zpath, ("user_id", "cents"), n_files=8)
+    # control: single-column sort on cents (same file count)
+    ev.repartitionByRange(8, "cents").sortWithinPartitions("cents").write.parquet(spath)
+
+    def files_hit(path, col, lo, hi):
+        per_file = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(F.min(col).alias("lo"), F.max(col).alias("hi"))
+            .collect()
+        )
+        assert len(per_file) == 8, per_file
+        return sum(1 for r in per_file if r["hi"] >= lo and r["lo"] <= hi)
+
+    # probe bands = the bottom 1/8 of ROWS per column (quantile-based, so
+    # a heavy-tailed value distribution can't smear the band over most
+    # files by count)
+    u_q = ev.approxQuantile("user_id", [0.0, 0.125], 0.001)
+    c_q = ev.approxQuantile("cents", [0.0, 0.125], 0.001)
+    u_band = (u_q[0], u_q[1])
+    c_band = (c_q[0], c_q[1])
+
+    # z-order: BOTH dimensions skip files
+    z_u = files_hit(zpath, "user_id", *u_band)
+    z_c = files_hit(zpath, "cents", *c_band)
+    assert z_u < 8 and z_c < 8, (z_u, z_c)
+    # single-column sort: its own column skips, the other hits everything
+    s_c = files_hit(spath, "cents", *c_band)
+    s_u = files_hit(spath, "user_id", *u_band)
+    assert s_c <= 2, s_c
+    assert s_u == 8, s_u
+    assert z_u < s_u, (z_u, s_u)
