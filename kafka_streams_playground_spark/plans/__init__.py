@@ -218,8 +218,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # path and persisted-aggregate reuse — over plain count aggregates;
     # mm_audio_vad_segments is the one-shuffle gaps-and-islands shape of
     # r5-driver-green mm_scene_change_segments over the same Arrow decode
-    # plumbing. All eight are strict-replica green (CORRECTNESS_LOCAL.json)
-    # and lead round 7 with hard driver signal.)
+    # plumbing; text_span_corruption_manifest is a map-only projection on
+    # the md5-seed convention of r5-driver-green sample_hash_split. All
+    # nine are strict-replica green (CORRECTNESS_LOCAL.json) and lead
+    # round 7 with hard driver signal.)
 )
 
 

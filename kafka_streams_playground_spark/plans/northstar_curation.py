@@ -886,3 +886,68 @@ def dedup_lines_global(spark: SparkSession, sf_dir: str) -> DataFrame:
             "within group (order by i)"
         ).alias("kept_text"),
     )
+
+
+SPAN_MAX = 32  # corruption span cap (tokens)
+
+
+@query(
+    "text_span_corruption_manifest",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+    ),
+    p AS (
+      SELECT doc_id, n_tokens,
+             LEAST({SPAN_MAX}, n_tokens // 5 + 1) AS span_len,
+             (('0x' || substr(md5(doc_id::VARCHAR), 1, 8)))::BIGINT AS seed
+      FROM t WHERE n_tokens >= 2
+    )
+    SELECT doc_id, n_tokens, span_len,
+           CAST(seed % (n_tokens - span_len + 1) AS BIGINT) AS span_start,
+           CAST(span_len * 1000000 // n_tokens AS BIGINT) AS corrupt_ppm
+    FROM p
+    """,
+    tags=("northstar", "curation", "augmentation", "bench"),
+)
+def text_span_corruption_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5/UL2-style span-corruption manifest: for every document, ONE
+    deterministic corruption span (start, length, corrupted-token ppm) —
+    the denoising-objective plan a training-data builder materializes so
+    every epoch/restart masks the SAME spans (reproducible pretraining,
+    and the span choice is auditable). Determinism comes from the md5
+    integer seed (the sample_hash_split convention): seed mod the valid
+    start range — no RNG, bit-equal across engines, partitionings, and
+    reruns. Span length is min(SPAN_MAX, ~20% of the doc), the T5 ratio.
+
+    Spark shape: ONE narrow projection over the documents scan — no
+    shuffle, no UDF (md5/conv/pmod are codegen'd); at 100 TB this is a
+    map-only pass whose output rides partition-local. The actual masking
+    happens at data-loading time from this manifest; a multi-span variant
+    iterates the same seeded recurrence per span."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = F.size(F.split("text", " "))
+    t = docs.select("doc_id", n.cast("long").alias("n_tokens")).filter(
+        F.col("n_tokens") >= 2
+    )
+    span_len = F.least(F.lit(SPAN_MAX), F.expr("n_tokens div 5") + 1)
+    seed = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast(
+        "long"
+    )
+    p = t.select(
+        "doc_id",
+        "n_tokens",
+        span_len.alias("span_len"),
+        seed.alias("seed"),
+    )
+    return p.select(
+        "doc_id",
+        "n_tokens",
+        "span_len",
+        (F.col("seed") % (F.col("n_tokens") - F.col("span_len") + 1))
+        .cast("long")
+        .alias("span_start"),
+        F.expr("CAST(span_len * 1000000 div n_tokens AS BIGINT)").alias(
+            "corrupt_ppm"
+        ),
+    )
