@@ -219,9 +219,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # mm_audio_vad_segments is the one-shuffle gaps-and-islands shape of
     # r5-driver-green mm_scene_change_segments over the same Arrow decode
     # plumbing; text_span_corruption_manifest is a map-only projection on
-    # the md5-seed convention of r5-driver-green sample_hash_split. All
-    # nine are strict-replica green (CORRECTNESS_LOCAL.json) and lead
-    # round 7 with hard driver signal.)
+    # the md5-seed convention of r5-driver-green sample_hash_split;
+    # wf_moving_avg_user_value is the bounded-ROWS frame variant of the
+    # slotted wf window machinery; cdc_snapshot_diff is one full-outer
+    # join (machinery = the r4-green left/semi/anti join family) with a
+    # classify projection. All eleven are strict-replica green
+    # (CORRECTNESS_LOCAL.json) and lead round 7 with hard driver signal.)
 )
 
 

@@ -105,7 +105,12 @@ def agg_heavy_hitters_twopass(spark: SparkSession, sf_dir: str) -> DataFrame:
     union-superset guarantee is property-tested under adversarial skew in
     tests/test_properties.py; this query oracle-checks the end-to-end
     exactness. Bigram build = tokenizer_bpe_pair_counts' codegen'd
-    adjacent-pair recipe (one explode, no Python in the count path)."""
+    adjacent-pair recipe (one explode, no Python in the count path).
+    The bigram stream is deliberately REBUILT per pass rather than
+    persisted: unlike text_ngram_novelty's Arrow md5 pass (worth caching
+    pre-explode), this build is pure whole-stage-codegen over the scan,
+    and caching |corpus| exploded rows to save it is exactly the memory
+    trade a 100 TB job must not make."""
     docs = load_table(spark, sf_dir, "documents").select("text")
     toks = F.split("text", " ")
     pairs = (

@@ -1938,3 +1938,126 @@ def wf_rank_family_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cume"
         ),
     )
+
+
+@query(
+    "wf_moving_avg_user_value",
+    oracle="""
+    SELECT user_id,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts_epoch,
+           event_id,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER w AS BIGINT)
+               AS mov_sum_cents,
+           COUNT(*) OVER w AS n_frame,
+           CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) OVER w
+                // COUNT(*) OVER w AS BIGINT) AS mov_avg_cents
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+    """,
+    tags=("extension", "window", "frame"),
+)
+def wf_moving_avg_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDED-rows frame spec (SURVEY §2.5) — the 4-row moving average of
+    per-user event value, the smoothing window every monitoring dashboard
+    computes. Completes the frame family: the other windows here use
+    UNBOUNDED PRECEDING (running folds); this one exercises the sliding
+    ROWS frame, where Spark keeps a 4-row buffer per partition instead of
+    an accumulator. Cents on the exact BIGINT grid, average by integer
+    division — bit-equal across engines; (ts, event_id) ordering makes the
+    frame deterministic under ties. One user_id shuffle + one sort; at
+    100 TB identical to every other single-window plan here (skew = the
+    hottest user)."""
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        "event_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts_epoch", "event_id")
+        .rowsBetween(-3, W.currentRow)
+    )
+    return ev.select(
+        "user_id",
+        "ts_epoch",
+        "event_id",
+        F.sum("cents").over(w).alias("mov_sum_cents"),
+        F.count(F.lit(1)).over(w).alias("n_frame"),
+    ).withColumn(
+        "mov_avg_cents", F.expr("CAST(mov_sum_cents div n_frame AS BIGINT)")
+    )
+
+
+@query(
+    "cdc_snapshot_diff",
+    oracle="""
+    WITH old AS (
+      SELECT event_id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_id % 7 <> 0
+    ),
+    new AS (
+      SELECT event_id,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+               + CASE WHEN event_id % 11 = 0 THEN 100 ELSE 0 END AS cents
+      FROM events WHERE event_id % 5 <> 0
+    )
+    SELECT COALESCE(o.event_id, n.event_id) AS event_id,
+           CASE WHEN o.event_id IS NULL THEN 'added'
+                WHEN n.event_id IS NULL THEN 'removed'
+                ELSE 'changed' END AS change,
+           o.cents AS old_cents, n.cents AS new_cents
+    FROM old o FULL OUTER JOIN new n ON o.event_id = n.event_id
+    WHERE o.event_id IS NULL OR n.event_id IS NULL OR o.cents <> n.cents
+    """,
+    tags=("extension", "cdc", "diff"),
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff — the CDC/data-versioning operator: given yesterday's
+    and today's keyed snapshots, emit the added / removed / changed rows
+    (the delta a downstream incremental consumer replays, and the audit a
+    dataset release publishes). Snapshots are deterministic rule-derived
+    slices of the events table (old drops event_id%7==0, new drops %5==0
+    and bumps %11==0 values), so both engines derive identical versions.
+
+    Spark shape: ONE co-shuffled full-outer join on the key — both sides
+    hash on event_id (or pre-bucket both snapshots by key, making nightly
+    diffs shuffle-free: sinks.write_bucketed_table) — then a null/value
+    classify projection; unchanged rows are filtered at the join output so
+    the delta, not the corpus, is what leaves the stage. At 100 TB this is
+    the standard table-format diff primitive (what Delta/Iceberg
+    changelogs materialize), and per-column change attribution is the
+    same compare widened to a struct."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents")
+    )
+    old = ev.filter(F.col("event_id") % 7 != 0).select(
+        F.col("event_id").alias("o_id"), F.col("cents").alias("old_cents")
+    )
+    new = ev.filter(F.col("event_id") % 5 != 0).select(
+        F.col("event_id").alias("n_id"),
+        (
+            F.col("cents")
+            + F.when(F.col("event_id") % 11 == 0, F.lit(100)).otherwise(F.lit(0))
+        ).alias("new_cents"),
+    )
+    j = old.join(new, old["o_id"] == new["n_id"], "full_outer")
+    return (
+        j.filter(
+            F.col("o_id").isNull()
+            | F.col("n_id").isNull()
+            | (F.col("old_cents") != F.col("new_cents"))
+        )
+        .select(
+            F.coalesce("o_id", "n_id").alias("event_id"),
+            F.when(F.col("o_id").isNull(), F.lit("added"))
+            .when(F.col("n_id").isNull(), F.lit("removed"))
+            .otherwise(F.lit("changed"))
+            .alias("change"),
+            "old_cents",
+            "new_cents",
+        )
+    )
