@@ -223,8 +223,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # wf_moving_avg_user_value is the bounded-ROWS frame variant of the
     # slotted wf window machinery; cdc_snapshot_diff is one full-outer
     # join (machinery = the r4-green left/semi/anti join family) with a
-    # classify projection. All eleven are strict-replica green
-    # (CORRECTNESS_LOCAL.json) and lead round 7 with hard driver signal.)
+    # classify projection; stats_join_cardinality_kmv composes the
+    # r6-slotted agg_kmv_distinct_sketch's bottom-K machinery into a
+    # two-sketch Jaccard estimate (accuracy unit-pinned alongside the
+    # oracle). All twelve are strict-replica green (CORRECTNESS_LOCAL.json)
+    # and lead round 7 with hard driver signal.)
 )
 
 

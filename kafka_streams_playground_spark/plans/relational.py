@@ -2061,3 +2061,115 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             "new_cents",
         )
     )
+
+
+JCARD_K = 256
+
+
+@query(
+    "stats_join_cardinality_kmv",
+    oracle=f"""
+    WITH ha AS (
+      SELECT DISTINCT (('0x' || substr(md5(o_custkey::VARCHAR), 1, 8)))::BIGINT AS hv
+      FROM orders
+    ),
+    hb AS (
+      SELECT DISTINCT (('0x' || substr(md5(user_id::VARCHAR), 1, 8)))::BIGINT AS hv
+      FROM events
+    ),
+    u AS (SELECT hv FROM (SELECT hv FROM ha UNION SELECT hv FROM hb)
+          ORDER BY hv LIMIT {JCARD_K}),
+    s AS (SELECT COUNT(*) AS k_n, MAX(hv) AS kth FROM u),
+    ue AS (
+      SELECT k_n,
+             CASE WHEN k_n < {JCARD_K} THEN CAST(k_n AS BIGINT)
+                  ELSE CAST(FLOOR(({JCARD_K} - 1) * {2**32}.0 / kth) AS BIGINT)
+             END AS union_est
+      FROM s
+    ),
+    b AS (
+      SELECT COUNT(*) AS n_both FROM u
+      WHERE hv IN (SELECT hv FROM ha) AND hv IN (SELECT hv FROM hb)
+    ),
+    t AS (
+      SELECT (SELECT COUNT(*) FROM ha WHERE hv IN (SELECT hv FROM hb))
+                 AS true_common_keys,
+             (SELECT COUNT(*) FROM (SELECT hv FROM ha UNION SELECT hv FROM hb))
+                 AS true_union_keys
+    )
+    SELECT ue.k_n, ue.union_est, b.n_both,
+           CAST(b.n_both * ue.union_est // {JCARD_K} AS BIGINT)
+               AS est_common_keys,
+           t.true_common_keys, t.true_union_keys
+    FROM ue, b, t
+    """,
+    tags=("extension", "stats", "sketch", "optimizer", "bench"),
+)
+def stats_join_cardinality_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based JOIN CARDINALITY estimation — the optimizer statistic a
+    CBO consults before picking join order/strategy, computed WITHOUT
+    touching the other table's raw keys: each side keeps a KMV bottom-K of
+    its distinct key hashes (K longs per table, maintained incrementally
+    at ingest), the union's bottom-K estimates |A ∪ B|, and the fraction
+    of those K values present in BOTH sketches estimates the key-set
+    Jaccard (Beyer et al., SIGMOD'07) — est common keys = n_both x
+    union_est / K. Like agg_kmv_distinct_sketch, the whole estimator is
+    md5 + integer arithmetic, so the SKETCH ITSELF is oracle-checked
+    bit-for-bit, and the true common/union counts ride along so the query
+    self-reports its accuracy (also asserted in tests). Scale shape: two
+    map-side distinct-hash passes + TakeOrderedAndProject bottom-Ks; the
+    only full-width work is the truth columns, which a production CBO
+    would not compute — the estimate costs O(K) state per table."""
+    K = JCARD_K
+
+    def hashes(table: str, col: str) -> DataFrame:
+        return (
+            load_table(spark, sf_dir, table)
+            .select(
+                F.conv(F.substring(F.md5(F.col(col).cast("string")), 1, 8), 16, 10)
+                .cast("long")
+                .alias("hv")
+            )
+            .distinct()
+        )
+
+    ha = hashes("orders", "o_custkey").persist()
+    hb = hashes("events", "user_id").persist()
+    u = ha.union(hb).distinct().orderBy("hv").limit(K).persist()
+    s = u.agg(F.count(F.lit(1)).alias("k_n"), F.max("hv").alias("kth"))
+    ue = s.select(
+        "k_n",
+        F.when(F.col("k_n") < K, F.col("k_n").cast("long"))
+        .otherwise(F.floor((K - 1) * float(2**32) / F.col("kth")).cast("long"))
+        .alias("union_est"),
+    )
+    b = (
+        u.join(ha, "hv", "left_semi")
+        .join(hb, "hv", "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    t = (
+        ha.join(hb, "hv", "left_semi")
+        .agg(F.count(F.lit(1)).alias("true_common_keys"))
+        .crossJoin(
+            F.broadcast(
+                ha.union(hb)
+                .distinct()
+                .agg(F.count(F.lit(1)).alias("true_union_keys"))
+            )
+        )
+    )
+    return (
+        ue.crossJoin(F.broadcast(b))
+        .crossJoin(F.broadcast(t))
+        .select(
+            "k_n",
+            "union_est",
+            "n_both",
+            F.expr(f"CAST(n_both * union_est div {K} AS BIGINT)").alias(
+                "est_common_keys"
+            ),
+            "true_common_keys",
+            "true_union_keys",
+        )
+    )

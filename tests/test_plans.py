@@ -725,3 +725,17 @@ def test_zorder_layout_skips_files_on_both_dimensions(spark, sf_dir, tmp_path):
     assert s_c <= 2, s_c
     assert s_u == 8, s_u
     assert z_u < s_u, (z_u, s_u)
+
+
+def test_join_cardinality_estimate_within_error(spark, sf_dir):
+    """stats_join_cardinality_kmv: the sketch estimate of |keys(A) ∩
+    keys(B)| must land within 3 standard errors (3/sqrt(K) of the union)
+    of the truth the query itself reports, and the bottom-Ks must plan as
+    TakeOrderedAndProject, not a global sort."""
+    from kafka_streams_playground_spark.plans.relational import JCARD_K
+
+    row = REGISTRY["stats_join_cardinality_kmv"].fn(spark, sf_dir).collect()[0]
+    err_budget = 3.0 / (JCARD_K ** 0.5) * row["true_union_keys"]
+    assert abs(row["est_common_keys"] - row["true_common_keys"]) <= err_budget, row
+    plan = _plan(spark, sf_dir, "stats_join_cardinality_kmv")
+    assert "TakeOrderedAndProject" in plan, plan
