@@ -228,6 +228,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # two-sketch Jaccard estimate (accuracy unit-pinned alongside the
     # oracle). All twelve are strict-replica green (CORRECTNESS_LOCAL.json)
     # and lead round 7 with hard driver signal.)
+    # (layout_zorder_pruning_audit — added after the 50 slots filled —
+    # defers by the sibling rule: its Morton key is the unit/plan-pinned
+    # sinks.zorder_key bit math, its persisted-agg/1-row-broadcast shapes
+    # are the r6-slotted diag/KMV machinery, and it is all-integer
+    # arithmetic under the full-registry replica; it leads round 7.)
 )
 
 

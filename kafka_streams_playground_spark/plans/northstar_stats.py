@@ -426,3 +426,188 @@ def diag_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Data-layout pruning audit (Z-order vs linear clustering)
+# ---------------------------------------------------------------------------
+
+# Per-dimension Morton resolution for the audit grid (8 bits x 2 dims =
+# 16-bit key); tile = key div 2^ZT_SHIFT -> 64 z-tiles, and the linear
+# layout's 64 tiles come from the x-quantile alone (qx div 4).
+ZB = 8
+ZT_SHIFT = 10
+LT_DIV = 4
+# Predicate box: [10%, 20%] of each dimension's span — a selective 2-D
+# range predicate, the case single-column clustering cannot serve.
+P_LO_PCT, P_HI_PCT = 10, 20
+
+
+def _morton_terms_sql(qx: str, qy: str, bits: int) -> str:
+    terms = []
+    for b in range(bits):
+        terms.append(f"(({qx} // {1 << b}) % 2) * {1 << (2 * b)}")
+        terms.append(f"(({qy} // {1 << b}) % 2) * {1 << (2 * b + 1)}")
+    return " + ".join(terms)
+
+
+def _zorder_audit_oracle() -> str:
+    morton = _morton_terms_sql("qx", "qy", ZB)
+    mx = (1 << ZB) - 1
+    return f"""
+WITH bounds AS (
+  SELECT MIN(l_partkey) AS lox, MAX(l_partkey) AS hix,
+         MIN(l_suppkey) AS loy, MAX(l_suppkey) AS hiy
+  FROM lineitem
+), pts AS (
+  SELECT l_partkey AS x, l_suppkey AS y,
+         ((l_partkey - lox) * {mx}) // GREATEST(hix - lox, 1) AS qx,
+         ((l_suppkey - loy) * {mx}) // GREATEST(hiy - loy, 1) AS qy
+  FROM lineitem, bounds
+), keyed AS (
+  SELECT x, y, ({morton}) // {1 << ZT_SHIFT} AS ztile, qx // {LT_DIV} AS ltile
+  FROM pts
+), pairs AS (
+  SELECT 'zorder' AS layout, ztile AS tile, x, y FROM keyed
+  UNION ALL
+  SELECT 'linear' AS layout, ltile AS tile, x, y FROM keyed
+), tiles AS (
+  SELECT layout, tile,
+         MIN(x) AS min_x, MAX(x) AS max_x,
+         MIN(y) AS min_y, MAX(y) AS max_y,
+         COUNT(*) AS n_rows
+  FROM pairs GROUP BY layout, tile
+), pred AS (
+  SELECT lox + ((hix - lox) * {P_LO_PCT}) // 100 AS pxlo,
+         lox + ((hix - lox) * {P_HI_PCT}) // 100 AS pxhi,
+         loy + ((hiy - loy) * {P_LO_PCT}) // 100 AS pylo,
+         loy + ((hiy - loy) * {P_HI_PCT}) // 100 AS pyhi
+  FROM bounds
+)
+SELECT layout,
+       COUNT(*) AS tiles_total,
+       CAST(SUM(CASE WHEN max_x < pxlo OR min_x > pxhi
+                       OR max_y < pylo OR min_y > pyhi
+                THEN 0 ELSE 1 END) AS BIGINT) AS tiles_scanned,
+       CAST(SUM(n_rows) AS BIGINT) AS rows_total,
+       CAST(SUM(CASE WHEN max_x < pxlo OR min_x > pxhi
+                       OR max_y < pylo OR min_y > pyhi
+                THEN 0 ELSE n_rows END) AS BIGINT) AS rows_scanned,
+       CAST((SUM(CASE WHEN max_x < pxlo OR min_x > pxhi
+                        OR max_y < pylo OR min_y > pyhi
+                 THEN 0 ELSE n_rows END) * 2000000 + SUM(n_rows))
+            // (SUM(n_rows) * 2) AS BIGINT) AS scan_ppm
+FROM tiles, pred
+GROUP BY layout
+"""
+
+
+@query(
+    "layout_zorder_pruning_audit",
+    oracle=_zorder_audit_oracle(),
+    tags=("extension", "layout", "diagnostics", "agg", "bench"),
+)
+def layout_zorder_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantified data-skipping audit for the Z-order layout
+    (`sources/sinks.py::write_zorder_table`): for a selective 2-D box
+    predicate on (l_partkey, l_suppkey), how many file-tiles — and rows —
+    would footer min/max pruning actually skip under Morton clustering vs
+    single-column (linear) clustering? This is the manifest-building +
+    pruning-estimate pass a lakehouse OPTIMIZE ZORDER decision runs before
+    committing to the rewrite: 64 tiles per layout, per-tile bounding
+    boxes, and the scan fraction in exact ppm.
+
+    Exactness stance: everything is integer arithmetic — quantization is
+    ((v - lo) * 255) div span (Spark `div` = truncation, DuckDB `//` =
+    floor; identical on the non-negative domain), the Morton key is bit
+    shifts/masks (codegen'd in Spark, div/mod terms in the oracle), and
+    the ppm is the repo's round-half-up DECIMAL pattern. No doubles, so
+    the cross-engine hash is exact.
+
+    Scale shape: ONE fact scan; the per-row work (quantize + 16-term
+    interleave + tile ids) is map-side codegen; both layouts ride a single
+    shuffle — each row explodes into its two (layout, tile) pairs and ONE
+    groupBy(layout, tile) with map-side partials reduces to <=128 tile
+    rows; the column bounds and the predicate box are a 1-row broadcast
+    cross join (the unigram-LM corpus-total pattern). At 100 TB the same
+    aggregate runs per output file to build the skipping manifest, and the
+    answer it measures here is the point of the layout: the z-tiles'
+    bounding boxes overlap the box predicate on O(boundary) tiles, while
+    linear tiles serve x but are unbounded in y."""
+    mx = (1 << ZB) - 1
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_partkey").alias("x"), F.col("l_suppkey").alias("y")
+    )
+    bounds = li.agg(
+        F.min("x").alias("lox"),
+        F.max("x").alias("hix"),
+        F.min("y").alias("loy"),
+        F.max("y").alias("hiy"),
+    )
+    pts = li.crossJoin(F.broadcast(bounds)).select(
+        "x",
+        "y",
+        F.expr(f"((x - lox) * {mx}) div greatest(hix - lox, 1)").alias("qx"),
+        F.expr(f"((y - loy) * {mx}) div greatest(hiy - loy, 1)").alias("qy"),
+        F.expr(f"lox + ((hix - lox) * {P_LO_PCT}) div 100").alias("pxlo"),
+        F.expr(f"lox + ((hix - lox) * {P_HI_PCT}) div 100").alias("pxhi"),
+        F.expr(f"loy + ((hiy - loy) * {P_LO_PCT}) div 100").alias("pylo"),
+        F.expr(f"loy + ((hiy - loy) * {P_HI_PCT}) div 100").alias("pyhi"),
+    )
+    z = F.lit(0).cast("long")
+    for b in range(ZB):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(F.col("qx"), b).bitwiseAND(F.lit(1)), 2 * b)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(F.col("qy"), b).bitwiseAND(F.lit(1)), 2 * b + 1)
+        )
+    keyed = pts.withColumn("zkey", z).withColumn(
+        "ztile", F.expr(f"zkey div {1 << ZT_SHIFT}")
+    ).withColumn("ltile", F.expr(f"qx div {LT_DIV}"))
+    pairs = keyed.select(
+        F.explode(
+            F.array(
+                F.struct(F.lit("zorder").alias("layout"), F.col("ztile").alias("tile")),
+                F.struct(F.lit("linear").alias("layout"), F.col("ltile").alias("tile")),
+            )
+        ).alias("lt"),
+        "x",
+        "y",
+        "pxlo",
+        "pxhi",
+        "pylo",
+        "pyhi",
+    )
+    tiles = pairs.groupBy(F.col("lt.layout").alias("layout"), F.col("lt.tile")).agg(
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+        F.min("y").alias("min_y"),
+        F.max("y").alias("max_y"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.first("pxlo").alias("pxlo"),
+        F.first("pxhi").alias("pxhi"),
+        F.first("pylo").alias("pylo"),
+        F.first("pyhi").alias("pyhi"),
+    )
+    scanned = F.when(
+        (F.col("max_x") < F.col("pxlo"))
+        | (F.col("min_x") > F.col("pxhi"))
+        | (F.col("max_y") < F.col("pylo"))
+        | (F.col("min_y") > F.col("pyhi")),
+        F.lit(0),
+    ).otherwise(F.lit(1))
+    return (
+        tiles.withColumn("scanned", scanned)
+        .groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).alias("tiles_total"),
+            F.sum("scanned").alias("tiles_scanned"),
+            F.sum("n_rows").alias("rows_total"),
+            F.sum(F.col("scanned") * F.col("n_rows")).alias("rows_scanned"),
+            F.expr(
+                "CAST((CAST(SUM(scanned * n_rows) AS DECIMAL(38,0)) * 2000000"
+                " + SUM(n_rows)) div (CAST(SUM(n_rows) AS DECIMAL(38,0)) * 2)"
+                " AS BIGINT)"
+            ).alias("scan_ppm"),
+        )
+    )

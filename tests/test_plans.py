@@ -739,3 +739,25 @@ def test_join_cardinality_estimate_within_error(spark, sf_dir):
     assert abs(row["est_common_keys"] - row["true_common_keys"]) <= err_budget, row
     plan = _plan(spark, sf_dir, "stats_join_cardinality_kmv")
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_zorder_audit_single_tile_shuffle_and_contrast(spark, sf_dir):
+    """layout_zorder_pruning_audit: the per-row key computation (quantize,
+    Morton interleave, layout explode) must stay map-side — exactly ONE
+    hash exchange feeds the (layout, tile) aggregate (the final 2-group
+    agg rides the same exchange's output via a tiny second partial) — the
+    bounds/predicate relation arrives by BroadcastExchange, and on the
+    fixtures the Z-order layout must scan no more rows than the linear
+    layout for the 2-D box (the claim the audit exists to quantify)."""
+    plan = _plan(spark, sf_dir, "layout_zorder_pruning_audit")
+    assert "BroadcastExchange" in plan, plan
+    assert len(re.findall(r"Arguments: hashpartitioning\(", plan)) <= 2, plan
+    assert not re.search(r"\bSort \(", plan), plan
+    from kafka_streams_playground_spark.plans import REGISTRY
+
+    rows = {
+        r["layout"]: r
+        for r in REGISTRY["layout_zorder_pruning_audit"].fn(spark, sf_dir).collect()
+    }
+    assert rows["zorder"]["rows_scanned"] <= rows["linear"]["rows_scanned"], rows
+    assert rows["zorder"]["tiles_total"] == rows["linear"]["tiles_total"] == 64, rows
