@@ -1964,21 +1964,25 @@ def wf_moving_avg_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNBOUNDED PRECEDING (running folds); this one exercises the sliding
     ROWS frame, where Spark keeps a 4-row buffer per partition instead of
     an accumulator. Cents on the exact BIGINT grid, average by integer
-    division — bit-equal across engines; (ts, event_id) ordering makes the
-    frame deterministic under ties. One user_id shuffle + one sort; at
-    100 TB identical to every other single-window plan here (skew = the
-    hottest user)."""
+    division — bit-equal across engines; the frame is ordered by the
+    FULL-precision timestamp (sub-second) plus event_id, matching the
+    oracle's ORDER BY ts, event_id — ordering by a second-truncated epoch
+    would silently disagree whenever two same-user events share a floor
+    second (ADVICE r6); ts_epoch is an output column only. One user_id
+    shuffle + one sort; at 100 TB identical to every other single-window
+    plan here (skew = the hottest user)."""
     from pyspark.sql import Window as W
 
     ev = load_table(spark, sf_dir, "events").select(
         "user_id",
+        "ts",
         F.unix_timestamp("ts").alias("ts_epoch"),
         "event_id",
         F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
     )
     w = (
         W.partitionBy("user_id")
-        .orderBy("ts_epoch", "event_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
         .rowsBetween(-3, W.currentRow)
     )
     return ev.select(

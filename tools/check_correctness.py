@@ -109,6 +109,12 @@ def main() -> int:
             "err": None,
         }
         results[name] = rec
+        # Per-query cache scope (ADVICE r6): queries that persist an internal
+        # index (LSH signatures, support edges, KMV sketches, skew counts)
+        # must not accumulate cached partitions across the ~200-query sweep —
+        # that inflates memory pressure and timing variance. bench.py already
+        # clears per run; the replica clears per query for the same reason.
+        spark.catalog.clearCache()
         t0 = time.time()
         try:
             sdf = spec.fn(spark, sf_dir)
