@@ -18,6 +18,7 @@ from kafka_streams_playground_spark.plans import northstar_curation  # noqa: F40
 from kafka_streams_playground_spark.plans import northstar_scoring  # noqa: F401
 from kafka_streams_playground_spark.plans import tpch_completion  # noqa: F401
 from kafka_streams_playground_spark.plans import northstar_stats  # noqa: F401
+from kafka_streams_playground_spark.plans import northstar_retrieval  # noqa: F401
 
 # ---------------------------------------------------------------------------
 # Driver-visible ordering.

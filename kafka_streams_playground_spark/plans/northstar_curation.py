@@ -951,3 +951,134 @@ def text_span_corruption_manifest(spark: SparkSession, sf_dir: str) -> DataFrame
             "corrupt_ppm"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting (round 7)
+# ---------------------------------------------------------------------------
+
+# Data Selection via Importance Resampling (Xie et al. 2023): score raw
+# documents by the log-likelihood ratio of a TARGET-domain bag-of-hashed-
+# unigrams model vs the RAW-corpus model. Buckets via the md5-prefix recipe
+# (namespaced 'dsir:'), add-one smoothing, and per-bucket log-ratios frozen
+# to an exact 1e-6 integer grid BEFORE the per-doc sum, so the fold is
+# order-free and cross-engine exact (the LP_GRID convention). Target domain:
+# English documents — the "select more of this" slice.
+DSIR_BUCKETS = 256
+DSIR_TARGET_LANG = "en"
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tok FROM documents
+    ),
+    b AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5('dsir:' || tok), 1, 8))::BIGINT
+                 % {DSIR_BUCKETS} AS bucket
+      FROM tok
+    ),
+    tcnt AS (
+      SELECT bucket, COUNT(*) AS tc FROM b
+      WHERE lang = '{DSIR_TARGET_LANG}' GROUP BY bucket
+    ),
+    rcnt AS (SELECT bucket, COUNT(*) AS rc FROM b GROUP BY bucket),
+    tots AS (
+      SELECT CAST(SUM(CASE WHEN lang = '{DSIR_TARGET_LANG}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS t_tot,
+             COUNT(*) AS r_tot
+      FROM b
+    ),
+    lr AS (
+      SELECT r.bucket,
+             CAST(FLOOR(ln(((COALESCE(t.tc, 0) + 1.0) * (tots.r_tot + {DSIR_BUCKETS}))
+                           / ((r.rc + 1.0) * (tots.t_tot + {DSIR_BUCKETS})))
+                        * 1000000 + 0.5) AS BIGINT) AS lr6
+      FROM rcnt r LEFT JOIN tcnt t USING (bucket) CROSS JOIN tots
+    )
+    SELECT b.doc_id, COUNT(*) AS n_tokens,
+           CAST(SUM(lr.lr6) AS BIGINT) AS dsir6,
+           CASE WHEN SUM(lr.lr6) > 0 THEN 1 ELSE 0 END AS selected
+    FROM b JOIN lr USING (bucket)
+    GROUP BY b.doc_id
+    """,
+    tags=("northstar", "curation", "scoring", "sampling", "bench"),
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weighting (Xie et al. 2023, "Data Selection for
+    Language Models via Importance Resampling"): every document scored by
+    Σ_tokens log(p_target(bucket)/p_raw(bucket)) over hashed-unigram
+    features — the cheap proxy for "does this raw document look like the
+    target domain" that decides what a domain-targeted pretraining mix
+    keeps. Positive scores mark target-like documents (`selected`).
+
+    Spark shape: two bounded model tables — bucket counts for the target
+    slice and the full corpus (each ≤ DSIR_BUCKETS rows by construction:
+    the hashing is what makes DSIR scale-free in vocabulary) — built with
+    map-side partial aggregation, fused into one BROADCAST log-ratio
+    table; scoring is the exploded token stream joined map-side against
+    that broadcast and re-aggregated per doc (one doc_id shuffle carrying
+    two integers per token). Totals attach by 1-row broadcast crossJoin.
+    The ln() argument is assembled with IDENTICAL operation order in both
+    engines and frozen to the 1e-6 grid per BUCKET (O(256) lns, not per
+    token), so the per-doc integer sum is order-free. At 100 TB: identical
+    plan; the model tables stay 256 rows."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    tok = docs.select(
+        "doc_id", "lang", F.explode(F.split("text", " ")).alias("tok")
+    )
+    b = tok.select(
+        "doc_id",
+        "lang",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("dsir:"), F.col("tok"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % DSIR_BUCKETS
+        ).alias("bucket"),
+    )
+    tcnt = (
+        b.filter(F.col("lang") == DSIR_TARGET_LANG)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    rcnt = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("rc"))
+    tots = b.agg(
+        F.sum(
+            F.when(F.col("lang") == DSIR_TARGET_LANG, 1).otherwise(0)
+        ).alias("t_tot"),
+        F.count(F.lit(1)).alias("r_tot"),
+    )
+    lr = (
+        rcnt.join(tcnt, "bucket", "left")
+        .crossJoin(F.broadcast(tots))
+        .select(
+            "bucket",
+            F.floor(
+                F.log(
+                    (
+                        (F.coalesce(F.col("tc"), F.lit(0)) + 1.0)
+                        * (F.col("r_tot") + DSIR_BUCKETS)
+                    )
+                    / ((F.col("rc") + 1.0) * (F.col("t_tot") + DSIR_BUCKETS))
+                )
+                * 1000000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("lr6"),
+        )
+    )
+    return (
+        b.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum("lr6").alias("dsir6"),
+            F.when(F.sum("lr6") > 0, 1).otherwise(0).alias("selected"),
+        )
+    )

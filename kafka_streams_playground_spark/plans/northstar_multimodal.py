@@ -420,3 +420,125 @@ def mm_audio_vad_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(sum_e4 div n_active AS BIGINT)").alias("mean_energy_e4"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Perceptual-hash near-duplicate detection (round 7)
+# ---------------------------------------------------------------------------
+
+# aHash over the PHASH_BYTES leading payload bytes: bit b = byte[b] > mean
+# (compared as byte*N > sum — pure integers, no float mean). 16 bits band
+# into PHASH_BANDS=4 bands of 4 bits; by pigeonhole any pair within
+# PHASH_HAM_TH=1 hamming shares >= 3 bands, so the band join finds EVERY
+# qualifying pair — banding here is exact, not approximate.
+PHASH_BYTES = 16
+PHASH_BANDS = 4
+PHASH_BAND_BITS = 4
+PHASH_HAM_TH = 1
+
+_PHASH_SUM_SQL = "ascii(substr(text,1,1)) + ascii(substr(text,2,1)) + ascii(substr(text,3,1)) + ascii(substr(text,4,1)) + ascii(substr(text,5,1)) + ascii(substr(text,6,1)) + ascii(substr(text,7,1)) + ascii(substr(text,8,1)) + ascii(substr(text,9,1)) + ascii(substr(text,10,1)) + ascii(substr(text,11,1)) + ascii(substr(text,12,1)) + ascii(substr(text,13,1)) + ascii(substr(text,14,1)) + ascii(substr(text,15,1)) + ascii(substr(text,16,1))"
+_PHASH_BITS_SQL = """(CASE WHEN ascii(substr(text,1,1))*16 > asum THEN 1 ELSE 0 END)
+        + (CASE WHEN ascii(substr(text,2,1))*16 > asum THEN 2 ELSE 0 END)
+        + (CASE WHEN ascii(substr(text,3,1))*16 > asum THEN 4 ELSE 0 END)
+        + (CASE WHEN ascii(substr(text,4,1))*16 > asum THEN 8 ELSE 0 END)
+        + (CASE WHEN ascii(substr(text,5,1))*16 > asum THEN 16 ELSE 0 END)
+        + (CASE WHEN ascii(substr(text,6,1))*16 > asum THEN 32 ELSE 0 END)
+        + (CASE WHEN ascii(substr(text,7,1))*16 > asum THEN 64 ELSE 0 END)
+        + (CASE WHEN ascii(substr(text,8,1))*16 > asum THEN 128 ELSE 0 END)
+        + (CASE WHEN ascii(substr(text,9,1))*16 > asum THEN 256 ELSE 0 END)
+        + (CASE WHEN ascii(substr(text,10,1))*16 > asum THEN 512 ELSE 0 END)
+        + (CASE WHEN ascii(substr(text,11,1))*16 > asum THEN 1024 ELSE 0 END)
+        + (CASE WHEN ascii(substr(text,12,1))*16 > asum THEN 2048 ELSE 0 END)
+        + (CASE WHEN ascii(substr(text,13,1))*16 > asum THEN 4096 ELSE 0 END)
+        + (CASE WHEN ascii(substr(text,14,1))*16 > asum THEN 8192 ELSE 0 END)
+        + (CASE WHEN ascii(substr(text,15,1))*16 > asum THEN 16384 ELSE 0 END)
+        + (CASE WHEN ascii(substr(text,16,1))*16 > asum THEN 32768 ELSE 0 END)"""
+
+
+@query(
+    "mm_phash_neardup",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, ({_PHASH_BITS_SQL}) AS phash
+      FROM (SELECT doc_id, text, ({_PHASH_SUM_SQL}) AS asum FROM documents)
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.phash, b.phash)) AS hamming
+    FROM h a JOIN h b
+      ON a.doc_id < b.doc_id
+     AND bit_count(xor(a.phash, b.phash)) <= {PHASH_HAM_TH}
+    """,
+    tags=("northstar", "multimodal", "dedup", "bench"),
+)
+def mm_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate detection over image-shaped payloads —
+    the visual twin of MinHash text dedup: a 16-bit average-hash per blob
+    (bit = leading byte above the block mean; stands in for the DCT pHash a
+    real image pipeline computes after decode), then banded bucketing so
+    candidate pairs come from band collisions, never an all-pairs scan.
+    With 4 bands of 4 bits, hamming <= 1 pairs ALWAYS share a band
+    (pigeonhole) — the band join is exact for this radius.
+
+    Spark shape: the hash is ONE Arrow ``mapInPandas`` pass over the binary
+    column (blob bytes never leave the scan stage — only (doc_id, 16-bit
+    hash) rides on); bands explode 4 rows per doc and the equi-join on
+    (band_no, band_value) buckets candidates exactly like the MinHash LSH
+    machinery (northstar_dedup.py); verification is one integer
+    bit_count(xor) per candidate. At 100 TB: band-bucket occupancy (not
+    N**2) drives cost, hot buckets split by the salted-key recipe, and the
+    hash widens to 64-bit DCT pHash with the same band algebra. The oracle
+    recomputes the hash from ascii codepoints (payload = utf-8 of ascii
+    text) and verifies pairs quadratically — affordable at oracle scale
+    only, which is the point of the banding."""
+    mm = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+
+    def phash_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        nb = PHASH_BYTES
+        for pdf in batches:
+            out_ids = pdf["doc_id"].to_numpy()
+            hashes = np.zeros(len(pdf), dtype=np.int64)
+            for i, buf in enumerate(pdf["content"]):
+                by = np.frombuffer(bytes(buf)[:nb], dtype=np.uint8).astype(np.int64)
+                if len(by) < nb:
+                    by = np.pad(by, (0, nb - len(by)))
+                asum = int(by.sum())
+                bits = (by * nb) > asum
+                hashes[i] = int((bits.astype(np.int64) << np.arange(nb)).sum())
+            yield pd.DataFrame({"doc_id": out_ids, "phash": hashes})
+
+    h = mm.select("doc_id", "content").mapInPandas(
+        phash_batches, "doc_id bigint, phash bigint"
+    )
+    band_mask = (1 << PHASH_BAND_BITS) - 1
+    bands = h.select(
+        "doc_id",
+        "phash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright("phash", PHASH_BAND_BITS * i).bitwiseAND(band_mask)
+                    for i in range(PHASH_BANDS)
+                ]
+            )
+        ).alias("band_no", "band_val"),
+    )
+    ba = bands.select(
+        F.col("doc_id").alias("doc_a"), F.col("phash").alias("ha"), "band_no", "band_val"
+    )
+    bb = bands.select(
+        F.col("doc_id").alias("doc_b"), F.col("phash").alias("hb"), "band_no", "band_val"
+    )
+    cand = (
+        ba.join(bb, ["band_no", "band_val"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "ha", "hb")
+        .distinct()
+    )
+    return cand.select(
+        "doc_a",
+        "doc_b",
+        F.expr("bit_count(ha ^ hb)").alias("hamming"),
+    ).filter(F.col("hamming") <= PHASH_HAM_TH).select("doc_a", "doc_b", "hamming")

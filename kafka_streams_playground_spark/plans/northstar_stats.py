@@ -20,7 +20,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_streams_playground_spark.functions import text as T
@@ -610,4 +610,185 @@ def layout_zorder_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " AS BIGINT)"
             ).alias("scan_ppm"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch frequency estimation (round 7)
+# ---------------------------------------------------------------------------
+
+# Sketch geometry: D independent hash rows × W counters. W=64 against the
+# fixtures' 150 distinct users forces real collisions, so the audit exercises
+# the overestimate the sketch is defined by (est >= true, error bounded by
+# n/W per row, min over rows tightens it — Cormode & Muthukrishnan 2005).
+CM_DEPTH = 4
+CM_WIDTH = 64
+CM_TOP = 10
+
+
+def _cm_bucket_sql(r: str, key: str) -> str:
+    """DuckDB twin of the Spark md5-prefix bucket (the sample_hash_split
+    recipe, namespaced by the row index so the D rows are independent)."""
+    return (
+        f"('0x' || substr(md5('cm' || CAST({r} AS VARCHAR) || ':' "
+        f"|| CAST({key} AS VARCHAR)), 1, 8))::BIGINT % {CM_WIDTH}"
+    )
+
+
+@query(
+    "stats_countmin_user_traffic",
+    oracle=f"""
+    WITH cnt AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id),
+    rows_ AS (SELECT unnest(range(0, {CM_DEPTH})) AS r),
+    buckets AS (
+      SELECT user_id, r, {_cm_bucket_sql("r", "user_id")} AS b
+      FROM cnt, rows_
+    ),
+    sketch AS (
+      SELECT r, b, CAST(SUM(cnt) AS BIGINT) AS sc
+      FROM cnt JOIN buckets USING (user_id) GROUP BY r, b
+    ),
+    est AS (
+      SELECT bu.user_id, MIN(s.sc) AS est
+      FROM buckets bu JOIN sketch s ON s.r = bu.r AND s.b = bu.b
+      GROUP BY bu.user_id
+    ),
+    top AS (
+      SELECT user_id, cnt FROM cnt ORDER BY cnt DESC, user_id LIMIT {CM_TOP}
+    )
+    SELECT t.user_id, t.cnt, e.est, e.est - t.cnt AS overcount
+    FROM top t JOIN est e USING (user_id)
+    """,
+    tags=("northstar", "stats", "sketch", "bench"),
+)
+def stats_countmin_user_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation, audited against exact counts:
+    build a D×W counter sketch over per-user event traffic, read back the
+    sketch estimate (min over the D hashed counters) for the true top-10
+    users, and report the overestimate. Completes the mergeable-sketch
+    family: KMV (distinct counts), Misra-Gries (candidate sets) — count-min
+    is the FREQUENCY summary, the one that answers point queries over keys
+    that dwarf memory.
+
+    Spark shape: the sketch is a groupBy((r, bucket)) count with map-side
+    partials — O(D·W) rows total however large the corpus, the definition
+    of mergeable (counters add across partitions, shards, days). The D-fold
+    key expansion happens map-side via posexplode of the D bucket values;
+    the readback joins the D·W-row sketch BROADCAST; the true top-10 is
+    TakeOrderedAndProject. Hashes are the md5-prefix recipe so the DuckDB
+    oracle derives identical buckets. At 100 TB the sketch size is
+    unchanged (that is the point); only W is retuned to bound n/W error."""
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    cnt = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+
+    def bucket(r: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"cm{r}:"), F.col("user_id").cast("string")
+                        )
+                    ),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % CM_WIDTH
+        )
+
+    buckets = cnt.select(
+        "user_id",
+        "cnt",
+        F.posexplode(F.array(*[bucket(r) for r in range(CM_DEPTH)])).alias("r", "b"),
+    )
+    sketch = buckets.groupBy("r", "b").agg(F.sum("cnt").alias("sc"))
+    est = (
+        buckets.join(F.broadcast(sketch), ["r", "b"])
+        .groupBy("user_id")
+        .agg(F.min("sc").alias("est"))
+    )
+    top = cnt.orderBy(F.col("cnt").desc(), F.col("user_id").asc()).limit(CM_TOP)
+    return F.broadcast(top).join(est, "user_id").select(
+        "user_id", "cnt", "est", (F.col("est") - F.col("cnt")).alias("overcount")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable fixed-grid histogram quantiles (round 7)
+# ---------------------------------------------------------------------------
+
+# Unit-width value buckets (events.value spans ~[0, 500] in the fixtures).
+# Quantile targets as exact ppm so rank arithmetic is pure integers.
+HQ_TARGETS_PPM = (500000, 900000, 990000)
+_HQ_TARGETS_SQL = ",".join(str(q) for q in HQ_TARGETS_PPM)
+
+
+@query(
+    "stats_histogram_quantiles",
+    oracle=f"""
+    WITH h AS (
+      SELECT CAST(FLOOR(value) AS BIGINT) AS bucket, COUNT(*) AS cnt
+      FROM events GROUP BY 1
+    ),
+    c AS (
+      SELECT bucket, cnt,
+             CAST(SUM(cnt) OVER (ORDER BY bucket) AS BIGINT) AS cum
+      FROM h
+    ),
+    tot AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n_total FROM h),
+    qs AS (SELECT unnest([{_HQ_TARGETS_SQL}]) AS q_ppm)
+    SELECT q.q_ppm, tot.n_total,
+           MIN(c.bucket) AS bucket_lo,
+           MIN(c.bucket) + 1 AS bucket_hi
+    FROM qs q CROSS JOIN tot JOIN c
+      ON CAST(c.cum AS HUGEINT) * 1000000 >= CAST(q.q_ppm AS HUGEINT) * tot.n_total
+    GROUP BY q.q_ppm, tot.n_total
+    """,
+    tags=("northstar", "stats", "sketch", "quantile", "bench"),
+)
+def stats_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles from a mergeable fixed-grid histogram — the scale path for
+    percentiles: exact quantiles need a global sort (agg_price_percentiles
+    is that exact twin); a production pipeline instead folds value counts
+    into a bounded grid and reads quantiles off the cumulative histogram,
+    with error bounded by the bucket width. Reports, per target quantile
+    (ppm-exact rank arithmetic), the bracketing bucket [lo, hi).
+
+    Spark shape: one groupBy(bucket) count with map-side partials → a
+    grid-sized table (≤ value-range rows, O(config) — the cumulative
+    window runs over THIS, never the corpus); the corpus total attaches by
+    1-row broadcast crossJoin; the 3 quantile probes are a broadcast
+    non-equi join against the grid. Counters are additive, so the same
+    histogram merges across partitions, days, or streaming micro-batches;
+    rank compares use DECIMAL(38,0) (cum·1e6 overflows int64 at 10^13
+    rows). At 100 TB nothing changes but the counter values."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.floor("value").cast("bigint").alias("bucket")
+    )
+    h = ev.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # Unpartitioned window — bounded: runs over the value-grid rows (~500
+    # here; O(grid), never O(N)), the documented O(config) window class.
+    c = h.select("bucket", "cnt", F.sum("cnt").over(w).alias("cum"))
+    tot = h.agg(F.sum("cnt").alias("n_total"))
+    qs = spark.createDataFrame(
+        [(q,) for q in HQ_TARGETS_PPM], "q_ppm bigint"
+    )
+    probe = (
+        c.crossJoin(F.broadcast(tot))
+        .join(
+            F.broadcast(qs),
+            F.expr(
+                "CAST(cum AS DECIMAL(38,0)) * 1000000"
+                " >= CAST(q_ppm AS DECIMAL(38,0)) * n_total"
+            ),
+        )
+        .groupBy("q_ppm", "n_total")
+        .agg(F.min("bucket").alias("bucket_lo"))
+    )
+    return probe.select(
+        "q_ppm", "n_total", "bucket_lo", (F.col("bucket_lo") + 1).alias("bucket_hi")
     )

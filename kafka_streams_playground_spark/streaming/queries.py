@@ -1537,3 +1537,119 @@ REGISTRY["stream_dedup_incremental_new_vs_base"] = _replace(
     REGISTRY["stream_dedup_incremental_new_vs_base"],
     oracle=REGISTRY["dedup_incremental_new_vs_base"].oracle,
 )
+
+
+@query(
+    "stream_dsir_importance_weights",
+    oracle=None,  # set below: shares dsir_importance_weights (stateless ⇒ same rows)
+    tags=("northstar", "streaming", "curation", "scoring"),
+)
+def stream_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR scoring AT INGEST — the stream-static form of
+    ``dsir_importance_weights``: the 256-bucket log-ratio model trains once
+    batch-side (target-vs-raw hashed-unigram counts over the standing
+    corpus), collects to a bounded dict (O(DSIR_BUCKETS)=256 entries — the
+    same bounded-model stance as the decontamination shingle set), and each
+    arriving document is scored row-locally in one Arrow ``mapInPandas``
+    stage: hash its tokens, sum the broadcast per-bucket lr6 integers. No
+    state store, no stream-side shuffle, append mode — the shape of every
+    model-based ingest filter (quality classifiers, importance weights,
+    perplexity gates) at 100 TB: train nightly batch, score per-document
+    online. Stateless end-to-end, so the drained output equals the batch
+    manifest row-for-row and the batch oracle applies unchanged."""
+    import hashlib
+
+    from kafka_streams_playground_spark.plans import northstar_curation as NC
+
+    docs_b = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    tok = docs_b.select(
+        "lang", F.explode(F.split("text", " ")).alias("tok")
+    ).select(
+        "lang",
+        (
+            F.conv(
+                F.substring(F.md5(F.concat(F.lit("dsir:"), F.col("tok"))), 1, 8),
+                16,
+                10,
+            ).cast("long")
+            % NC.DSIR_BUCKETS
+        ).alias("bucket"),
+    )
+    rcnt = tok.groupBy("bucket").agg(F.count(F.lit(1)).alias("rc"))
+    tcnt = (
+        tok.filter(F.col("lang") == NC.DSIR_TARGET_LANG)
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    tots = tok.agg(
+        F.sum(F.when(F.col("lang") == NC.DSIR_TARGET_LANG, 1).otherwise(0)).alias(
+            "t_tot"
+        ),
+        F.count(F.lit(1)).alias("r_tot"),
+    ).collect()[0]  # bounded: 1 row of scalars
+    t_tot, r_tot = tots["t_tot"], tots["r_tot"]
+    lr_rows = (
+        rcnt.join(tcnt, "bucket", "left")
+        .select(
+            "bucket",
+            F.floor(
+                F.log(
+                    (
+                        (F.coalesce(F.col("tc"), F.lit(0)) + 1.0)
+                        * (F.lit(r_tot) + NC.DSIR_BUCKETS)
+                    )
+                    / ((F.col("rc") + 1.0) * (F.lit(t_tot) + NC.DSIR_BUCKETS))
+                )
+                * 1000000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("lr6"),
+        )
+        .collect()
+    )  # bounded: <= DSIR_BUCKETS rows, NOT corpus-sized
+    lr_map = {r["bucket"]: r["lr6"] for r in lr_rows}
+    bcast = spark.sparkContext.broadcast(lr_map)
+    n_buckets = NC.DSIR_BUCKETS
+
+    stream = read_stream_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def score_batches(batches):
+        import pandas as pd
+
+        lrs = bcast.value
+        for pdf in batches:
+            n_toks, scores, selected = [], [], []
+            for text in pdf["text"]:
+                toks = text.split(" ")
+                s = 0
+                for t in toks:
+                    b = (
+                        int(hashlib.md5(("dsir:" + t).encode()).hexdigest()[:8], 16)
+                        % n_buckets
+                    )
+                    s += lrs[b]  # model covers every corpus bucket
+                n_toks.append(len(toks))
+                scores.append(s)
+                selected.append(1 if s > 0 else 0)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_tokens": pd.Series(n_toks, dtype="int64"),
+                    "dsir6": pd.Series(scores, dtype="int64"),
+                    "selected": pd.Series(selected, dtype="int32"),
+                }
+            )
+
+    out = stream.mapInPandas(
+        score_batches, "doc_id bigint, n_tokens bigint, dsir6 bigint, selected int"
+    )
+    return run_to_completion(out, output_mode="append", spark=spark)
+
+
+from kafka_streams_playground_spark.plans import northstar_curation as _NC2  # noqa: E402,F401
+
+REGISTRY["stream_dsir_importance_weights"] = _replace(
+    REGISTRY["stream_dsir_importance_weights"],
+    oracle=REGISTRY["dsir_importance_weights"].oracle,
+)
