@@ -211,3 +211,162 @@ def sim_hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= HN_TOP_K)
         .select("query_id", "negative_id", "neg_label", "cosine", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# MMR diversity re-ranking (round 7)
+# ---------------------------------------------------------------------------
+
+# Maximal Marginal Relevance (Carbonell & Goldstein 1998): greedily pick the
+# candidate maximizing λ·rel − (1−λ)·max_sim_to_selected. λ=0.7 rides as the
+# integer pair (7, 3) over 1e-6-grid cosines, so every MMR score is an exact
+# BIGINT — no float fold, no cross-engine tie ambiguity (ties break by id).
+MMR_POOL = 20  # candidate pool = dense top-20 for the query vector
+MMR_K = 5  # picks (fixed, unrolled at plan-build time)
+MMR_REL10 = 7  # λ·10
+MMR_DIV10 = 3  # (1−λ)·10
+
+
+def _mmr_oracle() -> str:
+    steps = []
+    prev = "sel1"
+    for i in range(2, MMR_K + 1):
+        steps.append(f"""
+    p{i} AS (
+      SELECT c.doc_id, {MMR_REL10} * c.rel6 - {MMR_DIV10} * MAX(m.sim6) AS mmr6
+      FROM cand c
+      JOIN sims m ON m.ca = c.doc_id
+                 AND m.cb IN (SELECT doc_id FROM {prev})
+      WHERE c.doc_id NOT IN (SELECT doc_id FROM {prev})
+      GROUP BY c.doc_id, c.rel6
+      ORDER BY mmr6 DESC, c.doc_id LIMIT 1
+    ),
+    sel{i} AS (
+      SELECT * FROM {prev}
+      UNION ALL SELECT doc_id, {i} AS pick_no FROM p{i}
+    )""")
+        prev = f"sel{i}"
+    chain = ",".join(steps)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    q AS (SELECT v AS qv, nrm AS qn FROM n WHERE vec_id = {SEM_QUERY_ID}),
+    cand AS (
+      SELECT c.vec_id AS doc_id,
+             CAST(FLOOR(list_dot_product(q.qv, c.v) / (q.qn * c.nrm)
+                        * 1000000 + 0.5) AS BIGINT) AS rel6
+      FROM n c, q WHERE c.vec_id <> {SEM_QUERY_ID}
+      ORDER BY rel6 DESC, doc_id LIMIT {MMR_POOL}
+    ),
+    sims AS (
+      SELECT a.doc_id AS ca, b.doc_id AS cb,
+             CAST(FLOOR(list_dot_product(na.v, nb.v) / (na.nrm * nb.nrm)
+                        * 1000000 + 0.5) AS BIGINT) AS sim6
+      FROM cand a JOIN cand b ON a.doc_id <> b.doc_id
+      JOIN n na ON na.vec_id = a.doc_id
+      JOIN n nb ON nb.vec_id = b.doc_id
+    ),
+    sel1 AS (
+      SELECT doc_id, 1 AS pick_no FROM cand ORDER BY rel6 DESC, doc_id LIMIT 1
+    ),{chain}
+    SELECT s.pick_no, s.doc_id, c.rel6
+    FROM {prev} s JOIN cand c USING (doc_id)
+    """
+
+
+@query(
+    "retrieval_mmr_rerank",
+    oracle=_mmr_oracle(),
+    tags=("northstar", "retrieval", "similarity", "bench"),
+)
+def retrieval_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal-Marginal-Relevance re-ranking: from the dense top-20 pool,
+    greedily select 5 results maximizing 7·relevance − 3·max-similarity-to-
+    already-selected (λ=0.7 on the exact integer grid) — the classic
+    redundancy-suppressing rerank every RAG/search stack applies after
+    first-stage retrieval, and the selection shape SemDeDup-style diverse
+    sampling uses for training batches.
+
+    Spark shape: the POOL is distributed work — a broadcast-query scored
+    scan ending in TakeOrderedAndProject (top-20, never a global sort).
+    The greedy selection is inherently sequential AND bounded (O(K·POOL²)
+    integer ops on 20 rows), so it runs as ONE Arrow ``mapInPandas`` stage
+    over the single post-limit partition — hand-scheduling K distributed
+    jobs for 20 rows would cost ~20 exchanges of pure stage overhead (the
+    first cut of this operator did exactly that and spent 6 s scheduling
+    400 rows). Pairwise sims use the dimension-ordered sequential fold,
+    bit-identical to DuckDB's list_dot_product; all MMR scores are exact
+    BIGINTs. At 100 TB only the pool scan grows — the same index-probe
+    scan every top-k here rides; the rerank stays a one-task epilogue."""
+    n = _vectors(spark, sf_dir)
+    qv = n.filter(F.col("vec_id") == SEM_QUERY_ID).select(
+        F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    cand = (
+        n.filter(F.col("vec_id") != SEM_QUERY_ID)
+        .crossJoin(F.broadcast(qv))
+        .select(
+            F.col("vec_id").alias("doc_id"),
+            "v",
+            F.floor(
+                _dot_udf(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+                * 1000000
+                + F.lit(0.5)
+            )
+            .cast("bigint")
+            .alias("rel6"),
+        )
+        .orderBy(F.col("rel6").desc(), F.col("doc_id").asc())
+        .limit(MMR_POOL)
+        # the greedy below MUST see the whole pool in one task; global limit
+        # already yields one partition — coalesce(1) pins that invariant
+        .coalesce(1)
+    )
+
+    k, rel10, div10 = MMR_K, MMR_REL10, MMR_DIV10
+
+    def mmr_batches(batches):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pd.concat(list(batches), ignore_index=True)  # bounded: MMR_POOL rows
+        if pdf.empty:
+            yield pd.DataFrame({"pick_no": [], "doc_id": [], "rel6": []})
+            return
+        ids = pdf["doc_id"].to_list()
+        rel = dict(zip(ids, pdf["rel6"].to_list()))
+        vecs = {i: np.asarray(v, dtype=np.float64) for i, v in zip(ids, pdf["v"])}
+
+        def sim6(a, b):  # dim-ordered sequential fold == list_dot_product
+            va, vb = vecs[a], vecs[b]
+            dot = 0.0
+            na = 0.0
+            nb = 0.0
+            for d in range(len(va)):
+                dot += va[d] * vb[d]
+                na += va[d] * va[d]
+                nb += vb[d] * vb[d]
+            import math
+
+            return int(math.floor(dot / (math.sqrt(na) * math.sqrt(nb)) * 1000000 + 0.5))
+
+        sel = [min(ids, key=lambda i: (-rel[i], i))]
+        while len(sel) < k and len(sel) < len(ids):
+            rest = [i for i in ids if i not in sel]
+            best = min(
+                rest,
+                key=lambda i: (
+                    -(rel10 * rel[i] - div10 * max(sim6(i, s) for s in sel)),
+                    i,
+                ),
+            )
+            sel.append(best)
+        yield pd.DataFrame(
+            {
+                "pick_no": pd.Series(range(1, len(sel) + 1), dtype="int32"),
+                "doc_id": pd.Series(sel, dtype="int64"),
+                "rel6": pd.Series([rel[i] for i in sel], dtype="int64"),
+            }
+        )
+
+    return cand.mapInPandas(mmr_batches, "pick_no int, doc_id bigint, rel6 bigint")

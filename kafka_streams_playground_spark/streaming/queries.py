@@ -1653,3 +1653,60 @@ REGISTRY["stream_dsir_importance_weights"] = _replace(
     REGISTRY["stream_dsir_importance_weights"],
     oracle=REGISTRY["dsir_importance_weights"].oracle,
 )
+
+
+@query(
+    "stream_stats_histogram_quantiles",
+    oracle=None,  # set below: shares stats_histogram_quantiles
+    tags=("northstar", "streaming", "stats", "quantile"),
+)
+def stream_stats_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quantiles over a STREAM — the histogram fold online: the fixed-grid
+    bucket counters are a streaming groupBy aggregate (complete mode; the
+    counters are additive, so micro-batch merge = partition merge — the
+    mergeability that makes this THE streaming quantile recipe), and the
+    quantile probe reads the drained final histogram exactly like the batch
+    twin. State is O(grid) per the whole stream — ~500 counters here,
+    independent of events seen — which is why monitoring systems keep
+    histogram quantiles running forever. Drained final counters equal the
+    batch histogram bucket-for-bucket, so the batch oracle applies
+    unchanged."""
+    from kafka_streams_playground_spark.plans import northstar_stats as NS
+
+    ev = read_stream_table(spark, sf_dir, "events").select(
+        F.floor("value").cast("bigint").alias("bucket")
+    )
+    h_stream = ev.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    h = run_to_completion(h_stream, output_mode="complete", spark=spark)
+
+    from pyspark.sql import Window as _W
+
+    w = _W.orderBy("bucket").rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    # O(grid) unpartitioned window + 1-row broadcast total — the batch twin's
+    # documented bounded shapes, applied to the drained histogram.
+    c = h.select("bucket", "cnt", F.sum("cnt").over(w).alias("cum"))
+    tot = h.agg(F.sum("cnt").alias("n_total"))
+    qs = spark.createDataFrame([(q,) for q in NS.HQ_TARGETS_PPM], "q_ppm bigint")
+    probe = (
+        c.crossJoin(F.broadcast(tot))
+        .join(
+            F.broadcast(qs),
+            F.expr(
+                "CAST(cum AS DECIMAL(38,0)) * 1000000"
+                " >= CAST(q_ppm AS DECIMAL(38,0)) * n_total"
+            ),
+        )
+        .groupBy("q_ppm", "n_total")
+        .agg(F.min("bucket").alias("bucket_lo"))
+    )
+    return probe.select(
+        "q_ppm", "n_total", "bucket_lo", (F.col("bucket_lo") + 1).alias("bucket_hi")
+    )
+
+
+from kafka_streams_playground_spark.plans import northstar_stats as _NS2  # noqa: E402,F401
+
+REGISTRY["stream_stats_histogram_quantiles"] = _replace(
+    REGISTRY["stream_stats_histogram_quantiles"],
+    oracle=REGISTRY["stats_histogram_quantiles"].oracle,
+)

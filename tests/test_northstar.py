@@ -1237,3 +1237,54 @@ def test_phash_banding_finds_all_radius1_pairs(spark, sf_dir):
         for r in mm_phash_neardup(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_mmr_greedy_matches_python_recomputation(spark, sf_dir):
+    """The unrolled plan's 5 picks must equal a pure-Python greedy MMR over
+    the same integer-grid relevance/similarity values."""
+    from kafka_streams_playground_spark.plans.northstar_retrieval import (
+        MMR_DIV10,
+        MMR_K,
+        MMR_POOL,
+        MMR_REL10,
+        SEM_QUERY_ID,
+        retrieval_mmr_rerank,
+    )
+    from kafka_streams_playground_spark.sources.parquet import load_table
+
+    import math
+
+    vecs = {
+        r["vec_id"]: r["embedding"]
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+
+    def cos6(a, b):
+        dot = 0.0
+        for x, y in zip(a, b):
+            dot += float(x) * float(y)
+        na = math.sqrt(sum(float(x) * float(x) for x in a))
+        nb = math.sqrt(sum(float(x) * float(x) for x in b))
+        return math.floor(dot / (na * nb) * 1000000 + 0.5)
+
+    q = vecs[SEM_QUERY_ID]
+    rel = {i: cos6(q, v) for i, v in vecs.items() if i != SEM_QUERY_ID}
+    pool = sorted(rel, key=lambda i: (-rel[i], i))[:MMR_POOL]
+    sel = [min(pool, key=lambda i: (-rel[i], i))]
+    while len(sel) < MMR_K:
+        rest = [i for i in pool if i not in sel]
+        best = min(
+            rest,
+            key=lambda i: (
+                -(MMR_REL10 * rel[i] - MMR_DIV10 * max(cos6(vecs[i], vecs[s]) for s in sel)),
+                i,
+            ),
+        )
+        sel.append(best)
+    got = {
+        r["pick_no"]: (r["doc_id"], r["rel6"])
+        for r in retrieval_mmr_rerank(spark, sf_dir).collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == {i + 1: d for i, d in enumerate(sel)}
+    for _, (d, r6) in got.items():
+        assert r6 == rel[d]
