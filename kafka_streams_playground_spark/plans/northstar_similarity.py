@@ -1662,3 +1662,82 @@ def power_iterate_int(up: pd.DataFrame, d: int, iters: int) -> pd.DataFrame:
         ma = np.abs(w).max()
         v = np.sign(w) * ((np.abs(w) * 1000000) // ma)
     return pd.DataFrame({"dim": np.arange(d, dtype=np.int64), "v_e6": v})
+
+
+# ---------------------------------------------------------------------------
+# Johnson-Lindenstrauss random projection (round 7)
+# ---------------------------------------------------------------------------
+
+# Project DIM=64 → PROJ_DIM=16 with integer pseudo-random weights (the LSH
+# hyperplane recipe, index-offset so the weight family is independent of the
+# bucketing planes). Inputs quantize to a 1e-6 integer grid BEFORE the
+# contraction, so every projected coordinate is an exact BIGINT sum —
+# order-free across engines and partitions (the LP_GRID convention applied
+# to linear algebra). Overflow headroom: |xq|<=2^20, |w|<2^30, 64 terms →
+# <2^56, inside int64.
+PROJ_DIM = 16
+PROJ_SEED_OFF = 4096  # keep (j,d) weight indices disjoint from LSH planes
+
+
+@query(
+    "embedding_random_projection",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    d AS (
+      SELECT vec_id, generate_subscripts(v, 1) - 1 AS d,
+             CAST(FLOOR(unnest(v) * 1000000 + 0.5) AS BIGINT) AS xq
+      FROM e
+    ),
+    w AS (
+      SELECT j.range AS j, dd.range AS d,
+             ((j.range * {DIM} + dd.range + {PROJ_SEED_OFF}) * {KNUTH})
+                 % 2147483648 - 1073741824 AS w
+      FROM range({PROJ_DIM}) j, range({DIM}) dd
+    )
+    SELECT d.vec_id, w.j, CAST(SUM(d.xq * w.w) AS BIGINT) AS proj
+    FROM d JOIN w USING (d)
+    GROUP BY d.vec_id, w.j
+    """,
+    tags=("northstar", "similarity", "embedding", "bench"),
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection 64→16 dims — the dimension
+    contraction a vector pipeline runs before sketching/clustering when the
+    full embedding is too wide (JL: pairwise distances survive a random
+    linear map within (1±ε)). Weights are the integer Knuth-hash planes of
+    the LSH family (seed-offset → independent family), inputs snap to the
+    1e-6 grid, so each projected coordinate is an exact integer
+    contraction — reproducible across engines, partitions, and reruns,
+    which is what makes the projected index REBUILDABLE (a production
+    system re-derives identical projections when backfilling).
+
+    Spark shape: posexplode → map-side join against the O(PROJ_DIM·DIM)=
+    1024-row broadcast weight table (built with ``spark.range`` — no
+    driver-side literal shipping) → one (vec_id, j) shuffle with map-side
+    partial integer sums. One corpus pass, narrow rows; at 100 TB this is
+    the standard pre-ANN contraction and shuffles 16 ints per vector."""
+    e = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    d = e.select(
+        "vec_id", F.posexplode("v").alias("d", "x")
+    ).select(
+        "vec_id",
+        "d",
+        F.floor(F.col("x") * 1000000 + F.lit(0.5)).cast("bigint").alias("xq"),
+    )
+    w = (
+        spark.range(PROJ_DIM * DIM)
+        .select(
+            (F.col("id") / DIM).cast("bigint").alias("j"),
+            (F.col("id") % DIM).alias("d"),
+            (
+                (F.col("id") + PROJ_SEED_OFF) * KNUTH % 2147483648 - 1073741824
+            ).alias("w"),
+        )
+    )
+    return (
+        d.join(F.broadcast(w), "d")
+        .groupBy("vec_id", "j")
+        .agg(F.sum(F.col("xq") * F.col("w")).alias("proj"))
+    )

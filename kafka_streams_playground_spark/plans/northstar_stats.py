@@ -792,3 +792,83 @@ def stats_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return probe.select(
         "q_ppm", "n_total", "bucket_lo", (F.col("bucket_lo") + 1).alias("bucket_hi")
     )
+
+
+# ---------------------------------------------------------------------------
+# Compaction bin-packing planner (round 7)
+# ---------------------------------------------------------------------------
+
+# Target compacted-file size. "Files" are modeled as lineitem ship-month
+# slices (a real planner reads the table-format manifest; the month slice
+# count is deterministic from the data, so both engines derive the same
+# inventory). Estimated bytes = rows × 100 (fixed width stand-in).
+COMPACT_TARGET_BYTES = 400_000
+COMPACT_ROW_BYTES = 100
+
+
+@query(
+    "layout_compaction_bins",
+    oracle=f"""
+    WITH files AS (
+      SELECT CAST(strftime(l_shipdate, '%Y-%m') AS VARCHAR) AS file_id,
+             COUNT(*) * {COMPACT_ROW_BYTES} AS bytes
+      FROM lineitem GROUP BY 1
+    ),
+    ordered AS (
+      SELECT file_id, bytes,
+             CAST(SUM(bytes) OVER (ORDER BY bytes DESC, file_id
+                                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      FROM files
+    ),
+    binned AS (
+      SELECT file_id, bytes,
+             CAST((cum - 1) // {COMPACT_TARGET_BYTES} AS BIGINT) AS bin_id
+      FROM ordered
+    )
+    SELECT bin_id, COUNT(*) AS n_files, CAST(SUM(bytes) AS BIGINT) AS bin_bytes,
+           MIN(file_id) AS first_file, MAX(file_id) AS last_file
+    FROM binned GROUP BY bin_id
+    """,
+    tags=("northstar", "layout", "compaction", "bench"),
+)
+def layout_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-file compaction planner — the OPTIMIZE/bin-packing primitive of
+    every table format (Delta OPTIMIZE, Iceberg rewrite_data_files): group
+    the table's files into target-size compaction bins so each rewrite task
+    outputs ~one optimal parquet file. Files are packed by cumulative-size
+    slicing over the size-desc order (contiguous-fill packing: bin =
+    (running_total−1) div target) — deterministic, one pass, and within one
+    file of first-fit-decreasing's bin count, which is why manifest
+    compactors use exactly this shape.
+
+    Spark shape: the file inventory is a MANIFEST-sized relation (here one
+    row per ship-month; a real planner reads the table-format metadata, 
+    never the data), so the size-ordered cumulative window is O(|files|) —
+    the bounded-metadata window class, same stance as the KMV/zorder
+    audits. Plan output is one row per bin. At 100 TB the inventory is
+    ~10⁵ files — still metadata-sized; the DATA never moves here (the
+    rewrite itself is a separate repartition job this plan drives)."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.date_format("l_shipdate", "yyyy-MM").alias("file_id")
+    )
+    files = li.groupBy("file_id").agg(
+        (F.count(F.lit(1)) * COMPACT_ROW_BYTES).alias("bytes")
+    )
+    w = Window.orderBy(F.col("bytes").desc(), F.col("file_id").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # Unpartitioned window — bounded: |files| rows (manifest-sized, O(config))
+    binned = files.select(
+        "file_id",
+        "bytes",
+        (
+            ((F.sum("bytes").over(w) - 1) / COMPACT_TARGET_BYTES)
+            .cast("bigint")
+        ).alias("bin_id"),
+    )
+    return binned.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("bytes").alias("bin_bytes"),
+        F.min("file_id").alias("first_file"),
+        F.max("file_id").alias("last_file"),
+    )

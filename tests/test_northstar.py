@@ -1288,3 +1288,64 @@ def test_mmr_greedy_matches_python_recomputation(spark, sf_dir):
     assert {k: v[0] for k, v in got.items()} == {i + 1: d for i, d in enumerate(sel)}
     for _, (d, r6) in got.items():
         assert r6 == rel[d]
+
+
+def test_compaction_bins_conserve_and_bound(spark, sf_dir):
+    """Bin invariants: total bytes conserved; every bin's fill is below
+    target + largest-file (contiguous cumulative slicing property)."""
+    from kafka_streams_playground_spark.plans.northstar_stats import (
+        COMPACT_ROW_BYTES,
+        COMPACT_TARGET_BYTES,
+        layout_compaction_bins,
+    )
+    from kafka_streams_playground_spark.sources.parquet import load_table
+
+    rows = layout_compaction_bins(spark, sf_dir).collect()
+    li = load_table(spark, sf_dir, "lineitem")
+    total = li.count() * COMPACT_ROW_BYTES
+    assert sum(r["bin_bytes"] for r in rows) == total
+    max_file = max(
+        r["bytes"]
+        for r in li.groupBy(F.date_format("l_shipdate", "yyyy-MM").alias("m"))
+        .agg((F.count(F.lit(1)) * COMPACT_ROW_BYTES).alias("bytes"))
+        .collect()
+    )
+    for r in rows:
+        assert r["n_files"] >= 1
+        assert r["bin_bytes"] <= COMPACT_TARGET_BYTES + max_file
+
+
+def test_random_projection_matches_python(spark, sf_dir):
+    """One vector's 16 projected coordinates must equal the pure-Python
+    integer contraction with the same Knuth weights."""
+    from kafka_streams_playground_spark.plans.northstar_similarity import (
+        DIM,
+        KNUTH,
+        PROJ_DIM,
+        PROJ_SEED_OFF,
+        embedding_random_projection,
+    )
+    from kafka_streams_playground_spark.sources.parquet import load_table
+
+    import math
+
+    v = (
+        load_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") == 0)
+        .collect()[0]["embedding"]
+    )
+    xq = [math.floor(float(x) * 1000000 + 0.5) for x in v]
+    want = {
+        j: sum(
+            xq[d] * ((j * DIM + d + PROJ_SEED_OFF) * KNUTH % 2147483648 - 1073741824)
+            for d in range(DIM)
+        )
+        for j in range(PROJ_DIM)
+    }
+    got = {
+        r["j"]: r["proj"]
+        for r in embedding_random_projection(spark, sf_dir)
+        .filter(F.col("vec_id") == 0)
+        .collect()
+    }
+    assert got == want
