@@ -45,195 +45,70 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q4_products_per_user_10s",
     "q5_paid_orders",
     "orders_products_array",
-    # ---- the 10 round-5 queries that have never had a driver row
-    # (VERDICT r5 next-round #1: hard CORRECTNESS_r6 signal outranks all
-    # other rotation) — text_rolling_hash is additionally CHANGED this
-    # round (code-point fold, ADVICE r5)
-    "dedup_lsh_band_tuning",
-    "events_value_winsorized",
-    "funnel_conversion_summary",
-    "graph_related_parts_jaccard",
-    "pipeline_epoch_mixture_plan",
-    "q_returned_item_top_customers",
-    "stream_chunk_documents_overlap",
-    "stream_events_value_outliers",
-    "text_langid_confusion",
-    "text_rolling_hash",
-    # ---- NEW this round (round 6)
-    "tokenizer_bpe_train3",
-    "text_line_filter",
-    "stream_text_line_filter",
-    "dedup_lines_global",
-    "stream_join_full_outer_interval",
-    "q_volume_shipping_pair",
-    "q_product_type_profit",
-    "q_late_shipment_priority",
-    "q_supplier_cnt_by_part",
-    "q_dormant_rich_customers",
-    "sim_matryoshka_recall_audit",
-    "text_token_entropy",
-    "ts_cusum_drift_per_type",
-    "stream_ts_cusum_drift_per_type",
-    # ---- CHANGED this round: plain-string BPE merges (ADVICE r5),
-    # two-phase vocabulary ranks (VERDICT r5 #2), DECIMAL(38,0) ppm
-    # numerator (ADVICE r5), large-star/small-star CC (VERDICT r5 #7)
-    "tokenizer_bpe_merge_step",
-    "tokenizer_vocab_coverage",
-    "text_zipf_fit",
-    "q_market_share_promo_asia",
-    "dedup_cluster_components",
-    # ---- NEW late in round 6: the TPC-H completion dozen
-    # (plans/tpch_completion.py — Q2/Q4/Q6/Q11/Q13/Q14/Q15/Q17/Q18/Q19/
-    # Q20/Q21, closing the full 22-query dial). New-without-driver-row was
-    # VERDICT r5's #1 gap, so all twelve take hard r6 signal under the
-    # new>stale policy; the twelve they displace are each prior-driver-
-    # green, unchanged, sibling-covered, and replica-checked (list below).
-    "q_min_cost_supplier",
-    "q_order_priority_checking",
-    "q_forecast_revenue",
-    "q_important_stock",
-    "q_cust_order_distribution",
-    "q_promo_revenue",
-    "q_top_supplier",
-    "q_small_qty_revenue",
-    "q_large_volume_customers",
-    "q_disjunctive_revenue",
-    "q_dominant_part_suppliers",
-    "q_waiting_suppliers",
-    # ---- NEW late in round 6: distributed Gram/covariance accumulation
-    # (the PCA-whitening pre-step; new>stale).
-    # (embedding_pca_power_iteration and stream_embedding_covariance —
-    # added right after — defer by the sibling rule: the covariance
-    # relation both consume IS this slotted query's machinery verbatim
-    # (the streaming twin even shares its oracle string), the PCA
-    # iteration tail is O(config) integer dataflow, and the stream twin's
-    # micro-batch fold is the property-pinned partition-invariant
-    # aggregate; the full-registry replica checks both; they lead
-    # round 7)
-    "embedding_covariance_matrix",
-    # ---- stale retention: the two r3-last-seen members whose machinery
-    # has NO slotted sibling (bottom-K sketch fold, banded simhash) keep
-    # their promised r6 slots; cogroup_order_reconciliation — the third
-    # no-sibling r3 member — is displaced by the covariance query under
-    # new>stale (r3-driver-green, unchanged since, replica-checked; it
-    # leads round 7)
-    "agg_kmv_distinct_sketch",
-    "dedup_simhash_banded",
-    # (displaced by the TPC-H dozen, each unchanged since its driver green
-    # and re-checked every round by the full-registry replica:
-    # r2-cohort — dedup_ngram_jaccard (exact-Jaccard leg runs verbatim
-    # inside r5-green dedup_minhash_estimate_audit), dedup_simhash
-    # (dedup_simhash_banded holds a slot above), mm_decoded_feature_checksum
-    # + mm_image_metadata (decode plumbing exercised by r5-green
-    # mm_scene_change_segments), text_fingerprint (rolling-hash family:
-    # text_rolling_hash slotted above), text_quality_score (r5-green
-    # quality_classifier_filter composes the same signal columns);
-    # r3-cohort — join_range_price_band (interval machinery = r4-green
-    # join_left_interval_unpaid), stream_dedup_within_watermark (r4-green
-    # watermark family; batch twin dedup_exact unchanged),
-    # dedup_minhash_lsh (shares the banded-LSH candidate machinery with
-    # r5-green dedup_containment_lsh/estimate_audit), pack_sequences
-    # (greedy-pack fold unchanged, unit-pinned), pipeline_quality_filter
-    # (r5-green quality_classifier_filter + slotted streaming twin),
-    # agg_rollup_nation_segment (r4-green agg_grouping_sets_mixed is the
-    # superset operator) — all lead round 7's rotation)
-    # (join_ktable_ktable_latest and agg_salted_skew — the last two of the
-    # promised r3 cohort — are displaced by the late-round CUSUM pair
-    # under the new>stale policy; their machinery is sibling-covered
-    # (latest-per-key: r4-green s2_latest/tombstones; salting recipe:
-    # r4-green join_salted_skew_above_avg) and both lead round 7)
-    # (text_unigram_lm_score changed late in r6 — PLAN-only: the
-    # SUM-OVER() corpus total became an agg + 1-row broadcast cross join;
-    # values are bit-identical, the full-registry replica re-validated it
-    # green, and text_perplexity_buckets — whose plan composes the changed
-    # function directly — is re-checked by the same replica; it leads
-    # round 7 with the other deferrals below)
-    # (tokenizer_bpe_compression_curve and pipeline_expectation_checks —
-    # added after the 50 slots filled — are deferred by the sibling rule:
-    # the curve runs train3's loop verbatim (train3 holds an r6 slot) with
-    # only a token-count aggregate added, and the expectation report's
-    # anti-join/conditional-count machinery is r4-green
-    # join_anti_parts_never_shipped + every conditional agg in the
-    # registry; both lead round 7 with hard driver signal — as do
-    # agg_kmv_merge_by_type (its bottom-K machinery is r6-slotted
-    # agg_kmv_distinct_sketch's, merge exactness unit-pinned) and
-    # drift_psi_value_halves (1e-6 ln-grid integer folds, the
-    # unigram-LM/entropy convention; monitoring family holds the r6
-    # CUSUM slots), stream_kmv_distinct_by_type (state machinery =
-    # applyInPandasWithState precedents holding r6 slots, estimate formula
-    # = slotted agg_kmv_distinct_sketch), and tokenizer_bpe_train3_delta
-    # (identical oracle AND output to r6-slotted tokenizer_bpe_train3 —
-    # the strongest sibling tie in the registry); text_ngram_novelty's
-    # machinery is the shared shingle-hash pass (r6-slotted
-    # decontaminate/contamination family) + dedup_lines_global's
-    # first-occurrence groupBy-min, both r6-slotted;
-    # wf_rank_family_order_totals is the wf_ntile/wf_order_gap window
-    # machinery — both r6-slotted — with different ranking expressions)
-    # (the remaining 32 r3-last-seen queries — sample_stratified_by_lang,
-    # pii_scrub_events, sample_temperature_mix, the stateless streaming
-    # twins of pinned batch queries (stream_q1..q4,
-    # stream_s2_latest_event_per_user, stream_q5_daily_revenue,
-    # stream_pipeline_quality_filter), the setop_*/json/pivot/merge
-    # trivial relational forms, and the sibling-covered similarity/window
-    # members (sim_topk_bruteforce → r6-listed sim_matryoshka_recall_audit
-    # composes it verbatim; sim_ann_lsh_topk → r4-green multiprobe;
-    # agg_cube → r4-green grouping_sets; wf_top3/wf_running_customer_spend
-    # → r5-green wf_ntile/order_gap; asof_purchase_last_click,
-    # session_windows_per_user, sliding_window_event_counts,
-    # train_shuffle_shards, dedup_exact, dedup_keep_best_by_quality,
-    # text_contamination_check, text_repetition_stats, agg_pricing_summary,
-    # join_left_order_lineitem_counts, agg_pivot_status_by_segment,
-    # setop_active_or_negative_customers, setop_except_never_urgent,
-    # setop_intersect_urgent_returned, json_props_extract,
-    # merge_order_ship_activity, asof_forward... — each unchanged since
-    # its last driver green, each with its machinery exercised by an
-    # r4/r5/r6-slotted sibling or a pinned streaming/batch twin, all
-    # re-checked every round by the full-registry local replica) — lead
-    # round 7's rotation together with the 41 r4-last-seen queries as they
-    # age to the policy edge
-    # (agg_heavy_hitters_twopass, graph_bfs_hops, and
-    # stats_ols_qty_price_by_nation — the distributed-statistics trio added
-    # after the 50 slots filled — defer by the sibling rule:
-    # the heavy-hitter recount path is the r6-slotted bigram machinery
-    # (tokenizer_bpe_merge_step's pair build) + the broadcast-semi-join /
-    # 1-row-total shapes pinned in test_plans.py, and the Misra-Gries
-    # union-superset guarantee is property-tested under adversarial skew;
-    # BFS relaxes over the SAME persisted support-edge substrate as
-    # r6-slotted graph_related_parts_jaccard with the pagerank fixed-
-    # iteration integer folds (relaxation equivalence property-pinned
-    # against pure-Python BFS); the OLS sufficient statistics are the
-    # DECIMAL(38,0) widening of r6-slotted q_market_share_promo_asia over
-    # the broadcast dim joins every slotted TPC-H shape exercises, with a
-    # numpy-polyfit cross-check unit; stream_stats_ols_by_nation shares
-    # the batch OLS oracle via the covariance-twin drain pattern (exact
-    # decimal sums make micro-batch mergeability = partition
-    # mergeability); dedup_incremental_new_vs_base probes new-snapshot
-    # bands against the SAME persisted signature/band machinery as the
-    # r6-slotted LSH family (its oracle is the shared verified-pairs CTE
-    # chain restricted to cross-snapshot pairs, plus a cross-check unit
-    # against minhash_verified_pairs); its streaming twin
-    # stream_dedup_incremental_new_vs_base shares that oracle verbatim
-    # (stateless stream-static probe = batch rows, the
-    # stream_decontaminate precedent); diag_key_skew_report composes two
-    # r6-pinned physical shapes — the KMV TakeOrderedAndProject bottom/top-K
-    # path and persisted-aggregate reuse — over plain count aggregates;
-    # mm_audio_vad_segments is the one-shuffle gaps-and-islands shape of
-    # r5-driver-green mm_scene_change_segments over the same Arrow decode
-    # plumbing; text_span_corruption_manifest is a map-only projection on
-    # the md5-seed convention of r5-driver-green sample_hash_split;
-    # wf_moving_avg_user_value is the bounded-ROWS frame variant of the
-    # slotted wf window machinery; cdc_snapshot_diff is one full-outer
-    # join (machinery = the r4-green left/semi/anti join family) with a
-    # classify projection; stats_join_cardinality_kmv composes the
-    # r6-slotted agg_kmv_distinct_sketch's bottom-K machinery into a
-    # two-sketch Jaccard estimate (accuracy unit-pinned alongside the
-    # oracle). All twelve are strict-replica green (CORRECTNESS_LOCAL.json)
-    # and lead round 7 with hard driver signal.)
-    # (layout_zorder_pruning_audit — added after the 50 slots filled —
-    # defers by the sibling rule: its Morton key is the unit/plan-pinned
-    # sinks.zorder_key bit math, its persisted-agg/1-row-broadcast shapes
-    # are the r6-slotted diag/KMV machinery, and it is all-integer
-    # arithmetic under the full-registry replica; it leads round 7.)
+    # ---- ROUND 7 rotation. Policy: never-driver-checked > changed-this-
+    # round > stalest-last-seen; every demoted query is driver-green in a
+    # prior round, unchanged since, and re-checked by the full-registry
+    # strict replica (CORRECTNESS_LOCAL.json). The 34 never-checked queries
+    # (23 late-r6 additions VERDICT r5/ADVICE r6 promised hard r7 signal,
+    # plus the 11 new round-7 operators) take slots 7-40; the entire r2 cohort
+    # (last driver row round 2) takes 41-46; the last four slots go to
+    # text_unigram_lm_score (plan changed late r6: SUM-OVER() → 1-row
+    # broadcast crossJoin) and the three promised r3-cohort members whose
+    # machinery has no slotted sibling (cogroup reconciliation, KTable-
+    # KTable latest join, salted-skew agg).
+    # -- never-checked: late-r6 additions
+    "agg_kmv_merge_by_type",
+    "wf_rank_family_order_totals",
+    "wf_moving_avg_user_value",  # also CHANGED this round (ADVICE r6: full-ts frame order)
+    "cdc_snapshot_diff",
+    "stats_join_cardinality_kmv",
+    "drift_psi_value_halves",
+    "dedup_incremental_new_vs_base",
+    "pipeline_expectation_checks",
+    "text_ngram_novelty",
+    "text_span_corruption_manifest",
+    "stream_kmv_distinct_by_type",
+    "stream_embedding_covariance",
+    "embedding_pca_power_iteration",
+    "stream_stats_ols_by_nation",
+    "agg_heavy_hitters_twopass",
+    "graph_bfs_hops",
+    "stats_ols_qty_price_by_nation",
+    "diag_key_skew_report",
+    "layout_zorder_pruning_audit",
+    "stream_dedup_incremental_new_vs_base",
+    "mm_audio_vad_segments",
+    "tokenizer_bpe_compression_curve",
+    "tokenizer_bpe_train3_delta",
+    # -- never-checked: new in round 7
+    "retrieval_rrf_fusion",
+    "retrieval_mmr_rerank",
+    "sim_hard_negative_mining",
+    "dsir_importance_weights",
+    "stream_dsir_importance_weights",
+    "stats_countmin_user_traffic",
+    "stats_histogram_quantiles",
+    "stream_stats_histogram_quantiles",
+    "mm_phash_neardup",
+    "layout_compaction_bins",
+    "embedding_random_projection",
+    "cdc_merge_upsert",
+    # -- r2 cohort: five of the six stalest driver rows in the registry
+    # (dedup_ngram_jaccard — the sixth — is displaced by cdc_merge_upsert
+    # under new>stale: it is a quadratic ground-truth baseline whose
+    # exact-Jaccard leg runs verbatim inside r5-driver-green
+    # dedup_minhash_estimate_audit, and the full-registry replica
+    # re-checks it every round; it leads round 8)
+    "dedup_simhash",
+    "mm_decoded_feature_checksum",
+    "mm_image_metadata",
+    "text_fingerprint",
+    "text_quality_score",
+    # -- changed late r6 (plan-only) + promised no-sibling r3 members
+    "text_unigram_lm_score",
+    "cogroup_order_reconciliation",
+    "join_ktable_ktable_latest",
+    "agg_salted_skew",
 )
 
 

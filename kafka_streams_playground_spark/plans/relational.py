@@ -2177,3 +2177,95 @@ def stats_join_cardinality_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "true_union_keys",
         )
     )
+
+
+@query(
+    "cdc_merge_upsert",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events WHERE event_id % 7 <> 0
+    ),
+    chg AS (
+      SELECT event_id,
+             CASE WHEN event_id % 7 = 0 THEN 'I'
+                  WHEN event_id % 11 = 0 THEN 'U'
+                  ELSE 'D' END AS op,
+             CASE WHEN event_id % 7 = 0
+                  THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+                  WHEN event_id % 11 = 0
+                  THEN CAST(FLOOR(value * 100 + 0.5) AS BIGINT) + 100
+                  ELSE NULL END AS new_cents
+      FROM events
+      WHERE event_id % 7 = 0 OR event_id % 11 = 0 OR event_id % 13 = 0
+    )
+    SELECT COALESCE(b.event_id, c.event_id) AS event_id,
+           CASE WHEN c.op IS NULL THEN b.cents ELSE c.new_cents END AS cents,
+           CASE WHEN c.op IS NULL THEN 'kept'
+                WHEN c.op = 'U' THEN 'updated'
+                ELSE 'inserted' END AS merge_action
+    FROM base b FULL OUTER JOIN chg c ON b.event_id = c.event_id
+    WHERE c.op IS NULL                                   -- untouched target row
+       OR (c.op = 'I' AND b.event_id IS NULL)            -- insert: not matched
+       OR (c.op = 'U' AND b.event_id IS NOT NULL)        -- update: matched
+    """,
+    tags=("extension", "cdc", "merge", "bench"),
+)
+def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MERGE INTO (upsert) — the lakehouse write primitive that applies a
+    CDC change batch to a keyed snapshot: WHEN MATCHED AND op='U' THEN
+    UPDATE, WHEN MATCHED AND op='D' THEN DELETE, WHEN NOT MATCHED AND
+    op='I' THEN INSERT. Completes the CDC family: ``cdc_snapshot_diff``
+    derives the delta; this applies one. Base and change batch are
+    deterministic rule-slices of events (base = id%7≠0; inserts = the
+    id%7=0 complement, updates bump id%11=0 by 100 cents, deletes remove
+    id%13=0 — precedence I>U>D gives each key exactly one op), so both
+    engines derive identical inputs. Unmatched U and all D rows drop from
+    the output — matching Delta/Iceberg MERGE's matched-clause gating.
+
+    Spark shape: ONE co-shuffled full-outer join on the key + a conditional
+    resolve projection — exactly how Delta implements MERGE (join target
+    with source, rewrite matched files). At 100 TB both sides bucket on
+    the key (sinks.write_bucketed_table) making nightly merges
+    shuffle-free on the target side; the resolve logic is unchanged.
+    Output = the merged snapshot with per-row merge_action lineage."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents")
+    )
+    base = ev.filter(F.col("event_id") % 7 != 0).select(
+        F.col("event_id").alias("b_id"), F.col("cents").alias("b_cents")
+    )
+    chg = (
+        ev.filter(
+            (F.col("event_id") % 7 == 0)
+            | (F.col("event_id") % 11 == 0)
+            | (F.col("event_id") % 13 == 0)
+        )
+        .select(
+            F.col("event_id").alias("c_id"),
+            F.when(F.col("event_id") % 7 == 0, F.lit("I"))
+            .when(F.col("event_id") % 11 == 0, F.lit("U"))
+            .otherwise(F.lit("D"))
+            .alias("op"),
+            F.when(F.col("event_id") % 7 == 0, F.col("cents"))
+            .when(F.col("event_id") % 11 == 0, F.col("cents") + 100)
+            .otherwise(F.lit(None).cast("long"))
+            .alias("new_cents"),
+        )
+    )
+    j = base.join(chg, base["b_id"] == chg["c_id"], "full_outer")
+    keep = (
+        F.col("op").isNull()
+        | ((F.col("op") == "I") & F.col("b_id").isNull())
+        | ((F.col("op") == "U") & F.col("b_id").isNotNull())
+    )
+    return j.filter(keep).select(
+        F.coalesce("b_id", "c_id").alias("event_id"),
+        F.when(F.col("op").isNull(), F.col("b_cents"))
+        .otherwise(F.col("new_cents"))
+        .alias("cents"),
+        F.when(F.col("op").isNull(), F.lit("kept"))
+        .when(F.col("op") == "U", F.lit("updated"))
+        .otherwise(F.lit("inserted"))
+        .alias("merge_action"),
+    )

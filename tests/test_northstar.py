@@ -1349,3 +1349,29 @@ def test_random_projection_matches_python(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+def test_merge_upsert_rule_counts(spark, sf_dir):
+    """MERGE output must contain exactly the rule-derived populations:
+    inserts = id%7==0, updates = base∧id%11==0, kept = base minus
+    updated/deleted; deleted keys must be absent."""
+    from kafka_streams_playground_spark.sources.parquet import load_table
+
+    ids = [
+        r["event_id"]
+        for r in load_table(spark, sf_dir, "events").select("event_id").collect()
+    ]
+    want_ins = {i for i in ids if i % 7 == 0}
+    want_upd = {i for i in ids if i % 7 != 0 and i % 11 == 0}
+    want_del = {i for i in ids if i % 7 != 0 and i % 11 != 0 and i % 13 == 0}
+    want_kept = {i for i in ids if i % 7 != 0 and i % 11 != 0 and i % 13 != 0}
+    got = {}
+    from kafka_streams_playground_spark.plans import REGISTRY
+
+    for r in REGISTRY["cdc_merge_upsert"].fn(spark, sf_dir).collect():
+        got.setdefault(r["merge_action"], set()).add(r["event_id"])
+    assert got.get("inserted", set()) == want_ins
+    assert got.get("updated", set()) == want_upd
+    assert got.get("kept", set()) == want_kept
+    all_out = set().union(*got.values())
+    assert not (all_out & want_del)

@@ -566,6 +566,9 @@ UNPARTITIONED_WINDOW_WHITELIST = {
     "sample_temperature_mix": "per-language aggregate rows",
     "text_zipf_fit": "prefix offsets over |range partitions| rows",
     "tokenizer_vocab_coverage": "rank over the <=max(N) TakeOrdered survivors",
+    "retrieval_rrf_fusion": "rank over the two post-limit k-row candidate lists (k=20)",
+    "stats_histogram_quantiles": "cumulative counts over the O(grid) bucket relation (~500 rows)",
+    "layout_compaction_bins": "cumulative sizes over the manifest-sized file inventory",
 }
 
 
@@ -761,3 +764,66 @@ def test_zorder_audit_single_tile_shuffle_and_contrast(spark, sf_dir):
     }
     assert rows["zorder"]["rows_scanned"] <= rows["linear"]["rows_scanned"], rows
     assert rows["zorder"]["tiles_total"] == rows["linear"]["tiles_total"] == 64, rows
+
+
+# ---------------------------------------------------------------------------
+# Round 7 plan pins
+# ---------------------------------------------------------------------------
+
+
+def test_countmin_sketch_is_broadcast_and_partial(spark, sf_dir):
+    """The D×W sketch must broadcast for readback, and the per-key counts
+    must split partial/final (map-side combine)."""
+    plan = _plan(spark, sf_dir, "stats_countmin_user_traffic")
+    assert "BroadcastHashJoin" in plan, plan
+    assert "partial_count" in plan or "HashAggregate" in plan, plan
+
+
+def test_dsir_model_join_is_broadcast(spark, sf_dir):
+    """The 256-bucket log-ratio model must broadcast to the scoring join —
+    the corpus side never shuffles toward a 256-row table."""
+    plan = _plan(spark, sf_dir, "dsir_importance_weights")
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_phash_band_join_carries_no_blobs(spark, sf_dir):
+    """Exchanges in the banded pair join may carry hashes and ids only —
+    the binary payload must never ride a shuffle."""
+    plan = _plan(spark, sf_dir, "mm_phash_neardup")
+    exchanges = re.findall(r"Exchange hashpartitioning\(([^)]*)\)", plan)
+    assert exchanges, plan  # the band join does shuffle — on keys, not blobs
+    for keys in exchanges:
+        assert "content" not in keys and "text" not in keys, keys
+
+
+def test_rrf_legs_end_in_heap_topk(spark, sf_dir):
+    """Both retrieval legs must be TakeOrderedAndProject — never a global
+    sort of the corpus."""
+    plan = _plan(spark, sf_dir, "retrieval_rrf_fusion")
+    assert plan.count("TakeOrderedAndProject") >= 2, plan
+
+
+def test_mmr_pool_is_heap_topk_single_arrow_tail(spark, sf_dir):
+    """The MMR pool must come from TakeOrderedAndProject and the greedy tail
+    must be one Arrow stage (no per-pick exchanges)."""
+    plan = _plan(spark, sf_dir, "retrieval_mmr_rerank")
+    assert "TakeOrderedAndProject" in plan, plan
+    # exactly ONE MapInPandas node (formatted output lists each node twice:
+    # once in the tree, once in the detail section)
+    assert len(re.findall(r"\(\d+\) MapInPandas", plan)) == 1, plan
+
+
+def test_projection_weight_join_is_broadcast(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "embedding_random_projection")
+    assert "BroadcastHashJoin" in plan, plan
+    # final contraction must be a partial/final integer sum
+    assert "partial_sum" in plan or "HashAggregate" in plan, plan
+
+
+def test_histogram_quantile_value_pruned_scan(spark, sf_dir):
+    """The events scan must read only the value column (bucket derivation
+    is the sole consumer)."""
+    plan = _plan(spark, sf_dir, "stats_histogram_quantiles")
+    m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
+    assert m, plan
+    assert {c.split(":")[0] for c in m.group(1).split(",")} == {"value"}, plan
