@@ -93,13 +93,16 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "layout_compaction_bins",
     "embedding_random_projection",
     "cdc_merge_upsert",
-    # -- r2 cohort: five of the six stalest driver rows in the registry
-    # (dedup_ngram_jaccard — the sixth — is displaced by cdc_merge_upsert
-    # under new>stale: it is a quadratic ground-truth baseline whose
-    # exact-Jaccard leg runs verbatim inside r5-driver-green
-    # dedup_minhash_estimate_audit, and the full-registry replica
-    # re-checks it every round; it leads round 8)
-    "dedup_simhash",
+    "ivm_incremental_user_agg",
+    # -- r2 cohort: four of the six stalest driver rows in the registry
+    # (dedup_ngram_jaccard and dedup_simhash — the other two — are
+    # displaced by cdc_merge_upsert/ivm_incremental_user_agg under
+    # new>stale: both are quadratic ground-truth baselines whose machinery
+    # is exercised by slotted or r5-driver-green siblings — the
+    # exact-Jaccard leg runs verbatim inside dedup_minhash_estimate_audit,
+    # and dedup_simhash_banded is the banded scale path of the simhash
+    # fingerprint — and the full-registry replica re-checks both every
+    # round; they lead round 8)
     "mm_decoded_feature_checksum",
     "mm_image_metadata",
     "text_fingerprint",

@@ -2269,3 +2269,90 @@ def cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("inserted"))
         .alias("merge_action"),
     )
+
+
+@query(
+    "ivm_incremental_user_agg",
+    oracle="""
+    WITH merged AS (
+      SELECT event_id, user_id,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT)
+               + CASE WHEN event_id % 7 <> 0 AND event_id % 11 = 0
+                      THEN 100 ELSE 0 END AS cents
+      FROM events
+      WHERE event_id % 7 = 0                            -- inserted
+         OR (event_id % 7 <> 0 AND event_id % 11 = 0)   -- updated
+         OR (event_id % 7 <> 0 AND event_id % 11 <> 0
+             AND event_id % 13 <> 0)                    -- kept
+    )
+    SELECT user_id, COUNT(*) AS n_rows, CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM merged GROUP BY user_id
+    """,
+    tags=("extension", "cdc", "ivm", "agg", "bench"),
+)
+def ivm_incremental_user_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance — keep a materialized per-user
+    (count, sum) aggregate current under the CDC change batch WITHOUT
+    recomputing it from the snapshot: the base aggregate merges with
+    per-key DELTA contributions (+1/+cents per insert, new−old per update,
+    −1/−cents per delete) — the classic self-maintainable-view algebra
+    every streaming materialized view (Delta Live Tables, Materialize,
+    Flink SQL) executes. The change rules are ``cdc_merge_upsert``'s, so
+    the CDC family now covers derive (diff) → apply (merge) → maintain
+    (this). THE ORACLE RECOMPUTES FROM THE MERGED SNAPSHOT — a value-hash
+    match proves the incremental path equals the full recompute, which is
+    the IVM correctness property itself.
+
+    Spark shape: the base aggregate and the delta aggregate are each one
+    user-keyed shuffle with map-side partials; updates/deletes fetch old
+    values via a key-co-shuffled join against the BASE SLICE (at 100 TB
+    the base aggregate is the stored view and the old-value lookup is the
+    MERGE join's matched side — same dataflow, the delta side being
+    day-sized, not corpus-sized); the final merge is a full-outer join of
+    two aggregate relations with integer adds and a zero-count filter.
+    Exact BIGINT cents throughout — no float drift between the
+    incremental and recompute paths, which is what makes IVM auditable."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+    )
+    base = ev.filter(F.col("event_id") % 7 != 0)
+    agg_base = base.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n0"), F.sum("cents").alias("s0")
+    )
+    ins = ev.filter(F.col("event_id") % 7 == 0).select(
+        "user_id", F.lit(1).alias("dn"), F.col("cents").alias("ds")
+    )
+    upd = (
+        ev.filter((F.col("event_id") % 7 != 0) & (F.col("event_id") % 11 == 0))
+        .select("event_id")
+        .join(base, "event_id")  # old value lookup (the MERGE matched side)
+        .select(
+            "user_id",
+            F.lit(0).alias("dn"),
+            ((F.col("cents") + 100) - F.col("cents")).alias("ds"),
+        )
+    )
+    dele = (
+        ev.filter(
+            (F.col("event_id") % 7 != 0)
+            & (F.col("event_id") % 11 != 0)
+            & (F.col("event_id") % 13 == 0)
+        )
+        .select("event_id")
+        .join(base, "event_id")
+        .select("user_id", F.lit(-1).alias("dn"), (-F.col("cents")).alias("ds"))
+    )
+    delta = (
+        ins.unionAll(upd)
+        .unionAll(dele)
+        .groupBy("user_id")
+        .agg(F.sum("dn").alias("dn"), F.sum("ds").alias("ds"))
+    )
+    merged = agg_base.join(delta, "user_id", "full_outer").select(
+        "user_id",
+        (F.coalesce("n0", F.lit(0)) + F.coalesce("dn", F.lit(0))).alias("n_rows"),
+        (F.coalesce("s0", F.lit(0)) + F.coalesce("ds", F.lit(0))).alias("sum_cents"),
+    )
+    return merged.filter(F.col("n_rows") > 0)
