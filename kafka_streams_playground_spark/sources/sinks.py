@@ -231,3 +231,70 @@ def write_zorder_table(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def upsert_foreach_batch_writer(path: str, key_cols, seq_col: str):
+    """Build a ``foreachBatch`` MERGE/upsert function: each micro-batch is
+    applied to the keyed parquet target as latest-per-key wins — the
+    changelog→TABLE sink (Kafka Streams' KTable materialization; Delta's
+    ``foreachBatch`` + ``MERGE INTO`` streaming-upsert recipe). Within a
+    batch the row with the greatest ``seq_col`` (ties: arbitrary but
+    per-key single-row) wins; across batches the incoming batch wins over
+    the stored row — upsert semantics, not append.
+
+    Commit protocol: the merged table is written to a ``_v<batch_id>``
+    staging directory and a ``_current`` pointer file is atomically
+    rewritten to name it — readers resolve the pointer, so a crash
+    mid-write never exposes a torn table and a REPLAYED batch id simply
+    rewrites the same version (idempotent, exactly-once output). All
+    filesystem ops go through the Hadoop FileSystem API (object-store
+    safe, the idempotent-writer precedent above).
+
+    Scale stance: plain parquet has no transactional row-level merge, so
+    the merge REWRITES the table — honest for a test-scale sink; at 100 TB
+    the identical foreachBatch body issues a Delta/Iceberg ``MERGE INTO``
+    (file-pruned, the ``cdc_merge_upsert`` join shape) and everything else
+    here — dedup-within-batch, key semantics, idempotent versioning —
+    carries over unchanged."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    keys = list(key_cols)
+
+    def _write(df: DataFrame, batch_id: int) -> None:
+        spark = df.sparkSession
+        w = Window.partitionBy(*keys).orderBy(F.col(seq_col).desc())
+        latest = (
+            df.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+        base = path.rstrip("/")
+        jvm = spark._jvm
+        hconf = spark._jsc.hadoopConfiguration()
+        pointer = jvm.org.apache.hadoop.fs.Path(base + "/_current")
+        fs = pointer.getFileSystem(hconf)
+        merged = latest
+        vdir = f"_v{batch_id}"
+        if fs.exists(pointer):
+            stream = fs.open(pointer)
+            try:
+                current = stream.readUTF()
+            finally:
+                stream.close()
+            if current == vdir:
+                return  # replayed batch: its version is already live —
+                # merging would read and overwrite the same files
+            prev = spark.read.parquet(f"{base}/{current}")
+            # stored rows lose to any incoming row with the same key
+            merged = prev.join(latest.select(*keys), keys, "left_anti").unionByName(
+                latest
+            )
+        merged.write.mode("overwrite").parquet(f"{base}/{vdir}")
+        out = fs.create(pointer, True)
+        try:
+            out.writeUTF(vdir)
+        finally:
+            out.close()
+
+    return _write

@@ -556,3 +556,56 @@ def test_checkpoint_restart_carries_keyed_state(spark, tmp_path):
     # (update mode) NOT re-emitted after restart
     assert emitted == {"u1": 3}, emitted
     shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_upsert_sink_materializes_latest_per_key(spark, sf_dir, tmp_path):
+    """Replaying the events stream through the upsert sink must leave a
+    table equal to batch latest-per-key — the KTable→table materialization
+    contract — and re-running a batch id must be idempotent."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from kafka_streams_playground_spark.sources.parquet import load_table
+    from kafka_streams_playground_spark.sources.sinks import (
+        upsert_foreach_batch_writer,
+    )
+    from kafka_streams_playground_spark.streaming.replay import read_stream_table
+
+    target = str(tmp_path / "ktable")
+    writer = upsert_foreach_batch_writer(target, ["user_id"], "ts")
+    stream = read_stream_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    q = (
+        stream.writeStream.foreachBatch(writer)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    current = open(f"{target}/_current", "rb").read()[2:].decode()  # writeUTF: 2-byte len
+    got = spark.read.parquet(f"{target}/{current}")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc())
+    want = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", "event_id", "ts", "value")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    assert got.count() == want.count()
+    g = {r["user_id"]: r["ts"] for r in got.collect()}
+    x = {r["user_id"]: r["ts"] for r in want.collect()}
+    assert g == x
+
+    # idempotence: re-applying a batch rewrites the same version in place —
+    # the table stays latest-per-key with unchanged cardinality
+    full = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    writer(full, 0)
+    writer(full, 0)
+    current2 = open(f"{target}/_current", "rb").read()[2:].decode()
+    got2 = spark.read.parquet(f"{target}/{current2}")
+    assert got2.count() == want.count()
