@@ -109,6 +109,18 @@ def adjacent_pair_structs(toks: Column) -> Column:
     return F.arrays_zip(F.slice(toks, 1, n - 1), F.slice(toks, 2, n - 1))
 
 
+def adjacent_triple_structs(toks: Column) -> Column:
+    """Adjacent-token-triple structs: element i = struct(toks[i], toks[i+1],
+    toks[i+2]) (fields "0"/"1"/"2") — the 3-gram list behind Stupid-Backoff
+    trigram scoring. Same codegen'd arrays_zip-over-shifted-slices recipe as
+    :func:`adjacent_pair_structs` (the HOF-lambda form is interpreted per
+    element — measured 5x slower). Empty for inputs under three tokens."""
+    n = F.size(toks)
+    return F.arrays_zip(
+        F.slice(toks, 1, n - 2), F.slice(toks, 2, n - 2), F.slice(toks, 3, n - 2)
+    )
+
+
 # ---------------------------------------------------------------------------
 # DuckDB SQL fragment twins (kept next to the Spark forms they mirror, so a
 # change to one is a change to both). Used by the oracle strings in

@@ -48,14 +48,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # ---- ROUND 7 rotation. Policy: never-driver-checked > changed-this-
     # round > stalest-last-seen; every demoted query is driver-green in a
     # prior round, unchanged since, and re-checked by the full-registry
-    # strict replica (CORRECTNESS_LOCAL.json). The 34 never-checked queries
+    # strict replica (CORRECTNESS_LOCAL.json). The 38 never-checked queries
     # (23 late-r6 additions VERDICT r5/ADVICE r6 promised hard r7 signal,
-    # plus the 11 new round-7 operators) take slots 7-40; the entire r2 cohort
-    # (last driver row round 2) takes 41-46; the last four slots go to
-    # text_unigram_lm_score (plan changed late r6: SUM-OVER() → 1-row
-    # broadcast crossJoin) and the three promised r3-cohort members whose
-    # machinery has no slotted sibling (cogroup reconciliation, KTable-
-    # KTable latest join, salted-skew agg).
+    # plus the 15 new round-7 operators) take slots 7-44; two r2-cohort
+    # members (last driver row round 2) take the next slots; the last four
+    # go to text_unigram_lm_score (plan changed late r6: SUM-OVER() →
+    # 1-row broadcast crossJoin) and the three promised r3-cohort members
+    # whose machinery has no slotted sibling (cogroup reconciliation,
+    # KTable-KTable latest join, salted-skew agg).
     # -- never-checked: late-r6 additions
     "agg_kmv_merge_by_type",
     "wf_rank_family_order_totals",
@@ -94,18 +94,22 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_random_projection",
     "cdc_merge_upsert",
     "ivm_incremental_user_agg",
-    # -- r2 cohort: four of the six stalest driver rows in the registry
-    # (dedup_ngram_jaccard and dedup_simhash — the other two — are
-    # displaced by cdc_merge_upsert/ivm_incremental_user_agg under
-    # new>stale: both are quadratic ground-truth baselines whose machinery
-    # is exercised by slotted or r5-driver-green siblings — the
-    # exact-Jaccard leg runs verbatim inside dedup_minhash_estimate_audit,
-    # and dedup_simhash_banded is the banded scale path of the simhash
-    # fingerprint — and the full-registry replica re-checks both every
-    # round; they lead round 8)
+    "text_stupid_backoff_trigram",
+    "graph_personalized_pagerank",
+    # -- r2 cohort: two of the six stalest driver rows in the registry.
+    # The other four are displaced by the round-7 additions under
+    # new>stale, each sibling-covered and full-registry-replica-checked
+    # every round; all four lead round 8:
+    #   dedup_ngram_jaccard / dedup_simhash — quadratic ground-truth
+    #   baselines (exact-Jaccard leg runs verbatim inside r5-green
+    #   dedup_minhash_estimate_audit; dedup_simhash_banded is the banded
+    #   scale path and holds recent driver greens);
+    #   mm_image_metadata — its attach_binary_payload metadata plumbing is
+    #   exercised by the SLOTTED mm_phash_neardup and r5-green
+    #   mm_scene_change_segments;
+    #   text_fingerprint — rolling-hash family, r6-driver-green
+    #   text_rolling_hash is the current member.
     "mm_decoded_feature_checksum",
-    "mm_image_metadata",
-    "text_fingerprint",
     "text_quality_score",
     # -- changed late r6 (plan-only) + promised no-sibling r3 members
     "text_unigram_lm_score",

@@ -664,6 +664,30 @@ def decontaminate_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 PAGERANK_ITERS = 3
 PR_SCALE = 1_000_000  # PageRank mass on a 1e-6 integer grid
 PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping 0.85 as an exact rational
+PPR_SEED_MOD = 50  # personalized teleport set: part_id % 50 == 0
+
+
+def _copurchase_degreed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Persisted degreed edge table (src, dst, d) of the part co-purchase
+    graph — shared by the PageRank family. Edge build: ONE scan + ONE
+    orderkey shuffle into per-order part sets (collect_set dedups within
+    the order), pairs expanded by chained explodes — measurably cheaper
+    than the orderkey self-join (which scans lineitem twice and sorts both
+    sides); per-order set size is bounded by order width (≤7 in TPC-H), so
+    no explode blowup. The |nodes|-row degree table attaches by broadcast
+    (no edge re-shuffle; same >10^8-node flip as the rank vector)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    e = (
+        li.groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("parts"))
+        .select(F.explode("parts").alias("src"), "parts")
+        .select("src", F.explode("parts").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .persist()
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    return e.join(F.broadcast(deg), "src").persist()
 
 _PR_ITER_SQL = """
     {out} AS (
@@ -730,26 +754,7 @@ def graph_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     max co-purchase degree (salt hot nodes with the agg_salted_skew recipe
     if a product goes viral). Isolated parts (never co-purchased) carry no
     edges and are excluded — document-level choice matching the oracle."""
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    # Edge build: ONE scan + ONE orderkey shuffle into per-order part sets
-    # (collect_set dedups within the order), pairs expanded by chained
-    # explodes — measurably cheaper than the orderkey self-join (which
-    # scans lineitem twice and sorts both sides). Persisted so the degree
-    # aggregate and the probe side read one materialization. Per-order
-    # set size is bounded by order width (≤7 in TPC-H), so no explode blowup.
-    e = (
-        li.groupBy("l_orderkey")
-        .agg(F.collect_set("l_partkey").alias("parts"))
-        .select(F.explode("parts").alias("src"), "parts")
-        .select("src", F.explode("parts").alias("dst"))
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-        .persist()
-    )
-    # Degree table is |nodes| rows — broadcast keeps attaching it map-side
-    # (no edge re-shuffle); same >10^8-node switch as the rank vector.
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    ed = e.join(F.broadcast(deg), "src").persist()
+    ed = _copurchase_degreed_edges(spark, sf_dir)
     pr = ed.select(F.col("src").alias("node")).distinct().select(
         "node", F.lit(PR_SCALE).cast("bigint").alias("pr")
     )
@@ -1075,4 +1080,107 @@ def pipeline_expectation_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return spark.createDataFrame(
         rows, "check_name string, n_checked bigint, n_violations bigint"
+    )
+
+
+_PPR_ITER_SQL = """
+    {out} AS (
+      SELECT COALESCE(c.node, s.node) AS node,
+             CAST(COALESCE(c.m, 0) + COALESCE(s.b, 0) AS BIGINT) AS pr
+      FROM (
+        SELECT e.dst AS node,
+               (SUM({prev}.pr // deg.d) * {dnum}) // {dden} AS m
+        FROM e JOIN {prev} ON e.src = {prev}.node JOIN deg ON e.src = deg.src
+        GROUP BY e.dst
+      ) c FULL OUTER JOIN seeds s ON c.node = s.node
+    )"""
+
+
+def _ppr_oracle() -> str:
+    base = PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN  # 150000
+    its = ",".join(
+        _PPR_ITER_SQL.format(
+            out=f"it{i + 1}",
+            prev=("pr0" if i == 0 else f"it{i}"),
+            dnum=PR_DAMP_NUM,
+            dden=PR_DAMP_DEN,
+        )
+        for i in range(PAGERANK_ITERS)
+    )
+    return f"""
+    WITH e AS (
+      SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+    ),
+    deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+    seeds AS (
+      SELECT DISTINCT src AS node, CAST({base} AS BIGINT) AS b FROM e
+      WHERE src % {PPR_SEED_MOD} = 0
+    ),
+    pr0 AS (SELECT node, CAST({PR_SCALE} AS BIGINT) AS pr FROM seeds),
+    {its}
+    SELECT node AS part_id, pr AS ppr_e6 FROM it{PAGERANK_ITERS} WHERE pr > 0
+    """
+
+
+@query(
+    "graph_personalized_pagerank",
+    oracle=_ppr_oracle(),
+    tags=("northstar", "graph", "iterative", "bench"),
+)
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank from a seed set — the neighborhood-relevance
+    score recommenders and graph-based retrieval rank by ("items related to
+    THESE products", the random walk that restarts at the seeds instead of
+    everywhere). Teleport mass lands ONLY on the seed parts
+    (part_id % PPR_SEED_MOD = 0); after 3 damped iterations mass has
+    diffused ≤3 hops, so the output is the seeds' relevance neighborhood —
+    nodes the walk never reached carry nothing and drop (pr > 0 in both
+    engines). Same exact 1e-6 integer grid, BIGINT floor-division
+    contributions, and 85/100 rational damping as
+    ``graph_copurchase_pagerank``: iterations are bit-equal across engines
+    and partition counts.
+
+    Spark shape: SHARES the persisted degreed edge table
+    (``_copurchase_degreed_edges``); per iteration = one broadcast of the
+    (sparse!) rank vector against the edges, one dst-keyed partial-sum
+    shuffle, and a full-outer merge with the broadcast seed teleports —
+    the sparse-frontier Pregel shape, and the reason PPR is CHEAPER than
+    global PageRank at scale: the rank vector starts |seeds|-sized and
+    only grows with the reached neighborhood, not |V|. At 10^8+ nodes the
+    broadcast flips to a co-partitioned join exactly as documented on the
+    global variant."""
+    ed = _copurchase_degreed_edges(spark, sf_dir)
+    base = PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
+    seeds = (
+        ed.select(F.col("src").alias("node"))
+        .distinct()
+        .filter(F.col("node") % PPR_SEED_MOD == 0)
+        .select("node", F.lit(base).cast("bigint").alias("b"))
+        .persist()  # bounded: |seeds| rows, read every iteration
+    )
+    pr = seeds.select("node", F.lit(PR_SCALE).cast("bigint").alias("pr"))
+    for _ in range(PAGERANK_ITERS):
+        contrib = (
+            ed.join(F.broadcast(pr), ed["src"] == pr["node"])
+            .select("dst", F.expr("pr div d").alias("c"))
+            .groupBy("dst")
+            .agg(
+                F.expr(
+                    f"cast((sum(c) * {PR_DAMP_NUM}) div {PR_DAMP_DEN} as bigint)"
+                ).alias("m")
+            )
+        )
+        pr = (
+            contrib.join(F.broadcast(seeds), contrib["dst"] == seeds["node"], "full_outer")
+            .select(
+                F.coalesce("dst", "node").alias("node"),
+                (F.coalesce("m", F.lit(0)) + F.coalesce("b", F.lit(0)))
+                .cast("bigint")
+                .alias("pr"),
+            )
+        )
+    return pr.filter(F.col("pr") > 0).select(
+        F.col("node").alias("part_id"), F.col("pr").alias("ppr_e6")
     )

@@ -1322,3 +1322,188 @@ def tokenizer_bpe_train3_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "it int, pair string, merged string, cnt bigint"
     )
+
+
+# ---------------------------------------------------------------------------
+# Stupid Backoff trigram scoring (round 7)
+# ---------------------------------------------------------------------------
+
+# Brants et al. 2007 ("Large Language Models in Machine Translation"): the
+# score designed FOR distributed n-gram serving — no normalization pass, a
+# fixed 0.4 backoff multiplier per order drop, counts served from sharded
+# tables. Train on doc_id%10<9, score the held-out %10==9 slice so backoff
+# genuinely fires (self-scoring would always hit the trigram table).
+SB_ALPHA_NUM = 4  # 0.4 as 4/10 — documentation only; the score uses 0.4
+SB_HOLDOUT_MOD = 10
+SB_HOLDOUT_SLOT = 9
+
+
+@query(
+    "text_stupid_backoff_trigram",
+    oracle=f"""
+    WITH train AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE doc_id % {SB_HOLDOUT_MOD} <> {SB_HOLDOUT_SLOT}
+    ),
+    held AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+      WHERE doc_id % {SB_HOLDOUT_MOD} = {SB_HOLDOUT_SLOT} AND len(string_split(text, ' ')) >= 3
+    ),
+    t_uni AS (
+      SELECT w, COUNT(*) AS c
+      FROM (SELECT unnest(toks) AS w FROM train) GROUP BY w
+    ),
+    t_tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM t_uni),
+    t_bi AS (
+      SELECT toks[i] || ' ' || toks[i+1] AS g, COUNT(*) AS c
+      FROM train, unnest(range(1, len(toks))) AS u(i) GROUP BY 1
+    ),
+    t_tri AS (
+      SELECT toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS g, COUNT(*) AS c
+      FROM train, unnest(range(1, len(toks) - 1)) AS u(i) GROUP BY 1
+    ),
+    pos AS (
+      SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3
+      FROM held, unnest(range(1, len(toks) - 1)) AS u(i)
+    ),
+    scored AS (
+      SELECT p.doc_id,
+             CASE WHEN tri.c IS NOT NULL THEN 0
+                  WHEN b23.c IS NOT NULL THEN 1
+                  ELSE 2 END AS backoff,
+             CAST(FLOOR(ln(
+               CASE WHEN tri.c IS NOT NULL
+                    THEN CAST(tri.c AS DOUBLE) / b12.c
+                    WHEN b23.c IS NOT NULL
+                    THEN 0.4 * (CAST(b23.c AS DOUBLE) / u2.c)
+                    WHEN u3.c IS NOT NULL
+                    THEN 0.16 * (CAST(u3.c AS DOUBLE) / t_tot.n)
+                    ELSE 0.16 * (0.5 / t_tot.n) END
+             ) * 1000000 + 0.5) AS BIGINT) AS lp6
+      FROM pos p
+      LEFT JOIN t_tri tri ON tri.g = p.w1 || ' ' || p.w2 || ' ' || p.w3
+      LEFT JOIN t_bi b12 ON b12.g = p.w1 || ' ' || p.w2
+      LEFT JOIN t_bi b23 ON b23.g = p.w2 || ' ' || p.w3
+      LEFT JOIN t_uni u2 ON u2.w = p.w2
+      LEFT JOIN t_uni u3 ON u3.w = p.w3
+      CROSS JOIN t_tot
+    )
+    SELECT doc_id, COUNT(*) AS n_trigrams,
+           CAST(SUM(lp6) AS BIGINT) AS sum_lp6,
+           CAST(SUM(CASE WHEN backoff = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_tri_hits,
+           CAST(SUM(CASE WHEN backoff = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_bi_backoffs,
+           CAST(SUM(CASE WHEN backoff = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_uni_backoffs
+    FROM scored GROUP BY doc_id
+    """,
+    tags=("northstar", "scoring", "text", "lm", "bench"),
+)
+def text_stupid_backoff_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-Backoff trigram LM scoring (Brants et al. 2007) — the LM score
+    invented FOR web-scale distributed serving: no discounting or
+    normalization pass over the model (which is what makes 10¹²-token
+    models trainable as plain count tables), a fixed 0.4 multiplier per
+    backoff level, and counts resolvable from independently-sharded n-gram
+    tables. Trains on 90% of the corpus and scores the held-out 10% so the
+    backoff chain (trigram → bigram → unigram → unseen floor) genuinely
+    executes; per-doc backoff-level counts ride along as the model-coverage
+    diagnostic.
+
+    Spark shape: the three count tables build with one explode each
+    (codegen'd arrays_zip n-gram lists, the bigram-LM recipe) and map-side
+    partial aggregation; they are vocabulary-sized (≪ corpus) and BROADCAST
+    to the held-out position stream — five broadcast-hash left joins, zero
+    shuffle of the scored positions, then one doc_id re-aggregation of
+    exact 1e-6-grid integers. At web scale the model tables outgrow
+    broadcast and the joins become co-shuffled lookups against n-gram-keyed
+    shards — exactly the serving layout the paper describes; the score
+    algebra is unchanged."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split("text", " ")
+    train = docs.filter(F.col("doc_id") % SB_HOLDOUT_MOD != SB_HOLDOUT_SLOT)
+    held = docs.filter(
+        (F.col("doc_id") % SB_HOLDOUT_MOD == SB_HOLDOUT_SLOT) & (F.size(toks) >= 3)
+    )
+
+    t_uni = (
+        train.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    t_tot = t_uni.agg(F.sum("c").alias("n"))
+    bi = lambda df: (  # noqa: E731
+        df.filter(F.size(toks) >= 2)
+        .select(F.explode(T.adjacent_pair_structs(toks)).alias("z"))
+        .select(F.concat_ws(" ", F.col("z")["0"], F.col("z")["1"]).alias("g"))
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    t_bi = bi(train)
+    t_tri = (
+        train.filter(F.size(toks) >= 3)
+        .select(F.explode(T.adjacent_triple_structs(toks)).alias("z"))
+        .select(
+            F.concat_ws(" ", F.col("z")["0"], F.col("z")["1"], F.col("z")["2"]).alias("g")
+        )
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+    pos = held.select(
+        "doc_id", F.explode(T.adjacent_triple_structs(toks)).alias("z")
+    ).select(
+        "doc_id",
+        F.col("z")["0"].alias("w1"),
+        F.col("z")["1"].alias("w2"),
+        F.col("z")["2"].alias("w3"),
+    )
+    j = (
+        pos.join(
+            F.broadcast(t_tri.select(F.col("g").alias("g3"), F.col("c").alias("c3"))),
+            F.concat_ws(" ", "w1", "w2", "w3") == F.col("g3"),
+            "left",
+        )
+        .join(
+            F.broadcast(t_bi.select(F.col("g").alias("g12"), F.col("c").alias("c12"))),
+            F.concat_ws(" ", "w1", "w2") == F.col("g12"),
+            "left",
+        )
+        .join(
+            F.broadcast(t_bi.select(F.col("g").alias("g23"), F.col("c").alias("c23"))),
+            F.concat_ws(" ", "w2", "w3") == F.col("g23"),
+            "left",
+        )
+        .join(
+            F.broadcast(t_uni.select(F.col("w").alias("wu2"), F.col("c").alias("c2"))),
+            F.col("w2") == F.col("wu2"),
+            "left",
+        )
+        .join(
+            F.broadcast(t_uni.select(F.col("w").alias("wu3"), F.col("c").alias("c3u"))),
+            F.col("w3") == F.col("wu3"),
+            "left",
+        )
+        .crossJoin(F.broadcast(t_tot))
+    )
+    s = (
+        F.when(F.col("c3").isNotNull(), F.col("c3").cast("double") / F.col("c12"))
+        .when(F.col("c23").isNotNull(), 0.4 * (F.col("c23").cast("double") / F.col("c2")))
+        .when(F.col("c3u").isNotNull(), 0.16 * (F.col("c3u").cast("double") / F.col("n")))
+        .otherwise(0.16 * (F.lit(0.5) / F.col("n")))
+    )
+    backoff = (
+        F.when(F.col("c3").isNotNull(), F.lit(0))
+        .when(F.col("c23").isNotNull(), F.lit(1))
+        .otherwise(F.lit(2))
+    )
+    scored = j.select(
+        "doc_id",
+        backoff.alias("backoff"),
+        F.floor(F.log(s) * 1000000 + F.lit(0.5)).cast("bigint").alias("lp6"),
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_trigrams"),
+        F.sum("lp6").alias("sum_lp6"),
+        F.sum(F.when(F.col("backoff") == 0, 1).otherwise(0)).cast("bigint").alias("n_tri_hits"),
+        F.sum(F.when(F.col("backoff") == 1, 1).otherwise(0)).cast("bigint").alias("n_bi_backoffs"),
+        F.sum(F.when(F.col("backoff") == 2, 1).otherwise(0)).cast("bigint").alias("n_uni_backoffs"),
+    )

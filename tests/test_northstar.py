@@ -1375,3 +1375,56 @@ def test_merge_upsert_rule_counts(spark, sf_dir):
     assert got.get("kept", set()) == want_kept
     all_out = set().union(*got.values())
     assert not (all_out & want_del)
+
+
+def test_stupid_backoff_fires_and_matches_python(spark, sf_dir):
+    """The held-out split must actually exercise backoff, and one document's
+    score must match a pure-Python recomputation of the Brants algebra."""
+    import math
+
+    from kafka_streams_playground_spark.plans.northstar_scoring import (
+        SB_HOLDOUT_MOD,
+        SB_HOLDOUT_SLOT,
+        text_stupid_backoff_trigram,
+    )
+    from kafka_streams_playground_spark.sources.parquet import load_table
+
+    rows = text_stupid_backoff_trigram(spark, sf_dir).collect()
+    assert rows
+    assert sum(r["n_bi_backoffs"] + r["n_uni_backoffs"] for r in rows) > 0, (
+        "held-out split never backed off — the split is not exercising the chain"
+    )
+    for r in rows:
+        assert r["n_tri_hits"] + r["n_bi_backoffs"] + r["n_uni_backoffs"] == r["n_trigrams"]
+
+    docs = {
+        d["doc_id"]: d["text"].split(" ")
+        for d in load_table(spark, sf_dir, "documents").collect()
+    }
+    uni, bi, tri = {}, {}, {}
+    n_tot = 0
+    for did, t in docs.items():
+        if did % SB_HOLDOUT_MOD == SB_HOLDOUT_SLOT:
+            continue
+        for w in t:
+            uni[w] = uni.get(w, 0) + 1
+            n_tot += 1
+        for a, b in zip(t, t[1:]):
+            bi[(a, b)] = bi.get((a, b), 0) + 1
+        for a, b, c in zip(t, t[1:], t[2:]):
+            tri[(a, b, c)] = tri.get((a, b, c), 0) + 1
+    target = rows[0]["doc_id"]
+    t = docs[target]
+    want = 0
+    for a, b, c in zip(t, t[1:], t[2:]):
+        if (a, b, c) in tri:
+            s = tri[(a, b, c)] / bi[(a, b)]
+        elif (b, c) in bi:
+            s = 0.4 * (bi[(b, c)] / uni[b])
+        elif c in uni:
+            s = 0.16 * (uni[c] / n_tot)
+        else:
+            s = 0.16 * (0.5 / n_tot)
+        want += math.floor(math.log(s) * 1000000 + 0.5)
+    got = next(r for r in rows if r["doc_id"] == target)
+    assert got["sum_lp6"] == want
