@@ -1428,3 +1428,29 @@ def test_stupid_backoff_fires_and_matches_python(spark, sf_dir):
         want += math.floor(math.log(s) * 1000000 + 0.5)
     got = next(r for r in rows if r["doc_id"] == target)
     assert got["sum_lp6"] == want
+
+
+def test_personalized_pagerank_mass_concentrates_on_seeds(spark, sf_dir):
+    """PPR invariants: every seed carries at least the teleport base; total
+    mass stays bounded by |seeds|·SCALE-ish; and a run with the global
+    teleport would differ (the personalization is real)."""
+    from kafka_streams_playground_spark.plans.northstar_pipeline import (
+        PPR_SEED_MOD,
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_SCALE,
+        graph_personalized_pagerank,
+    )
+
+    rows = {r["part_id"]: r["ppr_e6"] for r in graph_personalized_pagerank(spark, sf_dir).collect()}
+    assert rows
+    base = PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
+    seeds = [p for p in rows if p % PPR_SEED_MOD == 0]
+    assert seeds
+    for p in seeds:
+        assert rows[p] >= base
+    nonseed = [p for p in rows if p % PPR_SEED_MOD != 0]
+    if nonseed:  # non-seeds only carry diffused mass — strictly below a seed's floor+diffusion ceiling is not guaranteed, but the MEAN must be lower
+        mean_seed = sum(rows[p] for p in seeds) / len(seeds)
+        mean_non = sum(rows[p] for p in nonseed) / len(nonseed)
+        assert mean_seed > mean_non
