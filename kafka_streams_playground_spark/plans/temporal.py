@@ -1207,3 +1207,237 @@ def drift_psi_value_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 10000
         ).alias("psi"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Robust outliers: median / MAD (Iglewicz-Hoaglin modified z-score)
+# ---------------------------------------------------------------------------
+
+# Iglewicz & Hoaglin (1993) flag |0.6745 * (x - med) / MAD| > 3.5. On the
+# integer cent grid that is exactly 6745 * dev > 35000 * MAD — no doubles.
+MAD_Z_NUM = 6745
+MAD_Z_CUT = 35000
+
+
+@query(
+    "events_value_mad_outliers",
+    oracle="""
+    WITH e AS (
+      SELECT event_type, CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    g AS (
+      SELECT event_type, cents, COUNT(*) AS cnt FROM e GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT event_type, cents, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY cents
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n
+      FROM g
+    ),
+    med AS (
+      SELECT event_type, MAX(n) AS n, MIN(cents) AS med_cents
+      FROM c WHERE cum >= (n + 1) // 2 GROUP BY event_type
+    ),
+    d AS (
+      SELECT g.event_type, ABS(g.cents - med.med_cents) AS dev,
+             SUM(g.cnt) AS cnt
+      FROM g JOIN med USING (event_type) GROUP BY 1, 2
+    ),
+    dc AS (
+      SELECT event_type, dev, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY dev
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n
+      FROM d
+    ),
+    mad AS (
+      SELECT event_type, MIN(dev) AS mad_cents
+      FROM dc WHERE cum >= (n + 1) // 2 GROUP BY event_type
+    )
+    SELECT med.event_type, CAST(med.n AS BIGINT) AS n_events,
+           med.med_cents, mad.mad_cents,
+           CAST(SUM(CASE WHEN 6745 * ABS(g.cents - med.med_cents)
+                              > 35000 * mad.mad_cents
+                         THEN g.cnt ELSE 0 END) AS BIGINT) AS n_outliers,
+           CAST((SUM(CASE WHEN 6745 * ABS(g.cents - med.med_cents)
+                               > 35000 * mad.mad_cents
+                          THEN g.cnt ELSE 0 END) * 2000000 + med.n)
+             // (med.n * 2) AS BIGINT) AS outlier_ppm
+    FROM g JOIN med USING (event_type) JOIN mad USING (event_type)
+    GROUP BY med.event_type, med.n, med.med_cents, mad.mad_cents
+    """,
+    tags=("extension", "temporal", "anomaly", "robust", "bench"),
+)
+def events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier detection via median / MAD — the
+    Iglewicz-Hoaglin modified z-score (|0.6745·(x−med)/MAD| > 3.5) that
+    survives the exact contamination that wrecks the mean/stddev detector
+    next door (``events_value_outliers``: one 10⁹-cent event drags the
+    mean past every real anomaly; the median does not move). Medians are
+    LOWER medians (smallest value whose cumulative count reaches
+    ⌈n/2⌉) so every statistic stays on the integer cent grid and the
+    cross-engine hash is exact.
+
+    Spark shape — the "exact quantile at scale" pattern: ONE row-level
+    shuffle collapses events to the (type, cents, cnt) grid (map-side
+    partial combine; grid size is bounded by the value domain, not the
+    row count), and every later pass — per-type cumulative window for the
+    median, deviation regrid, second cumulative window for the MAD, the
+    final outlier fold — runs on grid rows only. The windows partition by
+    event_type (never a global single-partition sort — the
+    tokenizer_vocab_coverage lesson), and the med/MAD tables broadcast at
+    |types| rows. Spark's ``percentile`` would buffer every raw value per
+    group on one reducer; the grid formulation is what still works when
+    one type holds 10¹¹ events at 100 TB."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    g = ev.groupBy("event_type", "cents").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("cents")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    c = g.select(
+        "event_type",
+        "cents",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    med = (
+        c.filter(F.expr("cum >= (n + 1) div 2"))
+        .groupBy("event_type")
+        .agg(F.max("n").alias("n"), F.min("cents").alias("med_cents"))
+    )
+    d = (
+        g.join(F.broadcast(med.select("event_type", "med_cents")), "event_type")
+        .select(
+            "event_type",
+            F.abs(F.col("cents") - F.col("med_cents")).alias("dev"),
+            "cnt",
+        )
+        .groupBy("event_type", "dev")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    wdev = (
+        Window.partitionBy("event_type")
+        .orderBy("dev")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dc = d.select(
+        "event_type",
+        "dev",
+        "cnt",
+        F.sum("cnt").over(wdev).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    mad = (
+        dc.filter(F.expr("cum >= (n + 1) div 2"))
+        .groupBy("event_type")
+        .agg(F.min("dev").alias("mad_cents"))
+    )
+    stats = F.broadcast(med.join(mad, "event_type"))
+    out = F.when(
+        F.lit(MAD_Z_NUM) * F.abs(F.col("cents") - F.col("med_cents"))
+        > F.lit(MAD_Z_CUT) * F.col("mad_cents"),
+        F.col("cnt"),
+    ).otherwise(F.lit(0))
+    return (
+        g.join(stats, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").alias("n_events"),
+            F.max("med_cents").alias("med_cents"),
+            F.max("mad_cents").alias("mad_cents"),
+            F.sum(out).alias("n_outliers"),
+            F.expr(
+                f"(SUM(CASE WHEN {MAD_Z_NUM} * ABS(cents - med_cents)"
+                f" > {MAD_Z_CUT} * mad_cents THEN cnt ELSE 0 END) * 2000000"
+                " + MAX(n)) div (MAX(n) * 2)"
+            ).alias("outlier_ppm"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multi-granularity time rollup (continuous-aggregate hierarchy)
+# ---------------------------------------------------------------------------
+
+ROLLUP_GRAINS = (("hour", 3600), ("day", 86400), ("week", 604800))
+
+
+@query(
+    "ts_multi_granularity_rollup",
+    oracle="""
+    WITH e AS (
+      SELECT CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT) AS ep, event_type,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    )
+    SELECT 'hour' AS grain, (ep // 3600) * 3600 AS bucket_epoch, event_type,
+           COUNT(*) AS n_events, CAST(SUM(cents) AS BIGINT) AS sum_cents
+    FROM e GROUP BY 2, 3
+    UNION ALL
+    SELECT 'day', (ep // 86400) * 86400, event_type, COUNT(*),
+           CAST(SUM(cents) AS BIGINT)
+    FROM e GROUP BY 2, 3
+    UNION ALL
+    SELECT 'week', (ep // 604800) * 604800, event_type, COUNT(*),
+           CAST(SUM(cents) AS BIGINT)
+    FROM e GROUP BY 2, 3
+    """,
+    tags=("extension", "temporal", "rollup", "bench"),
+)
+def ts_multi_granularity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous-aggregate hierarchy: the same fact
+    stream rolled to hour, day, and week buckets in ONE pass — the
+    materialization a time-series store (TimescaleDB continuous
+    aggregates, Druid rollup) keeps so dashboards never touch raw rows.
+    Buckets are pure integer epoch arithmetic ((epoch div g)·g), identical
+    in both engines — no date_trunc, whose week-start convention differs
+    across engines.
+
+    Spark shape: one scan; each row explodes into its three (grain,
+    bucket) pairs — the z-order audit's explode-pair trick — and a single
+    groupBy(grain, bucket, type) with map-side partial aggregation
+    reduces everything in one shuffle. The alternative (three separate
+    GROUP BYs unioned, as the oracle is forced to write) scans three
+    times; at 100 TB the single-scan explode costs 3× shuffle-input rows
+    but those are pre-collapsed by the map-side combine into at most
+    |hour buckets|·|types| partials per task — the rollup output is
+    dashboard-sized, not data-sized. Incremental maintenance at scale:
+    the same aggregate run per ingest batch MERGEs into the rollup table
+    (the ivm_incremental_user_agg pattern)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        F.unix_timestamp("ts").alias("ep"),
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    pairs = ev.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("grain"),
+                        F.expr(f"(ep div {g}) * {g}").alias("bucket_epoch"),
+                    )
+                    for name, g in ROLLUP_GRAINS
+                ]
+            )
+        ).alias("gb"),
+        "event_type",
+        "cents",
+    )
+    return pairs.groupBy(
+        F.col("gb.grain").alias("grain"),
+        F.col("gb.bucket_epoch").alias("bucket_epoch"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("sum_cents"),
+    )

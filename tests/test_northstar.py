@@ -1454,3 +1454,65 @@ def test_personalized_pagerank_mass_concentrates_on_seeds(spark, sf_dir):
         mean_seed = sum(rows[p] for p in seeds) / len(seeds)
         mean_non = sum(rows[p] for p in nonseed) / len(nonseed)
         assert mean_seed > mean_non
+
+
+def test_mad_outliers_match_python_recompute(spark, sf_dir):
+    """Lower-median, lower-MAD, and the Iglewicz-Hoaglin flag count must
+    equal an exact Python recompute per event type."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+    from kafka_streams_playground_spark.sources.parquet import load_table
+    from pyspark.sql import functions as F
+
+    got = {
+        r["event_type"]: r
+        for r in REGISTRY["events_value_mad_outliers"].fn(spark, sf_dir).collect()
+    }
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        .collect()
+    )
+    by_type: dict[str, list[int]] = {}
+    for r in ev:
+        by_type.setdefault(r["event_type"], []).append(r["cents"])
+
+    def lower_median(xs: list[int]) -> int:
+        xs = sorted(xs)
+        return xs[(len(xs) + 1) // 2 - 1]
+
+    for t, xs in by_type.items():
+        med = lower_median(xs)
+        mad = lower_median([abs(x - med) for x in xs])
+        n_out = sum(1 for x in xs if 6745 * abs(x - med) > 35000 * mad)
+        row = got[t]
+        assert row["n_events"] == len(xs)
+        assert row["med_cents"] == med
+        assert row["mad_cents"] == mad
+        assert row["n_outliers"] == n_out
+
+
+def test_multi_granularity_rollup_is_consistent(spark, sf_dir):
+    """Hour rows must re-aggregate exactly into the day rows, and day rows
+    into the week rows (bucket hierarchy: 3600 | 86400 | 604800 need not
+    nest for weeks, so map each hour bucket independently)."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+
+    rows = REGISTRY["ts_multi_granularity_rollup"].fn(spark, sf_dir).collect()
+    by_grain: dict[str, dict[tuple[int, str], tuple[int, int]]] = {}
+    for r in rows:
+        by_grain.setdefault(r["grain"], {})[(r["bucket_epoch"], r["event_type"])] = (
+            r["n_events"],
+            r["sum_cents"],
+        )
+    assert set(by_grain) == {"hour", "day", "week"}
+    for coarse, g in (("day", 86400), ("week", 604800)):
+        agg: dict[tuple[int, str], list[int]] = {}
+        for (b, t), (n, s) in by_grain["hour"].items():
+            k = ((b // g) * g, t)
+            acc = agg.setdefault(k, [0, 0])
+            acc[0] += n
+            acc[1] += s
+        assert {k: tuple(v) for k, v in agg.items()} == by_grain[coarse]
