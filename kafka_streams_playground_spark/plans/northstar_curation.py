@@ -1082,3 +1082,91 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.sum("lr6") > 0, 1).otherwise(0).alias("selected"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Right-to-be-forgotten cascade planning
+# ---------------------------------------------------------------------------
+
+# Deterministic stand-in for the operator's real input — an erasure-request
+# keyset table of customer keys (here: every 97th key).
+GDPR_KEY_MOD = 97
+
+
+@query(
+    "gdpr_delete_cascade_plan",
+    oracle="""
+    WITH del AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+    ),
+    dor AS (
+      SELECT o_orderkey FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM del)
+    ),
+    m AS (
+      SELECT 'customer' AS table_name,
+             (SELECT COUNT(*) FROM del) AS n_delete,
+             (SELECT COUNT(*) FROM customer) AS n_total
+      UNION ALL
+      SELECT 'orders', (SELECT COUNT(*) FROM dor),
+             (SELECT COUNT(*) FROM orders)
+      UNION ALL
+      SELECT 'lineitem',
+             (SELECT COUNT(*) FROM lineitem
+              WHERE l_orderkey IN (SELECT o_orderkey FROM dor)),
+             (SELECT COUNT(*) FROM lineitem)
+    )
+    SELECT table_name, n_delete, n_total - n_delete AS n_retain,
+           (n_delete * 2000000 + n_total) // (n_total * 2) AS delete_ppm
+    FROM m
+    """,
+    tags=("extension", "governance", "curation", "bench"),
+)
+def gdpr_delete_cascade_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten (GDPR Art. 17) cascade planner: given an
+    erasure-request keyset of customers, compute the per-table delete
+    manifest — how many rows each downstream table loses through the
+    foreign-key cascade (customer → orders → lineitem) and the fraction
+    of each table the deletion touches. This is the dry-run a lakehouse
+    runs BEFORE issuing the actual DELETEs (the cdc_merge_upsert /
+    upsert sink machinery applies them): the ppm column is what decides
+    rewrite-vs-tombstone per table.
+
+    Spark shape: the keyset is request-sized → broadcast LEFT SEMI joins
+    push the membership test map-side into every fact scan (no fact-side
+    shuffle at all for customer/orders); the lineitem hop semi-joins the
+    derived deleted-order keys — still request-bounded, still broadcast.
+    Each table contributes one count aggregate; nothing shuffles fact
+    rows. At 100 TB the same plan runs per ingest of the erasure queue,
+    and the semi-join keysets are exactly what gets pushed into parquet
+    row-group bloom/min-max pruning so untouched files are never opened."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    del_keys = cust.filter(F.col("c_custkey") % GDPR_KEY_MOD == 0).select(
+        "c_custkey"
+    )
+    del_orders = orders.join(
+        F.broadcast(del_keys), orders.o_custkey == del_keys.c_custkey, "left_semi"
+    ).select("o_orderkey")
+    del_li = li.join(
+        F.broadcast(del_orders), li.l_orderkey == del_orders.o_orderkey, "left_semi"
+    )
+
+    def manifest(name: str, deleted: DataFrame, total: DataFrame) -> DataFrame:
+        d = deleted.agg(F.count(F.lit(1)).alias("n_delete"))
+        t = total.agg(F.count(F.lit(1)).alias("n_total"))
+        return d.crossJoin(t).select(
+            F.lit(name).alias("table_name"),
+            "n_delete",
+            (F.col("n_total") - F.col("n_delete")).alias("n_retain"),
+            F.expr("(n_delete * 2000000 + n_total) div (n_total * 2)").alias(
+                "delete_ppm"
+            ),
+        )
+
+    return (
+        manifest("customer", del_keys, cust)
+        .unionByName(manifest("orders", del_orders, orders))
+        .unionByName(manifest("lineitem", del_li, li))
+    )

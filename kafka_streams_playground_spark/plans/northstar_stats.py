@@ -872,3 +872,65 @@ def layout_compaction_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("file_id").alias("first_file"),
         F.max("file_id").alias("last_file"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Dense global row numbering without a global single-partition sort
+# ---------------------------------------------------------------------------
+
+# Coarse range-bucket width over l_orderkey. Offsets table is
+# |orderkey range| / IDS_BUCKET_W rows; pick W so that table stays
+# O(sqrt(n))-ish at the tested scales. At 100 TB, W grows (or the offset
+# pass recurses once) so BOTH the per-bucket partitions and the offsets
+# table stay bounded — two levels already cover 10^12 rows at 10^6 each.
+IDS_BUCKET_W = 64
+
+
+@query(
+    "ids_dense_global_rownum",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           ROW_NUMBER() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+    FROM lineitem
+    """,
+    tags=("extension", "layout", "ids", "bench"),
+)
+def ids_dense_global_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dense, gap-free global row numbers in total (l_orderkey,
+    l_linenumber) order — the sample-ID / shard-offset assignment every
+    training-data export needs — WITHOUT the naive plan's fatal shape
+    (``row_number() OVER (ORDER BY ...)`` with no partition key funnels
+    the entire dataset through ONE task; the oracle can write that at
+    sf0.01, a 100 TB engine cannot).
+
+    Spark shape — the classic two-phase prefix-sum (TeraSort's histogram
+    pass): (1) rows bucket by ``l_orderkey div W`` — monotone in the sort
+    key, so bucket order IS global order; (2) ONE small aggregate counts
+    rows per bucket, and a cumulative window over the O(n/W) offsets
+    table (bounded: the one unpartitioned window, over bucket counts,
+    never rows) yields each bucket's global starting offset; (3)
+    ``row_number`` partitioned BY BUCKET (parallel across buckets) plus
+    the broadcast offset gives the dense global id. Two shuffles total
+    (bucket count agg + per-bucket sort), both key-partitioned; nothing
+    single-task at data scale. Hash-bucketing CANNOT replace the range
+    bucket here — the bucket must be an order-preserving range for the
+    offsets to compose into a total order."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr(f"l_orderkey div {IDS_BUCKET_W}").alias("bkt"),
+    )
+    counts = li.groupBy("bkt").agg(F.count(F.lit(1)).alias("cnt"))
+    # Offsets table is O(n / W) rows — the bounded unpartitioned window.
+    woff = Window.orderBy("bkt").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    offsets = counts.select(
+        "bkt", (F.sum("cnt").over(woff) - F.col("cnt")).alias("off")
+    )
+    wloc = Window.partitionBy("bkt").orderBy("l_orderkey", "l_linenumber")
+    return li.join(F.broadcast(offsets), "bkt").select(
+        "l_orderkey",
+        "l_linenumber",
+        (F.col("off") + F.row_number().over(wloc)).alias("rn"),
+    )

@@ -1516,3 +1516,27 @@ def test_multi_granularity_rollup_is_consistent(spark, sf_dir):
             acc[0] += n
             acc[1] += s
         assert {k: tuple(v) for k, v in agg.items()} == by_grain[coarse]
+
+
+def test_gdpr_cascade_counts_match_recompute(spark, sf_dir):
+    """Per-table delete counts must equal the FK-cascade recompute, and
+    retain + delete must equal each table's row count."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+    from kafka_streams_playground_spark.plans.northstar_curation import GDPR_KEY_MOD
+    from kafka_streams_playground_spark.sources.parquet import load_table
+
+    rows = {
+        r["table_name"]: r
+        for r in REGISTRY["gdpr_delete_cascade_plan"].fn(spark, sf_dir).collect()
+    }
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey").collect()
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey").collect()
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey").collect()
+    del_c = {r["c_custkey"] for r in cust if r["c_custkey"] % GDPR_KEY_MOD == 0}
+    del_o = {r["o_orderkey"] for r in orders if r["o_custkey"] in del_c}
+    del_l = sum(1 for r in li if r["l_orderkey"] in del_o)
+    assert rows["customer"]["n_delete"] == len(del_c)
+    assert rows["orders"]["n_delete"] == len(del_o)
+    assert rows["lineitem"]["n_delete"] == del_l
+    for name, total in (("customer", len(cust)), ("orders", len(orders)), ("lineitem", len(li))):
+        assert rows[name]["n_delete"] + rows[name]["n_retain"] == total

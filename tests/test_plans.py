@@ -829,3 +829,25 @@ def test_histogram_quantile_value_pruned_scan(spark, sf_dir):
     m = re.search(r"ReadSchema: struct<([^>]*)>", plan)
     assert m, plan
     assert {c.split(":")[0] for c in m.group(1).split(",")} == {"value"}, plan
+
+
+def test_dense_rownum_window_is_bucket_partitioned(spark, sf_dir):
+    """The row-level row_number window must partition by the range bucket
+    (parallel), never run unpartitioned over the fact rows; the only
+    unpartitioned window in the plan is the O(n/W) offsets prefix sum."""
+    import io
+    from contextlib import redirect_stdout
+
+    from kafka_streams_playground_spark.plans import REGISTRY
+
+    df = REGISTRY["ids_dense_global_rownum"].fn(spark, sf_dir)
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(True)
+    plan = buf.getvalue()
+    import re
+
+    rn_specs = re.findall(r"row_number\(\) windowspecdefinition\(([^,]*),", plan)
+    assert rn_specs, plan
+    for spec in rn_specs:
+        assert "bkt" in spec, (spec, plan)
