@@ -1184,3 +1184,102 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.filter(F.col("pr") > 0).select(
         F.col("node").alias("part_id"), F.col("pr").alias("ppr_e6")
     )
+
+
+# ---------------------------------------------------------------------------
+# Community detection: synchronous label propagation (LPA)
+# ---------------------------------------------------------------------------
+
+LPA_ROUNDS = 2
+
+
+def _lpa_oracle() -> str:
+    sym = """
+    SELECT a.l_partkey AS s, b.l_partkey AS t
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(DISTINCT a.l_orderkey) >= {m}
+    """.format(m=TRI_MIN_SUPPORT)
+    sql = f"""
+    WITH half AS ({sym}),
+    e AS (
+      SELECT s AS u, t AS v FROM half
+      UNION ALL SELECT t, s FROM half
+    ),
+    l0 AS (SELECT DISTINCT u AS node, u AS label FROM e)
+    """
+    prev = "l0"
+    for r in range(1, LPA_ROUNDS + 1):
+        sql += f""",
+    c{r} AS (
+      SELECT e.u AS node, l.label, COUNT(*) AS c
+      FROM e JOIN {prev} l ON l.node = e.v
+      GROUP BY 1, 2
+    ),
+    l{r} AS (
+      SELECT node, label FROM (
+        SELECT node, label,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY c DESC, label ASC) AS rn
+        FROM c{r}
+      ) WHERE rn = 1
+    )
+    """
+        prev = f"l{r}"
+    sql += f"""
+    SELECT l.node AS part_id, l.label AS community
+    FROM {prev} l
+    """
+    return sql
+
+
+@query(
+    "graph_lpa_communities",
+    oracle=_lpa_oracle(),
+    tags=("northstar", "graph", "bench"),
+)
+def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan et
+    al. 2007) over the support-thresholded co-purchase graph: every node
+    starts labeled with its own id, and each round adopts the most
+    frequent label among its neighbors, ties broken toward the SMALLEST
+    label — the deterministic variant (classic LPA breaks ties randomly;
+    random ties don't replay across engines or retries, so a distributed
+    pipeline wants this form). Fixed LPA_ROUNDS rounds, plan-build-time
+    loop (the kmeans_ivf_train precedent). Complements
+    ``dedup_cluster_components``: CC finds connected components (the
+    coarsest partition); LPA splits dense components into communities.
+
+    Spark shape: SHARES the persisted ``_support_edges`` substrate with
+    triangle count / Jaccard / PageRank. Per round: one join of the label
+    table against the symmetric edge list (both keyed by node — AQE
+    co-shuffles; at 100 TB both sides bucket by node and the per-round
+    join is shuffle-free), one (node, label)-keyed count with map-side
+    partials, and a per-node top-1 window (partitioned by node, never
+    global). Label state is one row per node per round — the same O(V)
+    frontier economics as PageRank; hub-node label skew pre-collapses in
+    the partial aggregate exactly like the hot-line dedup case."""
+    half = _support_edges(spark, sf_dir)
+    e = half.select(F.col("s").alias("u"), F.col("t").alias("v")).unionByName(
+        half.select(F.col("t").alias("u"), F.col("s").alias("v"))
+    )
+    labels = e.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("c"), F.asc("label"))
+    for _ in range(LPA_ROUNDS):
+        cnt = (
+            e.join(labels.withColumnRenamed("node", "v"), "v")
+            .groupBy(F.col("u").alias("node"), "label")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    return labels.select(
+        F.col("node").alias("part_id"), F.col("label").alias("community")
+    )
+

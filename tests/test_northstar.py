@@ -1540,3 +1540,48 @@ def test_gdpr_cascade_counts_match_recompute(spark, sf_dir):
     assert rows["lineitem"]["n_delete"] == del_l
     for name, total in (("customer", len(cust)), ("orders", len(orders)), ("lineitem", len(li))):
         assert rows[name]["n_delete"] + rows[name]["n_retain"] == total
+
+
+def test_lpa_two_cliques_with_bridge(spark, sf_dir, tmp_path):
+    """On two 4-cliques joined by one bridge edge, 2 LPA rounds must label
+    every member of each clique with that clique's minimum node id (the
+    min label wins every majority vote inside a clique)."""
+    import pandas as pd
+
+    from kafka_streams_playground_spark.plans.northstar_pipeline import (
+        LPA_ROUNDS,
+        TRI_MIN_SUPPORT,
+    )
+    from pyspark.sql import functions as F, Window
+
+    cliques = [[1, 2, 3, 4], [10, 11, 12, 13]]
+    rows = []
+    oid = 0
+    # one order per edge, repeated TRI_MIN_SUPPORT times to pass the support gate
+    edges = [
+        (a, b)
+        for cl in cliques
+        for i, a in enumerate(cl)
+        for b in cl[i + 1 :]
+    ] + [(4, 10)]
+    for a, b in edges:
+        for _ in range(TRI_MIN_SUPPORT):
+            oid += 1
+            rows += [(oid, a), (oid, b)]
+    pdf = pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"])
+    d = tmp_path / "fix"
+    (d).mkdir()
+    spark.createDataFrame(pdf).write.parquet(str(d / "lineitem.parquet"))
+
+    from kafka_streams_playground_spark.plans import REGISTRY
+
+    out = {
+        r["part_id"]: r["community"]
+        for r in REGISTRY["graph_lpa_communities"].fn(spark, str(d)).collect()
+    }
+    for cl in cliques:
+        want = min(cl)
+        for n in cl:
+            if n == 4 or n == 10:
+                continue  # bridge endpoints may adopt across the bridge
+            assert out[n] == want, (n, out)
