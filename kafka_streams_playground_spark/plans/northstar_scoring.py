@@ -1507,3 +1507,179 @@ def text_stupid_backoff_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("backoff") == 1, 1).otherwise(0)).cast("bigint").alias("n_bi_backoffs"),
         F.sum(F.when(F.col("backoff") == 2, 1).otherwise(0)).cast("bigint").alias("n_uni_backoffs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# WordPiece greedy longest-match encoding
+# ---------------------------------------------------------------------------
+
+WP_NGRAM_MAX = 4  # longest candidate piece
+WP_TOP_MULTIGRAMS = 50  # multigram vocab budget (chars are always in-vocab)
+
+
+def _wp_oracle() -> str:
+    return f"""
+    WITH RECURSIVE
+    w0 AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    wc AS (
+      SELECT word, COUNT(*) AS cnt FROM w0 WHERE length(word) > 0 GROUP BY 1
+    ),
+    chars AS (
+      SELECT DISTINCT substr(word, CAST(gs AS INT), 1) AS piece
+      FROM (
+        SELECT word, unnest(range(1, length(word) + 1)) AS gs FROM wc
+      )
+    ),
+    mg AS (
+      SELECT substr(word, CAST(gs AS INT), CAST(n AS INT)) AS piece,
+             SUM(cnt) AS c
+      FROM (
+        SELECT word, cnt, n,
+               unnest(range(1, length(word) - n + 2)) AS gs
+        FROM wc CROSS JOIN (VALUES (2), (3), (4)) nn(n)
+      )
+      GROUP BY 1
+    ),
+    top AS (
+      SELECT piece FROM mg
+      ORDER BY c DESC, piece ASC LIMIT {WP_TOP_MULTIGRAMS}
+    ),
+    vocab AS (
+      SELECT piece, length(piece) AS len FROM top
+      UNION
+      SELECT piece, 1 FROM chars
+    ),
+    st(word, cnt, pos, plen) AS (
+      SELECT word, cnt, 1, 0 FROM wc
+      UNION ALL
+      SELECT st.word, st.cnt, st.pos + m.ml, m.ml
+      FROM st JOIN LATERAL (
+        SELECT MAX(v.len) AS ml FROM vocab v
+        WHERE v.piece = substr(st.word, st.pos, v.len)
+      ) m ON true
+      WHERE st.pos <= length(st.word)
+    ),
+    uses AS (
+      SELECT substr(word, pos - plen, plen) AS piece, SUM(cnt) AS u
+      FROM st WHERE plen > 0 GROUP BY 1
+    ),
+    tot AS (SELECT SUM(u) AS total FROM uses)
+    SELECT v.piece, v.len AS piece_len,
+           CAST(COALESCE(u.u, 0) AS BIGINT) AS n_uses,
+           CAST(COALESCE(u.u, 0) * 1000000 // tot.total AS BIGINT)
+             AS share_ppm
+    FROM vocab v LEFT JOIN uses u USING (piece) CROSS JOIN tot
+    """
+
+
+@query(
+    "tokenizer_wordpiece_encode",
+    oracle=_wp_oracle(),
+    tags=("northstar", "scoring", "tokenizer", "bench"),
+)
+def tokenizer_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece-style greedy longest-match-first encoding (Wu et al.
+    2016; the BERT tokenizer's inference rule) driven by a corpus-derived
+    vocab: every single character (guaranteeing total coverage — no UNK
+    path) plus the top-{WP_TOP_MULTIGRAMS} word-internal 2..4-grams by
+    occurrence weight. Reports per-piece usage counts and corpus share
+    under the greedy segmentation — the "which pieces does the encoder
+    actually spend" audit that decides vocab pruning (pieces with zero
+    uses are shadowed by longer matches and can be dropped for free).
+    Complements the BPE family: BPE *trains* merges bottom-up;
+    WordPiece *encodes* top-down against a fixed vocab.
+
+    Spark shape: token counts collapse to DISTINCT words first (one
+    token-keyed shuffle; segmentation cost then scales with |vocabulary
+    of words|, not corpus tokens — the corpus multiplicities ride along
+    as weights). Candidate grams explode off distinct words via
+    codegen'd sequence/substring (positions × 3 gram sizes), top-K picks
+    via TakeOrderedAndProject (per-partition top-K, single merge — the
+    vocab-coverage two-phase pattern, no global window). The greedy
+    matcher is the genuinely-iterative per-word loop Spark built-ins
+    can't express: an Arrow-batched mapInPandas over distinct words
+    against a BROADCAST frozen vocab set (bounded: ≤ {WP_TOP_MULTIGRAMS}
+    multigrams + |alphabet| chars — an O(config) collect, stated here).
+    At 100 TB the distinct-word table is the Zipf head — millions of
+    rows, kilobytes of vocab — so the encode pass is embarrassingly
+    parallel and the only corpus-sized work is the first token count."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    words = docs.select(F.explode(F.split("text", " ")).alias("word")).filter(
+        F.length("word") > 0
+    )
+    wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+
+    grams = None
+    for n in range(2, WP_NGRAM_MAX + 1):
+        g = (
+            wc.filter(F.length("word") >= n)
+            .select(
+                "cnt",
+                F.explode(F.expr(f"sequence(1, length(word) - {n} + 1)")).alias("p"),
+                F.expr(f"substr(word, p, {n})").alias("piece"),
+            )
+            .select("piece", "cnt")
+        )
+        grams = g if grams is None else grams.unionByName(g)
+    mg = grams.groupBy("piece").agg(F.sum("cnt").alias("c"))
+    top = mg.orderBy(F.col("c").desc(), F.col("piece").asc()).limit(
+        WP_TOP_MULTIGRAMS
+    )
+    chars = (
+        wc.select(
+            F.explode(F.expr("sequence(1, length(word))")).alias("p"),
+            F.expr("substr(word, p, 1)").alias("piece"),
+        )
+        .select("piece")
+        .distinct()
+    )
+    vocab_df = (
+        top.select("piece")
+        .unionByName(chars)
+        .distinct()
+        .select("piece", F.length("piece").alias("len"))
+    )
+    # O(config) collect: <= WP_TOP_MULTIGRAMS + |alphabet| pieces.
+    vocab = frozenset(r["piece"] for r in vocab_df.collect())
+
+    def encode(batches):
+        acc: dict[str, int] = {}
+        for pdf in batches:
+            for word, cnt in zip(pdf["word"], pdf["cnt"]):
+                pos = 0
+                L = len(word)
+                while pos < L:
+                    for n in range(min(WP_NGRAM_MAX, L - pos), 0, -1):
+                        piece = word[pos : pos + n]
+                        if piece in vocab:
+                            acc[piece] = acc.get(piece, 0) + int(cnt)
+                            pos += n
+                            break
+        yield pd.DataFrame(
+            {"piece": list(acc), "u": list(acc.values())}
+            if acc
+            else {"piece": pd.Series(dtype="object"), "u": pd.Series(dtype="int64")}
+        )
+
+    uses = (
+        wc.mapInPandas(encode, "piece string, u long")
+        .groupBy("piece")
+        .agg(F.sum("u").alias("u"))
+    )
+    tot = uses.agg(F.sum("u").cast("bigint").alias("total"))
+    return (
+        vocab_df.join(uses, "piece", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "piece",
+            F.col("len").alias("piece_len"),
+            F.coalesce(F.col("u"), F.lit(0)).cast("bigint").alias("n_uses"),
+            F.expr("cast(coalesce(u, 0) * 1000000 div total as bigint)").alias(
+                "share_ppm"
+            ),
+        )
+    )

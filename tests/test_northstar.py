@@ -1585,3 +1585,32 @@ def test_lpa_two_cliques_with_bridge(spark, sf_dir, tmp_path):
             if n == 4 or n == 10:
                 continue  # bridge endpoints may adopt across the bridge
             assert out[n] == want, (n, out)
+
+
+def test_wordpiece_encode_covers_every_char_once(spark, sf_dir):
+    """Greedy segmentation partitions each word: sum(n_uses * piece_len)
+    must equal the total character mass of all corpus words, and the
+    single-char pieces must cover the corpus alphabet."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+    from kafka_streams_playground_spark.sources.parquet import load_table
+    from pyspark.sql import functions as F
+
+    rows = REGISTRY["tokenizer_wordpiece_encode"].fn(spark, sf_dir).collect()
+    char_mass = sum(r["n_uses"] * r["piece_len"] for r in rows)
+    want = (
+        load_table(spark, sf_dir, "documents")
+        .select(F.explode(F.split("text", " ")).alias("w"))
+        .filter(F.length("w") > 0)
+        .agg(F.sum(F.length("w")).alias("n"))
+        .collect()[0]["n"]
+    )
+    assert char_mass == want
+    alphabet = {
+        c
+        for r in load_table(spark, sf_dir, "documents").select("text").collect()
+        for w in r["text"].split(" ")
+        for c in w
+    }
+    assert {r["piece"] for r in rows if r["piece_len"] == 1} == alphabet
+    total_ppm = sum(r["share_ppm"] for r in rows)
+    assert 990000 <= total_ppm <= 1000000  # floor rounding loses < |vocab| ppm
