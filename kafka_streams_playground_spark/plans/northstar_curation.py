@@ -1170,3 +1170,141 @@ def gdpr_delete_cascade_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(manifest("orders", del_orders, orders))
         .unionByName(manifest("lineitem", del_li, li))
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-addressed dataset versioning
+# ---------------------------------------------------------------------------
+
+CV_MOD = 4294967296  # fold the content sum back to 32 bits
+
+
+@query(
+    "pipeline_content_version",
+    oracle="""
+    WITH h AS (
+      SELECT 'customer' AS table_name,
+             ('0x' || substr(md5(
+               CAST(c_custkey AS VARCHAR) || ':' || CAST(c_nationkey AS VARCHAR)
+               || ':' || CAST(CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT) AS VARCHAR)
+               || ':' || c_mktsegment), 1, 8))::BIGINT AS hv
+      FROM customer
+      UNION ALL
+      SELECT 'orders',
+             ('0x' || substr(md5(
+               CAST(o_orderkey AS VARCHAR) || ':' || CAST(o_custkey AS VARCHAR)
+               || ':' || o_orderstatus
+               || ':' || CAST(CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR)
+               || ':' || CAST(CAST(floor(epoch(o_orderdate::TIMESTAMP)) AS BIGINT) AS VARCHAR)), 1, 8))::BIGINT
+      FROM orders
+      UNION ALL
+      SELECT 'lineitem',
+             ('0x' || substr(md5(
+               CAST(l_orderkey AS VARCHAR) || ':' || CAST(l_linenumber AS VARCHAR)
+               || ':' || CAST(l_partkey AS VARCHAR) || ':' || CAST(l_suppkey AS VARCHAR)
+               || ':' || CAST(CAST(FLOOR(l_quantity * 100 + 0.5) AS BIGINT) AS VARCHAR)
+               || ':' || CAST(CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS VARCHAR)
+               || ':' || l_returnflag || ':' || l_linestatus), 1, 8))::BIGINT
+      FROM lineitem
+      UNION ALL
+      SELECT 'documents',
+             ('0x' || substr(md5(
+               CAST(doc_id AS VARCHAR) || ':' || md5(text) || ':' || lang
+               || ':' || source), 1, 8))::BIGINT
+      FROM documents
+    )
+    SELECT COALESCE(table_name, 'dataset') AS table_name,
+           COUNT(*) AS n_rows,
+           CAST(SUM(hv) % 4294967296 AS BIGINT) AS content_ver
+    FROM h GROUP BY ROLLUP (table_name)
+    """,
+    tags=("northstar", "pipeline", "governance", "bench"),
+)
+def pipeline_content_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-addressed dataset versioning: an ORDER-INSENSITIVE content
+    hash per table (sum of per-row 32-bit digests over a canonical row
+    serialization, folded mod 2³²) plus a whole-dataset rollup version —
+    the fingerprint a training pipeline records in its run manifest so
+    "same version ⇒ same bytes" holds across re-shards, repartitions, and
+    engine swaps (row order never changes the sum). A changed row changes
+    its digest, so any edit moves the table version with probability
+    1 − 2⁻³²; the per-table rows localize WHICH input moved.
+
+    Spark shape: pure map-side row hashing (md5 over a codegen'd concat
+    of grid-snapped columns — doubles ride the cent grid, timestamps the
+    floor-epoch grid, so the canonical string is bit-identical across
+    engines) and ONE rollup aggregate with map-side partials; the sum
+    rides DECIMAL(38,0) so 10¹² rows × 2³² cannot overflow, then folds
+    to 32 bits. No shuffle carries data rows — only per-partition digest
+    partials. At 100 TB this is scan-bound and embarrassingly parallel,
+    and per-partition sums memoize under the incremental-maintenance
+    pattern (new files add their partial sums; the ivm precedent)."""
+    cents = lambda c: F.floor(F.col(c) * 100 + F.lit(0.5)).cast("bigint").cast("string")  # noqa: E731
+
+    def h(canon):
+        return F.conv(F.substring(F.md5(canon), 1, 8), 16, 10).cast("bigint")
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.lit("customer").alias("table_name"),
+        h(
+            F.concat_ws(
+                ":",
+                F.col("c_custkey").cast("string"),
+                F.col("c_nationkey").cast("string"),
+                cents("c_acctbal"),
+                "c_mktsegment",
+            )
+        ).alias("hv"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.lit("orders").alias("table_name"),
+        h(
+            F.concat_ws(
+                ":",
+                F.col("o_orderkey").cast("string"),
+                F.col("o_custkey").cast("string"),
+                "o_orderstatus",
+                cents("o_totalprice"),
+                F.unix_timestamp("o_orderdate").cast("string"),
+            )
+        ).alias("hv"),
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.lit("lineitem").alias("table_name"),
+        h(
+            F.concat_ws(
+                ":",
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+                F.col("l_partkey").cast("string"),
+                F.col("l_suppkey").cast("string"),
+                cents("l_quantity"),
+                cents("l_extendedprice"),
+                "l_returnflag",
+                "l_linestatus",
+            )
+        ).alias("hv"),
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.lit("documents").alias("table_name"),
+        h(
+            F.concat_ws(
+                ":", F.col("doc_id").cast("string"), F.md5("text"), "lang", "source"
+            )
+        ).alias("hv"),
+    )
+    allh = cust.unionByName(orders).unionByName(li).unionByName(docs)
+    return (
+        allh.rollup("table_name")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr(
+                f"cast(sum(cast(hv as decimal(38,0))) % {CV_MOD} as bigint)"
+            ).alias("content_ver"),
+        )
+        .select(
+            F.coalesce("table_name", F.lit("dataset")).alias("table_name"),
+            "n_rows",
+            "content_ver",
+        )
+    )

@@ -934,3 +934,142 @@ def ids_dense_global_rownum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_linenumber",
         (F.col("off") + F.row_number().over(wloc)).alias("rn"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap confidence interval
+# ---------------------------------------------------------------------------
+
+BS_B = 40  # bootstrap replicas
+# Poisson(1) inverse-CDF thresholds on the 2^32 grid: P(X<=k) * 2^32 for
+# k = 0..6; a uniform 32-bit draw below threshold k maps to weight k
+# (weights >= 7 are the residual branch, p ~ 8e-5).
+BS_POIS_T = (
+    1580030168,
+    3160060337,
+    3950075421,
+    4213413783,
+    4279248373,
+    4292415291,
+    4294609777,
+)
+
+
+def _bs_weight_sql(u: str) -> str:
+    cases = " ".join(
+        f"WHEN {u} < {t} THEN {k}" for k, t in enumerate(BS_POIS_T)
+    )
+    return f"CASE {cases} ELSE 7 END"
+
+
+def _bootstrap_oracle() -> str:
+    lo_idx = -(-25 * BS_B // 1000)  # ceil(0.025 * B)
+    hi_idx = -(-975 * BS_B // 1000)  # ceil(0.975 * B)
+    u = (
+        "('0x' || substr(md5('bs:' || CAST(b AS VARCHAR) || ':' "
+        "|| CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT"
+    )
+    return f"""
+    WITH o AS (
+      SELECT o_orderkey,
+             CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ),
+    w AS (
+      SELECT b, cents, {_bs_weight_sql(u)} AS wt
+      FROM o CROSS JOIN generate_series(0, {BS_B - 1}) g(b)
+    ),
+    reps AS (
+      SELECT b, CAST(SUM(wt * cents) // SUM(wt) AS BIGINT) AS mean_cents
+      FROM w GROUP BY b HAVING SUM(wt) > 0
+    ),
+    ranked AS (
+      SELECT mean_cents,
+             ROW_NUMBER() OVER (ORDER BY mean_cents) AS rk,
+             COUNT(*) OVER () AS nb
+      FROM reps
+    ),
+    point AS (
+      SELECT CAST(SUM(cents) // COUNT(*) AS BIGINT) AS mean_cents,
+             COUNT(*) AS n_rows
+      FROM o
+    )
+    SELECT point.mean_cents, point.n_rows,
+           CAST({BS_B} AS BIGINT) AS n_replicas,
+           (SELECT MIN(mean_cents) FROM ranked WHERE rk >= {lo_idx}) AS ci_lo_cents,
+           (SELECT MIN(mean_cents) FROM ranked WHERE rk >= {hi_idx}) AS ci_hi_cents
+    FROM point
+    """
+
+
+@query(
+    "stats_bootstrap_ci_mean",
+    oracle=_bootstrap_oracle(),
+    tags=("extension", "stats", "bench"),
+)
+def stats_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson-bootstrap 95 % confidence interval for the mean order value
+    — THE bootstrap that works on distributed data (Chamandy et al.,
+    "Estimating Uncertainty for Massive Data Streams", Google 2012; the
+    classic multinomial resample needs n draws from one urn, which is a
+    global operation, while Poisson(1) per-row weights are independent →
+    embarrassingly parallel and mergeable). Each of the B=BS_B=40 replicas
+    weights every row by a DETERMINISTIC Poisson(1) draw (md5(b‖orderkey)
+    uniform through the exact inverse-CDF thresholds on the 2³² integer
+    grid — replayable across engines, retries, and backfills), and the
+    replica means' empirical 2.5/97.5 percentiles are the CI.
+
+    Spark shape: one scan; rows explode ×B map-side (the shuffle carries
+    only B×partitions partial (Σwc, Σw) pairs — never B copies of the
+    data), ONE groupBy(b) with map-side partials, then all percentile
+    work happens on the B-row replica table (the bounded unpartitioned
+    window). Integer means (floor division on the cent grid) keep the
+    cross-engine hash exact. At 100 TB: identical plan, B stays 40,
+    shuffle volume is B × n_partitions × 16 bytes — the whole point of
+    the Poisson formulation."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    u = (
+        "cast(conv(substr(md5(concat('bs:', cast(b as string), ':', "
+        "cast(o_orderkey as string))), 1, 8), 16, 10) as bigint)"
+    )
+    w = o.select(
+        "o_orderkey",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(BS_B - 1))).alias("b"),
+    ).select("b", "cents", F.expr(f"{_bs_weight_sql(u)}").alias("wt"))
+    reps = (
+        w.groupBy("b")
+        .agg(
+            F.sum(F.col("wt") * F.col("cents")).alias("swc"),
+            F.sum("wt").alias("sw"),
+        )
+        .filter(F.col("sw") > 0)
+        .select(F.expr("cast(swc div sw as bigint)").alias("mean_cents"))
+    )
+    wrk = Window.orderBy("mean_cents")
+    ranked = reps.select(
+        "mean_cents", F.row_number().over(wrk).alias("rk")
+    )
+    lo_idx = -(-25 * BS_B // 1000)
+    hi_idx = -(-975 * BS_B // 1000)
+    lo = ranked.filter(F.col("rk") >= lo_idx).agg(
+        F.min("mean_cents").alias("ci_lo_cents")
+    )
+    hi = ranked.filter(F.col("rk") >= hi_idx).agg(
+        F.min("mean_cents").alias("ci_hi_cents")
+    )
+    point = o.agg(
+        F.expr("cast(sum(cents) div count(*) as bigint)").alias("mean_cents"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+    return (
+        point.withColumn("n_replicas", F.lit(BS_B).cast("bigint"))
+        .crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+    )
+

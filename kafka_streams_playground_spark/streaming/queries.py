@@ -1710,3 +1710,56 @@ REGISTRY["stream_stats_histogram_quantiles"] = _replace(
     REGISTRY["stream_stats_histogram_quantiles"],
     oracle=REGISTRY["stats_histogram_quantiles"].oracle,
 )
+
+
+@query(
+    "stream_ts_multi_granularity_rollup",
+    tags=("northstar", "streaming", "rollup", "twin"),
+)
+def stream_ts_multi_granularity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-granularity rollup as a STREAM — the continuous-aggregate
+    form it actually ships as in production (TimescaleDB's continuous
+    aggregates ARE this query kept running): each micro-batch's events
+    explode into their (grain, bucket) pairs and merge into the running
+    per-(grain, bucket, type) counters. Counters are additive, so
+    micro-batch merge = partition merge and the drained final state equals
+    the batch rollup row-for-row — the batch oracle applies unchanged.
+    State is O(buckets × types) — dashboard-sized, stream-lifetime
+    bounded by retention × grain count, never event count."""
+    from kafka_streams_playground_spark.plans.temporal import ROLLUP_GRAINS
+
+    ev = read_stream_table(spark, sf_dir, "events").select(
+        F.unix_timestamp("ts").alias("ep"),
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    pairs = ev.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("grain"),
+                        F.expr(f"(ep div {g}) * {g}").alias("bucket_epoch"),
+                    )
+                    for name, g in ROLLUP_GRAINS
+                ]
+            )
+        ).alias("gb"),
+        "event_type",
+        "cents",
+    )
+    agg = pairs.groupBy(
+        F.col("gb.grain").alias("grain"),
+        F.col("gb.bucket_epoch").alias("bucket_epoch"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("cents").alias("sum_cents"),
+    )
+    return run_to_completion(agg, output_mode="complete", spark=spark)
+
+
+REGISTRY["stream_ts_multi_granularity_rollup"] = _replace(
+    REGISTRY["stream_ts_multi_granularity_rollup"],
+    oracle=REGISTRY["ts_multi_granularity_rollup"].oracle,
+)

@@ -1614,3 +1614,44 @@ def test_wordpiece_encode_covers_every_char_once(spark, sf_dir):
     assert {r["piece"] for r in rows if r["piece_len"] == 1} == alphabet
     total_ppm = sum(r["share_ppm"] for r in rows)
     assert 990000 <= total_ppm <= 1000000  # floor rounding loses < |vocab| ppm
+
+
+def test_bootstrap_ci_brackets_point_and_is_reproducible(spark, sf_dir):
+    """CI must bracket the point estimate, be reproducible across runs
+    (deterministic draws), and the replica weights must be Poisson-like:
+    a direct recompute of one replica's weighted mean must match."""
+    import hashlib
+
+    from kafka_streams_playground_spark.plans import REGISTRY
+    from kafka_streams_playground_spark.plans.northstar_stats import BS_POIS_T
+    from kafka_streams_playground_spark.sources.parquet import load_table
+    from pyspark.sql import functions as F
+
+    r1 = REGISTRY["stats_bootstrap_ci_mean"].fn(spark, sf_dir).collect()[0]
+    r2 = REGISTRY["stats_bootstrap_ci_mean"].fn(spark, sf_dir).collect()[0]
+    assert r1 == r2
+    assert r1["ci_lo_cents"] <= r1["mean_cents"] <= r1["ci_hi_cents"]
+    assert r1["ci_lo_cents"] < r1["ci_hi_cents"]
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+            .cast("long")
+            .alias("cents"),
+        )
+        .collect()
+    )
+    swc = sw = 0
+    for r in orders:
+        u = int(
+            hashlib.md5(f"bs:7:{r['o_orderkey']}".encode()).hexdigest()[:8], 16
+        )
+        wt = next((k for k, t in enumerate(BS_POIS_T) if u < t), 7)
+        swc += wt * r["cents"]
+        sw += wt
+    # replica 7's mean sits inside the reported CI with high probability;
+    # the hard assertion is the weight law: mean weight ~ 1
+    assert 0.9 <= sw / len(orders) <= 1.1
+    assert r1["ci_lo_cents"] <= swc // sw <= r1["ci_hi_cents"]
