@@ -1073,3 +1073,90 @@ def stats_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(hi))
     )
 
+
+
+# ---------------------------------------------------------------------------
+# Chi-square test of independence (contingency grid)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_chi2_nation_segment",
+    oracle="""
+    WITH o AS (
+      SELECT c_nationkey AS nation, c_mktsegment AS segment, COUNT(*) AS obs
+      FROM customer GROUP BY 1, 2
+    ),
+    r AS (SELECT nation, SUM(obs) AS rt FROM o GROUP BY 1),
+    c AS (SELECT segment, SUM(obs) AS ct FROM o GROUP BY 1),
+    n AS (SELECT SUM(obs) AS n FROM o),
+    cells AS (
+      SELECT r.nation, c.segment, COALESCE(o.obs, 0) AS obs, r.rt, c.ct, n.n
+      FROM r CROSS JOIN c CROSS JOIN n
+      LEFT JOIN o ON o.nation = r.nation AND o.segment = c.segment
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_rows,
+           CAST((COUNT(DISTINCT nation) - 1) * (COUNT(DISTINCT segment) - 1)
+                AS BIGINT) AS dof,
+           CAST(SUM((obs * n - rt * ct) * (obs * n - rt * ct) * 1000000
+                    // (n * rt * ct)) AS BIGINT) AS chi2_e6
+    FROM cells
+    """,
+    tags=("extension", "stats", "bench"),
+)
+def stats_chi2_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between customer nation and
+    market segment — the categorical-association screen a feature
+    pipeline runs before trusting a crossed feature (high chi² ⇒ the
+    cross carries signal; chi² ≈ dof ⇒ drop it). Defined on an exact
+    integer grid: each cell contributes ⌊(obs·n − rt·ct)²·10⁶ /
+    (n·rt·ct)⌋ — the textbook (O−E)²/E with E = rt·ct/n cleared of
+    division — so both engines fold identical int terms and the hash is
+    exact. ZERO cells are materialized via the dimension cross join
+    (absent combinations still contribute (0·n − rt·ct)²/E — dropping
+    them is the classic chi² implementation bug).
+
+    Spark shape: one groupBy over the fact rows to the contingency grid
+    (map-side partials; grid = |nations|×|segments| — O(config)), then
+    margins are two grid-sized aggregates, the zero-filled cell table is
+    a broadcast cross join of the margins against the 1-row total, and
+    the fold is a single pass over grid cells. Nothing after the first
+    shuffle touches row-count-sized data; at 100 TB the statistic's cost
+    IS the first aggregate. The squared products ride DECIMAL(38,0)
+    (obs·n ≈ 10⁹·10⁹ squares past int64 at web scale; HUGEINT/decimal
+    keeps both engines exact and aligned)."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nation"), F.col("c_mktsegment").alias("segment")
+    )
+    o = cust.groupBy("nation", "segment").agg(F.count(F.lit(1)).alias("obs"))
+    r = o.groupBy("nation").agg(F.sum("obs").alias("rt"))
+    c = o.groupBy("segment").agg(F.sum("obs").alias("ct"))
+    n = o.agg(F.sum("obs").alias("n"))
+    cells = (
+        r.crossJoin(F.broadcast(c))
+        .crossJoin(F.broadcast(n))
+        .join(o, ["nation", "segment"], "left")
+        .select(
+            "nation",
+            "segment",
+            F.coalesce("obs", F.lit(0)).alias("obs"),
+            "rt",
+            "ct",
+            "n",
+        )
+    )
+    term = (
+        "cast((cast(obs as decimal(38,0)) * n - cast(rt as decimal(38,0)) * ct)"
+        " * (cast(obs as decimal(38,0)) * n - cast(rt as decimal(38,0)) * ct)"
+        " * 1000000 div (cast(n as decimal(38,0)) * rt * ct) as bigint)"
+    )
+    return cells.agg(
+        F.max("n").cast("bigint").alias("n_rows"),
+        (
+            (F.countDistinct("nation") - F.lit(1))
+            * (F.countDistinct("segment") - F.lit(1))
+        )
+        .cast("bigint")
+        .alias("dof"),
+        F.sum(F.expr(term)).cast("bigint").alias("chi2_e6"),
+    )

@@ -1441,3 +1441,105 @@ def ts_multi_granularity_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.sum("cents").alias("sum_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov drift statistic
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "drift_ks_value_halves",
+    oracle="""
+    WITH e AS (
+      SELECT event_id % 2 AS half,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    g AS (
+      SELECT cents,
+             SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS cb
+      FROM e GROUP BY 1
+    ),
+    c AS (
+      SELECT cents,
+             SUM(ca) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cuma,
+             SUM(cb) OVER (ORDER BY cents ROWS UNBOUNDED PRECEDING) AS cumb,
+             SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+      FROM g
+    ),
+    d AS (
+      SELECT cents, ABS(cuma * nb - cumb * na) AS dnum, na, nb FROM c
+    ),
+    m AS (SELECT MAX(dnum) AS d_num FROM d)
+    SELECT CAST(d.na AS BIGINT) AS n_a, CAST(d.nb AS BIGINT) AS n_b,
+           CAST(m.d_num AS BIGINT) AS d_num,
+           MIN(d.cents) AS at_cents,
+           CAST(m.d_num * 1000000 // (d.na * d.nb) AS BIGINT) AS ks_ppm
+    FROM d JOIN m ON d.dnum = m.d_num
+    GROUP BY d.na, d.nb, m.d_num
+    """,
+    tags=("extension", "temporal", "drift", "bench"),
+)
+def drift_ks_value_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov statistic between the two
+    deterministic event_id-parity halves of the value stream (the same
+    split as the PSI audit next door — KS is the binning-free companion:
+    PSI needs bucket choices, KS is the sup over the EMPIRICAL CDFs and
+    catches shape drift PSI's coarse buckets smear out). Division-free:
+    D's numerator is max|cumA·nB − cumB·nA| over the cent grid — exact
+    int64 — and only the final ppm report divides. Reports where the sup
+    is attained (smallest attaining cent value) for drill-down.
+
+    Spark shape: the same "exact distribution statistic at scale" recipe
+    as the MAD detector — ONE shuffle collapses events to the (cents,
+    countA, countB) grid (map-side partials), and every cumulative /
+    max / argmax pass runs over grid rows only. The cumulative window is
+    unpartitioned but grid-bounded (value-domain rows, never event
+    rows; at 100 TB with an unbounded domain the grid coarsens to fixed
+    quantization — KS on a quantized grid is still exact for the
+    quantized variable). The sup and its argmin resolve with one 1-row
+    broadcast join — no second scan of anything."""
+    e = load_table(spark, sf_dir, "events").select(
+        (F.col("event_id") % 2).alias("half"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    g = e.groupBy("cents").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("cb"),
+    )
+    wc = Window.orderBy("cents").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wall = Window.partitionBy()
+    c = g.select(
+        "cents",
+        F.sum("ca").over(wc).alias("cuma"),
+        F.sum("cb").over(wc).alias("cumb"),
+        F.sum("ca").over(wall).alias("na"),
+        F.sum("cb").over(wall).alias("nb"),
+    )
+    d = c.select(
+        "cents",
+        F.abs(F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na")).alias(
+            "dnum"
+        ),
+        "na",
+        "nb",
+    )
+    m = d.agg(F.max("dnum").alias("d_num"))
+    return (
+        d.join(F.broadcast(m), d.dnum == F.col("d_num"))
+        .groupBy("na", "nb", "d_num")
+        .agg(F.min("cents").alias("at_cents"))
+        .select(
+            F.col("na").cast("bigint").alias("n_a"),
+            F.col("nb").cast("bigint").alias("n_b"),
+            F.col("d_num").cast("bigint").alias("d_num"),
+            "at_cents",
+            F.expr("cast(d_num * 1000000 div (na * nb) as bigint)").alias(
+                "ks_ppm"
+            ),
+        )
+    )

@@ -1655,3 +1655,57 @@ def test_bootstrap_ci_brackets_point_and_is_reproducible(spark, sf_dir):
     # the hard assertion is the weight law: mean weight ~ 1
     assert 0.9 <= sw / len(orders) <= 1.1
     assert r1["ci_lo_cents"] <= swc // sw <= r1["ci_hi_cents"]
+
+
+def test_ks_statistic_matches_python_recompute(spark, sf_dir):
+    from kafka_streams_playground_spark.plans import REGISTRY
+    from kafka_streams_playground_spark.sources.parquet import load_table
+    from pyspark.sql import functions as F
+
+    row = REGISTRY["drift_ks_value_halves"].fn(spark, sf_dir).collect()[0]
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            (F.col("event_id") % 2).alias("half"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("cents"),
+        )
+        .collect()
+    )
+    a = sorted(r["cents"] for r in ev if r["half"] == 0)
+    b = sorted(r["cents"] for r in ev if r["half"] == 1)
+    na, nb = len(a), len(b)
+    grid = sorted(set(a) | set(b))
+    import bisect
+
+    best = -1
+    for v in grid:
+        d = abs(bisect.bisect_right(a, v) * nb - bisect.bisect_right(b, v) * na)
+        best = max(best, d)
+    assert row["n_a"] == na and row["n_b"] == nb
+    assert row["d_num"] == best
+    assert row["ks_ppm"] == best * 1000000 // (na * nb)
+
+
+def test_chi2_matches_python_recompute(spark, sf_dir):
+    from collections import Counter
+
+    from kafka_streams_playground_spark.plans import REGISTRY
+    from kafka_streams_playground_spark.sources.parquet import load_table
+
+    row = REGISTRY["stats_chi2_nation_segment"].fn(spark, sf_dir).collect()[0]
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment"
+    ).collect()
+    obs = Counter((r["c_nationkey"], r["c_mktsegment"]) for r in cust)
+    rt = Counter(r["c_nationkey"] for r in cust)
+    ct = Counter(r["c_mktsegment"] for r in cust)
+    n = len(cust)
+    chi2 = sum(
+        (obs.get((nk, sg), 0) * n - rt[nk] * ct[sg]) ** 2 * 1000000
+        // (n * rt[nk] * ct[sg])
+        for nk in rt
+        for sg in ct
+    )
+    assert row["n_rows"] == n
+    assert row["dof"] == (len(rt) - 1) * (len(ct) - 1)
+    assert row["chi2_e6"] == chi2
