@@ -1283,3 +1283,120 @@ def graph_lpa_communities(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("node").alias("part_id"), F.col("label").alias("community")
     )
 
+
+
+# ---------------------------------------------------------------------------
+# Bounded k-core peeling
+# ---------------------------------------------------------------------------
+
+KCORE_K = 4
+KCORE_ROUNDS = 2
+
+
+def _kcore_oracle() -> str:
+    sym = """
+    SELECT a.l_partkey AS s, b.l_partkey AS t
+    FROM lineitem a JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    GROUP BY 1, 2
+    HAVING COUNT(DISTINCT a.l_orderkey) >= {m}
+    """.format(m=TRI_MIN_SUPPORT)
+    sql = f"""
+    WITH half AS ({sym}),
+    e0 AS (
+      SELECT s AS u, t AS v FROM half
+      UNION ALL SELECT t, s FROM half
+    ),
+    n0 AS (SELECT DISTINCT u FROM e0)
+    """
+    removed = []
+    for r in range(1, KCORE_ROUNDS + 1):
+        sql += f""",
+    d{r} AS (SELECT u, COUNT(*) AS deg FROM e{r - 1} GROUP BY 1),
+    rm{r} AS (
+      SELECT n.u FROM n{r - 1} n LEFT JOIN d{r} USING (u)
+      WHERE COALESCE(d{r}.deg, 0) < {KCORE_K}
+    ),
+    n{r} AS (SELECT u FROM n{r - 1} WHERE u NOT IN (SELECT u FROM rm{r})),
+    e{r} AS (
+      SELECT e.u, e.v FROM e{r - 1} e
+      WHERE e.u NOT IN (SELECT u FROM rm{r})
+        AND e.v NOT IN (SELECT u FROM rm{r})
+    )
+    """
+        removed.append(f"SELECT u AS part_id, {r} AS peeled_round FROM rm{r}")
+    removed.append(
+        f"SELECT u AS part_id, 0 AS peeled_round FROM n{KCORE_ROUNDS}"
+    )
+    sql += "\n    SELECT part_id, peeled_round FROM (\n    "
+    sql += "\n    UNION ALL ".join(removed)
+    sql += "\n    )"
+    return sql
+
+
+@query(
+    "graph_kcore_peel",
+    oracle=_kcore_oracle(),
+    tags=("northstar", "graph", "bench"),
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded k-core decomposition: KCORE_ROUNDS synchronous peel rounds
+    — each round removes every node whose CURRENT degree is below
+    KCORE_K, then re-derives the induced subgraph — labeling nodes with
+    the round that removed them (0 = still standing after all rounds ≈
+    the k-core). The peel order is the classic graph-quality signal:
+    low-round nodes are tendrils/noise, the surviving core is the
+    densely co-purchased backbone (same role as k-core in web-spam and
+    community pipelines; Matula & Beck 1983). Rounds are synchronous so
+    the result is deterministic and engine-independent — sequential
+    peeling visits nodes in an arbitrary order, synchronous peeling is
+    the distributed-safe formulation and converges to the same core.
+
+    Spark shape: SHARES the persisted ``_support_edges`` substrate. Per
+    round: one node-keyed degree count (map-side partials) and two
+    broadcast anti-joins of the edge list against the round's removed
+    set (removed sets are the SMALL side by construction — peeled
+    tendrils; at 10⁸⁺-node scale they flip to co-partitioned anti-joins,
+    same flip note as PageRank's rank vector). Fixed plan-build-time
+    rounds (kmeans_ivf_train precedent); full k-core needs
+    data-dependent iteration count — at 100 TB the same loop runs
+    driver-side with a convergence check per round, plans unchanged."""
+    half = _support_edges(spark, sf_dir)
+    e = half.select(F.col("s").alias("u"), F.col("t").alias("v")).unionByName(
+        half.select(F.col("t").alias("u"), F.col("s").alias("v"))
+    )
+    nodes = e.select("u").distinct()
+    out = None
+    cached = []
+    for r in range(1, KCORE_ROUNDS + 1):
+        deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+        rm = (
+            nodes.join(deg, "u", "left")
+            .filter(F.coalesce("deg", F.lit(0)) < KCORE_K)
+            .select("u")
+            .persist()
+        )
+        cached.append(rm)
+        lab = rm.select(
+            F.col("u").alias("part_id"), F.lit(r).alias("peeled_round")
+        )
+        out = lab if out is None else out.unionByName(lab)
+        nodes = nodes.join(F.broadcast(rm), "u", "left_anti")
+        # persist the peeled edge set so later rounds (and the final
+        # union's many branches) never re-derive earlier rounds' lineage
+        e = (
+            e.join(F.broadcast(rm), "u", "left_anti")
+            .join(F.broadcast(rm.withColumnRenamed("u", "v")), "v", "left_anti")
+            .persist()
+        )
+        cached.append(e)
+    core = nodes.select("u").select(
+        F.col("u").alias("part_id"), F.lit(0).alias("peeled_round")
+    )
+    result = out.unionByName(core)
+    # materialize before unpersisting the per-round caches (replica runs
+    # invoke many queries per session — the ADVICE r6 cache-pressure note)
+    result = result.localCheckpoint(eager=True)
+    for df in cached:
+        df.unpersist()
+    return result

@@ -1709,3 +1709,40 @@ def test_chi2_matches_python_recompute(spark, sf_dir):
     assert row["n_rows"] == n
     assert row["dof"] == (len(rt) - 1) * (len(ct) - 1)
     assert row["chi2_e6"] == chi2
+
+
+def test_kcore_peel_cascade_on_fixture(spark, sf_dir, tmp_path):
+    """Pendant node peels round 1; its degree-4 neighbor only drops below
+    K after that removal, so it peels round 2; the 5-clique (+ its two
+    attachments) stays core."""
+    import pandas as pd
+
+    from kafka_streams_playground_spark.plans import REGISTRY
+    from kafka_streams_playground_spark.plans.northstar_pipeline import (
+        TRI_MIN_SUPPORT,
+    )
+
+    clique = [1, 2, 3, 4, 5]
+    edges = [(a, b) for i, a in enumerate(clique) for b in clique[i + 1 :]]
+    edges += [(6, 1), (6, 2), (6, 3), (6, 4)]
+    edges += [(7, 1), (7, 2), (7, 3), (7, 8)]
+    rows = []
+    oid = 0
+    for a, b in edges:
+        for _ in range(TRI_MIN_SUPPORT):
+            oid += 1
+            rows += [(oid, a), (oid, b)]
+    d = tmp_path / "fix"
+    d.mkdir()
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"])
+    ).write.parquet(str(d / "lineitem.parquet"))
+
+    got = {
+        r["part_id"]: r["peeled_round"]
+        for r in REGISTRY["graph_kcore_peel"].fn(spark, str(d)).collect()
+    }
+    assert got[8] == 1
+    assert got[7] == 2
+    for n in clique + [6]:
+        assert got[n] == 0, (n, got)
