@@ -1746,3 +1746,23 @@ def test_kcore_peel_cascade_on_fixture(spark, sf_dir, tmp_path):
     assert got[7] == 2
     for n in clique + [6]:
         assert got[n] == 0, (n, got)
+
+
+def test_ivm_join_view_all_delta_terms_contribute(spark, sf_dir):
+    """Each of the three delta terms (dA⋈B_old, A_old⋈dB, dA⋈dB) must be
+    non-empty — join-key-correlated slicing would vacuously pass the
+    oracle while proving nothing about the delta algebra."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_playground_spark.sources.parquet import load_table
+
+    a = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    b = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("b_orderkey"), "l_linenumber"
+    )
+    a_old = a.filter(F.col("o_custkey") % 7 != 0)
+    a_del = a.filter(F.col("o_custkey") % 7 == 0)
+    b_old = b.filter(F.col("l_linenumber") % 3 != 0)
+    b_del = b.filter(F.col("l_linenumber") % 3 == 0)
+    for ax, bx in ((a_del, b_old), (a_old, b_del), (a_del, b_del)):
+        assert ax.join(bx, ax.o_orderkey == bx.b_orderkey).limit(1).count() == 1
