@@ -1543,3 +1543,68 @@ def drift_ks_value_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Seasonal-naive decomposition (hour-of-week profile + residuals)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_seasonal_decompose_how",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             (CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT) // 3600) % 168 AS how,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, how, COUNT(*) AS n_events,
+             CAST(SUM(cents) // COUNT(*) AS BIGINT) AS seasonal_cents
+      FROM e GROUP BY 1, 2
+    )
+    SELECT s.event_type, s.how, s.n_events, s.seasonal_cents,
+           CAST(SUM(ABS(e.cents - s.seasonal_cents)) AS BIGINT)
+             AS abs_resid_sum
+    FROM e JOIN s USING (event_type, how)
+    GROUP BY 1, 2, 3, 4
+    """,
+    tags=("extension", "temporal", "seasonal", "bench"),
+)
+def ts_seasonal_decompose_how(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-naive decomposition on the hour-of-week grid: the
+    per-(type, hour-of-week) seasonal profile (integer mean on the cent
+    grid) plus each cell's absolute-residual mass — the additive
+    y = seasonal + residual split every ops/forecast dashboard starts
+    from (STL's season pass with a box kernel; the 168-slot profile is
+    the standard weekly template). Cells with large abs_resid_sum are
+    where the seasonal model explains least — exactly the drill-down
+    the CUSUM/EWMA monitors next door alarm on.
+
+    Spark shape: textbook two-pass with a tiny model table — ONE
+    row-level shuffle to the (type, how) profile (map-side partials; the
+    profile is ≤ |types|·168 rows, O(config)), then the residual pass
+    re-scans with the profile BROADCAST and folds |cents − seasonal|
+    into the same cells. Integer means (floor division) and integer
+    residuals keep both engines exact. At 100 TB both passes are
+    scan-bound; the profile table never grows with data — this is the
+    operator where 'model = small mergeable state' is most literal."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("(unix_timestamp(ts) div 3600) % 168").alias("how"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    s = e.groupBy("event_type", "how").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.expr("cast(sum(cents) div count(*) as bigint)").alias("seasonal_cents"),
+    )
+    return (
+        e.join(F.broadcast(s), ["event_type", "how"])
+        .groupBy("event_type", "how", "n_events", "seasonal_cents")
+        .agg(
+            F.sum(F.abs(F.col("cents") - F.col("seasonal_cents")))
+            .cast("bigint")
+            .alias("abs_resid_sum")
+        )
+    )

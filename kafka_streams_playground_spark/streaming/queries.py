@@ -1763,3 +1763,64 @@ REGISTRY["stream_ts_multi_granularity_rollup"] = _replace(
     REGISTRY["stream_ts_multi_granularity_rollup"],
     oracle=REGISTRY["ts_multi_granularity_rollup"].oracle,
 )
+
+
+@query(
+    "stream_drift_ks_value_halves",
+    tags=("northstar", "streaming", "drift", "twin"),
+)
+def stream_drift_ks_value_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The exact two-sample KS statistic as a STREAM — drift monitoring
+    in its production form: the (cents, half) grid counters are a
+    running groupBy aggregate (complete mode; counters are additive so
+    micro-batch merge = partition merge), and the sup-over-CDFs probe
+    runs on the drained final grid exactly like the batch twin. State is
+    O(value grid) for the stream's lifetime — the same bounded-counter
+    economics as the histogram-quantile twin; a production deploy swaps
+    the final drain for a per-trigger probe and alerts on ks_ppm."""
+    ev = read_stream_table(spark, sf_dir, "events").select(
+        (F.col("event_id") % 2).alias("half"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    grid = ev.groupBy("cents").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("cb"),
+    )
+    g = run_to_completion(grid, output_mode="complete", spark=spark)
+
+    from pyspark.sql import Window as _W
+
+    wc = _W.orderBy("cents").rowsBetween(_W.unboundedPreceding, _W.currentRow)
+    wall = _W.partitionBy()
+    c = g.select(
+        "cents",
+        F.sum("ca").over(wc).alias("cuma"),
+        F.sum("cb").over(wc).alias("cumb"),
+        F.sum("ca").over(wall).alias("na"),
+        F.sum("cb").over(wall).alias("nb"),
+    )
+    d = c.select(
+        "cents",
+        F.abs(F.col("cuma") * F.col("nb") - F.col("cumb") * F.col("na")).alias("dnum"),
+        "na",
+        "nb",
+    )
+    m = d.agg(F.max("dnum").alias("d_num"))
+    return (
+        d.join(F.broadcast(m), d.dnum == F.col("d_num"))
+        .groupBy("na", "nb", "d_num")
+        .agg(F.min("cents").alias("at_cents"))
+        .select(
+            F.col("na").cast("bigint").alias("n_a"),
+            F.col("nb").cast("bigint").alias("n_b"),
+            F.col("d_num").cast("bigint").alias("d_num"),
+            "at_cents",
+            F.expr("cast(d_num * 1000000 div (na * nb) as bigint)").alias("ks_ppm"),
+        )
+    )
+
+
+REGISTRY["stream_drift_ks_value_halves"] = _replace(
+    REGISTRY["stream_drift_ks_value_halves"],
+    oracle=REGISTRY["drift_ks_value_halves"].oracle,
+)
