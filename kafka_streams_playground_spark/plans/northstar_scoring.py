@@ -1683,3 +1683,173 @@ def tokenizer_wordpiece_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM Viterbi word scoring (SentencePiece's other half)
+# ---------------------------------------------------------------------------
+
+
+def _uv_oracle() -> str:
+    # piece of length k ending at pos+1 starts at pos-k+2 and pairs with
+    # best(pos+1-k) = b{k-1}; NULL b-columns guard the pos+1-k < 0 edge and
+    # GREATEST ignores NULL candidates.
+    cands = ",\n      ".join(
+        f"b{k - 1} + (SELECT lp6 FROM v WHERE v.piece"
+        f" = substr(st.word, st.pos - {k} + 2, {k}))"
+        for k in range(1, WP_NGRAM_MAX + 1)
+    )
+    return f"""
+    WITH RECURSIVE
+    w0 AS (
+      SELECT unnest(string_split(text, ' ')) AS word FROM documents
+    ),
+    wc AS (
+      SELECT word, COUNT(*) AS cnt FROM w0 WHERE length(word) > 0 GROUP BY 1
+    ),
+    cg AS (
+      SELECT substr(word, CAST(gs AS INT), 1) AS piece, SUM(cnt) AS c
+      FROM (
+        SELECT word, cnt, unnest(range(1, length(word) + 1)) AS gs FROM wc
+      )
+      GROUP BY 1
+    ),
+    mg AS (
+      SELECT substr(word, CAST(gs AS INT), CAST(n AS INT)) AS piece,
+             SUM(cnt) AS c
+      FROM (
+        SELECT word, cnt, n,
+               unnest(range(1, length(word) - n + 2)) AS gs
+        FROM wc CROSS JOIN (VALUES (2), (3), (4)) nn(n)
+      )
+      GROUP BY 1
+    ),
+    top AS (
+      SELECT piece, c FROM mg ORDER BY c DESC, piece ASC
+      LIMIT {WP_TOP_MULTIGRAMS}
+    ),
+    vocab AS (
+      SELECT piece, length(piece) AS len, c FROM top
+      UNION ALL
+      SELECT piece, 1, c FROM cg
+    ),
+    tot AS (SELECT SUM(c) AS t FROM vocab),
+    v AS (
+      SELECT piece, len,
+             CAST(FLOOR((ln(CAST(c AS DOUBLE))
+                         - ln(CAST((SELECT t FROM tot) AS DOUBLE)))
+                        * 1000000 + 0.5) AS BIGINT) AS lp6
+      FROM vocab
+    ),
+    st(word, pos, b0, b1, b2, b3) AS (
+      SELECT word, 0, CAST(0 AS BIGINT), NULL, NULL, NULL FROM wc
+      UNION ALL
+      SELECT word, pos + 1,
+             GREATEST(
+      {cands}
+             ),
+             b0, b1, b2
+      FROM st WHERE pos < length(word)
+    )
+    SELECT wc.word, wc.cnt AS n_occ, st.b0 AS viterbi_lp6
+    FROM st JOIN wc USING (word)
+    WHERE st.pos = length(st.word)
+    """
+
+
+@query(
+    "tokenizer_unigram_viterbi_score",
+    oracle=_uv_oracle(),
+    tags=("northstar", "scoring", "tokenizer", "bench"),
+)
+def tokenizer_unigram_viterbi_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM Viterbi scoring (Kudo 2018 — the SentencePiece unigram
+    model's decode half): every word's BEST segmentation log-probability
+    under a piece unigram model whose probabilities come from corpus
+    piece counts (all single chars + the top-WP_TOP_MULTIGRAMS 2..4-grams
+    — the same candidate set the WordPiece encoder next door matches
+    greedily; Viterbi is provably ≥ greedy per word, pinned by unit
+    test). Log-probs quantize to the 1e-6 grid (ln of counts, the
+    drift_psi precedent) so the DP is exact integer max-plus algebra —
+    deterministic across engines, no float-order sensitivity.
+
+    Spark shape: identical substrate economics to the WordPiece encoder
+    (distinct-word collapse, codegen'd gram explosion,
+    TakeOrderedAndProject top-K, O(config) vocab broadcast); the DP
+    itself — best(i) = max_k best(i−k) + lp(piece ending at i) — is the
+    genuinely-sequential per-word loop, an Arrow-batched mapInPandas over
+    distinct words. The oracle runs the SAME DP as a recursive CTE
+    carrying a sliding window of the last 4 best values. At 100 TB the
+    encode pass is embarrassingly parallel over the Zipf-head word table;
+    scores for repeated words are computed once and fan out by count."""
+    import pandas as pd
+
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    words = docs.select(F.explode(F.split("text", " ")).alias("word")).filter(
+        F.length("word") > 0
+    )
+    wc = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+
+    cg = (
+        wc.select(
+            "cnt",
+            F.explode(F.expr("sequence(1, length(word))")).alias("p"),
+            F.expr("substr(word, p, 1)").alias("piece"),
+        )
+        .groupBy("piece")
+        .agg(F.sum("cnt").alias("c"))
+    )
+    grams = None
+    for n in range(2, WP_NGRAM_MAX + 1):
+        g = (
+            wc.filter(F.length("word") >= n)
+            .select(
+                "cnt",
+                F.explode(F.expr(f"sequence(1, length(word) - {n} + 1)")).alias("p"),
+                F.expr(f"substr(word, p, {n})").alias("piece"),
+            )
+            .select("piece", "cnt")
+        )
+        grams = g if grams is None else grams.unionByName(g)
+    mg = grams.groupBy("piece").agg(F.sum("cnt").alias("c"))
+    top = mg.orderBy(F.col("c").desc(), F.col("piece").asc()).limit(
+        WP_TOP_MULTIGRAMS
+    )
+    vocab_df = top.select("piece", "c").unionByName(cg.select("piece", "c"))
+    tot = vocab_df.agg(F.sum("c").cast("double").alias("t"))
+    v = vocab_df.crossJoin(F.broadcast(tot)).select(
+        "piece",
+        F.floor(
+            (F.log(F.col("c").cast("double")) - F.log("t")) * 1000000 + F.lit(0.5)
+        )
+        .cast("bigint")
+        .alias("lp6"),
+    )
+    # O(config) collect: <= WP_TOP_MULTIGRAMS + |alphabet| pieces.
+    lp = {r["piece"]: r["lp6"] for r in v.collect()}
+
+    def score(batches):
+        out_w, out_c, out_s = [], [], []
+        for pdf in batches:
+            for word, cnt in zip(pdf["word"], pdf["cnt"]):
+                L = len(word)
+                best = [0] + [None] * L
+                for i in range(1, L + 1):
+                    b = None
+                    for k in range(1, min(WP_NGRAM_MAX, i) + 1):
+                        prev = best[i - k]
+                        if prev is None:
+                            continue
+                        p = lp.get(word[i - k : i])
+                        if p is None:
+                            continue
+                        cand = prev + p
+                        if b is None or cand > b:
+                            b = cand
+                    best[i] = b
+                out_w.append(word)
+                out_c.append(int(cnt))
+                out_s.append(int(best[L]))
+        yield pd.DataFrame({"word": out_w, "n_occ": out_c, "viterbi_lp6": out_s})
+
+    return wc.mapInPandas(score, "word string, n_occ long, viterbi_lp6 long")

@@ -1766,3 +1766,63 @@ def test_ivm_join_view_all_delta_terms_contribute(spark, sf_dir):
     b_del = b.filter(F.col("l_linenumber") % 3 == 0)
     for ax, bx in ((a_del, b_old), (a_old, b_del), (a_del, b_del)):
         assert ax.join(bx, ax.o_orderkey == bx.b_orderkey).limit(1).count() == 1
+
+
+def test_unigram_viterbi_dominates_greedy_and_matches_python(spark, sf_dir):
+    """Viterbi best-segmentation score must equal an exact Python DP and
+    be >= the greedy longest-match segmentation's score for every word."""
+    import math
+    from collections import Counter
+
+    from kafka_streams_playground_spark.plans import REGISTRY
+    from kafka_streams_playground_spark.plans.northstar_scoring import (
+        WP_NGRAM_MAX,
+        WP_TOP_MULTIGRAMS,
+    )
+    from kafka_streams_playground_spark.sources.parquet import load_table
+
+    texts = [r["text"] for r in load_table(spark, sf_dir, "documents").select("text").collect()]
+    wc = Counter(w for t in texts for w in t.split(" ") if w)
+    cg = Counter()
+    mg = Counter()
+    for w, c in wc.items():
+        for i in range(len(w)):
+            cg[w[i]] += c
+        for n in range(2, WP_NGRAM_MAX + 1):
+            for i in range(len(w) - n + 1):
+                mg[w[i : i + n]] += c
+    top = sorted(mg.items(), key=lambda kv: (-kv[1], kv[0]))[:WP_TOP_MULTIGRAMS]
+    counts = dict(top)
+    counts.update(cg)
+    T = sum(counts.values())
+    lp = {p: math.floor((math.log(c) - math.log(T)) * 1000000 + 0.5) for p, c in counts.items()}
+
+    def viterbi(w):
+        best = [0] + [None] * len(w)
+        for i in range(1, len(w) + 1):
+            cands = [
+                best[i - k] + lp[w[i - k : i]]
+                for k in range(1, min(WP_NGRAM_MAX, i) + 1)
+                if best[i - k] is not None and w[i - k : i] in lp
+            ]
+            best[i] = max(cands)
+        return best[len(w)]
+
+    def greedy(w):
+        pos, s = 0, 0
+        while pos < len(w):
+            for n in range(min(WP_NGRAM_MAX, len(w) - pos), 0, -1):
+                if w[pos : pos + n] in lp:
+                    s += lp[w[pos : pos + n]]
+                    pos += n
+                    break
+        return s
+
+    got = {
+        r["word"]: (r["n_occ"], r["viterbi_lp6"])
+        for r in REGISTRY["tokenizer_unigram_viterbi_score"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(wc)
+    for w in wc:
+        assert got[w] == (wc[w], viterbi(w)), w
+        assert viterbi(w) >= greedy(w), w
