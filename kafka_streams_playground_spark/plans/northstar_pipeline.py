@@ -1400,3 +1400,166 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     for df in cached:
         df.unpersist()
     return result
+
+
+# ---------------------------------------------------------------------------
+# End-to-end pretraining curation manifest
+# ---------------------------------------------------------------------------
+
+E2E_SHARDS = 8
+
+
+def _e2e_oracle() -> str:
+    from kafka_streams_playground_spark.plans.northstar_scoring import (
+        _STOP_SQL,
+        QC_BIAS_E6,
+        QC_TH_E6,
+        QC_W_LEN_E6,
+        QC_W_STOP_E6,
+        QC_W_TTR_E6,
+    )
+
+    return f"""
+    WITH {CONTAM_AGG_CTES},
+    toks AS (
+      SELECT doc_id, text,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+      FROM documents
+    ),
+    qf AS (
+      SELECT doc_id,
+             CAST(({QC_W_TTR_E6} * CAST(len(list_distinct(toks)) AS BIGINT))
+                      // CAST(len(toks) AS BIGINT)
+                  - ({QC_W_STOP_E6}
+                     * CAST(len([x for x in toks
+                                 if list_contains([{_STOP_SQL}], x)]) AS BIGINT))
+                      // CAST(len(toks) AS BIGINT)
+                  + ({QC_W_LEN_E6} * LEAST(CAST(len(toks) AS BIGINT), 256)) // 256
+                  + {QC_BIAS_E6} >= {QC_TH_E6} AS INT) AS keep
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+    ),
+    s1 AS (
+      SELECT toks.* FROM toks JOIN qf USING (doc_id) WHERE qf.keep = 1
+    ),
+    s2 AS (
+      SELECT s1.* FROM s1
+      JOIN (SELECT md5(text) AS h, MIN(doc_id) AS k FROM s1 GROUP BY 1) f
+        ON md5(s1.text) = f.h AND s1.doc_id = f.k
+    ),
+    s3 AS (
+      SELECT s2.* FROM s2 JOIN agg USING (doc_id)
+      WHERE agg.n_contaminated * 1.0 / agg.n_shingles < {CONTAM_FLAG_RATIO}
+    ),
+    shd AS (
+      SELECT doc_id, nt,
+             ('0x' || substr(md5('e2e:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % {E2E_SHARDS} AS shard
+      FROM s3
+    )
+    SELECT 'raw' AS stage, COUNT(*) AS n_docs,
+           CAST(SUM(nt) AS BIGINT) AS sum_tokens FROM toks
+    UNION ALL
+    SELECT 'quality', COUNT(*), CAST(SUM(nt) AS BIGINT) FROM s1
+    UNION ALL
+    SELECT 'dedup', COUNT(*), CAST(SUM(nt) AS BIGINT) FROM s2
+    UNION ALL
+    SELECT 'decontam', COUNT(*), CAST(SUM(nt) AS BIGINT) FROM s3
+    UNION ALL
+    SELECT 'shard_' || CAST(shard AS VARCHAR), COUNT(*),
+           CAST(SUM(nt) AS BIGINT)
+    FROM shd GROUP BY shard
+    """
+
+
+@query(
+    "pipeline_pretrain_e2e_manifest",
+    oracle=_e2e_oracle(),
+    tags=("northstar", "pipeline", "e2e", "bench"),
+)
+def pipeline_pretrain_e2e_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END-TO-END pretraining curation chain as ONE dataflow: raw →
+    quality-classifier gate → exact dedup (first occurrence per content
+    hash) → eval-set decontamination → deterministic shard assignment,
+    reporting per-stage attrition (docs, tokens) plus the final per-shard
+    manifest — the run report every corpus build publishes (C4, RefinedWeb,
+    Dolma all report exactly this funnel). Every stage REUSES the
+    registry's single-stage rule verbatim (quality_classifier_filter's
+    integer logit, dedup_exact's min-doc_id-per-md5,
+    text_contamination_check's shingle flags, the md5-salt shard law), so
+    the composition is auditable against the already-proven parts.
+
+    Spark shape: stages chain as narrow joins on doc_id against flag
+    relations that each ride their own proven plan (quality: one
+    token-stats pass; dedup: one content-hash groupBy; contamination: the
+    broadcast benchmark-shingle set); attrition rows are 1-row aggregates
+    of each intermediate (Spark computes the four stage frames once each —
+    lineage shares the scans), and the shard rollup is an 8-group
+    aggregate. At 100 TB the chain is the same as running the stages
+    back-to-back with materialized intermediates — here the optimizer sees
+    the whole funnel and prunes ``text`` out of every post-dedup stage."""
+    from kafka_streams_playground_spark.plans.northstar_scoring import (
+        quality_classifier_filter,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "text",
+        F.size(F.split("text", " ")).cast("bigint").alias("nt"),
+    )
+    qf = quality_classifier_filter(spark, sf_dir).select("doc_id", "keep")
+    s1 = docs.join(qf.filter(F.col("keep") == 1).drop("keep"), "doc_id").persist()
+    firsts = (
+        s1.groupBy(F.md5("text").alias("h")).agg(F.min("doc_id").alias("k"))
+    )
+    s2 = s1.join(
+        firsts,
+        (F.md5(s1.text) == firsts.h) & (s1.doc_id == firsts.k),
+    ).select(s1.doc_id, "nt").persist()
+    flags = text_contamination_check(spark, sf_dir).select("doc_id", "flagged")
+    s3 = s2.join(flags, "doc_id").filter(F.col("flagged") == 0).persist()
+    shd = s3.select(
+        "nt",
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("e2e:"), F.col("doc_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % E2E_SHARDS
+        ).alias("shard"),
+    )
+
+    def att(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("sum_tokens"),
+        ).select("stage", "n_docs", "sum_tokens")
+
+    shards = (
+        shd.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("nt").cast("bigint").alias("sum_tokens"),
+        )
+        .select(
+            F.concat(F.lit("shard_"), F.col("shard").cast("string")).alias("stage"),
+            "n_docs",
+            "sum_tokens",
+        )
+    )
+    result = (
+        att("raw", docs)
+        .unionByName(att("quality", s1))
+        .unionByName(att("dedup", s2))
+        .unionByName(att("decontam", s3))
+        .unionByName(shards)
+    )
+    result = result.localCheckpoint(eager=True)
+    for df in (s1, s2, s3):
+        df.unpersist()
+    return result

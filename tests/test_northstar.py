@@ -1826,3 +1826,22 @@ def test_unigram_viterbi_dominates_greedy_and_matches_python(spark, sf_dir):
     for w in wc:
         assert got[w] == (wc[w], viterbi(w)), w
         assert viterbi(w) >= greedy(w), w
+
+
+def test_e2e_manifest_funnel_is_consistent(spark, sf_dir):
+    """Attrition must be monotone raw >= quality >= dedup >= decontam, the
+    shard rows must partition the decontam survivors exactly, and every
+    stage must keep at least one doc on the fixture."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+
+    rows = {
+        r["stage"]: (r["n_docs"], r["sum_tokens"])
+        for r in REGISTRY["pipeline_pretrain_e2e_manifest"].fn(spark, sf_dir).collect()
+    }
+    order = ["raw", "quality", "dedup", "decontam"]
+    for a, b in zip(order, order[1:]):
+        assert rows[a][0] >= rows[b][0] >= 1, (a, b, rows)
+        assert rows[a][1] >= rows[b][1], (a, b, rows)
+    shard_docs = sum(v[0] for k, v in rows.items() if k.startswith("shard_"))
+    shard_toks = sum(v[1] for k, v in rows.items() if k.startswith("shard_"))
+    assert (shard_docs, shard_toks) == rows["decontam"]
