@@ -1741,3 +1741,164 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("vec_id", "j")
         .agg(F.sum(F.col("xq") * F.col("w")).alias("proj"))
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ combined search (cells prune, ADC scores)
+# ---------------------------------------------------------------------------
+
+
+def _ivfpq_oracle() -> str:
+    # PQ CTEs re-aliased (g = grid embeddings) so they compose with the
+    # IVF index CTEs, whose `e` is the double-vector relation.
+    def dist(m: int, left: str) -> str:
+        lo, hi = m * _PQ_SUBDIM + 1, (m + 1) * _PQ_SUBDIM
+        return (
+            f"list_sum(list_transform(list_zip({left}.x6[{lo}:{hi}],"
+            f" cb.x6[{lo}:{hi}]), s -> (s[1]-s[2])*(s[1]-s[2])))"
+        )
+
+    assigns = ",\n".join(
+        f"""a{m} AS (
+      SELECT vec_id, code_id FROM (
+        SELECT g.vec_id, cb.code_id,
+               row_number() OVER (
+                 PARTITION BY g.vec_id
+                 ORDER BY {dist(m, 'g')} ASC, cb.code_id ASC) AS rn
+        FROM g CROSS JOIN cb
+      ) WHERE rn = 1
+    )"""
+        for m in range(PQ_M)
+    )
+    adc = " + ".join(
+        f"""(SELECT list_sum(list_transform(
+            list_zip(qg.x6[{m * _PQ_SUBDIM + 1}:{(m + 1) * _PQ_SUBDIM}],
+                     cbm.x6[{m * _PQ_SUBDIM + 1}:{(m + 1) * _PQ_SUBDIM}]),
+            s -> (s[1]-s[2])*(s[1]-s[2])))
+         FROM cb cbm WHERE cbm.code_id = a{m}.code_id)"""
+        for m in range(PQ_M)
+    )
+    return f"""{_IVF_INDEX_CTES},
+    g AS (
+      SELECT vec_id,
+             [CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)
+              for x in embedding::DOUBLE[]] AS x6
+      FROM embeddings
+    ),
+    cb AS (SELECT vec_id AS code_id, x6 FROM g WHERE vec_id < {PQ_K}),
+    {assigns},
+    cand AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id
+      FROM members q JOIN members c
+        ON q.cent_id = c.cent_id AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < {PQ_NQ}
+    ),
+    scored AS (
+      SELECT cand.query_id, cand.neighbor_id,
+             CAST({adc} AS BIGINT) AS adc_d2
+      FROM cand
+      JOIN g qg ON qg.vec_id = cand.query_id
+      JOIN a0 ON a0.vec_id = cand.neighbor_id
+      JOIN a1 ON a1.vec_id = cand.neighbor_id
+      JOIN a2 ON a2.vec_id = cand.neighbor_id
+      JOIN a3 ON a3.vec_id = cand.neighbor_id
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adc_d2 ASC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, adc_d2, rank
+    FROM ranked WHERE rank <= {PQ_TOP_K}
+    """
+
+
+@query(
+    "sim_ivfpq_adc_topk",
+    oracle=_ivfpq_oracle(),
+    tags=("northstar", "similarity", "ivf", "quantization", "bench"),
+)
+def sim_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search — the production ANN index (Jégou et al. 2011; what
+    faiss serves as IndexIVFPQ) assembled from the registry's two proven
+    halves: the IVF coarse quantizer prunes candidates to the query's
+    cell, and Asymmetric Distance Computation scores each survivor as
+    Σ_m ‖query-subvector_m − codebook[code_m(candidate)]‖² — the query
+    side stays EXACT (uncompressed), only candidates are compressed,
+    which is the 'asymmetric' that makes PQ recall usable. Exact integer
+    grid end-to-end: codes and LUT distances are int64, ranking ties
+    break toward the smaller neighbor id.
+
+    Spark shape: composes the two persisted substrates (cell assignments
+    from ``_ivf_members``; codes from the ``embedding_pq_codes`` pass)
+    with ONE cent_id equi-join for candidates — co-partitioned, never
+    all-pairs — and a vectorized Arrow pass that evaluates the ADC sum
+    from the closed-over 4 KiB codebook (the per-batch work is a numpy
+    gather, no per-row Python). Per-query top-k is a window partitioned
+    by query. At 100 TB: candidate volume ∝ cell occupancy (nprobe
+    scales it), the scan side streams codes (32× smaller than vectors),
+    and the only driver state is O(K·d + M·K·subdim) — config-sized.
+    This is the query path whose recall ``sim_pq_adc_recall_audit`` and
+    ``sim_ivf_recall_audit`` price separately."""
+    import numpy as np
+    import pandas as pd
+
+    members = _ivf_members(spark, sf_dir).select("vec_id", "cent_id")
+    emb = _pq_grid_emb(spark, sf_dir)
+    CB = _pq_codebook(emb)
+    codes = _pq_codes(emb, CB).select(
+        "vec_id", "code_0", "code_1", "code_2", "code_3"
+    )
+    q = (
+        members.filter(F.col("vec_id") < PQ_NQ)
+        .join(emb, "vec_id")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("cent_id").alias("q_cent"),
+            F.col("x6").alias("qx6"),
+        )
+    )
+    c = members.join(codes, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"),
+        "cent_id",
+        "code_0",
+        "code_1",
+        "code_2",
+        "code_3",
+    )
+    cand = q.join(c, q.q_cent == c.cent_id).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+
+    def adc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Xq = np.stack(pdf["qx6"].to_numpy()).astype(np.int64)
+            Xqs = Xq.reshape(len(Xq), PQ_M, _PQ_SUBDIM)
+            codes_m = np.stack(
+                [pdf[f"code_{m}"].to_numpy() for m in range(PQ_M)], axis=1
+            ).astype(np.int64)
+            d = np.zeros(len(pdf), dtype=np.int64)
+            for m in range(PQ_M):
+                diff = Xqs[:, m, :] - CB[codes_m[:, m], m, :]
+                d += (diff * diff).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].values,
+                    "neighbor_id": pdf["neighbor_id"].values,
+                    "adc_d2": d,
+                }
+            )
+
+    scored = cand.select(
+        "query_id", "qx6", "neighbor_id", "code_0", "code_1", "code_2", "code_3"
+    ).mapInPandas(adc, "query_id long, neighbor_id long, adc_d2 long")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= PQ_TOP_K)
+        .select("query_id", "neighbor_id", "adc_d2", "rank")
+    )

@@ -1608,3 +1608,211 @@ def ts_seasonal_decompose_how(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("abs_resid_sum")
         )
     )
+
+
+@query(
+    "ts_cumulative_new_users",
+    oracle="""
+    WITH f AS (
+      SELECT user_id,
+             MIN((CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT) // 86400) * 86400)
+               AS first_day
+      FROM events GROUP BY 1
+    ),
+    d AS (SELECT first_day AS day_epoch, COUNT(*) AS n_new FROM f GROUP BY 1)
+    SELECT day_epoch, n_new,
+           CAST(SUM(n_new) OVER (ORDER BY day_epoch
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS cum_users
+    FROM d
+    """,
+    tags=("extension", "temporal", "growth", "bench"),
+)
+def ts_cumulative_new_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cumulative-users growth curve: each user's FIRST-seen day, daily
+    new-user counts, and the running total — the DAU/acquisition panel
+    every product dashboard opens with, and (swapping users for documents)
+    the corpus-growth curve a crawl pipeline tracks per snapshot.
+
+    Spark shape: first-seen is a user-keyed min with map-side partials
+    (the heavy pass — one shuffle over event rows); daily counts collapse
+    that to O(days) rows, and the running total is a cumulative window
+    over the bounded day spine (unpartitioned but calendar-sized — the
+    documented bounded-window class; a century is 36 k rows). No
+    distinct-count state anywhere: first-seen-min is how cumulative
+    distinct is computed at 100 TB, because min is mergeable while
+    COUNT(DISTINCT) over a growing prefix is not."""
+    f = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            F.expr("(unix_timestamp(ts) div 86400) * 86400").alias("day"),
+        )
+        .groupBy("user_id")
+        .agg(F.min("day").alias("first_day"))
+    )
+    d = f.groupBy(F.col("first_day").alias("day_epoch")).agg(
+        F.count(F.lit(1)).alias("n_new")
+    )
+    w = Window.orderBy("day_epoch").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return d.select(
+        "day_epoch", "n_new", F.sum("n_new").over(w).cast("bigint").alias("cum_users")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seasonality-adjusted robust outliers (profile + residual MAD)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_seasonal_residual_outliers",
+    oracle="""
+    WITH e AS (
+      SELECT event_type,
+             (CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT) // 3600) % 168 AS how,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    s AS (
+      SELECT event_type, how,
+             CAST(SUM(cents) // COUNT(*) AS BIGINT) AS seasonal_cents
+      FROM e GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT e.event_type, e.cents - s.seasonal_cents AS resid
+      FROM e JOIN s USING (event_type, how)
+    ),
+    g AS (SELECT event_type, resid, COUNT(*) AS cnt FROM r GROUP BY 1, 2),
+    c AS (
+      SELECT event_type, resid, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY resid
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n
+      FROM g
+    ),
+    med AS (
+      SELECT event_type, MAX(n) AS n, MIN(resid) AS med_resid
+      FROM c WHERE cum >= (n + 1) // 2 GROUP BY event_type
+    ),
+    d AS (
+      SELECT g.event_type, ABS(g.resid - med.med_resid) AS dev,
+             SUM(g.cnt) AS cnt
+      FROM g JOIN med USING (event_type) GROUP BY 1, 2
+    ),
+    dc AS (
+      SELECT event_type, dev, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY dev
+                            ROWS UNBOUNDED PRECEDING) AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n
+      FROM d
+    ),
+    mad AS (
+      SELECT event_type, MIN(dev) AS mad_resid
+      FROM dc WHERE cum >= (n + 1) // 2 GROUP BY event_type
+    )
+    SELECT med.event_type, CAST(med.n AS BIGINT) AS n_events,
+           med.med_resid, mad.mad_resid,
+           CAST(SUM(CASE WHEN 6745 * ABS(g.resid - med.med_resid)
+                              > 35000 * mad.mad_resid
+                         THEN g.cnt ELSE 0 END) AS BIGINT) AS n_outliers
+    FROM g JOIN med USING (event_type) JOIN mad USING (event_type)
+    GROUP BY med.event_type, med.n, med.med_resid, mad.mad_resid
+    """,
+    tags=("extension", "temporal", "anomaly", "seasonal", "bench"),
+)
+def ts_seasonal_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonality-adjusted anomaly detection: subtract the hour-of-week
+    seasonal profile, then run the median/MAD modified-z detector ON THE
+    RESIDUALS — the two-stage compose (deseasonalize → robust flag) that
+    separates 'it's always busy Monday 9am' from 'this Monday 9am is
+    wrong'. A raw-value detector flags every weekly peak; this one only
+    flags departures FROM the weekly shape. Composes the registry's two
+    proven parts (``ts_seasonal_decompose_how`` profile,
+    ``events_value_mad_outliers`` grid-median machinery) with residuals
+    as the new grid variable (negative values included — the grid recipe
+    never assumed non-negativity).
+
+    Spark shape: profile is the O(config) broadcast model; residuals are
+    map-side; then the identical two-cumulative-window grid pass as the
+    MAD detector, shuffling only (type, resid-grid) partials. Same
+    100 TB story: grid rows, never event rows, after the first
+    aggregate."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("(unix_timestamp(ts) div 3600) % 168").alias("how"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    s = e.groupBy("event_type", "how").agg(
+        F.expr("cast(sum(cents) div count(*) as bigint)").alias("seasonal_cents")
+    )
+    r = e.join(F.broadcast(s), ["event_type", "how"]).select(
+        "event_type", (F.col("cents") - F.col("seasonal_cents")).alias("resid")
+    )
+    g = r.groupBy("event_type", "resid").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = (
+        Window.partitionBy("event_type")
+        .orderBy("resid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("event_type")
+    c = g.select(
+        "event_type",
+        "resid",
+        "cnt",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    med = (
+        c.filter(F.expr("cum >= (n + 1) div 2"))
+        .groupBy("event_type")
+        .agg(F.max("n").alias("n"), F.min("resid").alias("med_resid"))
+    )
+    d = (
+        g.join(F.broadcast(med.select("event_type", "med_resid")), "event_type")
+        .select(
+            "event_type",
+            F.abs(F.col("resid") - F.col("med_resid")).alias("dev"),
+            "cnt",
+        )
+        .groupBy("event_type", "dev")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    wdev = (
+        Window.partitionBy("event_type")
+        .orderBy("dev")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    dc = d.select(
+        "event_type",
+        "dev",
+        "cnt",
+        F.sum("cnt").over(wdev).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    mad = (
+        dc.filter(F.expr("cum >= (n + 1) div 2"))
+        .groupBy("event_type")
+        .agg(F.min("dev").alias("mad_resid"))
+    )
+    stats = F.broadcast(med.join(mad, "event_type"))
+    return (
+        g.join(stats, "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.max("n").cast("bigint").alias("n_events"),
+            F.max("med_resid").alias("med_resid"),
+            F.max("mad_resid").alias("mad_resid"),
+            F.sum(
+                F.when(
+                    F.lit(MAD_Z_NUM) * F.abs(F.col("resid") - F.col("med_resid"))
+                    > F.lit(MAD_Z_CUT) * F.col("mad_resid"),
+                    F.col("cnt"),
+                ).otherwise(F.lit(0))
+            )
+            .cast("bigint")
+            .alias("n_outliers"),
+        )
+    )
