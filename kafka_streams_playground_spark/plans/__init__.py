@@ -96,26 +96,35 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ivm_incremental_user_agg",
     "text_stupid_backoff_trigram",
     "graph_personalized_pagerank",
-    # -- r2 cohort: two of the six stalest driver rows in the registry.
-    # The other four are displaced by the round-7 additions under
-    # new>stale, each sibling-covered and full-registry-replica-checked
-    # every round; all four lead round 8:
-    #   dedup_ngram_jaccard / dedup_simhash — quadratic ground-truth
-    #   baselines (exact-Jaccard leg runs verbatim inside r5-green
-    #   dedup_minhash_estimate_audit; dedup_simhash_banded is the banded
-    #   scale path and holds recent driver greens);
-    #   mm_image_metadata — its attach_binary_payload metadata plumbing is
-    #   exercised by the SLOTTED mm_phash_neardup and r5-green
-    #   mm_scene_change_segments;
-    #   text_fingerprint — rolling-hash family, r6-driver-green
-    #   text_rolling_hash is the current member.
-    "mm_decoded_feature_checksum",
-    "text_quality_score",
-    # -- changed late r6 (plan-only) + promised no-sibling r3 members
-    "text_unigram_lm_score",
-    "cogroup_order_reconciliation",
-    "join_ktable_ktable_latest",
-    "agg_salted_skew",
+    # -- never-checked: round-7 late additions (this session added 20 new
+    # operators after the slots above filled; never-checked > changed >
+    # stale puts them ahead of every query that already holds a driver
+    # row). Six slots remain — they go to the six whose machinery is most
+    # at risk of replica/driver divergence (recursive-CTE oracles, big
+    # compositions, md5/rollup canonicalization):
+    "tokenizer_wordpiece_encode",
+    "tokenizer_unigram_viterbi_score",
+    "sim_ivfpq_adc_topk",
+    "pipeline_pretrain_e2e_manifest",
+    "graph_kcore_peel",
+    "pipeline_content_version",
+    # The remaining 14 round-7-late queries (events_value_mad_outliers,
+    # ts_multi_granularity_rollup + stream twin, ids_dense_global_rownum,
+    # gdpr_delete_cascade_plan, graph_lpa_communities,
+    # stats_bootstrap_ci_mean, drift_ks_value_halves + stream twin,
+    # stats_chi2_nation_segment, ivm_incremental_join_view,
+    # ts_seasonal_decompose_how, ts_cumulative_new_users,
+    # ts_seasonal_residual_outliers) are full-registry-replica-green
+    # (CORRECTNESS_LOCAL.json) and LEAD the round-8 rotation, as do the
+    # displaced r2/r3 members below (driver-green in their round,
+    # unchanged since, replica-checked every round):
+    #   mm_decoded_feature_checksum, text_quality_score (r2 cohort);
+    #   text_unigram_lm_score (plan-only change late r6);
+    #   cogroup_order_reconciliation, join_ktable_ktable_latest,
+    #   agg_salted_skew (r3 cohort);
+    #   dedup_ngram_jaccard / dedup_simhash / mm_image_metadata /
+    #   text_fingerprint (r2 cohort, sibling-covered — see git history
+    #   for the per-query sibling rationale).
 )
 
 

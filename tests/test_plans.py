@@ -569,6 +569,10 @@ UNPARTITIONED_WINDOW_WHITELIST = {
     "retrieval_rrf_fusion": "rank over the two post-limit k-row candidate lists (k=20)",
     "stats_histogram_quantiles": "cumulative counts over the O(grid) bucket relation (~500 rows)",
     "layout_compaction_bins": "cumulative sizes over the manifest-sized file inventory",
+    "ids_dense_global_rownum": "bucket-offset prefix sum over the O(n/W) bucket-count table (the row-level window partitions by bucket — pinned by test_dense_rownum_window_is_bucket_partitioned)",
+    "drift_ks_value_halves": "cumulative CDF counts over the O(value grid) cents relation",
+    "stats_bootstrap_ci_mean": "replica-mean rank over the B=40-row replica table",
+    "ts_cumulative_new_users": "running total over the calendar-bounded day spine",
 }
 
 
