@@ -298,3 +298,57 @@ def upsert_foreach_batch_writer(path: str, key_cols, seq_col: str):
             out.close()
 
     return _write
+
+
+def list_table_versions(spark, path: str) -> list[int]:
+    """Committed version ids of an ``upsert_foreach_batch_writer`` table,
+    ascending. The ``_v<id>`` staging dirs ARE the version log (the sink
+    never deletes them); a dir counts as committed only once its parquet
+    job finished (``_SUCCESS`` marker), so a crash mid-write — torn files
+    with no marker — is invisible here exactly as it is to the pointer."""
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    base = path.rstrip("/")
+    p = jvm.org.apache.hadoop.fs.Path(base)
+    fs = p.getFileSystem(hconf)
+    if not fs.exists(p):
+        return []
+    out = []
+    for st in fs.listStatus(p):
+        name = st.getPath().getName()
+        if (
+            st.isDirectory()
+            and name.startswith("_v")
+            and name[2:].isdigit()
+            and fs.exists(jvm.org.apache.hadoop.fs.Path(f"{base}/{name}/_SUCCESS"))
+        ):
+            out.append(int(name[2:]))
+    return sorted(out)
+
+
+def read_table_version(spark, path: str, version: int | None = None) -> DataFrame:
+    """Time-travel read of an ``upsert_foreach_batch_writer`` table:
+    ``version=None`` resolves the atomic ``_current`` pointer (the live
+    table); ``version=N`` reads the committed ``_vN`` snapshot — every
+    past MERGE result stays addressable because the commit protocol
+    writes each version to its own directory and only moves the pointer
+    (the poor-man's Delta transaction log: version dirs = log entries,
+    pointer = HEAD). Readers never see torn state: they either resolve a
+    fully-committed dir or fail loudly on an unknown version."""
+    base = path.rstrip("/")
+    if version is not None:
+        if version not in list_table_versions(spark, path):
+            raise ValueError(f"version {version} not committed under {path}")
+        return spark.read.parquet(f"{base}/_v{version}")
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    pointer = jvm.org.apache.hadoop.fs.Path(base + "/_current")
+    fs = pointer.getFileSystem(hconf)
+    if not fs.exists(pointer):
+        raise ValueError(f"no _current pointer under {path}")
+    stream = fs.open(pointer)
+    try:
+        current = stream.readUTF()
+    finally:
+        stream.close()
+    return spark.read.parquet(f"{base}/{current}")

@@ -279,3 +279,32 @@ def test_idempotent_foreach_batch_skips_replayed_batch(spark, sf_dir, tmp_path):
     assert got.count() == 8
     assert os.path.exists(os.path.join(out, "batch_id=0", "_committed"))
     assert os.path.exists(os.path.join(out, "batch_id=1", "_committed"))
+
+
+def test_upsert_sink_time_travel_reads_past_versions(spark, tmp_path):
+    """Every committed MERGE version stays addressable: version 1 shows the
+    pre-update state, version 2 the post-update state, the pointer resolves
+    to the latest, and unknown versions fail loudly."""
+    import pytest
+
+    from kafka_streams_playground_spark.sources.sinks import (
+        list_table_versions,
+        read_table_version,
+        upsert_foreach_batch_writer,
+    )
+
+    path = str(tmp_path / "tt")
+    write = upsert_foreach_batch_writer(path, key_cols=("k",), seq_col="seq")
+    b1 = spark.createDataFrame([(1, 10, 100), (2, 10, 200)], "k int, seq int, v int")
+    b2 = spark.createDataFrame([(2, 20, 999), (3, 20, 300)], "k int, seq int, v int")
+    write(b1, 1)
+    write(b2, 2)
+    assert list_table_versions(spark, path) == [1, 2]
+    v1 = {r["k"]: r["v"] for r in read_table_version(spark, path, 1).collect()}
+    v2 = {r["k"]: r["v"] for r in read_table_version(spark, path, 2).collect()}
+    cur = {r["k"]: r["v"] for r in read_table_version(spark, path).collect()}
+    assert v1 == {1: 100, 2: 200}
+    assert v2 == {1: 100, 2: 999, 3: 300}
+    assert cur == v2
+    with pytest.raises(ValueError):
+        read_table_version(spark, path, 99)
