@@ -1160,3 +1160,153 @@ def stats_chi2_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("dof"),
         F.sum(F.expr(term)).cast("bigint").alias("chi2_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter data-skipping audit (equality predicates)
+# ---------------------------------------------------------------------------
+
+BF_TILE_W = 64  # orderkey width per file tile (ingest-order layout)
+BF_M = 4096  # bloom bits per tile
+BF_PROBE_MOD = 97  # probe workload: every 97th part key
+
+
+def _bf_bit_sql(j: int, key: str) -> str:
+    return (
+        f"('0x' || substr(md5('bf{j}:' || CAST({key} AS VARCHAR)), 1, 8))::BIGINT"
+        f" % {BF_M}"
+    )
+
+
+@query(
+    "layout_bloom_skipping_audit",
+    oracle=f"""
+    WITH rows_t AS (
+      SELECT l_orderkey // {BF_TILE_W} AS tile, l_partkey AS key
+      FROM lineitem
+    ),
+    bits AS (
+      SELECT DISTINCT tile, bit FROM (
+        SELECT tile, {_bf_bit_sql(0, 'key')} AS bit FROM rows_t
+        UNION ALL
+        SELECT tile, {_bf_bit_sql(1, 'key')} FROM rows_t
+      )
+    ),
+    probes AS (
+      SELECT p_partkey AS probe, {_bf_bit_sql(0, 'p_partkey')} AS h0,
+             {_bf_bit_sql(1, 'p_partkey')} AS h1
+      FROM part WHERE p_partkey % {BF_PROBE_MOD} = 0
+    ),
+    cand AS (
+      SELECT p.probe, b0.tile
+      FROM probes p
+      JOIN bits b0 ON b0.bit = p.h0
+      JOIN bits b1 ON b1.tile = b0.tile AND b1.bit = p.h1
+    ),
+    truth AS (
+      SELECT DISTINCT p.probe, r.tile
+      FROM probes p JOIN rows_t r ON r.key = p.probe
+    ),
+    nt AS (SELECT COUNT(DISTINCT tile) AS n_tiles FROM rows_t)
+    SELECT p.probe, MAX(nt.n_tiles) AS n_tiles,
+           COUNT(DISTINCT c.tile) AS n_candidates,
+           COUNT(DISTINCT t.tile) AS n_true,
+           COUNT(DISTINCT c.tile) - COUNT(DISTINCT t.tile) AS n_false_positive
+    FROM probes p CROSS JOIN nt
+    LEFT JOIN cand c ON c.probe = p.probe
+    LEFT JOIN truth t ON t.probe = p.probe
+    GROUP BY p.probe
+    """,
+    tags=("extension", "layout", "diagnostics", "bench"),
+)
+def layout_bloom_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter data-skipping audit — the EQUALITY-predicate
+    complement of the Z-order min/max audit: per file tile (contiguous
+    ingest-order orderkey ranges), a k=2 / m={m} bloom over the
+    high-cardinality l_partkey column, probed with a point-lookup
+    workload. Min/max footers cannot skip for scattered keys (every
+    tile's partkey range spans the domain); the audit measures what the
+    bloom buys: per probe key, candidate tiles (bloom hit) vs true tiles
+    (actually contain the key) vs false positives — exactly the numbers
+    that justify Parquet column bloom filters / Delta BLOOMFILTER
+    indexes before paying their bytes. Bit positions are md5-exact
+    integers, so the audit is reproducible cross-engine (a real deploy
+    swaps xxhash64 in, same audit).
+
+    Spark shape: the bits relation is metadata-sized (≤ tiles × m
+    DISTINCT rows, collapsed by map-side partial dedup from the one
+    corpus scan); the probe workload is request-sized and BROADCASTS
+    into the two bit-membership joins (per-probe candidate resolution
+    never shuffles fact rows); truth is one semi-join-shaped distinct.
+    At 100 TB the bits relation IS the index file content — building it
+    here is the index build, and the audit's FP column prices m."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.expr(f"l_orderkey div {BF_TILE_W}").alias("tile"),
+        F.col("l_partkey").alias("key"),
+    )
+
+    def bit(j: int, col: str):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"bf{j}:"), F.col(col).cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % BF_M
+        )
+
+    bits = (
+        li.select("tile", bit(0, "key").alias("bit"))
+        .unionByName(li.select("tile", bit(1, "key").alias("bit")))
+        .distinct()
+    )
+    probes = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_partkey") % BF_PROBE_MOD == 0)
+        .select(
+            F.col("p_partkey").alias("probe"),
+            bit(0, "p_partkey").alias("h0"),
+            bit(1, "p_partkey").alias("h1"),
+        )
+    )
+    b0 = bits.withColumnRenamed("bit", "bit0")
+    b1 = bits.withColumnRenamed("bit", "bit1").withColumnRenamed("tile", "tile1")
+    cand = (
+        F.broadcast(probes)
+        .join(b0, F.col("bit0") == F.col("h0"))
+        .join(
+            b1,
+            (F.col("tile1") == F.col("tile")) & (F.col("bit1") == F.col("h1")),
+        )
+        .select("probe", "tile")
+    )
+    truth = (
+        F.broadcast(probes.select("probe"))
+        .join(li, F.col("key") == F.col("probe"))
+        .select("probe", "tile")
+        .distinct()
+    )
+    nt = li.agg(F.countDistinct("tile").alias("n_tiles"))
+    return (
+        probes.select("probe")
+        .crossJoin(F.broadcast(nt))
+        .join(cand, "probe", "left")
+        .join(
+            truth.withColumnRenamed("tile", "ttile"),
+            "probe",
+            "left",
+        )
+        .groupBy("probe")
+        .agg(
+            F.max("n_tiles").alias("n_tiles"),
+            F.countDistinct("tile").alias("n_candidates"),
+            F.countDistinct("ttile").alias("n_true"),
+            (F.countDistinct("tile") - F.countDistinct("ttile")).alias(
+                "n_false_positive"
+            ),
+        )
+    )

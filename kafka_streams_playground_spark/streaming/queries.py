@@ -1824,3 +1824,82 @@ REGISTRY["stream_drift_ks_value_halves"] = _replace(
     REGISTRY["stream_drift_ks_value_halves"],
     oracle=REGISTRY["drift_ks_value_halves"].oracle,
 )
+
+
+@query(
+    "stream_stats_bootstrap_ci_mean",
+    tags=("northstar", "streaming", "stats", "twin"),
+)
+def stream_stats_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Poisson bootstrap as a STREAM — uncertainty quantification at
+    ingest, the use Chamandy et al. built it for: each micro-batch adds
+    its rows' deterministic Poisson(1)-weighted contributions into B
+    running (Σwc, Σw) replica accumulators (additive ⇒ micro-batch merge
+    = partition merge; state is B+1 counter pairs for the stream's
+    lifetime), and the CI probe reads the drained accumulators exactly
+    like the batch twin reads its replica table. Same md5 draws ⇒ the
+    drained state is bit-equal to the batch pass and the batch oracle
+    applies unchanged."""
+    from kafka_streams_playground_spark.plans.northstar_stats import (
+        BS_B,
+        _bs_weight_sql,
+    )
+
+    o = read_stream_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    u = (
+        "cast(conv(substr(md5(concat('bs:', cast(b as string), ':', "
+        "cast(o_orderkey as string))), 1, 8), 16, 10) as bigint)"
+    )
+    w = o.select(
+        "o_orderkey",
+        "cents",
+        F.explode(F.sequence(F.lit(0), F.lit(BS_B - 1))).alias("b"),
+    ).select("cents", F.col("b"), F.expr(f"{_bs_weight_sql(u)}").alias("wt"))
+    reps_stream = w.groupBy("b").agg(
+        F.sum(F.col("wt") * F.col("cents")).alias("swc"),
+        F.sum("wt").alias("sw"),
+    )
+    # point-estimate accumulators ride the same stream as replica -1
+    point_stream = o.groupBy().agg(
+        F.sum("cents").alias("swc"), F.count(F.lit(1)).alias("sw")
+    )
+    reps = run_to_completion(reps_stream, output_mode="complete", spark=spark)
+    point = run_to_completion(point_stream, output_mode="complete", spark=spark)
+
+    from pyspark.sql import Window as _W
+
+    means = (
+        reps.filter(F.col("sw") > 0)
+        .select(F.expr("cast(swc div sw as bigint)").alias("mean_cents"))
+    )
+    ranked = means.select(
+        "mean_cents", F.row_number().over(_W.orderBy("mean_cents")).alias("rk")
+    )
+    lo_idx = -(-25 * BS_B // 1000)
+    hi_idx = -(-975 * BS_B // 1000)
+    lo = ranked.filter(F.col("rk") >= lo_idx).agg(
+        F.min("mean_cents").alias("ci_lo_cents")
+    )
+    hi = ranked.filter(F.col("rk") >= hi_idx).agg(
+        F.min("mean_cents").alias("ci_hi_cents")
+    )
+    pt = point.select(
+        F.expr("cast(swc div sw as bigint)").alias("mean_cents"),
+        F.col("sw").cast("bigint").alias("n_rows"),
+    )
+    return (
+        pt.withColumn("n_replicas", F.lit(BS_B).cast("bigint"))
+        .crossJoin(F.broadcast(lo))
+        .crossJoin(F.broadcast(hi))
+    )
+
+
+REGISTRY["stream_stats_bootstrap_ci_mean"] = _replace(
+    REGISTRY["stream_stats_bootstrap_ci_mean"],
+    oracle=REGISTRY["stats_bootstrap_ci_mean"].oracle,
+)

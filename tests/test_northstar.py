@@ -1845,3 +1845,20 @@ def test_e2e_manifest_funnel_is_consistent(spark, sf_dir):
     shard_docs = sum(v[0] for k, v in rows.items() if k.startswith("shard_"))
     shard_toks = sum(v[1] for k, v in rows.items() if k.startswith("shard_"))
     assert (shard_docs, shard_toks) == rows["decontam"]
+
+
+def test_bloom_audit_no_false_negatives_and_fp_plausible(spark, sf_dir):
+    """Bloom filters never produce false negatives: candidates must be a
+    superset of true tiles for every probe (n_candidates >= n_true,
+    n_false_positive >= 0); at least one probe must have a true tile, and
+    candidates must not be the trivial all-tiles answer for every probe."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+
+    rows = REGISTRY["layout_bloom_skipping_audit"].fn(spark, sf_dir).collect()
+    assert rows
+    assert any(r["n_true"] > 0 for r in rows)
+    for r in rows:
+        assert r["n_candidates"] >= r["n_true"], r
+        assert r["n_false_positive"] == r["n_candidates"] - r["n_true"], r
+        assert r["n_candidates"] <= r["n_tiles"], r
+    assert any(r["n_candidates"] < r["n_tiles"] for r in rows)
