@@ -1816,3 +1816,196 @@ def ts_seasonal_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame
             .alias("n_outliers"),
         )
     )
+
+
+@query(
+    "wf_quarterly_revenue_growth",
+    oracle="""
+    WITH q AS (
+      SELECT c.c_nationkey AS nation,
+             (EXTRACT(year FROM o.o_orderdate) * 10
+              + (EXTRACT(month FROM o.o_orderdate) - 1) // 3 + 1) AS yq,
+             CAST(SUM(CAST(FLOOR(o.o_totalprice * 100 + 0.5) AS BIGINT))
+                  AS BIGINT) AS rev_cents
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT nation, yq, rev_cents,
+           LAG(rev_cents) OVER (PARTITION BY nation ORDER BY yq) AS prev_cents,
+           CASE WHEN LAG(rev_cents) OVER (PARTITION BY nation ORDER BY yq)
+                     IS NULL THEN NULL
+                ELSE CAST(((rev_cents
+                            - LAG(rev_cents) OVER (PARTITION BY nation
+                                                   ORDER BY yq)) * 1000000)
+                          // LAG(rev_cents) OVER (PARTITION BY nation
+                                                  ORDER BY yq) AS BIGINT)
+           END AS growth_ppm
+    FROM q
+    """,
+    tags=("extension", "window", "temporal", "bench"),
+)
+def wf_quarterly_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quarter-over-quarter revenue growth per nation — the LAG-ratio
+    window panel every revenue dashboard runs (and, swapped to token
+    counts, the corpus-snapshot growth report). Quarters key as
+    year×10+quarter integers; growth is floor-ppm against the previous
+    quarter, NULL for each nation's first quarter (no synthetic 0 — the
+    honest cold-start).
+
+    Spark shape: one customer⋈orders join (customer side broadcastable),
+    one (nation, quarter)-keyed aggregate with map-side partials, then
+    LAG over windows PARTITIONED BY NATION — parallel across nations,
+    each partition calendar-bounded. Integer cents and floor division
+    keep the ppm exact cross-engine."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr(
+            "year(o_orderdate) * 10 + (month(o_orderdate) - 1) div 3 + 1"
+        ).alias("yq"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5))
+        .cast("bigint")
+        .alias("cents"),
+    )
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), F.col("c_nationkey").alias("nation")
+    )
+    q = (
+        o.join(F.broadcast(c), "o_custkey")
+        .groupBy("nation", "yq")
+        .agg(F.sum("cents").cast("bigint").alias("rev_cents"))
+    )
+    w = Window.partitionBy("nation").orderBy("yq")
+    prev = F.lag("rev_cents").over(w)
+    return q.select(
+        "nation",
+        "yq",
+        "rev_cents",
+        prev.alias("prev_cents"),
+        F.when(prev.isNull(), F.lit(None).cast("bigint"))
+        .otherwise(
+            F.expr(
+                "cast(((rev_cents - lag(rev_cents) over "
+                "(partition by nation order by yq)) * 1000000) div "
+                "lag(rev_cents) over (partition by nation order by yq) as bigint)"
+            )
+        )
+        .alias("growth_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Changepoint detection: single binary-segmentation split
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_changepoint_binary_seg",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             (CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT) // 3600) * 3600
+               AS bucket_epoch,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+               AS v
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, bucket_epoch, v,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY bucket_epoch) AS i,
+             CAST(SUM(v) OVER (PARTITION BY event_type ORDER BY bucket_epoch
+                               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS s_i,
+             COUNT(*) OVER (PARTITION BY event_type) AS k,
+             CAST(SUM(v) OVER (PARTITION BY event_type) AS BIGINT) AS s
+      FROM b
+    ),
+    g AS (
+      SELECT event_type, bucket_epoch, i, k,
+             CAST(k AS HUGEINT) * (k - i) * s_i * s_i
+               + CAST(k AS HUGEINT) * i * (s - s_i) * (s - s_i)
+               - CAST(i AS HUGEINT) * (k - i) * s * s AS gain
+      FROM idx WHERE i < k
+    ),
+    m AS (SELECT event_type, MAX(gain) AS best FROM g GROUP BY 1)
+    SELECT g.event_type, CAST(MAX(g.k) AS BIGINT) AS n_buckets,
+           MIN(g.i) AS split_idx,
+           MIN(g.bucket_epoch) AS split_epoch,
+           CAST(m.best // (CAST(MAX(g.k) AS HUGEINT) * MAX(g.k) * MAX(g.k))
+                AS BIGINT) AS gain_scaled
+    FROM g JOIN m ON m.event_type = g.event_type AND g.gain = m.best
+    GROUP BY g.event_type, m.best
+    """,
+    tags=("extension", "temporal", "changepoint", "bench"),
+)
+def ts_changepoint_binary_seg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Single-changepoint detection by binary segmentation (the first
+    split of the classic binary-seg / PELT family): per event type, the
+    hourly revenue series splits where the two-segment piecewise-constant
+    fit most reduces SSE. The gain is division-cleared to pure integers —
+    maximizing SSE reduction ≡ maximizing K(K−i)·S_i² + K·i·(S−S_i)² −
+    i(K−i)·S² over split index i (S_i = prefix sum) — so argmax and
+    tie-break (earliest attaining index) are exact cross-engine; products
+    ride HUGEINT/DECIMAL(38,0) since S² ≈ 10¹⁷ already at sf0.01.
+    Complements the sequential monitors (CUSUM alarms DURING the stream;
+    this localizes the break point in retrospect — the audit that runs
+    after the alarm fires).
+
+    Spark shape: one (type, hour)-keyed aggregate with map-side partials
+    collapses events to the bounded bucket series; prefix sums, totals,
+    and the argmax all ride windows PARTITIONED BY TYPE over O(hours)
+    rows — the same grid economics as the KS/MAD detectors. At 100 TB the
+    series length is retention-bounded (a year of hours = 8 760 rows per
+    type), so the whole changepoint search costs one aggregate."""
+    b = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("(unix_timestamp(ts) div 3600) * 3600").alias("bucket_epoch"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "bucket_epoch")
+        .agg(F.sum("cents").cast("bigint").alias("v"))
+    )
+    wt = Window.partitionBy("event_type").orderBy("bucket_epoch")
+    wall = Window.partitionBy("event_type")
+    idx = b.select(
+        "event_type",
+        "bucket_epoch",
+        F.row_number().over(wt).alias("i"),
+        F.sum("v")
+        .over(wt.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("bigint")
+        .alias("s_i"),
+        F.count(F.lit(1)).over(wall).alias("k"),
+        F.sum("v").over(wall).cast("bigint").alias("s"),
+    )
+    dec = "cast({} as decimal(38,0))"
+    gain = F.expr(
+        f"{dec.format('k')} * (k - i) * s_i * s_i"
+        f" + {dec.format('k')} * i * (s - s_i) * (s - s_i)"
+        f" - {dec.format('i')} * (k - i) * s * s"
+    )
+    g = idx.filter(F.col("i") < F.col("k")).select(
+        "event_type", "bucket_epoch", "i", "k", gain.alias("gain")
+    )
+    m = g.groupBy("event_type").agg(F.max("gain").alias("best"))
+    return (
+        g.join(F.broadcast(m), "event_type")
+        .filter(F.col("gain") == F.col("best"))
+        .groupBy("event_type", "best")
+        .agg(
+            F.max("k").cast("bigint").alias("n_buckets"),
+            F.min("i").alias("split_idx"),
+            F.min("bucket_epoch").alias("split_epoch"),
+        )
+        .select(
+            "event_type",
+            "n_buckets",
+            "split_idx",
+            "split_epoch",
+            F.expr(
+                "cast(best div (cast(n_buckets as decimal(38,0))"
+                " * n_buckets * n_buckets) as bigint)"
+            ).alias("gain_scaled"),
+        )
+    )

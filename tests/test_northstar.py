@@ -1862,3 +1862,45 @@ def test_bloom_audit_no_false_negatives_and_fp_plausible(spark, sf_dir):
         assert r["n_false_positive"] == r["n_candidates"] - r["n_true"], r
         assert r["n_candidates"] <= r["n_tiles"], r
     assert any(r["n_candidates"] < r["n_tiles"] for r in rows)
+
+
+def test_changepoint_finds_level_shift(spark, tmp_path):
+    """A clean level shift (10 hours at ~1.00 then 10 hours at ~10.00)
+    must split exactly at the shift boundary (prefix = the 10 low hours)."""
+    import datetime as dt
+
+    import pandas as pd
+
+    rows = []
+    base = dt.datetime(2024, 1, 1)
+    eid = 0
+    for h in range(20):
+        for j in range(3):  # a few events per hour
+            eid += 1
+            rows.append(
+                (
+                    eid,
+                    base + dt.timedelta(hours=h, minutes=j),
+                    1,
+                    "shift",
+                    1.0 if h < 10 else 10.0,
+                    "{}",
+                )
+            )
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    d = tmp_path / "fix"
+    d.mkdir()
+    spark.createDataFrame(pdf).write.parquet(str(d / "events.parquet"))
+
+    from kafka_streams_playground_spark.plans import REGISTRY
+
+    row = REGISTRY["ts_changepoint_binary_seg"].fn(spark, str(d)).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r["n_buckets"] == 20
+    assert r["split_idx"] == 10
+    assert r["split_epoch"] == int(
+        (base + dt.timedelta(hours=9)).replace(tzinfo=dt.timezone.utc).timestamp()
+    )
