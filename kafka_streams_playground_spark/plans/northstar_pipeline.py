@@ -1563,3 +1563,124 @@ def pipeline_pretrain_e2e_manifest(spark: SparkSession, sf_dir: str) -> DataFram
     for df in (s1, s2, s3):
         df.unpersist()
     return result
+
+
+# ---------------------------------------------------------------------------
+# Community quality: Newman modularity of the LPA partition
+# ---------------------------------------------------------------------------
+
+
+def _modularity_oracle() -> str:
+    lpa = _lpa_oracle()
+    # reuse the LPA chain up to its final SELECT; keep its CTE prefix
+    prefix = lpa[: lpa.rindex("SELECT l.node AS part_id")]
+    return f"""{prefix},
+    lab AS (SELECT node, label AS community FROM l{LPA_ROUNDS}),
+    m AS (SELECT COUNT(*) AS m FROM half),
+    deg AS (SELECT u, COUNT(*) AS d FROM e GROUP BY 1),
+    internal AS (
+      SELECT la.community, COUNT(*) AS e_c
+      FROM half h
+      JOIN lab la ON la.node = h.s
+      JOIN lab lb ON lb.node = h.t
+      WHERE la.community = lb.community
+      GROUP BY 1
+    ),
+    comm AS (
+      SELECT lab.community, COUNT(*) AS n_nodes,
+             CAST(SUM(deg.d) AS BIGINT) AS degree_sum
+      FROM lab JOIN deg ON deg.u = lab.node
+      GROUP BY 1
+    ),
+    per AS (
+      SELECT c.community, c.n_nodes,
+             COALESCE(i.e_c, 0) AS internal_edges, c.degree_sum,
+             CAST(4 * m.m * COALESCE(i.e_c, 0)
+                  - c.degree_sum * c.degree_sum AS BIGINT) AS contrib_4m2
+      FROM comm c LEFT JOIN internal i USING (community) CROSS JOIN m
+    )
+    SELECT community, n_nodes, internal_edges, degree_sum, contrib_4m2 FROM per
+    UNION ALL
+    SELECT -1, CAST(SUM(n_nodes) AS BIGINT), CAST(SUM(internal_edges) AS BIGINT),
+           CAST(SUM(degree_sum) AS BIGINT), CAST(SUM(contrib_4m2) AS BIGINT)
+    FROM per
+    """
+
+
+@query(
+    "graph_lpa_modularity_audit",
+    oracle=_modularity_oracle(),
+    tags=("northstar", "graph", "bench"),
+)
+def graph_lpa_modularity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity audit of the LPA partition — the 'did the
+    communities mean anything' check that must follow ANY community
+    detector before its labels feed a downstream pipeline. Division-free:
+    4m²·Q = Σ_c (4m·e_c − d_c²), so each community contributes an exact
+    integer (possibly negative — a community worse than random) and the
+    community = −1 TOTAL row carries 4m²·Q itself; Q > 0 ⇔ the partition
+    beats the configuration-model null.
+
+    Spark shape: re-derives the label table (same fixed-round plan as
+    ``graph_lpa_communities``; at 100 TB the labels are the STORED output
+    of that pass — this audit is one join-and-aggregate over them), then:
+    internal edges = the half-edge relation joined twice against the
+    BROADCAST label table (labels are |V| rows — node-keyed co-shuffle at
+    web scale, same flip note as PageRank), degree sums = one node-keyed
+    count, and the per-community rollup is community-count-sized. Squared
+    degree sums stay in int64 until d_c ≈ 3·10⁹ — the DECIMAL flip is
+    noted here for the graph where one community swallows the corpus."""
+    half = _support_edges(spark, sf_dir)
+    labels = graph_lpa_communities(spark, sf_dir).withColumnsRenamed(
+        {"part_id": "node", "community": "community"}
+    )
+    e = half.select(F.col("s").alias("u"), F.col("t").alias("v")).unionByName(
+        half.select(F.col("t").alias("u"), F.col("s").alias("v"))
+    )
+    m = half.agg(F.count(F.lit(1)).alias("m"))
+    deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+    la = labels.withColumnRenamed("node", "s").withColumnRenamed(
+        "community", "ca"
+    )
+    lb = labels.withColumnRenamed("node", "t").withColumnRenamed(
+        "community", "cb"
+    )
+    internal = (
+        half.join(F.broadcast(la), "s")
+        .join(F.broadcast(lb), "t")
+        .filter(F.col("ca") == F.col("cb"))
+        .groupBy(F.col("ca").alias("community"))
+        .agg(F.count(F.lit(1)).alias("e_c"))
+    )
+    comm = (
+        labels.join(deg, labels.node == deg.u)
+        .groupBy("community")
+        .agg(
+            F.count(F.lit(1)).alias("n_nodes"),
+            F.sum("d").cast("bigint").alias("degree_sum"),
+        )
+    )
+    per = (
+        comm.join(internal, "community", "left")
+        .crossJoin(F.broadcast(m))
+        .select(
+            "community",
+            "n_nodes",
+            F.coalesce("e_c", F.lit(0)).alias("internal_edges"),
+            "degree_sum",
+            (
+                F.lit(4) * F.col("m") * F.coalesce("e_c", F.lit(0))
+                - F.col("degree_sum") * F.col("degree_sum")
+            )
+            .cast("bigint")
+            .alias("contrib_4m2"),
+        )
+    )
+    total = per.agg(
+        F.lit(-1).cast("bigint").alias("community"),
+        F.sum("n_nodes").cast("bigint").alias("n_nodes"),
+        F.sum("internal_edges").cast("bigint").alias("internal_edges"),
+        F.sum("degree_sum").cast("bigint").alias("degree_sum"),
+        F.sum("contrib_4m2").cast("bigint").alias("contrib_4m2"),
+    ).select("community", "n_nodes", "internal_edges", "degree_sum", "contrib_4m2")
+    return per.unionByName(total)

@@ -1904,3 +1904,38 @@ def test_changepoint_finds_level_shift(spark, tmp_path):
     assert r["split_epoch"] == int(
         (base + dt.timedelta(hours=9)).replace(tzinfo=dt.timezone.utc).timestamp()
     )
+
+
+def test_modularity_positive_on_two_cliques(spark, sf_dir, tmp_path):
+    """On two bridge-joined cliques the LPA partition is (near) the clique
+    split, so 4m^2*Q (the TOTAL row) must be positive, and the per-community
+    contributions must sum to it."""
+    import pandas as pd
+
+    from kafka_streams_playground_spark.plans import REGISTRY
+    from kafka_streams_playground_spark.plans.northstar_pipeline import (
+        TRI_MIN_SUPPORT,
+    )
+
+    cliques = [[1, 2, 3, 4], [10, 11, 12, 13]]
+    edges = [
+        (a, b) for cl in cliques for i, a in enumerate(cl) for b in cl[i + 1 :]
+    ] + [(4, 10)]
+    rows = []
+    oid = 0
+    for a, b in edges:
+        for _ in range(TRI_MIN_SUPPORT):
+            oid += 1
+            rows += [(oid, a), (oid, b)]
+    d = tmp_path / "fix"
+    d.mkdir()
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["l_orderkey", "l_partkey"])
+    ).write.parquet(str(d / "lineitem.parquet"))
+
+    out = REGISTRY["graph_lpa_modularity_audit"].fn(spark, str(d)).collect()
+    total = next(r for r in out if r["community"] == -1)
+    parts = [r for r in out if r["community"] != -1]
+    assert total["contrib_4m2"] == sum(r["contrib_4m2"] for r in parts)
+    assert total["contrib_4m2"] > 0
+    assert total["n_nodes"] == 8
