@@ -1143,32 +1143,59 @@ def gdpr_delete_cascade_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders")
     li = load_table(spark, sf_dir, "lineitem")
-    del_keys = cust.filter(F.col("c_custkey") % GDPR_KEY_MOD == 0).select(
-        "c_custkey"
+    # Keysets are erasure-request-sized — materialize each once so the
+    # per-table manifest aggregates never re-derive them (the naive
+    # count-the-deleted/count-the-total formulation measured 17 fact
+    # scans; this one is ONE scan per fact table + the keyset builds).
+    del_keys = (
+        cust.filter(F.col("c_custkey") % GDPR_KEY_MOD == 0)
+        .select("c_custkey")
+        .localCheckpoint(eager=True)
     )
-    del_orders = orders.join(
-        F.broadcast(del_keys), orders.o_custkey == del_keys.c_custkey, "left_semi"
-    ).select("o_orderkey")
-    del_li = li.join(
-        F.broadcast(del_orders), li.l_orderkey == del_orders.o_orderkey, "left_semi"
-    )
-
-    def manifest(name: str, deleted: DataFrame, total: DataFrame) -> DataFrame:
-        d = deleted.agg(F.count(F.lit(1)).alias("n_delete"))
-        t = total.agg(F.count(F.lit(1)).alias("n_total"))
-        return d.crossJoin(t).select(
-            F.lit(name).alias("table_name"),
-            "n_delete",
-            (F.col("n_total") - F.col("n_delete")).alias("n_retain"),
-            F.expr("(n_delete * 2000000 + n_total) div (n_total * 2)").alias(
-                "delete_ppm"
-            ),
+    del_orders = (
+        orders.join(
+            F.broadcast(del_keys), orders.o_custkey == del_keys.c_custkey, "left_semi"
         )
+        .select("o_orderkey")
+        .localCheckpoint(eager=True)
+    )
 
+    def manifest(name: str, flagged: DataFrame) -> DataFrame:
+        # one scan: total and flag counts ride the same aggregate
+        return flagged.agg(
+            F.lit(name).alias("table_name"),
+            F.count("del_flag").alias("n_delete"),
+            (F.count(F.lit(1)) - F.count("del_flag")).alias("n_retain"),
+            F.expr(
+                "(count(del_flag) * 2000000 + count(*)) div (count(*) * 2)"
+            ).alias("delete_ppm"),
+        ).select("table_name", "n_delete", "n_retain", "delete_ppm")
+
+    c_flagged = cust.select(
+        F.when(F.col("c_custkey") % GDPR_KEY_MOD == 0, F.lit(1)).alias("del_flag")
+    )
+    o_flagged = orders.join(
+        F.broadcast(
+            del_keys.withColumn("hit", F.lit(1)).withColumnRenamed(
+                "c_custkey", "o_custkey"
+            )
+        ),
+        "o_custkey",
+        "left",
+    ).select(F.col("hit").alias("del_flag"))
+    l_flagged = li.join(
+        F.broadcast(
+            del_orders.withColumn("hit", F.lit(1)).withColumnRenamed(
+                "o_orderkey", "l_orderkey"
+            )
+        ),
+        "l_orderkey",
+        "left",
+    ).select(F.col("hit").alias("del_flag"))
     return (
-        manifest("customer", del_keys, cust)
-        .unionByName(manifest("orders", del_orders, orders))
-        .unionByName(manifest("lineitem", del_li, li))
+        manifest("customer", c_flagged)
+        .unionByName(manifest("orders", o_flagged))
+        .unionByName(manifest("lineitem", l_flagged))
     )
 
 

@@ -1128,7 +1128,12 @@ def stats_chi2_nation_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer").select(
         F.col("c_nationkey").alias("nation"), F.col("c_mktsegment").alias("segment")
     )
-    o = cust.groupBy("nation", "segment").agg(F.count(F.lit(1)).alias("obs"))
+    # contingency grid read by margins + cells; materialize once (O(config))
+    o = (
+        cust.groupBy("nation", "segment")
+        .agg(F.count(F.lit(1)).alias("obs"))
+        .localCheckpoint(eager=True)
+    )
     r = o.groupBy("nation").agg(F.sum("obs").alias("rt"))
     c = o.groupBy("segment").agg(F.sum("obs").alias("ct"))
     n = o.agg(F.sum("obs").alias("n"))

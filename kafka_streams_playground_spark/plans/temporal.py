@@ -1295,7 +1295,15 @@ def events_value_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
     )
-    g = ev.groupBy("event_type", "cents").agg(F.count(F.lit(1)).alias("cnt"))
+    # The grid is read by the median, MAD, and outlier branches; runtime
+    # ReuseExchange dedupes only some of them (measured: 5 fact scans).
+    # Materialize it ONCE — grid rows are value-domain-bounded, so the
+    # checkpoint is O(grid), never O(rows).
+    g = (
+        ev.groupBy("event_type", "cents")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)
+    )
     wcum = (
         Window.partitionBy("event_type")
         .orderBy("cents")
@@ -1505,9 +1513,13 @@ def drift_ks_value_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_id") % 2).alias("half"),
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
     )
-    g = e.groupBy("cents").agg(
-        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("ca"),
-        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("cb"),
+    g = (
+        e.groupBy("cents")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("cb"),
+        )
+        .localCheckpoint(eager=True)  # grid-bounded; read by cum + sup branches
     )
     wc = Window.orderBy("cents").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
@@ -1751,7 +1763,11 @@ def ts_seasonal_residual_outliers(spark: SparkSession, sf_dir: str) -> DataFrame
     r = e.join(F.broadcast(s), ["event_type", "how"]).select(
         "event_type", (F.col("cents") - F.col("seasonal_cents")).alias("resid")
     )
-    g = r.groupBy("event_type", "resid").agg(F.count(F.lit(1)).alias("cnt"))
+    g = (
+        r.groupBy("event_type", "resid")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint(eager=True)  # grid-bounded; read by med/MAD/flag branches
+    )
     wcum = (
         Window.partitionBy("event_type")
         .orderBy("resid")
@@ -1965,6 +1981,7 @@ def ts_changepoint_binary_seg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("event_type", "bucket_epoch")
         .agg(F.sum("cents").cast("bigint").alias("v"))
+        .localCheckpoint(eager=True)  # retention-bounded bucket series
     )
     wt = Window.partitionBy("event_type").orderBy("bucket_epoch")
     wall = Window.partitionBy("event_type")
