@@ -1631,8 +1631,13 @@ def graph_lpa_modularity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     degree sums stay in int64 until d_c ≈ 3·10⁹ — the DECIMAL flip is
     noted here for the graph where one community swallows the corpus."""
     half = _support_edges(spark, sf_dir)
-    labels = graph_lpa_communities(spark, sf_dir).withColumnsRenamed(
-        {"part_id": "node", "community": "community"}
+    # materialize the LPA fixed point once — it feeds THREE consumers below
+    # (both sides of the internal-edge join plus the degree rollup), and
+    # without truncation each would re-run all LPA_ROUNDS join rounds
+    labels = (
+        graph_lpa_communities(spark, sf_dir)
+        .withColumnsRenamed({"part_id": "node", "community": "community"})
+        .localCheckpoint(eager=True)
     )
     e = half.select(F.col("s").alias("u"), F.col("t").alias("v")).unionByName(
         half.select(F.col("t").alias("u"), F.col("s").alias("v"))
@@ -1676,6 +1681,9 @@ def graph_lpa_modularity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("contrib_4m2"),
         )
     )
+    # community-count-sized; materialize so the TOTAL row's aggregate does
+    # not re-execute the whole join lineage a second time in the union
+    per = per.localCheckpoint(eager=True)
     total = per.agg(
         F.lit(-1).cast("bigint").alias("community"),
         F.sum("n_nodes").cast("bigint").alias("n_nodes"),

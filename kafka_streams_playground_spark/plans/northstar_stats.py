@@ -1037,11 +1037,28 @@ def stats_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cast(conv(substr(md5(concat('bs:', cast(b as string), ':', "
         "cast(o_orderkey as string))), 1, 8), 16, 10) as bigint)"
     )
-    w = o.select(
-        "o_orderkey",
-        "cents",
-        F.explode(F.sequence(F.lit(0), F.lit(BS_B - 1))).alias("b"),
-    ).select("b", "cents", F.expr(f"{_bs_weight_sql(u)}").alias("wt"))
+    # materialize the uniform draw ONCE per exploded row before the CASE so
+    # the plan never depends on codegen CSE-ing the md5+conv out of the
+    # eight conditional branches
+    # The fixtures are single-row-group parquet files, so the scan stage is
+    # ONE task; hash-repartition the 16-byte projection (trivial shuffle)
+    # before the ×B explode so the md5/conv/CASE work — the dominant cost —
+    # runs wide. The partition count is EXPLICIT: the exchange output is
+    # ~2 MB, and AQE would otherwise coalesce it back to one task — the
+    # fan-out exists for the ×B compute AFTER the exchange, which AQE's
+    # bytes-based advisory sizing cannot see. At 100 TB the scan has
+    # thousands of splits and this exchange is a no-op-sized rebalance.
+    n_par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    w = (
+        o.repartition(n_par, F.col("o_orderkey"))
+        .select(
+            "o_orderkey",
+            "cents",
+            F.explode(F.sequence(F.lit(0), F.lit(BS_B - 1))).alias("b"),
+        )
+        .select("b", "cents", F.expr(u).alias("u64"))
+        .select("b", "cents", F.expr(_bs_weight_sql("u64")).alias("wt"))
+    )
     reps = (
         w.groupBy("b")
         .agg(
@@ -1057,11 +1074,15 @@ def stats_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     lo_idx = -(-25 * BS_B // 1000)
     hi_idx = -(-975 * BS_B // 1000)
-    lo = ranked.filter(F.col("rk") >= lo_idx).agg(
-        F.min("mean_cents").alias("ci_lo_cents")
-    )
-    hi = ranked.filter(F.col("rk") >= hi_idx).agg(
-        F.min("mean_cents").alias("ci_hi_cents")
+    # one pass over the B-row replica table for BOTH bounds — two separate
+    # filter+agg branches would re-execute the ×B explode and groupBy twice
+    ci = ranked.agg(
+        F.min(
+            F.when(F.col("rk") >= lo_idx, F.col("mean_cents"))
+        ).alias("ci_lo_cents"),
+        F.min(
+            F.when(F.col("rk") >= hi_idx, F.col("mean_cents"))
+        ).alias("ci_hi_cents"),
     )
     point = o.agg(
         F.expr("cast(sum(cents) div count(*) as bigint)").alias("mean_cents"),
@@ -1069,8 +1090,7 @@ def stats_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         point.withColumn("n_replicas", F.lit(BS_B).cast("bigint"))
-        .crossJoin(F.broadcast(lo))
-        .crossJoin(F.broadcast(hi))
+        .crossJoin(F.broadcast(ci))
     )
 
 

@@ -1855,11 +1855,17 @@ def stream_stats_bootstrap_ci_mean(spark: SparkSession, sf_dir: str) -> DataFram
         "cast(conv(substr(md5(concat('bs:', cast(b as string), ':', "
         "cast(o_orderkey as string))), 1, 8), 16, 10) as bigint)"
     )
-    w = o.select(
-        "o_orderkey",
-        "cents",
-        F.explode(F.sequence(F.lit(0), F.lit(BS_B - 1))).alias("b"),
-    ).select("cents", F.col("b"), F.expr(f"{_bs_weight_sql(u)}").alias("wt"))
+    # compute the draw once per exploded row rather than relying on codegen
+    # to CSE the md5+conv out of the eight CASE branches (batch-twin shape)
+    w = (
+        o.select(
+            "o_orderkey",
+            "cents",
+            F.explode(F.sequence(F.lit(0), F.lit(BS_B - 1))).alias("b"),
+        )
+        .select("cents", "b", F.expr(u).alias("u64"))
+        .select("cents", "b", F.expr(_bs_weight_sql("u64")).alias("wt"))
+    )
     reps_stream = w.groupBy("b").agg(
         F.sum(F.col("wt") * F.col("cents")).alias("swc"),
         F.sum("wt").alias("sw"),
