@@ -389,6 +389,7 @@ def diag_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     tied key identities are not. Output is 4 rows however large the
     corpus; nothing driver-side."""
     out = None
+    cached = []
     for label, table, col in SKEW_KEYS:
         c = (
             load_table(spark, sf_dir, table)
@@ -396,6 +397,7 @@ def diag_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.lit(1)).alias("cnt"))
             .persist()
         )
+        cached.append(c)
         stats = c.agg(
             F.sum("cnt").alias("n_rows"),
             F.count(F.lit(1)).alias("n_keys"),
@@ -425,6 +427,12 @@ def diag_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("max_over_avg_ppm"),
         )
         out = row if out is None else out.unionAll(row)
+    # 4-row report; materialize, then release the per-key count caches
+    # (ADVICE r6: unbounded persist is reserved for session-shared
+    # substrates, not per-query scratch)
+    out = out.localCheckpoint(eager=True)
+    for c in cached:
+        c.unpersist()
     return out
 
 
@@ -1265,9 +1273,20 @@ def layout_bloom_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     never shuffles fact rows); truth is one semi-join-shaped distinct.
     At 100 TB the bits relation IS the index file content — building it
     here is the index build, and the audit's FP column prices m."""
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.expr(f"l_orderkey div {BF_TILE_W}").alias("tile"),
-        F.col("l_partkey").alias("key"),
+    n_par = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # one wide, materialized copy of the (tile, key) projection: it feeds
+    # the bloom build, the truth join, and the tile count — and the
+    # single-row-group fixture scan is otherwise a one-task stage for
+    # every md5 pass (explicit count so AQE can't coalesce the tiny
+    # exchange back to one partition; no-op-sized rebalance at scale)
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(
+            F.expr(f"l_orderkey div {BF_TILE_W}").alias("tile"),
+            F.col("l_partkey").alias("key"),
+        )
+        .repartition(n_par, F.col("key"))
+        .persist()
     )
 
     def bit(j: int, col: str):
@@ -1284,10 +1303,16 @@ def layout_bloom_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             % BF_M
         )
 
+    # both hash functions in ONE pass over the corpus (a union of two
+    # selects is two full md5 scans), deduped and materialized once so the
+    # two membership-join sides below never rebuild the index
     bits = (
-        li.select("tile", bit(0, "key").alias("bit"))
-        .unionByName(li.select("tile", bit(1, "key").alias("bit")))
+        li.select(
+            "tile",
+            F.explode(F.array(bit(0, "key"), bit(1, "key"))).alias("bit"),
+        )
         .distinct()
+        .localCheckpoint(eager=True)
     )
     probes = (
         load_table(spark, sf_dir, "part")
@@ -1316,7 +1341,7 @@ def layout_bloom_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     nt = li.agg(F.countDistinct("tile").alias("n_tiles"))
-    return (
+    result = (
         probes.select("probe")
         .crossJoin(F.broadcast(nt))
         .join(cand, "probe", "left")
@@ -1335,3 +1360,8 @@ def layout_bloom_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+    # probe-workload-sized; materialize, then release the per-query caches
+    # (the ADVICE r6 cache-pressure hygiene)
+    result = result.localCheckpoint(eager=True)
+    li.unpersist()
+    return result

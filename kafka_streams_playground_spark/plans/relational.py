@@ -2163,7 +2163,7 @@ def stats_join_cardinality_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
-    return (
+    result = (
         ue.crossJoin(F.broadcast(b))
         .crossJoin(F.broadcast(t))
         .select(
@@ -2177,6 +2177,12 @@ def stats_join_cardinality_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "true_union_keys",
         )
     )
+    # one-row report; materialize, then release the per-query sketch caches
+    # (ADVICE r6 cache-pressure hygiene)
+    result = result.localCheckpoint(eager=True)
+    for df in (ha, hb, u):
+        df.unpersist()
+    return result
 
 
 @query(
