@@ -1335,3 +1335,126 @@ def pipeline_content_version(spark: SparkSession, sf_dir: str) -> DataFrame:
             "content_ver",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source document cap (domain balancing)
+# ---------------------------------------------------------------------------
+
+# Keep at most this many documents per source, best-quality-first. The cap
+# binds at every fixture SF (sf0.01 has ~500 docs/source).
+CAP_PER_SOURCE = 64
+
+
+def _source_cap_oracle() -> str:
+    from kafka_streams_playground_spark.plans.northstar_scoring import (
+        _STOP_SQL,
+        QC_BIAS_E6,
+        QC_TH_E6,
+        QC_W_LEN_E6,
+        QC_W_STOP_E6,
+        QC_W_TTR_E6,
+    )
+
+    return f"""
+    WITH t AS (
+      SELECT doc_id, source, string_split(text, ' ') AS toks FROM documents
+    ),
+    f AS (
+      SELECT doc_id, source,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+             CAST(len([x for x in toks if list_contains([{_STOP_SQL}], x)])
+                  AS BIGINT) AS n_stop
+      FROM t
+    ),
+    s AS (
+      SELECT doc_id, source,
+             CAST(({QC_W_TTR_E6} * n_distinct) // n_tokens
+                  - ({QC_W_STOP_E6} * n_stop) // n_tokens
+                  + ({QC_W_LEN_E6} * LEAST(n_tokens, 256)) // 256
+                  + {QC_BIAS_E6} AS BIGINT) AS logit_e6
+      FROM f
+    ),
+    r AS (
+      SELECT source, doc_id, logit_e6,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                     ORDER BY logit_e6 DESC, doc_id ASC)
+                  AS BIGINT) AS quality_rank
+      FROM s
+    )
+    SELECT source, doc_id, logit_e6, quality_rank,
+           CAST(quality_rank <= {CAP_PER_SOURCE} AS INT) AS kept
+    FROM r
+    """
+
+
+@query(
+    "curation_source_cap",
+    oracle=_source_cap_oracle(),
+    tags=("northstar", "curation", "bench"),
+)
+def curation_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document cap — the domain-balancing pass (C4 / RefinedWeb
+    / Gopher all bound any single domain's share of the corpus so one
+    crawler-friendly site cannot dominate training): rank each source's
+    documents by the learned quality logit (same fixed-weight linear
+    classifier as ``quality_classifier_filter`` — integer-exact, so the
+    rank order is bit-stable across engines), keep the top
+    CAP_PER_SOURCE, and emit every document with its rank and kept flag
+    so the audit trail shows exactly WHAT the cap cut. Ties cannot occur
+    ambiguously: the window orders by (logit DESC, doc_id ASC) and doc_id
+    is unique.
+
+    Spark shape: one scan → per-doc integer features → ONE window
+    partitioned by source (never global; the shuffle key is the source —
+    the natural partitioning this table would already be bucketed by in a
+    curation pipeline, making the window shuffle-free there). Hot-domain
+    skew is the classic worry at 100 TB: a single source with 10⁹ docs
+    puts its whole partition in one task, and the standard fix — since
+    only ranks ≤ CAP matter for the KEPT set — is a per-partition
+    pre-top-K (salt, rank, keep ≤ CAP per salt, re-rank the ≤ CAP×salts
+    survivors); the full-rank audit output here is the small-tenant
+    variant. Zero UDFs, all codegen."""
+    from kafka_streams_playground_spark.plans.northstar_scoring import (
+        QC_BIAS_E6,
+        QC_W_LEN_E6,
+        QC_W_STOP_E6,
+        QC_W_TTR_E6,
+    )
+    from kafka_streams_playground_spark.plans.northstar_text import STOPWORDS
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    toks = F.split(F.col("text"), " ")
+    stop_arr = F.lit(list(STOPWORDS)).cast("array<string>")
+    f = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+        .cast("bigint")
+        .alias("n_stop"),
+    )
+    logit = F.expr(
+        f"({QC_W_TTR_E6} * n_distinct) div n_tokens"
+        f" - ({QC_W_STOP_E6} * n_stop) div n_tokens"
+        f" + ({QC_W_LEN_E6} * least(n_tokens, 256)) div 256"
+        f" + {QC_BIAS_E6}"
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.desc("logit_e6"), F.asc("doc_id")
+    )
+    return (
+        f.select("source", "doc_id", logit.cast("bigint").alias("logit_e6"))
+        .withColumn("quality_rank", F.row_number().over(w).cast("bigint"))
+        .select(
+            "source",
+            "doc_id",
+            "logit_e6",
+            "quality_rank",
+            (F.col("quality_rank") <= CAP_PER_SOURCE).cast("int").alias("kept"),
+        )
+    )

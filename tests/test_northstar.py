@@ -1939,3 +1939,30 @@ def test_modularity_positive_on_two_cliques(spark, sf_dir, tmp_path):
     assert total["contrib_4m2"] == sum(r["contrib_4m2"] for r in parts)
     assert total["contrib_4m2"] > 0
     assert total["n_nodes"] == 8
+
+
+def test_source_cap_ranks_and_caps_per_source(spark, sf_dir):
+    """Every source keeps at most CAP_PER_SOURCE docs, ranks are a dense
+    1..n permutation per source, the kept set is exactly the rank-<=cap
+    prefix, and rank order agrees with (logit DESC, doc_id ASC)."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+    from kafka_streams_playground_spark.plans.northstar_curation import (
+        CAP_PER_SOURCE,
+    )
+
+    rows = REGISTRY["curation_source_cap"].fn(spark, sf_dir).collect()
+    by_src: dict[str, list] = {}
+    for r in rows:
+        by_src.setdefault(r["source"], []).append(r)
+    assert len(by_src) > 1
+    for src, rs in by_src.items():
+        ranks = sorted(r["quality_rank"] for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        kept = [r for r in rs if r["kept"] == 1]
+        assert len(kept) == min(CAP_PER_SOURCE, len(rs))
+        assert all(r["quality_rank"] <= CAP_PER_SOURCE for r in kept)
+        # rank order must agree with the declared sort key
+        srt = sorted(rs, key=lambda r: (-r["logit_e6"], r["doc_id"]))
+        assert [r["doc_id"] for r in srt] == [
+            r["doc_id"] for r in sorted(rs, key=lambda r: r["quality_rank"])
+        ]
