@@ -1341,9 +1341,10 @@ def pipeline_content_version(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Per-source document cap (domain balancing)
 # ---------------------------------------------------------------------------
 
-# Keep at most this many documents per source, best-quality-first. The cap
-# binds at every fixture SF (sf0.01 has ~500 docs/source).
-CAP_PER_SOURCE = 64
+# Keep at most this many documents per source, best-quality-first. Chosen
+# so the cap BINDS at every fixture SF (20 sources; 25 docs/source at
+# sf0.01, 250 at sf0.1) — a cap the gate never exercises proves nothing.
+CAP_PER_SOURCE = 16
 
 
 def _source_cap_oracle() -> str:

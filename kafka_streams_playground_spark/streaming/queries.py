@@ -1909,3 +1909,79 @@ REGISTRY["stream_stats_bootstrap_ci_mean"] = _replace(
     REGISTRY["stream_stats_bootstrap_ci_mean"],
     oracle=REGISTRY["stats_bootstrap_ci_mean"].oracle,
 )
+
+
+@query(
+    "stream_curation_source_cap",
+    oracle=None,  # set below: the batch cap's kept-prefix rows
+    tags=("northstar", "streaming", "curation"),
+)
+def stream_curation_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source document cap ONLINE — ``curation_source_cap`` as a
+    keyed bounded-state stream: documents arrive, the fixed-weight
+    quality logit is computed row-locally (same codegen'd integer
+    features as the batch twin — stateless, at ingest), and a per-source
+    top-K store (``streaming/stateful.py::_source_cap_topk``) keeps only
+    the best CAP_PER_SOURCE (logit, doc_id) pairs, re-emitting each
+    key's current kept set as an update-mode changelog. This is the
+    deployable form of domain balancing: the batch twin's full rank
+    trail needs unbounded per-source state, but the KEPT decision only
+    ever needs the top-K — O(cap) per source however many documents a
+    hot domain ships, the same economics as the streaming KMV sketch.
+
+    Drained via the single availableNow replay batch, the final emission
+    per source IS the batch twin's kept prefix, so the oracle is the
+    batch oracle restricted to kept = 1."""
+    from kafka_streams_playground_spark.plans.northstar_scoring import (
+        QC_BIAS_E6,
+        QC_W_LEN_E6,
+        QC_W_STOP_E6,
+        QC_W_TTR_E6,
+    )
+    from kafka_streams_playground_spark.plans.northstar_text import STOPWORDS
+    from kafka_streams_playground_spark.streaming.stateful import (
+        source_cap_per_key,
+    )
+
+    docs = read_stream_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text"
+    )
+    toks = F.split(F.col("text"), " ")
+    stop_arr = F.lit(list(STOPWORDS)).cast("array<string>")
+    f = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+        .cast("bigint")
+        .alias("n_stop"),
+    )
+    logit = F.expr(
+        f"({QC_W_TTR_E6} * n_distinct) div n_tokens"
+        f" - ({QC_W_STOP_E6} * n_stop) div n_tokens"
+        f" + ({QC_W_LEN_E6} * least(n_tokens, 256)) div 256"
+        f" + {QC_BIAS_E6}"
+    )
+    scored = f.select(
+        "source", "doc_id", logit.cast("bigint").alias("logit_e6")
+    )
+    out = source_cap_per_key(scored)
+    return run_to_completion(out, output_mode="update", spark=spark)
+
+
+def _share_source_cap_oracle() -> None:
+    from kafka_streams_playground_spark.plans import northstar_curation  # noqa: F401
+
+    batch = REGISTRY["curation_source_cap"].oracle
+    REGISTRY["stream_curation_source_cap"] = _replace(
+        REGISTRY["stream_curation_source_cap"],
+        oracle=(
+            "SELECT source, doc_id, logit_e6, quality_rank FROM ("
+            + batch
+            + ") WHERE kept = 1"
+        ),
+    )
+
+
+_share_source_cap_oracle()

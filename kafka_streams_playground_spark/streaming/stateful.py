@@ -396,3 +396,60 @@ def kmv_sketch_per_key(sdf: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+def _source_cap_topk(key: tuple, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+    """Per-source streaming quality cap: keyed state holds the current
+    best-CAP documents as parallel (logit, doc_id) arrays ordered by
+    (logit DESC, doc_id ASC); each micro-batch merges its scored docs into
+    the state, truncates to CAP_PER_SOURCE, and emits the key's current
+    kept set with dense 1..n ranks. The update is associative (top-K of
+    state ∪ batch), so batch boundaries never change the fixed point —
+    the same mergeability argument as the KMV sketch above. State per
+    key: ≤ CAP (logit, doc_id) pairs, O(cap) however many documents the
+    source ever ships — the bound an unbounded-rank batch window cannot
+    offer.
+
+    Emission matches the funnel/EWMA stance: every batch re-emits the
+    key's current kept set (update-mode changelog of the top-K store);
+    the replay harness's single availableNow batch therefore drains
+    exactly the batch twin's kept rows."""
+    from kafka_streams_playground_spark.plans.northstar_curation import (
+        CAP_PER_SOURCE,
+    )
+
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if not chunks:
+        return
+    batch = pd.concat(chunks, ignore_index=True)
+    pairs = list(zip(batch["logit_e6"].astype("int64"), batch["doc_id"].astype("int64")))
+    if state.exists:
+        logits, ids = state.get
+        pairs.extend((int(l), int(d)) for l, d in zip(logits, ids))
+    pairs.sort(key=lambda p: (-p[0], p[1]))
+    pairs = pairs[:CAP_PER_SOURCE]
+    state.update(([l for l, _ in pairs], [d for _, d in pairs]))
+    yield pd.DataFrame(
+        {
+            "source": key[0],
+            "doc_id": [d for _, d in pairs],
+            "logit_e6": [l for l, _ in pairs],
+            "quality_rank": list(range(1, len(pairs) + 1)),
+        }
+    )
+
+
+def source_cap_per_key(sdf: DataFrame) -> DataFrame:
+    """Streaming per-source document cap; batch twin =
+    plans/northstar_curation.py::curation_source_cap (its kept=1 rows,
+    whose rank-prefix oracle this operator shares). Input: a stream of
+    (source, doc_id, logit_e6) scored documents."""
+    return sdf.groupBy("source").applyInPandasWithState(
+        _source_cap_topk,
+        outputStructType=(
+            "source STRING, doc_id BIGINT, logit_e6 BIGINT, quality_rank BIGINT"
+        ),
+        stateStructType="logits ARRAY<BIGINT>, doc_ids ARRAY<BIGINT>",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

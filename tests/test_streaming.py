@@ -609,3 +609,20 @@ def test_upsert_sink_materializes_latest_per_key(spark, sf_dir, tmp_path):
     current2 = open(f"{target}/_current", "rb").read()[2:].decode()
     got2 = spark.read.parquet(f"{target}/{current2}")
     assert got2.count() == want.count()
+
+
+def test_stream_source_cap_equals_batch_kept_set(spark, sf_dir):
+    """The streaming per-source top-K store must drain exactly the batch
+    cap's kept prefix — same (source, doc_id, logit, rank) quadruples."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+
+    got = sorted(
+        (r["source"], r["doc_id"], r["logit_e6"], r["quality_rank"])
+        for r in REGISTRY["stream_curation_source_cap"].fn(spark, sf_dir).collect()
+    )
+    want = sorted(
+        (r["source"], r["doc_id"], r["logit_e6"], r["quality_rank"])
+        for r in REGISTRY["curation_source_cap"].fn(spark, sf_dir).collect()
+        if r["kept"] == 1
+    )
+    assert got == want and len(got) > 0
