@@ -584,9 +584,9 @@ def agg_kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV (k-minimum-values) distinct-count sketch: hash every key to 32
     bits, keep the K smallest distinct hashes; if the K-th smallest is h,
     the keys are ~uniform in [0, 2^32) and distinct ≈ (K-1)·2^32/h. Unlike
-    HLL (whose register layout differs per engine, so ``approx_count_
-    distinct`` can never hash-match an oracle), KMV is pure md5 + integer
-    arithmetic — bit-identical cross-engine, so the SKETCH itself is
+    Spark's BUILT-IN HLL (``approx_count_distinct``, engine-private
+    register layout, so it can never hash-match an oracle), KMV is pure
+    md5 + integer arithmetic — bit-identical cross-engine, so the SKETCH itself is
     oracle-checked, not just bounded. Scale shape: map-side partial
     distinct on 8-byte hashes, then TakeOrderedAndProject (per-partition
     bottom-K, K-row driver merge) — the sketch state is K longs no matter
@@ -1855,7 +1855,9 @@ def agg_kmv_merge_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-hash population on one task); the merged sketch re-sorts the
     |types|·K union with TakeOrderedAndProject. All arithmetic is md5 +
     integers — the sketches themselves are oracle-checked bit-for-bit,
-    which an HLL (engine-specific registers) can never be."""
+    which the built-in HLL (engine-specific registers) can never be;
+    ``agg_hll_merge_by_type`` hand-rolls the registers from the same md5
+    recipe to give HLL the same property."""
     events = load_table(spark, sf_dir, "events").select("event_type", "user_id")
     h = events.select(
         "event_type",
@@ -2445,4 +2447,153 @@ def ivm_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_rows").alias("n_rows"),
             F.sum("sum_cents").alias("sum_cents"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# HLL register sketch (hand-rolled, oracle-exact)
+# ---------------------------------------------------------------------------
+
+HLL_B = 6  # register-index bits
+HLL_M = 1 << HLL_B  # 64 registers; stderr ~ 1.04/sqrt(m) ~ 13%
+HLL_WBITS = 32 - HLL_B  # 26 remainder bits -> rho in 1..27
+# floor(alpha_m * m^2 * 1e6) with alpha_m = 0.7213/(1 + 1.079/m) (Flajolet
+# et al. 2007); baked as an integer so both engines share one constant.
+HLL_ALPHA_M2_E6 = 2905460551
+
+
+@query(
+    "agg_hll_merge_by_type",
+    oracle=f"""
+    WITH h AS (
+      SELECT event_type,
+             (('0x' || substr(md5(user_id::VARCHAR), 1, 8)))::BIGINT AS hv
+      FROM events
+    ),
+    rho AS (
+      SELECT event_type, hv // {2**HLL_WBITS} AS reg,
+             CASE WHEN hv % {2**HLL_WBITS} = 0 THEN {HLL_WBITS + 1}
+                  ELSE {HLL_WBITS + 1} - length(bin(hv % {2**HLL_WBITS}))
+             END AS rho
+      FROM h
+    ),
+    pt AS (SELECT event_type AS scope, reg, MAX(rho) AS m FROM rho GROUP BY 1, 2),
+    pa AS (SELECT '__all__' AS scope, reg, MAX(m) AS m FROM pt GROUP BY 1, 2),
+    r AS (SELECT * FROM pt UNION ALL SELECT * FROM pa),
+    spine AS (
+      SELECT s.scope, gs.g AS reg
+      FROM (SELECT DISTINCT scope FROM r) s, generate_series(0, {HLL_M - 1}) gs(g)
+    ),
+    dense AS (
+      SELECT spine.scope, spine.reg, COALESCE(r.m, 0) AS m
+      FROM spine LEFT JOIN r ON r.scope = spine.scope AND r.reg = spine.reg
+    ),
+    mm AS (SELECT scope, MAX(m) AS mmax FROM dense GROUP BY 1),
+    s AS (
+      SELECT d.scope, mm.mmax,
+             SUM(1::BIGINT << (mm.mmax - d.m)) AS s_scaled,
+             SUM(CASE WHEN d.m = 0 THEN 1 ELSE 0 END) AS n_zero_regs
+      FROM dense d JOIN mm ON d.scope = mm.scope
+      GROUP BY 1, 2
+    ),
+    ex AS (
+      SELECT COALESCE(event_type, '__all__') AS scope,
+             COUNT(DISTINCT user_id) AS exact_distinct
+      FROM events GROUP BY ROLLUP(event_type)
+    )
+    SELECT s.scope, CAST(s.mmax AS BIGINT) AS mmax,
+           CAST(s.s_scaled AS BIGINT) AS s_scaled,
+           CAST(s.n_zero_regs AS BIGINT) AS n_zero_regs,
+           CAST(({HLL_ALPHA_M2_E6} * (1::BIGINT << s.mmax))
+                // (s.s_scaled * 1000000) AS BIGINT) AS est_distinct,
+           CAST(ex.exact_distinct AS BIGINT) AS exact_distinct
+    FROM s JOIN ex ON s.scope = ex.scope
+    """,
+    tags=("extension", "agg", "sketch", "bench"),
+)
+def agg_hll_merge_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hand-rolled HyperLogLog (Flajolet et al. 2007): per-event-type
+    distinct-user register sketches plus the MERGED all-types sketch via
+    register-wise MAX — the other half of the mergeable-cardinality story
+    next to ``agg_kmv_merge_by_type``. Spark's built-in HLL
+    (``approx_count_distinct``) has engine-private register layout, so it
+    can never hash-match an oracle; THIS sketch derives its 64 registers
+    from the same md5 recipe as the KMV family (register = top 6 hash
+    bits, rho = leading-zero count of the low 26 bits + 1, via
+    ``length(conv(w, 10, 2))`` — codegen'd string ops, no floats), so the
+    registers AND the estimate are oracle-checked bit-for-bit. The
+    estimate stays on an integer grid: with Mmax the scope's largest
+    register, sum(2^-M_j) = S/2^Mmax for the bigint
+    S = sum(shiftleft(1, Mmax - M_j)), and est = alpha*m^2*2^Mmax/S
+    rounds as one integer division against the baked alpha*m^2*1e6.
+
+    Why HLL at 100 TB when KMV exists: the KMV sketch needs a DISTINCT
+    plus bottom-K sort per scope; HLL registers need NO dedup at all —
+    duplicate keys hit the same (register, rho), so max-aggregation
+    absorbs them map-side, and the shuffled state is exactly
+    |scopes| x 64 rows of (reg, max_rho) partials whatever the key
+    volume. Union of sketches = element-wise register max (pa CTE /
+    ``rAll``), associative and idempotent — the per-source/per-day fold
+    a warehouse runs upward for rollup cardinalities. Small-range bias
+    correction (linear counting) is intentionally omitted — it needs a
+    float ln(); ``n_zero_regs`` rides along so a consumer can see when
+    it would bind (at sf0.01's 150 users it does — E <= 2.5m — yet the
+    raw estimator still lands within 10%, asserted in tests; real
+    corpora sit far above 2.5m=160 keys). ``exact_distinct`` is the
+    self-report truth column a production run would drop."""
+    events = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    w = F.col("hv") % (2**HLL_WBITS)
+    rho = events.select("event_type", hv.alias("hv")).select(
+        "event_type",
+        (F.col("hv") / (2**HLL_WBITS)).cast("long").alias("reg"),
+        F.when(w == 0, F.lit(HLL_WBITS + 1))
+        .otherwise(F.lit(HLL_WBITS + 1) - F.length(F.conv(w, 10, 2)))
+        .cast("long")
+        .alias("rho"),
+    )
+    pt = rho.groupBy(F.col("event_type").alias("scope"), "reg").agg(
+        F.max("rho").alias("m")
+    )
+    r_all = pt.groupBy("reg").agg(F.max("m").alias("m")).select(
+        F.lit("__all__").alias("scope"), "reg", "m"
+    )
+    r = pt.unionByName(r_all)
+    spine = (
+        r.select("scope")
+        .distinct()
+        .crossJoin(spark.range(HLL_M).select(F.col("id").alias("reg")))
+    )
+    dense = spine.join(r, ["scope", "reg"], "left").select(
+        "scope", "reg", F.coalesce("m", F.lit(0)).alias("m")
+    )
+    wmax = Window.partitionBy("scope")
+    s = (
+        dense.withColumn("mmax", F.max("m").over(wmax))
+        .groupBy("scope", "mmax")
+        .agg(
+            F.sum(F.expr("shiftleft(1L, cast(mmax - m AS INT))")).alias("s_scaled"),
+            F.sum(F.when(F.col("m") == 0, 1).otherwise(0)).cast("long").alias("n_zero_regs"),
+        )
+    )
+    exact = (
+        events.rollup("event_type")
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
+        .select(
+            F.coalesce("event_type", F.lit("__all__")).alias("scope"),
+            "exact_distinct",
+        )
+    )
+    return s.join(F.broadcast(exact), "scope").select(
+        "scope",
+        F.col("mmax").cast("long").alias("mmax"),
+        "s_scaled",
+        "n_zero_regs",
+        F.expr(
+            f"CAST(({HLL_ALPHA_M2_E6} * shiftleft(1L, mmax))"
+            " div (s_scaled * 1000000) AS BIGINT)"
+        ).alias("est_distinct"),
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
     )

@@ -1306,8 +1306,9 @@ def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     grows with the stream). The update-mode drain keeps each key's LAST
     emission, which after the single-batch replay is the full-stream
     sketch — bit-equal to the batch bottom-K, so the estimate is
-    oracle-exact (the HLL-impossible property; see
-    ``agg_kmv_distinct_sketch``)."""
+    oracle-exact (impossible for the built-in HLL; see
+    ``agg_kmv_distinct_sketch`` and the hand-rolled, oracle-exact
+    ``stream_hll_distinct_by_type``)."""
     from kafka_streams_playground_spark.plans.relational import KMV_K
     from kafka_streams_playground_spark.streaming.stateful import kmv_sketch_per_key
 
@@ -1985,3 +1986,88 @@ def _share_source_cap_oracle() -> None:
 
 
 _share_source_cap_oracle()
+
+
+def _stream_hll_oracle() -> str:
+    from kafka_streams_playground_spark.plans.relational import (
+        HLL_ALPHA_M2_E6,
+        HLL_M,
+        HLL_WBITS,
+    )
+
+    return f"""
+    WITH h AS (
+      SELECT event_type,
+             (('0x' || substr(md5(user_id::VARCHAR), 1, 8)))::BIGINT AS hv
+      FROM events
+    ),
+    rho AS (
+      SELECT event_type, hv // {2**HLL_WBITS} AS reg,
+             CASE WHEN hv % {2**HLL_WBITS} = 0 THEN {HLL_WBITS + 1}
+                  ELSE {HLL_WBITS + 1} - length(bin(hv % {2**HLL_WBITS}))
+             END AS rho
+      FROM h
+    ),
+    pt AS (SELECT event_type, reg, MAX(rho) AS m FROM rho GROUP BY 1, 2),
+    spine AS (
+      SELECT s.event_type, gs.g AS reg
+      FROM (SELECT DISTINCT event_type FROM pt) s,
+           generate_series(0, {HLL_M - 1}) gs(g)
+    ),
+    dense AS (
+      SELECT spine.event_type, spine.reg, COALESCE(pt.m, 0) AS m
+      FROM spine LEFT JOIN pt
+        ON pt.event_type = spine.event_type AND pt.reg = spine.reg
+    ),
+    mm AS (SELECT event_type, MAX(m) AS mmax FROM dense GROUP BY 1)
+    SELECT d.event_type, CAST(mm.mmax AS BIGINT) AS mmax,
+           CAST(SUM(1::BIGINT << (mm.mmax - d.m)) AS BIGINT) AS s_scaled,
+           CAST(SUM(CASE WHEN d.m = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero_regs,
+           CAST(({HLL_ALPHA_M2_E6} * (1::BIGINT << mm.mmax))
+                // (SUM(1::BIGINT << (mm.mmax - d.m)) * 1000000) AS BIGINT)
+               AS est_distinct
+    FROM dense d JOIN mm ON d.event_type = mm.event_type
+    GROUP BY d.event_type, mm.mmax
+    """
+
+
+@query(
+    "stream_hll_distinct_by_type",
+    oracle=_stream_hll_oracle(),
+    tags=("extension", "streaming", "agg", "sketch", "stateful"),
+)
+def stream_hll_distinct_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Live per-source distinct-user cardinality as HLL REGISTER STATE
+    (streaming/stateful.py::hll_sketch_per_key) — the no-dedup sibling of
+    ``stream_kmv_distinct_by_type``: where the KMV state must keep the K
+    smallest DISTINCT hashes (a per-batch dedup against state), HLL folds
+    every raw event into 64 registers with element-wise max, so the
+    per-batch work is a bounded groupby-max and the state is 64 longs
+    per source forever. Register/rho extraction stays JVM-side (codegen'd
+    md5 + conv), matching ``agg_hll_merge_by_type``'s batch recipe
+    bit-for-bit, so the drained update-mode emission is oracle-exact."""
+    from kafka_streams_playground_spark.plans.relational import HLL_WBITS
+    from kafka_streams_playground_spark.streaming.stateful import (
+        hll_sketch_per_key,
+    )
+
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    w = F.col("hv") % (2**HLL_WBITS)
+    stream = (
+        read_stream_table(spark, sf_dir, "events")
+        .select("event_type", hv.alias("hv"))
+        .select(
+            "event_type",
+            (F.col("hv") / (2**HLL_WBITS)).cast("long").alias("reg"),
+            F.when(w == 0, F.lit(HLL_WBITS + 1))
+            .otherwise(F.lit(HLL_WBITS + 1) - F.length(F.conv(w, 10, 2)))
+            .cast("long")
+            .alias("rho"),
+        )
+    )
+    return run_to_completion(
+        hll_sketch_per_key(stream), output_mode="update", spark=spark
+    )

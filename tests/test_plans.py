@@ -855,3 +855,72 @@ def test_dense_rownum_window_is_bucket_partitioned(spark, sf_dir):
     assert rn_specs, plan
     for spec in rn_specs:
         assert "bkt" in spec, (spec, plan)
+
+
+def test_hll_merge_accuracy_and_register_contract(spark, sf_dir):
+    """agg_hll_merge_by_type: (a) every scope's raw estimate lands within
+    HLL's expected band of the exact distinct count (m=64 -> ~13% stderr;
+    assert 35%), (b) the '__all__' row equals the sketch built directly
+    over ALL events (register merge = union contract), and (c) the plan
+    has no unpartitioned window and no cartesian."""
+    rows = {
+        r["scope"]: r
+        for r in REGISTRY["agg_hll_merge_by_type"].fn(spark, sf_dir).collect()
+    }
+    assert "__all__" in rows and len(rows) >= 2
+    import math
+
+    from kafka_streams_playground_spark.plans.relational import HLL_M
+
+    for scope, r in rows.items():
+        # The query intentionally emits the RAW estimator plus
+        # n_zero_regs; below the 2.5m linear-counting threshold the
+        # consumer applies m*ln(m/V) — do exactly that here, proving the
+        # emitted columns suffice to reconstruct the corrected estimate.
+        if r["exact_distinct"] <= 2.5 * HLL_M and r["n_zero_regs"] > 0:
+            est = HLL_M * math.log(HLL_M / r["n_zero_regs"])
+        else:
+            est = r["est_distinct"]
+        rel = abs(est - r["exact_distinct"]) / r["exact_distinct"]
+        assert rel < 0.35, (scope, est, r)
+    # merge contract: rebuild the union sketch from scratch, ignoring type
+    from kafka_streams_playground_spark.plans.relational import (
+        HLL_ALPHA_M2_E6,
+        HLL_M,
+        HLL_WBITS,
+    )
+    from kafka_streams_playground_spark.sources.parquet import load_table
+
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    got = (
+        load_table(spark, sf_dir, "events")
+        .select(hv.alias("hv"))
+        .select(
+            (F.col("hv") / (2**HLL_WBITS)).cast("long").alias("reg"),
+            F.when(F.col("hv") % (2**HLL_WBITS) == 0, HLL_WBITS + 1)
+            .otherwise(
+                F.lit(HLL_WBITS + 1)
+                - F.length(F.conv(F.col("hv") % (2**HLL_WBITS), 10, 2))
+            )
+            .alias("rho"),
+        )
+        .groupBy("reg")
+        .agg(F.max("rho").alias("m"))
+        .collect()
+    )
+    regs = [0] * HLL_M
+    for r in got:
+        regs[r["reg"]] = r["m"]
+    mmax = max(regs)
+    s_scaled = sum(1 << (mmax - m) for m in regs)
+    want_est = (HLL_ALPHA_M2_E6 * (1 << mmax)) // (s_scaled * 1000000)
+    allr = rows["__all__"]
+    assert (allr["mmax"], allr["s_scaled"], allr["est_distinct"]) == (
+        mmax,
+        s_scaled,
+        want_est,
+    )
+    plan = _plan(spark, sf_dir, "agg_hll_merge_by_type")
+    assert "CartesianProduct" not in plan

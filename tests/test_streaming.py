@@ -626,3 +626,21 @@ def test_stream_source_cap_equals_batch_kept_set(spark, sf_dir):
         if r["kept"] == 1
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_hll_matches_batch_registers(spark, sf_dir):
+    """The drained streaming HLL state must be bit-equal to the batch
+    sketch's per-type rows (register merge is associative, so the
+    micro-batch fold and the one-shot batch agg share a fixed point)."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+
+    got = sorted(
+        (r["event_type"], r["mmax"], r["s_scaled"], r["n_zero_regs"], r["est_distinct"])
+        for r in REGISTRY["stream_hll_distinct_by_type"].fn(spark, sf_dir).collect()
+    )
+    want = sorted(
+        (r["scope"], r["mmax"], r["s_scaled"], r["n_zero_regs"], r["est_distinct"])
+        for r in REGISTRY["agg_hll_merge_by_type"].fn(spark, sf_dir).collect()
+        if r["scope"] != "__all__"
+    )
+    assert got == want and len(got) > 0
