@@ -1459,3 +1459,146 @@ def curation_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("quality_rank") <= CAP_PER_SOURCE).cast("int").alias("kept"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto-frontier document selection (multi-objective curation)
+# ---------------------------------------------------------------------------
+
+# Quality-axis bucket width for the two-phase dominance check; the bucket
+# relation is O(logit range / width) ~ tens of rows, never corpus-scale.
+PARETO_BUCKET_W = 50000
+
+
+def _pareto_oracle() -> str:
+    from kafka_streams_playground_spark.plans.northstar_scoring import (
+        _STOP_SQL,
+        QC_BIAS_E6,
+        QC_W_LEN_E6,
+        QC_W_STOP_E6,
+        QC_W_TTR_E6,
+    )
+
+    # The oracle is the quadratic NOT-EXISTS dominance definition — the
+    # textbook skyline semantics, O(n^2) but exact at gate scale.
+    return f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    f AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+             CAST(len([x for x in toks if list_contains([{_STOP_SQL}], x)])
+                  AS BIGINT) AS n_stop
+      FROM t
+    ),
+    s AS (
+      SELECT doc_id, n_tokens,
+             CAST(({QC_W_TTR_E6} * n_distinct) // n_tokens
+                  - ({QC_W_STOP_E6} * n_stop) // n_tokens
+                  + ({QC_W_LEN_E6} * LEAST(n_tokens, 256)) // 256
+                  + {QC_BIAS_E6} AS BIGINT) AS logit_e6
+      FROM f
+    )
+    SELECT a.doc_id, a.logit_e6, a.n_tokens
+    FROM s a
+    WHERE NOT EXISTS (
+      SELECT 1 FROM s b
+      WHERE b.logit_e6 >= a.logit_e6 AND b.n_tokens >= a.n_tokens
+        AND (b.logit_e6 > a.logit_e6 OR b.n_tokens > a.n_tokens)
+    )
+    """
+
+
+@query(
+    "curation_pareto_frontier",
+    oracle=_pareto_oracle(),
+    tags=("northstar", "curation", "bench"),
+)
+def curation_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D Pareto frontier (skyline) of the corpus under (quality logit,
+    token length), both maximized — multi-objective data selection: a
+    document is kept iff NO other document is at least as good on both
+    axes and strictly better on one. Where ``curation_source_cap`` ranks
+    on a single scalar, the frontier is what a curation team inspects
+    when two objectives genuinely trade off (short pristine docs vs long
+    decent ones) before committing to a scalarization.
+
+    Spark shape — the skyline decomposes into bounded windows instead of
+    the O(n²) dominance join (which the oracle runs as ground truth):
+    sort-free bucketing on the quality axis (logit div W), then a doc is
+    dominated iff a better token count exists (1) in a strictly higher
+    bucket — per-bucket max(n_tokens) is an O(buckets) relation whose
+    strictly-above prefix max is ONE tiny unpartitioned window
+    (whitelisted: bucket relation, never corpus rows), broadcast back;
+    (2) at strictly higher logit within its own bucket — a RANGE frame
+    (1 FOLLOWING, UNBOUNDED) ordered by logit, partitioned by bucket;
+    or (3) at its exact logit with strictly more tokens — a (bucket,
+    logit) partition max. Equal (logit, n_tokens) duplicates dominate
+    neither and both stay, matching the NOT-EXISTS semantics. Every
+    window partitions by bucket, so the corpus-scale work is two
+    bucket-keyed shuffles; skew = the hottest logit bucket, tunable via
+    PARETO_BUCKET_W. Zero UDFs, all codegen."""
+    from kafka_streams_playground_spark.plans.northstar_scoring import (
+        QC_BIAS_E6,
+        QC_W_LEN_E6,
+        QC_W_STOP_E6,
+        QC_W_TTR_E6,
+    )
+    from kafka_streams_playground_spark.plans.northstar_text import STOPWORDS
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    stop_arr = F.lit(list(STOPWORDS)).cast("array<string>")
+    f = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+        .cast("bigint")
+        .alias("n_stop"),
+    )
+    logit = F.expr(
+        f"({QC_W_TTR_E6} * n_distinct) div n_tokens"
+        f" - ({QC_W_STOP_E6} * n_stop) div n_tokens"
+        f" + ({QC_W_LEN_E6} * least(n_tokens, 256)) div 256"
+        f" + {QC_BIAS_E6}"
+    )
+    s = f.select(
+        "doc_id",
+        logit.cast("bigint").alias("logit_e6"),
+        "n_tokens",
+    ).withColumn(
+        "bucket", F.expr(f"logit_e6 div {PARETO_BUCKET_W}").cast("bigint")
+    )
+    bmax = s.groupBy("bucket").agg(F.max("n_tokens").alias("bucket_max_t"))
+    w_hi = (
+        Window.orderBy(F.desc("bucket"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prefix = bmax.select(
+        "bucket", F.max("bucket_max_t").over(w_hi).alias("hi_bucket_max")
+    )
+    w_in = (
+        Window.partitionBy("bucket")
+        .orderBy("logit_e6")
+        .rangeBetween(1, Window.unboundedFollowing)
+    )
+    w_same = Window.partitionBy("bucket", "logit_e6")
+    flagged = (
+        s.join(F.broadcast(prefix), "bucket")
+        .withColumn("hi_in_bucket_max", F.max("n_tokens").over(w_in))
+        .withColumn("same_l_max", F.max("n_tokens").over(w_same))
+    )
+    return flagged.filter(
+        (F.col("n_tokens") == F.col("same_l_max"))
+        & (
+            F.col("hi_in_bucket_max").isNull()
+            | (F.col("n_tokens") > F.col("hi_in_bucket_max"))
+        )
+        & (
+            F.col("hi_bucket_max").isNull()
+            | (F.col("n_tokens") > F.col("hi_bucket_max"))
+        )
+    ).select("doc_id", "logit_e6", "n_tokens")

@@ -573,6 +573,7 @@ UNPARTITIONED_WINDOW_WHITELIST = {
     "drift_ks_value_halves": "cumulative CDF counts over the O(value grid) cents relation",
     "stats_bootstrap_ci_mean": "replica-mean rank over the B=40-row replica table",
     "ts_cumulative_new_users": "running total over the calendar-bounded day spine",
+    "curation_pareto_frontier": "strictly-above prefix max over the O(logit range / W) bucket-max relation",
 }
 
 
@@ -924,3 +925,65 @@ def test_hll_merge_accuracy_and_register_contract(spark, sf_dir):
     )
     plan = _plan(spark, sf_dir, "agg_hll_merge_by_type")
     assert "CartesianProduct" not in plan
+
+
+def test_pareto_frontier_is_maximal_antichain(spark, sf_dir):
+    """The skyline must be an antichain (no member dominates another) and
+    MAXIMAL (every non-member is dominated by some member — frontier
+    membership is exactly non-dominance)."""
+    from kafka_streams_playground_spark.plans.northstar_curation import (
+        curation_pareto_frontier,
+    )
+
+    front = [
+        (r["logit_e6"], r["n_tokens"])
+        for r in curation_pareto_frontier(spark, sf_dir).collect()
+    ]
+    assert front
+
+    def dominates(a, b):
+        return a[0] >= b[0] and a[1] >= b[1] and (a[0] > b[0] or a[1] > b[1])
+
+    for a in front:
+        assert not any(dominates(b, a) for b in front if b is not a)
+    # maximality: rebuild all points, check every excluded one is dominated
+    from kafka_streams_playground_spark.plans import REGISTRY
+
+    spec = REGISTRY["curation_pareto_frontier"]
+    # all (logit, n_tokens) pairs, via the quality-filter feature recipe
+    from kafka_streams_playground_spark.plans.northstar_scoring import (
+        QC_BIAS_E6,
+        QC_W_LEN_E6,
+        QC_W_STOP_E6,
+        QC_W_TTR_E6,
+    )
+    from kafka_streams_playground_spark.plans.northstar_text import STOPWORDS
+    from kafka_streams_playground_spark.sources.parquet import load_table
+
+    toks = F.split(F.col("text"), " ")
+    stop_arr = F.lit(list(STOPWORDS)).cast("array<string>")
+    allpts = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            F.size(toks).cast("bigint").alias("n_tokens"),
+            F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+            F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+            .cast("bigint")
+            .alias("n_stop"),
+        )
+        .select(
+            F.expr(
+                f"({QC_W_TTR_E6} * n_distinct) div n_tokens"
+                f" - ({QC_W_STOP_E6} * n_stop) div n_tokens"
+                f" + ({QC_W_LEN_E6} * least(n_tokens, 256)) div 256"
+                f" + {QC_BIAS_E6}"
+            ).alias("logit_e6"),
+            "n_tokens",
+        )
+        .collect()
+    )
+    fs = set(front)
+    for p in [(r["logit_e6"], r["n_tokens"]) for r in allpts]:
+        if p in fs:
+            continue
+        assert any(dominates(b, p) for b in front), p
