@@ -1365,3 +1365,186 @@ def layout_bloom_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = result.localCheckpoint(eager=True)
     li.unpersist()
     return result
+
+
+# ---------------------------------------------------------------------------
+# Whole-table column profiler (HLL-register distinct counts per column)
+# ---------------------------------------------------------------------------
+
+# Profiled columns of the events table: (name, spark_expr, duckdb_expr),
+# each expr yielding the CANONICAL STRING both engines hash identically
+# (epochs and cents instead of raw timestamps/doubles — the repo-wide
+# oracle stance). The last two are DERIVED cleaning columns with genuine
+# nulls, so the null-rate column is exercised, not vacuous.
+PROFILE_COLS: tuple[tuple[str, str, str], ...] = (
+    ("event_id", "cast(event_id as string)", "event_id::VARCHAR"),
+    (
+        "ts",
+        "cast(unix_timestamp(ts) as string)",
+        "CAST(floor(epoch(ts)) AS BIGINT)::VARCHAR",
+    ),
+    ("user_id", "cast(user_id as string)", "user_id::VARCHAR"),
+    ("event_type", "event_type", "event_type"),
+    (
+        "value",
+        "cast(cast(floor(value * 100 + 0.5) as bigint) as string)",
+        "CAST(FLOOR(value * 100 + 0.5) AS BIGINT)::VARCHAR",
+    ),
+    ("props", "props", "props"),
+    (
+        "k_prop",
+        "get_json_object(props, '$.k')",
+        "json_extract_string(props, '$.k')",
+    ),
+    (
+        "clean_type",
+        "nullif(event_type, 'error')",
+        "NULLIF(event_type, 'error')",
+    ),
+)
+
+
+def _table_profile_oracle() -> str:
+    from kafka_streams_playground_spark.plans.relational import (
+        HLL_ALPHA_M2_E6,
+        HLL_M,
+        HLL_WBITS,
+    )
+
+    pairs = "\n      UNION ALL ".join(
+        f"SELECT '{name}' AS col_name, {duck} AS val FROM events"
+        for name, _, duck in PROFILE_COLS
+    )
+    return f"""
+    WITH pairs AS (
+      {pairs}
+    ),
+    c AS (
+      SELECT col_name, COUNT(*) AS n_rows,
+             SUM(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS n_null,
+             COUNT(DISTINCT val) AS exact_distinct
+      FROM pairs GROUP BY 1
+    ),
+    h AS (
+      SELECT col_name,
+             (('0x' || substr(md5(val), 1, 8)))::BIGINT AS hv
+      FROM pairs WHERE val IS NOT NULL
+    ),
+    rho AS (
+      SELECT col_name, hv // {2**HLL_WBITS} AS reg,
+             CASE WHEN hv % {2**HLL_WBITS} = 0 THEN {HLL_WBITS + 1}
+                  ELSE {HLL_WBITS + 1} - length(bin(hv % {2**HLL_WBITS}))
+             END AS rho
+      FROM h
+    ),
+    pt AS (SELECT col_name, reg, MAX(rho) AS m FROM rho GROUP BY 1, 2),
+    spine AS (
+      SELECT s.col_name, gs.g AS reg
+      FROM (SELECT DISTINCT col_name FROM pt) s,
+           generate_series(0, {HLL_M - 1}) gs(g)
+    ),
+    dense AS (
+      SELECT spine.col_name, spine.reg, COALESCE(pt.m, 0) AS m
+      FROM spine LEFT JOIN pt
+        ON pt.col_name = spine.col_name AND pt.reg = spine.reg
+    ),
+    mm AS (SELECT col_name, MAX(m) AS mmax FROM dense GROUP BY 1),
+    est AS (
+      SELECT d.col_name,
+             CAST(({HLL_ALPHA_M2_E6} * (1::BIGINT << mm.mmax))
+                  // (SUM(1::BIGINT << (mm.mmax - d.m)) * 1000000) AS BIGINT)
+                 AS est_distinct
+      FROM dense d JOIN mm ON d.col_name = mm.col_name
+      GROUP BY d.col_name, mm.mmax
+    )
+    SELECT c.col_name, CAST(c.n_rows AS BIGINT) AS n_rows,
+           CAST(c.n_null AS BIGINT) AS n_null,
+           est.est_distinct,
+           CAST(c.exact_distinct AS BIGINT) AS exact_distinct
+    FROM c JOIN est ON c.col_name = est.col_name
+    """
+
+
+@query(
+    "diag_table_profile",
+    oracle=_table_profile_oracle(),
+    tags=("northstar", "diag", "sketch", "bench"),
+)
+def diag_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whole-table column profiler — the first thing a 100 TB ingest runs
+    on a new source: per column, row count, null count, and approximate
+    distinct cardinality from the hand-rolled HLL registers
+    (``agg_hll_merge_by_type``'s recipe applied per COLUMN instead of per
+    group), demonstrating the sketch as a composable building block.
+    Derived cleaning columns (JSON-extracted prop, NULLIF'd type) ride
+    along so null rates are real, and ``exact_distinct`` is the
+    self-report truth a production profile would drop.
+
+    Spark shape: ONE scan; ``stack()`` pivots the row into (col_name,
+    canonical-string) pairs map-side (no shuffle, no UDF — the canonical
+    casts are the same integer-grid forms every oracle here uses), then
+    two bounded aggregations: per-column counters, and per-(column,
+    register) max-rho partials — the shuffled sketch state is exactly
+    |cols| x 64 rows however wide the scan. The only caveat at 100 TB is
+    ``exact_distinct`` (a real distinct per column); drop it and the
+    whole profile is one pass with O(cols x 64) state — that IS the HLL
+    pitch."""
+    from kafka_streams_playground_spark.plans.relational import (
+        HLL_ALPHA_M2_E6,
+        HLL_M,
+        HLL_WBITS,
+    )
+
+    n = len(PROFILE_COLS)
+    stack_args = ", ".join(f"'{name}', {expr}" for name, expr, _ in PROFILE_COLS)
+    pairs = load_table(spark, sf_dir, "events").selectExpr(
+        f"stack({n}, {stack_args}) AS (col_name, val)"
+    )
+    counts = pairs.groupBy("col_name").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col("val").isNull().cast("long")).alias("n_null"),
+        F.countDistinct("val").alias("exact_distinct"),
+    )
+    hv = F.conv(F.substring(F.md5("val"), 1, 8), 16, 10).cast("long")
+    w = F.col("hv") % (2**HLL_WBITS)
+    rho = (
+        pairs.filter(F.col("val").isNotNull())
+        .select("col_name", hv.alias("hv"))
+        .select(
+            "col_name",
+            (F.col("hv") / (2**HLL_WBITS)).cast("long").alias("reg"),
+            F.when(w == 0, F.lit(HLL_WBITS + 1))
+            .otherwise(F.lit(HLL_WBITS + 1) - F.length(F.conv(w, 10, 2)))
+            .cast("long")
+            .alias("rho"),
+        )
+    )
+    pt = rho.groupBy("col_name", "reg").agg(F.max("rho").alias("m"))
+    spine = (
+        pt.select("col_name")
+        .distinct()
+        .crossJoin(spark.range(HLL_M).select(F.col("id").alias("reg")))
+    )
+    dense = spine.join(pt, ["col_name", "reg"], "left").select(
+        "col_name", F.coalesce("m", F.lit(0)).alias("m")
+    )
+    wmax = Window.partitionBy("col_name")
+    est = (
+        dense.withColumn("mmax", F.max("m").over(wmax))
+        .groupBy("col_name", "mmax")
+        .agg(F.sum(F.expr("shiftleft(1L, cast(mmax - m AS INT))")).alias("s_scaled"))
+        .select(
+            "col_name",
+            F.expr(
+                f"CAST(({HLL_ALPHA_M2_E6} * shiftleft(1L, mmax))"
+                " div (s_scaled * 1000000) AS BIGINT)"
+            ).alias("est_distinct"),
+        )
+    )
+    return counts.join(F.broadcast(est), "col_name").select(
+        "col_name",
+        "n_rows",
+        "n_null",
+        "est_distinct",
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+    )

@@ -987,3 +987,33 @@ def test_pareto_frontier_is_maximal_antichain(spark, sf_dir):
         if p in fs:
             continue
         assert any(dominates(b, p) for b in front), p
+
+
+def test_table_profile_null_rates_and_estimates(spark, sf_dir):
+    """diag_table_profile: the derived cleaning columns must show REAL null
+    counts (clean_type nulls == # 'error' events; raw columns 0), and each
+    column's corrected distinct estimate must land within 35% of exact
+    (linear-counting correction from n_rows/zero registers applied where
+    the raw regime doesn't hold, as documented)."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+    from kafka_streams_playground_spark.sources.parquet import load_table
+
+    rows = {
+        r["col_name"]: r
+        for r in REGISTRY["diag_table_profile"].fn(spark, sf_dir).collect()
+    }
+    n_err = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "error")
+        .count()
+    )
+    assert rows["clean_type"]["n_null"] == n_err > 0
+    assert rows["event_id"]["n_null"] == 0
+    assert rows["event_id"]["n_rows"] == rows["clean_type"]["n_rows"]
+    # exact distinct sanity: event_id is unique
+    assert rows["event_id"]["exact_distinct"] == rows["event_id"]["n_rows"]
+    # estimates: high-cardinality columns must estimate within HLL bands
+    for c, r in rows.items():
+        if r["exact_distinct"] >= 500:  # raw-regime columns only
+            rel = abs(r["est_distinct"] - r["exact_distinct"]) / r["exact_distinct"]
+            assert rel < 0.35, (c, r)
