@@ -1548,3 +1548,90 @@ def diag_table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "est_distinct",
         F.col("exact_distinct").cast("long").alias("exact_distinct"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+# floor(log10(1 + 1/d) * 1e6) for d = 1..9, baked so neither engine
+# evaluates a float log at query time.
+BENFORD_PPM = {
+    1: 301029, 2: 176091, 3: 124938, 4: 96910, 5: 79181,
+    6: 66946, 7: 57991, 8: 51152, 9: 45757,
+}
+_BENFORD_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {p}" for d, p in BENFORD_PPM.items()
+) + " END"
+
+
+@query(
+    "stats_benford_first_digit",
+    oracle=f"""
+    WITH c AS (
+      SELECT CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+      FROM orders WHERE o_totalprice > 0
+    ),
+    d AS (
+      SELECT CAST(substr(cents::VARCHAR, 1, 1) AS BIGINT) AS digit,
+             COUNT(*) AS n
+      FROM c GROUP BY 1
+    ),
+    spine AS (SELECT g AS digit FROM generate_series(1, 9) gs(g)),
+    t AS (SELECT SUM(n) AS total FROM d)
+    SELECT spine.digit,
+           CAST(COALESCE(d.n, 0) AS BIGINT) AS n_orders,
+           CAST(COALESCE(d.n, 0) * 1000000 // t.total AS BIGINT) AS obs_ppm,
+           CAST({_BENFORD_CASE.replace('digit', 'spine.digit')} AS BIGINT)
+               AS exp_ppm,
+           CAST(COALESCE(d.n, 0) * 1000000 // t.total
+                - {_BENFORD_CASE.replace('digit', 'spine.digit')} AS BIGINT)
+               AS dev_ppm
+    FROM spine LEFT JOIN d ON d.digit = spine.digit, t
+    """,
+    tags=("northstar", "stats", "quality", "bench"),
+)
+def stats_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the classic
+    forensic data-quality screen (fabricated, truncated, or
+    unit-mismatched numeric feeds bend the leading-digit distribution
+    long before summary stats move). Emits observed vs expected
+    frequency per digit 1-9 on the exact ppm grid with the Benford
+    expectations baked as integer constants (no float log at query
+    time); the DEVIATION column is the audit signal — synthetic TPC-H
+    totals are roughly range-uniform, so they deviate, and that showing
+    up in dev_ppm is the point of the audit.
+
+    Spark shape: first digit via one codegen'd substring on the cents
+    string (exact — no float log10), a 9-group map-side-partial count,
+    a broadcast total, and a broadcast 9-row digit spine so absent
+    digits still report 0. One scan, one 9-group shuffle, O(9) state —
+    at 100 TB this is as cheap as a count(*)."""
+    cents = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 0)
+        .select(
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents")
+        )
+    )
+    d = cents.select(
+        F.substring(F.col("cents").cast("string"), 1, 1).cast("long").alias("digit")
+    ).groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    spine = spark.range(1, 10).select(F.col("id").alias("digit"))
+    t = d.agg(F.sum("n").alias("total"))
+    return (
+        spine.join(F.broadcast(d), "digit", "left")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_orders"),
+            F.expr("CAST(coalesce(n, 0) * 1000000 div total AS BIGINT)").alias(
+                "obs_ppm"
+            ),
+            F.expr(f"CAST({_BENFORD_CASE} AS BIGINT)").alias("exp_ppm"),
+            F.expr(
+                f"CAST(coalesce(n, 0) * 1000000 div total - ({_BENFORD_CASE})"
+                " AS BIGINT)"
+            ).alias("dev_ppm"),
+        )
+    )

@@ -1017,3 +1017,22 @@ def test_table_profile_null_rates_and_estimates(spark, sf_dir):
         if r["exact_distinct"] >= 500:  # raw-regime columns only
             rel = abs(r["est_distinct"] - r["exact_distinct"]) / r["exact_distinct"]
             assert rel < 0.35, (c, r)
+
+
+def test_benford_audit_grid_closes(spark, sf_dir):
+    """stats_benford_first_digit: all 9 digits present, counts sum to the
+    positive-total row count, obs_ppm sums to ~1e6 (integer-floor slack
+    < 9), and dev_ppm is exactly obs - exp per row."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+    from kafka_streams_playground_spark.sources.parquet import load_table
+
+    rows = REGISTRY["stats_benford_first_digit"].fn(spark, sf_dir).collect()
+    assert sorted(r["digit"] for r in rows) == list(range(1, 10))
+    n_pos = (
+        load_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") > 0).count()
+    )
+    assert sum(r["n_orders"] for r in rows) == n_pos
+    s = sum(r["obs_ppm"] for r in rows)
+    assert 1000000 - 9 <= s <= 1000000
+    for r in rows:
+        assert r["dev_ppm"] == r["obs_ppm"] - r["exp_ppm"]
