@@ -936,3 +936,110 @@ def dedup_incremental_new_vs_base(spark: SparkSession, sf_dir: str) -> DataFrame
     return best.select(
         F.col("new_id").alias("doc_id"), F.col("base_id").alias("dup_of"), "jaccard"
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtering set-similarity join (exact, no LSH false negatives)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_prefix_filter_jaccard",
+    oracle=f"""
+    WITH {T.duck_shingles_cte()},
+    hv AS (
+      SELECT doc_id, list_distinct({T.duck_shingle_hashes()}) AS hs FROM sh
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      ROUND(len(list_intersect(a.hs, b.hs)) * 1.0
+            / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs))), 4)
+          AS jaccard
+    FROM hv a JOIN hv b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.hs, b.hs)) * 1.0
+          / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))
+          >= {JACCARD_THRESHOLD}
+    """,
+    tags=("northstar", "dedup", "bench"),
+)
+def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT Jaccard-threshold near-dup join via prefix filtering
+    (Chaudhuri et al. ICDE'06 / Xiao et al. PPJoin) — the deterministic
+    alternative to MinHash-LSH: where LSH trades false negatives for
+    speed, prefix filtering is complete BY CONSTRUCTION, so its verified
+    pair set IS the ground truth (the oracle runs the quadratic
+    definition; this plan must reproduce it exactly — and the LSH
+    family's output must be a subset, pinned in tests).
+
+    The principle: order the element universe by ascending global
+    frequency (rarest first); if J(a,b) >= t then |a∩b| >= ceil(t·|a|),
+    so b must hit one of a's first |a| - ceil(t·|a|) + 1 elements in
+    that order — docs whose RAREST-element prefixes are disjoint cannot
+    qualify and are never paired. Candidates therefore come from an
+    equi-join on prefix elements, and rare elements have few owners, so
+    the join fan-out tracks the true near-dup density, not n².
+
+    Spark shape: reuses the dedup family's hashed-shingle sets (one
+    Arrow pass, md5 == DuckDB); element frequencies are one map-side
+    partial count (never a global rank — the canonical order is
+    consumed only inside per-doc windows, bounded by doc size); the
+    ceil is the integer form (4n+4) div 5 (a float 0.8·n would round
+    0.8·25 up a ULP and silently lengthen prefixes); the candidate
+    equi-join carries only (h, doc_id) — the sets ride in just for the
+    surviving pairs, same economics as the LSH verify. Skew lever at
+    100 TB: a stop-shingle whose frequency puts it in many prefixes is
+    exactly what the frequency order pushes OUT of prefixes; residual
+    hot elements can be salted or capped (drop elements with cnt >
+    bound from prefixes is NOT admissible without widening them — noted
+    so nobody 'optimizes' completeness away)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    hv = docs.select(
+        "doc_id",
+        F.array_distinct(T.shingle_hashes(T.shingles(T.tokens("text")))).alias(
+            "hs"
+        ),
+    ).persist()
+    el = hv.select(
+        "doc_id",
+        F.size("hs").alias("n"),
+        F.explode("hs").alias("h"),
+    )
+    freq = el.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql import Window
+
+    wdoc = Window.partitionBy("doc_id").orderBy(F.asc("cnt"), F.asc("h"))
+    # integer ceil(0.8*n) = (4n+4) div 5; prefix = n - ceil(t*n) + 1
+    prefix = (
+        el.join(freq, "h")
+        .withColumn("rn", F.row_number().over(wdoc))
+        .filter(F.col("rn") <= F.col("n") - F.expr("(4 * n + 4) div 5") + 1)
+        .select("doc_id", "h")
+    )
+    cand = (
+        prefix.alias("a")
+        .join(
+            prefix.alias("b"),
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    verified = (
+        cand.join(
+            hv.select(F.col("doc_id").alias("doc_a"), F.col("hs").alias("hsa")),
+            "doc_a",
+        )
+        .join(
+            hv.select(F.col("doc_id").alias("doc_b"), F.col("hs").alias("hsb")),
+            "doc_b",
+        )
+    )
+    jac = T.jaccard(F.col("hsa"), F.col("hsb"))
+    result = verified.filter(jac >= JACCARD_THRESHOLD).select(
+        "doc_a", "doc_b", F.round(jac, 4).alias("jaccard")
+    )
+    result = result.localCheckpoint(eager=True)
+    hv.unpersist()
+    return result

@@ -1966,3 +1966,22 @@ def test_source_cap_ranks_and_caps_per_source(spark, sf_dir):
         assert [r["doc_id"] for r in srt] == [
             r["doc_id"] for r in sorted(rs, key=lambda r: r["quality_rank"])
         ]
+
+
+def test_prefix_filter_is_complete_superset_of_lsh(spark, sf_dir):
+    """Prefix filtering is exact (complete by construction), so its verified
+    pair set must CONTAIN the MinHash-LSH pipeline's verified pairs (LSH
+    may lose pairs to banding, never gain: both verify with the same exact
+    Jaccard threshold)."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+
+    exact = {
+        (r["doc_a"], r["doc_b"])
+        for r in REGISTRY["dedup_prefix_filter_jaccard"].fn(spark, sf_dir).collect()
+    }
+    lsh = {
+        (r["doc_a"], r["doc_b"])
+        for r in REGISTRY["dedup_minhash_lsh"].fn(spark, sf_dir).collect()
+    }
+    assert exact, "fixture must contain planted near-dups"
+    assert lsh <= exact
