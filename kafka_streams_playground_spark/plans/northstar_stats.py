@@ -1635,3 +1635,95 @@ def stats_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dev_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Markov-chain event-sequence anomaly score
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_markov_sequence_score",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_type
+      FROM events
+    ),
+    tr AS (
+      SELECT prev_type, event_type, COUNT(*) AS cnt
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ),
+    lp AS (
+      SELECT prev_type, event_type,
+             CAST(FLOOR(ln(cnt * 1.0 / SUM(cnt) OVER (PARTITION BY prev_type))
+                        * 1000000 + 0.5) AS BIGINT) AS lp_e6
+      FROM tr
+    )
+    SELECT s.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_trans,
+           CAST(SUM(lp.lp_e6) AS BIGINT) AS sum_lp_e6,
+           CAST(SUM(lp.lp_e6) // COUNT(*) AS BIGINT) AS avg_lp_e6
+    FROM seq s JOIN lp
+      ON s.prev_type = lp.prev_type AND s.event_type = lp.event_type
+    WHERE s.prev_type IS NOT NULL
+    GROUP BY s.user_id
+    """,
+    tags=("northstar", "stats", "quality", "bench"),
+)
+def stats_markov_sequence_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-SEQUENCE anomaly score under a first-order Markov
+    chain fit on the whole stream — the sequence-level sibling of the
+    value outlier detectors: bots and instrumentation bugs betray
+    themselves by improbable TRANSITIONS (purchase→purchase loops,
+    signup after purchase) long before any single event looks odd. Fit:
+    global transition matrix P(cur|prev) from all adjacent pairs; score:
+    each user's mean transition log-likelihood — the per-user average
+    makes scores comparable across activity levels (the bigram-LM
+    normalization, applied to behavior instead of text).
+
+    Spark shape: one user-keyed sort window (full-precision ts +
+    event_id tiebreak — the ADVICE r6 frame lesson) produces lagged
+    pairs; the transition matrix is a |types|² aggregate with map-side
+    partials, broadcast back onto the pair stream; per-user fold is one
+    partial-agg shuffle on integer grid values (ln snapped to the 1e-6
+    grid — the LP_GRID ulp dodge — so the order-free sum is bit-stable).
+    At 100 TB the only corpus-scale shuffles are the user-keyed window
+    and the per-user fold; the matrix state is O(types²)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    wseq = Window.partitionBy("user_id").orderBy(F.col("ts"), F.col("event_id"))
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lag("event_type").over(wseq).alias("prev_type"),
+    ).filter(F.col("prev_type").isNotNull())
+    tr = seq.groupBy("prev_type", "event_type").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    wprev = Window.partitionBy("prev_type")
+    lp = tr.select(
+        "prev_type",
+        "event_type",
+        F.floor(
+            F.log(F.col("cnt") / F.sum("cnt").over(wprev)) * 1000000 + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("lp_e6"),
+    )
+    return (
+        seq.join(F.broadcast(lp), ["prev_type", "event_type"])
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_trans"),
+            F.sum("lp_e6").alias("sum_lp_e6"),
+        )
+        .select(
+            "user_id",
+            "n_trans",
+            "sum_lp_e6",
+            F.expr("CAST(sum_lp_e6 div n_trans AS BIGINT)").alias("avg_lp_e6"),
+        )
+    )

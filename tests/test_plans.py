@@ -1036,3 +1036,18 @@ def test_benford_audit_grid_closes(spark, sf_dir):
     assert 1000000 - 9 <= s <= 1000000
     for r in rows:
         assert r["dev_ppm"] == r["obs_ppm"] - r["exp_ppm"]
+
+
+def test_markov_score_conservation(spark, sf_dir):
+    """Transition conservation: per-user transition counts must sum to
+    n_events - n_users (one lag loss per user), and every mean transition
+    log-likelihood is negative (probabilities < 1)."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+    from kafka_streams_playground_spark.sources.parquet import load_table
+
+    rows = REGISTRY["stats_markov_sequence_score"].fn(spark, sf_dir).collect()
+    ev = load_table(spark, sf_dir, "events")
+    n_events = ev.count()
+    n_users = ev.select("user_id").distinct().count()
+    assert sum(r["n_trans"] for r in rows) == n_events - n_users
+    assert all(r["avg_lp_e6"] < 0 for r in rows)
