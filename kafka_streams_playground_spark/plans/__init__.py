@@ -85,10 +85,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "retrieval_mmr_rerank",
     "sim_hard_negative_mining",
     "dsir_importance_weights",
-    "stream_dsir_importance_weights",
     "stats_countmin_user_traffic",
     "stats_histogram_quantiles",
-    "stream_stats_histogram_quantiles",
     "mm_phash_neardup",
     "layout_compaction_bins",
     "embedding_random_projection",
@@ -96,6 +94,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ivm_incremental_user_agg",
     "text_stupid_backoff_trigram",
     "graph_personalized_pagerank",
+    # -- never-checked: this session's additions with genuinely NEW
+    # cross-engine SQL surface (DuckDB bin()/shift registers + ROLLUP;
+    # stack()/UNION-ALL/json canonicalization) — highest divergence risk
+    # of the session, so they displace the two stream twins whose batch
+    # siblings hold slots and whose drain mechanics match 7 already-green
+    # twins (stream_stats_histogram_quantiles, stream_dsir_importance_
+    # weights — deferred to round 8 with the rest):
+    "agg_hll_merge_by_type",
+    "diag_table_profile",
     # -- never-checked: round-7 late additions (this session added 20 new
     # operators after the slots above filled; never-checked > changed >
     # stale puts them ahead of every query that already holds a driver
@@ -108,13 +115,19 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "pipeline_pretrain_e2e_manifest",
     "graph_kcore_peel",
     "pipeline_content_version",
-    # The remaining 14 round-7-late queries (events_value_mad_outliers,
+    # The remaining round-7-late queries (events_value_mad_outliers,
     # ts_multi_granularity_rollup + stream twin, ids_dense_global_rownum,
     # gdpr_delete_cascade_plan, graph_lpa_communities,
-    # stats_bootstrap_ci_mean, drift_ks_value_halves + stream twin,
-    # stats_chi2_nation_segment, ivm_incremental_join_view,
+    # stats_bootstrap_ci_mean + stream twin, drift_ks_value_halves +
+    # stream twin, stats_chi2_nation_segment, ivm_incremental_join_view,
     # ts_seasonal_decompose_how, ts_cumulative_new_users,
-    # ts_seasonal_residual_outliers) are full-registry-replica-green
+    # ts_seasonal_residual_outliers, graph_lpa_modularity_audit,
+    # wf_quarterly_revenue_growth, ts_changepoint_binary_seg,
+    # layout_bloom_skipping_audit, curation_source_cap + stream twin,
+    # stream_hll_distinct_by_type, curation_pareto_frontier,
+    # dedup_prefix_filter_jaccard, stats_benford_first_digit,
+    # stats_markov_sequence_score, stream_stats_histogram_quantiles,
+    # stream_dsir_importance_weights) are full-registry-replica-green
     # (CORRECTNESS_LOCAL.json) and LEAD the round-8 rotation, as do the
     # displaced r2/r3 members below (driver-green in their round,
     # unchanged since, replica-checked every round):

@@ -1727,3 +1727,216 @@ def stats_markov_sequence_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(sum_lp_e6 div n_trans AS BIGINT)").alias("avg_lp_e6"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hierarchical HLL rollup: distinct users per hour -> day -> week from one
+# register pass
+# ---------------------------------------------------------------------------
+
+
+def _hll_rollup_oracle() -> str:
+    from kafka_streams_playground_spark.plans.relational import (
+        HLL_ALPHA_M2_E6,
+        HLL_M,
+        HLL_WBITS,
+    )
+
+    return f"""
+    WITH ev AS (
+      SELECT CAST(floor(epoch(ts)) AS BIGINT) // 3600 AS hour_b,
+             (('0x' || substr(md5(user_id::VARCHAR), 1, 8)))::BIGINT AS hv
+      FROM events
+    ),
+    rho AS (
+      SELECT hour_b, hv // {2**HLL_WBITS} AS reg,
+             CASE WHEN hv % {2**HLL_WBITS} = 0 THEN {HLL_WBITS + 1}
+                  ELSE {HLL_WBITS + 1} - length(bin(hv % {2**HLL_WBITS}))
+             END AS rho
+      FROM ev
+    ),
+    hourm AS (SELECT hour_b, reg, MAX(rho) AS m FROM rho GROUP BY 1, 2),
+    daym AS (
+      SELECT (hour_b * 3600) // 86400 AS day_b, reg, MAX(m) AS m
+      FROM hourm GROUP BY 1, 2
+    ),
+    weekm AS (
+      SELECT (day_b * 86400) // 604800 AS week_b, reg, MAX(m) AS m
+      FROM daym GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT 'hour' AS grain, hour_b * 3600 AS bucket_epoch, reg, m FROM hourm
+      UNION ALL
+      SELECT 'day', day_b * 86400, reg, m FROM daym
+      UNION ALL
+      SELECT 'week', week_b * 604800, reg, m FROM weekm
+    ),
+    spine AS (
+      SELECT s.grain, s.bucket_epoch, gs.g AS reg
+      FROM (SELECT DISTINCT grain, bucket_epoch FROM r) s,
+           generate_series(0, {HLL_M - 1}) gs(g)
+    ),
+    dense AS (
+      SELECT spine.grain, spine.bucket_epoch, spine.reg, COALESCE(r.m, 0) AS m
+      FROM spine LEFT JOIN r
+        ON r.grain = spine.grain AND r.bucket_epoch = spine.bucket_epoch
+           AND r.reg = spine.reg
+    ),
+    mm AS (
+      SELECT grain, bucket_epoch, MAX(m) AS mmax FROM dense GROUP BY 1, 2
+    ),
+    est AS (
+      SELECT d.grain, d.bucket_epoch,
+             CAST(({HLL_ALPHA_M2_E6} * (1::BIGINT << mm.mmax))
+                  // (SUM(1::BIGINT << (mm.mmax - d.m)) * 1000000) AS BIGINT)
+                 AS est_distinct
+      FROM dense d
+      JOIN mm ON d.grain = mm.grain AND d.bucket_epoch = mm.bucket_epoch
+      GROUP BY d.grain, d.bucket_epoch, mm.mmax
+    ),
+    ex AS (
+      SELECT 'hour' AS grain,
+             (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS bucket_epoch,
+             COUNT(DISTINCT user_id) AS exact_distinct
+      FROM events GROUP BY 1, 2
+      UNION ALL
+      SELECT 'day', (CAST(floor(epoch(ts)) AS BIGINT) // 86400) * 86400,
+             COUNT(DISTINCT user_id)
+      FROM events GROUP BY 1, 2
+      UNION ALL
+      SELECT 'week', (CAST(floor(epoch(ts)) AS BIGINT) // 604800) * 604800,
+             COUNT(DISTINCT user_id)
+      FROM events GROUP BY 1, 2
+    )
+    SELECT est.grain, CAST(est.bucket_epoch AS BIGINT) AS bucket_epoch,
+           est.est_distinct,
+           CAST(ex.exact_distinct AS BIGINT) AS exact_distinct
+    FROM est JOIN ex
+      ON est.grain = ex.grain AND est.bucket_epoch = ex.bucket_epoch
+    """
+
+
+@query(
+    "ts_rollup_distinct_hll",
+    oracle=_hll_rollup_oracle(),
+    tags=("northstar", "ts", "sketch", "bench"),
+)
+def ts_rollup_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per hour AND day AND week from ONE register pass —
+    the continuous-aggregate pattern for cardinality (Druid / Timescale
+    real-time rollups): exact COUNT(DISTINCT) cannot roll up (day ≠ sum
+    or max of its hours), but HLL registers can — a day's registers are
+    the element-wise MAX of its hours' registers, a week's the max of
+    its days', so the raw stream is scanned exactly once at the finest
+    grain and every coarser grain derives from the O(buckets x 64)
+    register relation, never from raw data. This is the operator that
+    lets a 100 TB events store serve distinct-user dashboards at every
+    granularity for the cost of one ingest-time pass; its exactness
+    contract (register cascade == direct per-grain build) is pinned in
+    tests, and ``exact_distinct`` rides along as the self-report truth.
+
+    Spark shape: one scan -> (hour, register, rho) -> hour-grain max
+    partials (map-side combinable); the day and week registers are two
+    further O(buckets x 64) aggregations of the PERSISTED hour relation
+    (no rescan); dense spines, window-free integer estimates as in
+    ``agg_hll_merge_by_type``. Truth columns are three exact distinct
+    aggregations a production rollup would drop."""
+    from kafka_streams_playground_spark.plans.relational import (
+        HLL_ALPHA_M2_E6,
+        HLL_M,
+        HLL_WBITS,
+    )
+
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    w = F.col("hv") % (2**HLL_WBITS)
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("unix_timestamp(ts) div 3600").alias("hour_b"),
+        hv.alias("hv"),
+        "user_id",
+    )
+    rho = ev.select(
+        "hour_b",
+        (F.col("hv") / (2**HLL_WBITS)).cast("long").alias("reg"),
+        F.when(w == 0, F.lit(HLL_WBITS + 1))
+        .otherwise(F.lit(HLL_WBITS + 1) - F.length(F.conv(w, 10, 2)))
+        .cast("long")
+        .alias("rho"),
+    )
+    hourm = rho.groupBy("hour_b", "reg").agg(F.max("rho").alias("m")).persist()
+    daym = (
+        hourm.withColumn("day_b", F.expr("(hour_b * 3600) div 86400"))
+        .groupBy("day_b", "reg")
+        .agg(F.max("m").alias("m"))
+    )
+    weekm = (
+        daym.withColumn("week_b", F.expr("(day_b * 86400) div 604800"))
+        .groupBy("week_b", "reg")
+        .agg(F.max("m").alias("m"))
+    )
+    r = (
+        hourm.select(
+            F.lit("hour").alias("grain"),
+            (F.col("hour_b") * 3600).alias("bucket_epoch"),
+            "reg",
+            "m",
+        )
+        .unionByName(
+            daym.select(
+                F.lit("day").alias("grain"),
+                (F.col("day_b") * 86400).alias("bucket_epoch"),
+                "reg",
+                "m",
+            )
+        )
+        .unionByName(
+            weekm.select(
+                F.lit("week").alias("grain"),
+                (F.col("week_b") * 604800).alias("bucket_epoch"),
+                "reg",
+                "m",
+            )
+        )
+    )
+    spine = (
+        r.select("grain", "bucket_epoch")
+        .distinct()
+        .crossJoin(spark.range(HLL_M).select(F.col("id").alias("reg")))
+    )
+    dense = spine.join(r, ["grain", "bucket_epoch", "reg"], "left").select(
+        "grain", "bucket_epoch", F.coalesce("m", F.lit(0)).alias("m")
+    )
+    wmax = Window.partitionBy("grain", "bucket_epoch")
+    est = (
+        dense.withColumn("mmax", F.max("m").over(wmax))
+        .groupBy("grain", "bucket_epoch", "mmax")
+        .agg(F.sum(F.expr("shiftleft(1L, cast(mmax - m AS INT))")).alias("s_scaled"))
+        .select(
+            "grain",
+            "bucket_epoch",
+            F.expr(
+                f"CAST(({HLL_ALPHA_M2_E6} * shiftleft(1L, mmax))"
+                " div (s_scaled * 1000000) AS BIGINT)"
+            ).alias("est_distinct"),
+        )
+    )
+    def exact_at(div: int) -> DataFrame:
+        return ev.groupBy(
+            F.expr(f"(hour_b * 3600 div {div}) * {div}").alias("bucket_epoch")
+        ).agg(F.countDistinct("user_id").alias("exact_distinct"))
+
+    exact = (
+        exact_at(3600).select(F.lit("hour").alias("grain"), "bucket_epoch", "exact_distinct")
+        .unionByName(exact_at(86400).select(F.lit("day").alias("grain"), "bucket_epoch", "exact_distinct"))
+        .unionByName(exact_at(604800).select(F.lit("week").alias("grain"), "bucket_epoch", "exact_distinct"))
+    )
+    result = est.join(exact, ["grain", "bucket_epoch"]).select(
+        "grain",
+        F.col("bucket_epoch").cast("long").alias("bucket_epoch"),
+        "est_distinct",
+        F.col("exact_distinct").cast("long").alias("exact_distinct"),
+    )
+    result = result.localCheckpoint(eager=True)
+    hourm.unpersist()
+    return result

@@ -1051,3 +1051,47 @@ def test_markov_score_conservation(spark, sf_dir):
     n_users = ev.select("user_id").distinct().count()
     assert sum(r["n_trans"] for r in rows) == n_events - n_users
     assert all(r["avg_lp_e6"] < 0 for r in rows)
+
+
+def test_hll_rollup_cascade_equals_direct_build(spark, sf_dir):
+    """The register-cascade contract: day-grain estimates derived from the
+    HOUR registers (what ts_rollup_distinct_hll ships) must equal a
+    day-grain sketch built directly from the raw stream — element-wise
+    max is associative, so rolling up sketches loses nothing. Also pins
+    the grain hierarchy: n_hour_rows >= n_day_rows >= n_week_rows >= 1."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+    from kafka_streams_playground_spark.plans.relational import (
+        HLL_ALPHA_M2_E6,
+        HLL_M,
+        HLL_WBITS,
+    )
+    from kafka_streams_playground_spark.sources.parquet import load_table
+
+    rows = REGISTRY["ts_rollup_distinct_hll"].fn(spark, sf_dir).collect()
+    by_grain = {}
+    for r in rows:
+        by_grain.setdefault(r["grain"], {})[r["bucket_epoch"]] = r["est_distinct"]
+    assert len(by_grain["hour"]) >= len(by_grain["day"]) >= len(by_grain["week"]) >= 1
+    # direct day-grain build in local python from the raw table
+    import hashlib
+
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select(F.unix_timestamp("ts").alias("epoch"), "user_id")
+        .collect()
+    )
+    day_regs = {}
+    for r in ev:
+        epoch = int(r["epoch"])
+        day = (epoch // 86400) * 86400
+        h = int(hashlib.md5(str(r["user_id"]).encode()).hexdigest()[:8], 16)
+        reg, wv = h >> HLL_WBITS, h & ((1 << HLL_WBITS) - 1)
+        rho = (HLL_WBITS + 1) if wv == 0 else (HLL_WBITS + 1) - wv.bit_length()
+        regs = day_regs.setdefault(day, [0] * HLL_M)
+        regs[reg] = max(regs[reg], rho)
+    want = {}
+    for day, regs in day_regs.items():
+        mmax = max(regs)
+        s = sum(1 << (mmax - m) for m in regs)
+        want[day] = (HLL_ALPHA_M2_E6 * (1 << mmax)) // (s * 1000000)
+    assert by_grain["day"] == want
