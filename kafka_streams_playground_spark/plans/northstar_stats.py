@@ -367,27 +367,11 @@ def _skew_oracle() -> str:
     return " UNION ALL ".join(parts)
 
 
-@query(
-    "diag_key_skew_report",
-    oracle=_skew_oracle(),
-    tags=("extension", "diagnostics", "agg", "bench"),
-)
-def diag_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Join/aggregation key-skew audit — the diagnostic a 100 TB pipeline
-    runs BEFORE choosing a physical strategy (salt this key? broadcast
-    that dim? AQE skew thresholds?): per candidate shuffle key, the row
-    and key cardinalities, the hottest key's count, the top-10 keys' traffic
-    share, and the max/avg hot-key ratio (both as exact integer ppm).
-
-    Scale shape: one count aggregate per audited key (map-side partials —
-    the same shuffle the real query would do, which is the honest way to
-    measure it), PERSISTED and read twice: once by the O(1) stats fold and
-    once by a TakeOrderedAndProject top-10 (per-partition heap top-K +
-    K-row merge — never a global sort; the KMV/top-k pattern). The top-10
-    SUM is tie-insensitive (any 10 rows with the largest counts carry the
-    same count multiset), so the report is deterministic even though the
-    tied key identities are not. Output is 4 rows however large the
-    corpus; nothing driver-side."""
+def _skew_report_relation(spark: SparkSession, sf_dir: str):
+    """Pre-materialization skew-report relation + its per-key count caches
+    — split out so the plan-shape test can inspect the REAL plan (the
+    query fn localCheckpoints the 4-row result to release the caches,
+    which replaces the visible plan with a Scan ExistingRDD)."""
     out = None
     cached = []
     for label, table, col in SKEW_KEYS:
@@ -427,6 +411,31 @@ def diag_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("max_over_avg_ppm"),
         )
         out = row if out is None else out.unionAll(row)
+    return out, cached
+
+
+@query(
+    "diag_key_skew_report",
+    oracle=_skew_oracle(),
+    tags=("extension", "diagnostics", "agg", "bench"),
+)
+def diag_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/aggregation key-skew audit — the diagnostic a 100 TB pipeline
+    runs BEFORE choosing a physical strategy (salt this key? broadcast
+    that dim? AQE skew thresholds?): per candidate shuffle key, the row
+    and key cardinalities, the hottest key's count, the top-10 keys' traffic
+    share, and the max/avg hot-key ratio (both as exact integer ppm).
+
+    Scale shape: one count aggregate per audited key (map-side partials —
+    the same shuffle the real query would do, which is the honest way to
+    measure it), PERSISTED and read twice: once by the O(1) stats fold and
+    once by a TakeOrderedAndProject top-10 (per-partition heap top-K +
+    K-row merge — never a global sort; the KMV/top-k pattern). The top-10
+    SUM is tie-insensitive (any 10 rows with the largest counts carry the
+    same count multiset), so the report is deterministic even though the
+    tied key identities are not. Output is 4 rows however large the
+    corpus; nothing driver-side."""
+    out, cached = _skew_report_relation(spark, sf_dir)
     # 4-row report; materialize, then release the per-key count caches
     # (ADVICE r6: unbounded persist is reserved for session-shared
     # substrates, not per-query scratch)

@@ -670,8 +670,26 @@ def test_skew_report_uses_heap_topk_not_global_sort(spark, sf_dir):
     """diag_key_skew_report: each audited key's top-10 must plan as
     TakeOrderedAndProject (per-partition heap + K-row merge), never a
     global Sort, and the per-key count aggregates must be persisted
-    (InMemoryTableScan) so stats and top-k read ONE materialization."""
-    plan = _plan(spark, sf_dir, "diag_key_skew_report")
+    (InMemoryTableScan) so stats and top-k read ONE materialization.
+    Inspects the PRE-checkpoint relation (the query fn localCheckpoints
+    its 4-row result to release the caches — ADVICE r6 — which replaces
+    the visible plan with a Scan ExistingRDD)."""
+    import io
+    from contextlib import redirect_stdout
+
+    from kafka_streams_playground_spark.plans.northstar_stats import (
+        _skew_report_relation,
+    )
+
+    rel, cached = _skew_report_relation(spark, sf_dir)
+    try:
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            rel.explain("formatted")
+        plan = buf.getvalue()
+    finally:
+        for c in cached:
+            c.unpersist()
     toap_nodes = set(re.findall(r"TakeOrderedAndProject \((\d+)\)", plan))
     assert len(toap_nodes) == 4, (toap_nodes, plan)
     assert "InMemoryTableScan" in plan, plan
