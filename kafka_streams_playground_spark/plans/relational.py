@@ -2126,6 +2126,19 @@ def stats_join_cardinality_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side distinct-hash passes + TakeOrderedAndProject bottom-Ks; the
     only full-width work is the truth columns, which a production CBO
     would not compute — the estimate costs O(K) state per table."""
+    result, caches = _jcard_relation(spark, sf_dir)
+    # one-row report; materialize, then release the per-query sketch caches
+    # (ADVICE r6 cache-pressure hygiene)
+    result = result.localCheckpoint(eager=True)
+    for df in caches:
+        df.unpersist()
+    return result
+
+
+def _jcard_relation(spark: SparkSession, sf_dir: str):
+    """Pre-materialization join-cardinality relation + its sketch caches —
+    split out so the plan-shape test can inspect the REAL plan (the query
+    fn localCheckpoints the 1-row report to release the caches)."""
     K = JCARD_K
 
     def hashes(table: str, col: str) -> DataFrame:
@@ -2179,12 +2192,7 @@ def stats_join_cardinality_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "true_union_keys",
         )
     )
-    # one-row report; materialize, then release the per-query sketch caches
-    # (ADVICE r6 cache-pressure hygiene)
-    result = result.localCheckpoint(eager=True)
-    for df in (ha, hb, u):
-        df.unpersist()
-    return result
+    return result, (ha, hb, u)
 
 
 @query(

@@ -763,7 +763,19 @@ def test_join_cardinality_estimate_within_error(spark, sf_dir):
     row = REGISTRY["stats_join_cardinality_kmv"].fn(spark, sf_dir).collect()[0]
     err_budget = 3.0 / (JCARD_K ** 0.5) * row["true_union_keys"]
     assert abs(row["est_common_keys"] - row["true_common_keys"]) <= err_budget, row
-    plan = _plan(spark, sf_dir, "stats_join_cardinality_kmv")
+    # plan shape: inspect the PRE-checkpoint relation (the query fn
+    # localCheckpoints the 1-row report to release its caches — ADVICE r6)
+    from kafka_streams_playground_spark.plans.relational import _jcard_relation
+
+    rel, caches = _jcard_relation(spark, sf_dir)
+    try:
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            rel.explain("formatted")
+        plan = buf.getvalue()
+    finally:
+        for c in caches:
+            c.unpersist()
     assert "TakeOrderedAndProject" in plan, plan
 
 
