@@ -1043,3 +1043,106 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = result.localCheckpoint(eager=True)
     hv.unpersist()
     return result
+
+
+# ---------------------------------------------------------------------------
+# Near-dup method agreement audit
+# ---------------------------------------------------------------------------
+
+
+def _method_agreement_oracle() -> str:
+    sim_sql = simhash_banded_pairs_sql(
+        "documents", "duckdb", SIMHASH_BANDED_MAX_HAMMING
+    )
+    return f"""
+    WITH {MINHASH_PAIRS_CTES},
+    truth AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM hv a JOIN hv b ON a.doc_id < b.doc_id
+      WHERE len(list_intersect(a.hs, b.hs)) * 1.0
+            / (len(a.hs) + len(b.hs) - len(list_intersect(a.hs, b.hs)))
+            >= {JACCARD_THRESHOLD}
+    ),
+    mh AS (SELECT doc_a, doc_b FROM verified),
+    sb AS (SELECT doc_a, doc_b FROM ({sim_sql})),
+    tn AS (SELECT COUNT(*) AS n_truth FROM truth)
+    SELECT m.method, m.n_pairs, tn.n_truth, m.n_true,
+           CAST(m.n_true * 1000000 // tn.n_truth AS BIGINT) AS recall_ppm,
+           CAST(m.n_true * 1000000 // m.n_pairs AS BIGINT) AS precision_ppm
+    FROM (
+      SELECT 'minhash_lsh' AS method,
+             (SELECT COUNT(*) FROM mh) AS n_pairs,
+             (SELECT COUNT(*) FROM mh JOIN truth USING (doc_a, doc_b))
+                 AS n_true
+      UNION ALL
+      SELECT 'simhash_banded',
+             (SELECT COUNT(*) FROM sb),
+             (SELECT COUNT(*) FROM sb JOIN truth USING (doc_a, doc_b))
+    ) m, tn
+    """
+
+
+@query(
+    "dedup_method_agreement",
+    oracle=_method_agreement_oracle(),
+    tags=("northstar", "dedup", "diagnostics", "bench"),
+)
+def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-method near-dup AGREEMENT audit — the report a curation team
+    reads before trusting a dedup config: each approximate method's pair
+    set measured against the exact Jaccard>=threshold ground truth that
+    ``dedup_prefix_filter_jaccard`` computes completely (no sampling, no
+    banding probability). MinHash-LSH verifies candidates with the same
+    exact Jaccard, so its precision is 1e6 by construction and the
+    audit exposes its RECALL (pairs lost to band non-collision);
+    SimHash banding answers a different similarity question (fingerprint
+    Hamming <= 4 ~ cosine over hashed features), so both its recall and
+    precision against the Jaccard truth are informative — the number
+    that tells you the two families do NOT interchange.
+
+    Spark shape: three pair sets from their already-proven plans (exact
+    prefix-filter, LSH band join, SimHash band join — the first
+    localCheckpoints and releases its caches; the other two persist the
+    shared signature substrates by design), then one-row count
+    aggregates combined by broadcast cross joins; ppm on the exact
+    integer grid. The audit itself adds no corpus-scale work beyond the
+    methods it audits."""
+    truth = (
+        dedup_prefix_filter_jaccard(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    tn = truth.agg(F.count(F.lit(1)).alias("n_truth"))
+    mh = minhash_verified_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    sb = dedup_simhash_banded(spark, sf_dir).select("doc_a", "doc_b")
+
+    def method_row(name: str, p: DataFrame) -> DataFrame:
+        n_pairs = p.agg(F.count(F.lit(1)).alias("n_pairs"))
+        n_true = p.join(F.broadcast(truth), ["doc_a", "doc_b"]).agg(
+            F.count(F.lit(1)).alias("n_true")
+        )
+        return (
+            n_pairs.crossJoin(F.broadcast(n_true))
+            .select(F.lit(name).alias("method"), "n_pairs", "n_true")
+        )
+
+    out = (
+        method_row("minhash_lsh", mh)
+        .unionByName(method_row("simhash_banded", sb))
+        .crossJoin(F.broadcast(tn))
+        .select(
+            "method",
+            "n_pairs",
+            "n_truth",
+            "n_true",
+            F.expr("CAST(n_true * 1000000 div n_truth AS BIGINT)").alias(
+                "recall_ppm"
+            ),
+            F.expr("CAST(n_true * 1000000 div n_pairs AS BIGINT)").alias(
+                "precision_ppm"
+            ),
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    truth.unpersist()
+    return out

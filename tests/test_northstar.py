@@ -1985,3 +1985,22 @@ def test_prefix_filter_is_complete_superset_of_lsh(spark, sf_dir):
     }
     assert exact, "fixture must contain planted near-dups"
     assert lsh <= exact
+
+
+def test_method_agreement_invariants(spark, sf_dir):
+    """dedup_method_agreement: MinHash-LSH verifies with the exact Jaccard
+    that defines the truth set, so its pairs are a truth subset —
+    precision must be exactly 1e6 and n_true == n_pairs; both rows must
+    report the same truth size and n_true <= min(n_pairs, n_truth)."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+
+    rows = {
+        r["method"]: r
+        for r in REGISTRY["dedup_method_agreement"].fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == {"minhash_lsh", "simhash_banded"}
+    mh, sb = rows["minhash_lsh"], rows["simhash_banded"]
+    assert mh["precision_ppm"] == 1000000 and mh["n_true"] == mh["n_pairs"]
+    assert mh["n_truth"] == sb["n_truth"] > 0
+    for r in rows.values():
+        assert r["n_true"] <= min(r["n_pairs"], r["n_truth"])
