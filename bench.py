@@ -31,6 +31,11 @@ EXCLUDED = {
     "dedup_ngram_jaccard": "quadratic ground-truth baseline",
     "dedup_simhash": "quadratic pair-join baseline; dedup_simhash_banded is the scale path",
     "dedup_embedding_cosine": "quadratic baseline; sim_ann_* are the scale path",
+    # Composite meta-audit: re-executes three dedup pipelines end-to-end
+    # (exact prefix-filter, MinHash-LSH, SimHash-banded) that are each
+    # individually benched — timing it double-counts ~10 s of already-
+    # measured work without exercising any new plan.
+    "dedup_method_agreement": "composite of three individually-benched dedup pipelines",
 }
 STREAM_EXCLUSION_REASON = (
     "memory-sink drain (driver-resident test harness, not a production sink)"
