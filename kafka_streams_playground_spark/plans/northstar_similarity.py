@@ -1748,7 +1748,9 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-def _ivfpq_oracle() -> str:
+def _ivfpq_ranked_ctes() -> str:
+    """The IVF-PQ candidate/ADC/rank CTE chain up to ``ranked`` — shared
+    by the ADC top-k oracle and the refine-stage oracle."""
     # PQ CTEs re-aliased (g = grid embeddings) so they compose with the
     # IVF index CTEs, whose `e` is the double-vector relation.
     def dist(m: int, left: str) -> str:
@@ -1807,7 +1809,11 @@ def _ivfpq_oracle() -> str:
       SELECT *, row_number() OVER (
         PARTITION BY query_id ORDER BY adc_d2 ASC, neighbor_id ASC) AS rank
       FROM scored
-    )
+    )"""
+
+
+def _ivfpq_oracle() -> str:
+    return f"""{_ivfpq_ranked_ctes()}
     SELECT query_id, neighbor_id, adc_d2, rank
     FROM ranked WHERE rank <= {PQ_TOP_K}
     """
@@ -1901,4 +1907,163 @@ def sim_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= PQ_TOP_K)
         .select("query_id", "neighbor_id", "adc_d2", "rank")
+    )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ + refine: exact re-rank of the ADC shortlist
+# ---------------------------------------------------------------------------
+
+REFINE_R = 10  # ADC shortlist size handed to the exact refine stage
+
+
+def _ivfpq_refine_oracle() -> str:
+    return f"""{_ivfpq_ranked_ctes()},
+    shortlist AS (SELECT query_id, neighbor_id, adc_d2 FROM ranked
+                  WHERE rank <= {REFINE_R}),
+    refined AS (
+      SELECT s.query_id, s.neighbor_id, s.adc_d2,
+             CAST(list_sum(list_transform(list_zip(qg.x6, ng.x6),
+                  t -> (t[1]-t[2])*(t[1]-t[2]))) AS BIGINT) AS exact_d2
+      FROM shortlist s
+      JOIN g qg ON qg.vec_id = s.query_id
+      JOIN g ng ON ng.vec_id = s.neighbor_id
+    ),
+    rr AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY exact_d2 ASC, neighbor_id ASC)
+          AS rank
+      FROM refined
+    )
+    SELECT query_id, neighbor_id, adc_d2, exact_d2, rank
+    FROM rr WHERE rank <= {PQ_TOP_K}
+    """
+
+
+@query(
+    "sim_ivfpq_refine_topk",
+    oracle=_ivfpq_refine_oracle(),
+    tags=("northstar", "similarity", "ivf", "quantization", "bench"),
+)
+def sim_ivfpq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ search WITH the refine stage — the full production serving
+    path (faiss ``IndexRefineFlat`` over ``IndexIVFPQ``): the ADC pass
+    ranks compressed candidates cheaply, the top-R shortlist joins back
+    the EXACT vectors (only R rows per query ever touch full-width
+    data), and the final top-k re-ranks on exact integer L2 — this is
+    what recovers the recall the PQ compression gave up, priced
+    separately by ``sim_pq_adc_recall_audit``. Both distances ride in
+    the output so a consumer sees exactly where ADC ordering and exact
+    ordering disagree.
+
+    Spark shape: the ADC stage is ``sim_ivfpq_adc_topk``'s plan verbatim
+    (cell-pruned candidates, Arrow codebook gather) kept to rank <=
+    REFINE_R; the refine join touches R x |queries| rows — the full
+    vectors never ride the candidate shuffle, which is the entire
+    economics of refine at 100 TB (scan codes at 32x compression,
+    fetch exact vectors for a bounded shortlist); exact L2 runs in the
+    same vectorized Arrow pass shape as the audit's brute-force side."""
+    import numpy as np
+    import pandas as pd
+
+    members = _ivf_members(spark, sf_dir).select("vec_id", "cent_id")
+    emb = _pq_grid_emb(spark, sf_dir)
+    CB = _pq_codebook(emb)
+    codes = _pq_codes(emb, CB).select(
+        "vec_id", "code_0", "code_1", "code_2", "code_3"
+    )
+    q = (
+        members.filter(F.col("vec_id") < PQ_NQ)
+        .join(emb, "vec_id")
+        .select(
+            F.col("vec_id").alias("query_id"),
+            F.col("cent_id").alias("q_cent"),
+            F.col("x6").alias("qx6"),
+        )
+    )
+    c = members.join(codes, "vec_id").select(
+        F.col("vec_id").alias("neighbor_id"),
+        "cent_id",
+        "code_0",
+        "code_1",
+        "code_2",
+        "code_3",
+    )
+    cand = q.join(c, q.q_cent == c.cent_id).filter(
+        F.col("neighbor_id") != F.col("query_id")
+    )
+
+    def adc(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Xq = np.stack(pdf["qx6"].to_numpy()).astype(np.int64)
+            Xqs = Xq.reshape(len(Xq), PQ_M, _PQ_SUBDIM)
+            codes_m = np.stack(
+                [pdf[f"code_{m}"].to_numpy() for m in range(PQ_M)], axis=1
+            ).astype(np.int64)
+            d = np.zeros(len(pdf), dtype=np.int64)
+            for m in range(PQ_M):
+                diff = Xqs[:, m, :] - CB[codes_m[:, m], m, :]
+                d += (diff * diff).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].values,
+                    "neighbor_id": pdf["neighbor_id"].values,
+                    "adc_d2": d,
+                }
+            )
+
+    scored = cand.select(
+        "query_id", "qx6", "neighbor_id", "code_0", "code_1", "code_2", "code_3"
+    ).mapInPandas(adc, "query_id long, neighbor_id long, adc_d2 long")
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc_d2").asc(), F.col("neighbor_id").asc()
+    )
+    shortlist = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= REFINE_R)
+        .select("query_id", "neighbor_id", "adc_d2")
+    )
+    withvecs = (
+        shortlist.join(
+            emb.select(F.col("vec_id").alias("query_id"), F.col("x6").alias("qx6")),
+            "query_id",
+        )
+        .join(
+            emb.select(
+                F.col("vec_id").alias("neighbor_id"), F.col("x6").alias("nx6")
+            ),
+            "neighbor_id",
+        )
+    )
+
+    def refine(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            Xq = np.stack(pdf["qx6"].to_numpy()).astype(np.int64)
+            Xn = np.stack(pdf["nx6"].to_numpy()).astype(np.int64)
+            d = ((Xq - Xn) ** 2).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].values,
+                    "neighbor_id": pdf["neighbor_id"].values,
+                    "adc_d2": pdf["adc_d2"].values,
+                    "exact_d2": d,
+                }
+            )
+
+    refined = withvecs.select(
+        "query_id", "neighbor_id", "adc_d2", "qx6", "nx6"
+    ).mapInPandas(
+        refine, "query_id long, neighbor_id long, adc_d2 long, exact_d2 long"
+    )
+    wr = Window.partitionBy("query_id").orderBy(
+        F.col("exact_d2").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        refined.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= PQ_TOP_K)
+        .select("query_id", "neighbor_id", "adc_d2", "exact_d2", "rank")
     )

@@ -2071,3 +2071,94 @@ def stream_hll_distinct_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_to_completion(
         hll_sketch_per_key(stream), output_mode="update", spark=spark
     )
+
+
+def _stream_hll_hour_oracle() -> str:
+    from kafka_streams_playground_spark.plans.relational import (
+        HLL_ALPHA_M2_E6,
+        HLL_M,
+        HLL_WBITS,
+    )
+
+    return f"""
+    WITH ev AS (
+      SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600
+                 AS bucket_epoch,
+             (('0x' || substr(md5(user_id::VARCHAR), 1, 8)))::BIGINT AS hv
+      FROM events
+    ),
+    rho AS (
+      SELECT bucket_epoch, hv // {2**HLL_WBITS} AS reg,
+             CASE WHEN hv % {2**HLL_WBITS} = 0 THEN {HLL_WBITS + 1}
+                  ELSE {HLL_WBITS + 1} - length(bin(hv % {2**HLL_WBITS}))
+             END AS rho
+      FROM ev
+    ),
+    pt AS (SELECT bucket_epoch, reg, MAX(rho) AS m FROM rho GROUP BY 1, 2),
+    spine AS (
+      SELECT s.bucket_epoch, gs.g AS reg
+      FROM (SELECT DISTINCT bucket_epoch FROM pt) s,
+           generate_series(0, {HLL_M - 1}) gs(g)
+    ),
+    dense AS (
+      SELECT spine.bucket_epoch, spine.reg, COALESCE(pt.m, 0) AS m
+      FROM spine LEFT JOIN pt
+        ON pt.bucket_epoch = spine.bucket_epoch AND pt.reg = spine.reg
+    ),
+    mm AS (SELECT bucket_epoch, MAX(m) AS mmax FROM dense GROUP BY 1)
+    SELECT d.bucket_epoch, CAST(mm.mmax AS BIGINT) AS mmax,
+           CAST(SUM(1::BIGINT << (mm.mmax - d.m)) AS BIGINT) AS s_scaled,
+           CAST(SUM(CASE WHEN d.m = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_zero_regs,
+           CAST(({HLL_ALPHA_M2_E6} * (1::BIGINT << mm.mmax))
+                // (SUM(1::BIGINT << (mm.mmax - d.m)) * 1000000) AS BIGINT)
+               AS est_distinct
+    FROM dense d JOIN mm ON d.bucket_epoch = mm.bucket_epoch
+    GROUP BY d.bucket_epoch, mm.mmax
+    """
+
+
+@query(
+    "stream_ts_rollup_hll_hour",
+    oracle=_stream_hll_hour_oracle(),
+    tags=("northstar", "streaming", "ts", "sketch", "stateful"),
+)
+def stream_ts_rollup_hll_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The finest grain of ``ts_rollup_distinct_hll`` AT INGEST: per-hour
+    distinct-user registers as keyed streaming state (the same
+    ``hll_sketch_per_key`` operator, keyed by the hour bucket instead of
+    the event type) — how the register rollup actually gets BUILT in
+    production: the stream maintains hour sketches online with O(64)
+    state per bucket, and the batch day/week cascade reads the emitted
+    hour registers, never raw events. Register extraction stays JVM-side
+    (codegen'd md5 + conv); the drained update-mode emission is
+    bit-equal to the batch hour rows, so the oracle is exact."""
+    from kafka_streams_playground_spark.plans.relational import HLL_WBITS
+    from kafka_streams_playground_spark.streaming.stateful import (
+        hll_sketch_per_key,
+    )
+
+    hv = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    w = F.col("hv") % (2**HLL_WBITS)
+    stream = (
+        read_stream_table(spark, sf_dir, "events")
+        .select(
+            F.expr("(unix_timestamp(ts) div 3600) * 3600").alias("bucket_epoch"),
+            hv.alias("hv"),
+        )
+        .select(
+            "bucket_epoch",
+            (F.col("hv") / (2**HLL_WBITS)).cast("long").alias("reg"),
+            F.when(w == 0, F.lit(HLL_WBITS + 1))
+            .otherwise(F.lit(HLL_WBITS + 1) - F.length(F.conv(w, 10, 2)))
+            .cast("long")
+            .alias("rho"),
+        )
+    )
+    return run_to_completion(
+        hll_sketch_per_key(stream, key_col="bucket_epoch", key_type="BIGINT"),
+        output_mode="update",
+        spark=spark,
+    )

@@ -455,58 +455,68 @@ def source_cap_per_key(sdf: DataFrame) -> DataFrame:
     )
 
 
-def _hll_registers(key: tuple, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
-    """Per-key streaming HyperLogLog: the state is the 64-register table
-    itself (dense ARRAY<BIGINT>), each micro-batch folds its (register,
-    rho) pairs in with element-wise MAX — associative and idempotent, so
-    batch boundaries never change the fixed point and the drained final
-    emission is bit-equal to the batch sketch. Registers/rho arrive
-    PRE-COMPUTED from codegen'd md5 expressions (the Python side never
-    hashes); the per-batch Python work is one vectorized groupby-max over
-    at most 64 groups. State per key: 64 longs forever, however many
-    events the key ships — the bound that makes per-source cardinality
-    monitoring viable at ingest."""
-    from kafka_streams_playground_spark.plans.relational import (
-        HLL_ALPHA_M2_E6,
-        HLL_M,
-    )
+def _hll_registers_fn(key_field: str):
+    """Factory for the per-key HLL state update, parameterized by the name
+    of the grouping column in the emitted frame (event type for the
+    per-source monitor, hour bucket for the rollup twin)."""
 
-    regs = [0] * HLL_M
-    if state.exists:
-        (stored,) = state.get
-        regs = list(stored)
-    for pdf in pdfs:
-        if not len(pdf):
-            continue
-        for r, m in pdf.groupby("reg")["rho"].max().items():
-            i = int(r)
-            if int(m) > regs[i]:
-                regs[i] = int(m)
-    state.update((regs,))
-    mmax = max(regs)
-    s_scaled = sum(1 << (mmax - m) for m in regs)
-    yield pd.DataFrame(
-        {
-            "event_type": [key[0]],
-            "mmax": [mmax],
-            "s_scaled": [s_scaled],
-            "n_zero_regs": [sum(1 for m in regs if m == 0)],
-            "est_distinct": [
-                (HLL_ALPHA_M2_E6 * (1 << mmax)) // (s_scaled * 1000000)
-            ],
-        }
-    )
+    def _hll_registers(key: tuple, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        """Per-key streaming HyperLogLog: the state is the 64-register table
+        itself (dense ARRAY<BIGINT>), each micro-batch folds its (register,
+        rho) pairs in with element-wise MAX — associative and idempotent, so
+        batch boundaries never change the fixed point and the drained final
+        emission is bit-equal to the batch sketch. Registers/rho arrive
+        PRE-COMPUTED from codegen'd md5 expressions (the Python side never
+        hashes); the per-batch Python work is one vectorized groupby-max over
+        at most 64 groups. State per key: 64 longs forever, however many
+        events the key ships — the bound that makes per-source cardinality
+        monitoring viable at ingest."""
+        from kafka_streams_playground_spark.plans.relational import (
+            HLL_ALPHA_M2_E6,
+            HLL_M,
+        )
+
+        regs = [0] * HLL_M
+        if state.exists:
+            (stored,) = state.get
+            regs = list(stored)
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            for r, m in pdf.groupby("reg")["rho"].max().items():
+                i = int(r)
+                if int(m) > regs[i]:
+                    regs[i] = int(m)
+        state.update((regs,))
+        mmax = max(regs)
+        s_scaled = sum(1 << (mmax - m) for m in regs)
+        yield pd.DataFrame(
+            {
+                key_field: [key[0]],
+                "mmax": [mmax],
+                "s_scaled": [s_scaled],
+                "n_zero_regs": [sum(1 for m in regs if m == 0)],
+                "est_distinct": [
+                    (HLL_ALPHA_M2_E6 * (1 << mmax)) // (s_scaled * 1000000)
+                ],
+            }
+        )
+
+    return _hll_registers
 
 
-def hll_sketch_per_key(sdf: DataFrame) -> DataFrame:
-    """Streaming register-sketch cardinality; batch twin =
-    plans/relational.py::agg_hll_merge_by_type (whose per-type rows this
-    operator's drained state reproduces bit-for-bit). Input: a stream of
-    (event_type, reg, rho)."""
-    return sdf.groupBy("event_type").applyInPandasWithState(
-        _hll_registers,
+def hll_sketch_per_key(
+    sdf: DataFrame, key_col: str = "event_type", key_type: str = "STRING"
+) -> DataFrame:
+    """Streaming register-sketch cardinality; batch twins =
+    plans/relational.py::agg_hll_merge_by_type (per event type) and
+    plans/northstar_stats.py::ts_rollup_distinct_hll (per hour bucket) —
+    the drained state reproduces their register summaries bit-for-bit.
+    Input: a stream of (key_col, reg, rho)."""
+    return sdf.groupBy(key_col).applyInPandasWithState(
+        _hll_registers_fn(key_col),
         outputStructType=(
-            "event_type STRING, mmax BIGINT, s_scaled BIGINT,"
+            f"{key_col} {key_type}, mmax BIGINT, s_scaled BIGINT,"
             " n_zero_regs BIGINT, est_distinct BIGINT"
         ),
         stateStructType="regs ARRAY<BIGINT>",

