@@ -126,7 +126,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # layout_bloom_skipping_audit, curation_source_cap + stream twin,
     # stream_hll_distinct_by_type, curation_pareto_frontier,
     # dedup_prefix_filter_jaccard, stats_benford_first_digit,
-    # stats_markov_sequence_score, stream_stats_histogram_quantiles,
+    # stats_markov_sequence_score, ts_rollup_distinct_hll,
+    # stream_ts_rollup_hll_hour, dedup_method_agreement,
+    # sim_ivfpq_refine_topk, stream_stats_histogram_quantiles,
     # stream_dsir_importance_weights) are full-registry-replica-green
     # (CORRECTNESS_LOCAL.json) and LEAD the round-8 rotation, as do the
     # displaced r2/r3 members below (driver-green in their round,
