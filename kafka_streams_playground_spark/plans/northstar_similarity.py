@@ -2067,3 +2067,131 @@ def sim_ivfpq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= PQ_TOP_K)
         .select("query_id", "neighbor_id", "adc_d2", "exact_d2", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# k-center coreset (farthest-first traversal)
+# ---------------------------------------------------------------------------
+
+KCENTER_K = 8
+
+
+def _kcenter_oracle() -> str:
+    d2 = (
+        "list_sum(list_transform(list_zip({a}.x6, {b}.x6),"
+        " t -> (t[1]-t[2])*(t[1]-t[2])))"
+    )
+    # AS MATERIALIZED is load-bearing: each d_r references d_{r-1}, and
+    # DuckDB re-inlines non-materialized CTEs per consumer — the chain
+    # re-evaluates exponentially in K (measured 189 s plain vs 0.1 s
+    # materialized at K=8, 500 vectors).
+    sql = """
+    WITH e AS MATERIALIZED (
+      SELECT vec_id,
+             [CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)
+              for x in embedding::DOUBLE[]] AS x6
+      FROM embeddings
+    ),
+    c0 AS MATERIALIZED (SELECT vec_id, x6 FROM e ORDER BY vec_id LIMIT 1),
+    d0 AS MATERIALIZED (
+      SELECT e.vec_id, e.x6, {d_e_c0} AS dmin FROM e, c0
+    )""".format(d_e_c0=d2.format(a="e", b="c0"))
+    picked = ["SELECT CAST(0 AS BIGINT) AS round, vec_id,"
+              " CAST(0 AS BIGINT) AS sel_d2 FROM c0"]
+    for r in range(1, KCENTER_K):
+        prev_ids = " UNION ALL ".join(
+            f"SELECT vec_id FROM c{i}" for i in range(r)
+        )
+        sql += """,
+    c{r} AS MATERIALIZED (
+      SELECT vec_id, x6, dmin FROM d{prev}
+      WHERE vec_id NOT IN ({prev_ids})
+      ORDER BY dmin DESC, vec_id ASC LIMIT 1
+    ),
+    d{r} AS MATERIALIZED (
+      SELECT d.vec_id, d.x6, LEAST(d.dmin, {d_d_c}) AS dmin
+      FROM d{prev} d, c{r}
+    )""".format(r=r, prev=r - 1, prev_ids=prev_ids,
+                d_d_c=d2.format(a="d", b=f"c{r}"))
+        picked.append(
+            f"SELECT CAST({r} AS BIGINT), vec_id, CAST(dmin AS BIGINT) FROM c{r}"
+        )
+    return sql + "\n    " + "\n    UNION ALL ".join(picked)
+
+
+@query(
+    "sample_kcenter_coreset",
+    oracle=_kcenter_oracle(),
+    tags=("northstar", "similarity", "sampling", "bench"),
+)
+def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-center coreset by farthest-first traversal (Gonzalez 1985; the
+    greedy 2-approximation of the k-center cover) — the diverse-subset
+    selection a data-pruning pass runs over embeddings when it wants
+    COVERAGE rather than quality rank: start from the smallest vec_id,
+    then repeatedly take the point farthest from every chosen center.
+    ``sel_d2`` at each round IS the coverage-radius curve — where it
+    flattens tells you how many exemplars the corpus geometry supports
+    (the same curve coreset papers plot). Exact integer L2 on the 1e-6
+    grid, ties toward the smaller vec_id — bit-deterministic, so the
+    selected set replays across engines (oracle = the K-level chained-CTE
+    unroll of the same greedy).
+
+    Spark shape: the min-distance column updates INCREMENTALLY — each
+    round is one vectorized Arrow pass against the single new center
+    (closure-captured 64-int vector, never a join) followed by a
+    TakeOrderedAndProject argmax whose 1-row result is the only driver
+    traffic (K-1 single-row collects, O(K·d) driver state — the BPE
+    top-1-collect pattern, documented in SCALE.md §12). Distances to
+    already-chosen centers are never recomputed: total work is K scans,
+    the textbook distributed farthest-first schedule. At 100 TB the
+    per-round scan dominates; K is config-sized."""
+    import numpy as np
+    import pandas as pd
+
+    emb = _pq_grid_emb(spark, sf_dir).persist()
+
+    def dist_pass(center_vec):
+        c = np.asarray(center_vec, dtype=np.int64)
+
+        def gen(batches):
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                X = np.stack(pdf["x6"].to_numpy()).astype(np.int64)
+                d = ((X - c[None, :]) ** 2).sum(axis=1)
+                out = pd.DataFrame(
+                    {"vec_id": pdf["vec_id"].values, "d2": d}
+                )
+                if "dmin" in pdf.columns:
+                    out["dmin"] = np.minimum(pdf["dmin"].values, d)
+                else:
+                    out["dmin"] = d
+                out["x6"] = pdf["x6"].values
+                yield out[["vec_id", "x6", "dmin"]]
+
+        return gen
+
+    seed = emb.orderBy("vec_id").limit(1).collect()[0]
+    centers = [(0, int(seed["vec_id"]), 0)]
+    chosen = {int(seed["vec_id"])}
+    cur = emb.mapInPandas(
+        dist_pass(seed["x6"]), "vec_id long, x6 array<long>, dmin long"
+    ).localCheckpoint(eager=True)
+    for r in range(1, KCENTER_K):
+        nxt = (
+            cur.filter(~F.col("vec_id").isin(list(chosen)))
+            .orderBy(F.col("dmin").desc(), F.col("vec_id").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        centers.append((r, int(nxt["vec_id"]), int(nxt["dmin"])))
+        chosen.add(int(nxt["vec_id"]))
+        if r < KCENTER_K - 1:
+            cur = cur.mapInPandas(
+                dist_pass(nxt["x6"]), "vec_id long, x6 array<long>, dmin long"
+            ).localCheckpoint(eager=True)
+    emb.unpersist()
+    return spark.createDataFrame(
+        centers, "round long, vec_id long, sel_d2 long"
+    )

@@ -2024,3 +2024,42 @@ def test_ivfpq_refine_reranks_shortlist_consistently(spark, sf_dir):
         assert [r["rank"] for r in rs] == list(range(1, len(rs) + 1))
         d = [r["exact_d2"] for r in rs]
         assert d == sorted(d), (q, d)
+
+
+def test_kcenter_coreset_matches_local_greedy(spark, sf_dir):
+    """sample_kcenter_coreset: the selected set must equal a local numpy
+    replay of farthest-first traversal (same integer grid, same
+    smallest-id tie-break), and the radius curve sel_d2 must be
+    non-increasing (each added center only shrinks distances)."""
+    import numpy as np
+
+    from kafka_streams_playground_spark.plans import REGISTRY
+    from kafka_streams_playground_spark.plans.northstar_similarity import (
+        KCENTER_K,
+        _pq_grid_emb,
+    )
+
+    got = sorted(
+        (r["round"], r["vec_id"], r["sel_d2"])
+        for r in REGISTRY["sample_kcenter_coreset"].fn(spark, sf_dir).collect()
+    )
+    rows = _pq_grid_emb(spark, sf_dir).collect()
+    ids = np.array([r["vec_id"] for r in rows], dtype=np.int64)
+    X = np.stack([np.array(r["x6"], dtype=np.int64) for r in rows])
+    order = np.argsort(ids)
+    ids, X = ids[order], X[order]
+    want = [(0, int(ids[0]), 0)]
+    dmin = ((X - X[0][None, :]) ** 2).sum(axis=1)
+    chosen = {int(ids[0])}
+    for r in range(1, KCENTER_K):
+        mask = np.array([i not in chosen for i in ids])
+        best = max(
+            ((dmin[k], -ids[k], k) for k in range(len(ids)) if mask[k])
+        )
+        k = best[2]
+        want.append((r, int(ids[k]), int(dmin[k])))
+        chosen.add(int(ids[k]))
+        dmin = np.minimum(dmin, ((X - X[k][None, :]) ** 2).sum(axis=1))
+    assert got == sorted(want)
+    curve = [d for _, _, d in sorted(want)[1:]]
+    assert curve == sorted(curve, reverse=True)
