@@ -128,7 +128,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # dedup_prefix_filter_jaccard, stats_benford_first_digit,
     # stats_markov_sequence_score, ts_rollup_distinct_hll,
     # stream_ts_rollup_hll_hour, dedup_method_agreement,
-    # sim_ivfpq_refine_topk, stream_stats_histogram_quantiles,
+    # sim_ivfpq_refine_topk, sample_kcenter_coreset,
+    # stream_stats_histogram_quantiles,
     # stream_dsir_importance_weights) are full-registry-replica-green
     # (CORRECTNESS_LOCAL.json) and LEAD the round-8 rotation, as do the
     # displaced r2/r3 members below (driver-green in their round,
