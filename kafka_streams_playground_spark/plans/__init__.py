@@ -129,6 +129,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # stats_markov_sequence_score, ts_rollup_distinct_hll,
     # stream_ts_rollup_hll_hour, dedup_method_agreement,
     # sim_ivfpq_refine_topk, sample_kcenter_coreset,
+    # stream_stats_benford_first_digit,
     # stream_stats_histogram_quantiles,
     # stream_dsir_importance_weights) are full-registry-replica-green
     # (CORRECTNESS_LOCAL.json) and LEAD the round-8 rotation, as do the

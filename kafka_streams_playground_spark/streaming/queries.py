@@ -2162,3 +2162,69 @@ def stream_ts_rollup_hll_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
         output_mode="update",
         spark=spark,
     )
+
+
+@query(
+    "stream_stats_benford_first_digit",
+    oracle=None,  # re-registered below: shares the batch Benford oracle
+    tags=("northstar", "streaming", "stats", "quality"),
+)
+def stream_stats_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Benford first-digit audit ONLINE: per-digit order counts as a
+    9-key update-mode streaming aggregate (additive counters — micro-batch
+    merge = partition merge), with the ppm/expectation epilogue computed
+    over the drained 9-row counter state exactly as the batch form does
+    over its 9-group aggregate. The monitor a payments ingest keeps live:
+    a unit-mismatched or fabricated feed bends these nine counters within
+    one micro-batch. Shares the batch oracle verbatim."""
+    from kafka_streams_playground_spark.plans.northstar_stats import (
+        _BENFORD_CASE,
+    )
+
+    cents = (
+        read_stream_table(spark, sf_dir, "orders")
+        .filter(F.col("o_totalprice") > 0)
+        .select(
+            F.floor(F.col("o_totalprice") * 100 + 0.5).cast("long").alias("cents")
+        )
+    )
+    d = (
+        cents.select(
+            F.substring(F.col("cents").cast("string"), 1, 1)
+            .cast("long")
+            .alias("digit")
+        )
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    counts = run_to_completion(d, output_mode="update", spark=spark)
+    spine = spark.range(1, 10).select(F.col("id").alias("digit"))
+    t = counts.agg(F.sum("n").alias("total"))
+    return (
+        spine.join(F.broadcast(counts), "digit", "left")
+        .crossJoin(F.broadcast(t))
+        .select(
+            "digit",
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_orders"),
+            F.expr("CAST(coalesce(n, 0) * 1000000 div total AS BIGINT)").alias(
+                "obs_ppm"
+            ),
+            F.expr(f"CAST({_BENFORD_CASE} AS BIGINT)").alias("exp_ppm"),
+            F.expr(
+                f"CAST(coalesce(n, 0) * 1000000 div total - ({_BENFORD_CASE})"
+                " AS BIGINT)"
+            ).alias("dev_ppm"),
+        )
+    )
+
+
+def _share_benford_oracle() -> None:
+    from kafka_streams_playground_spark.plans import northstar_stats  # noqa: F401
+
+    REGISTRY["stream_stats_benford_first_digit"] = _replace(
+        REGISTRY["stream_stats_benford_first_digit"],
+        oracle=REGISTRY["stats_benford_first_digit"].oracle,
+    )
+
+
+_share_benford_oracle()
