@@ -8,6 +8,8 @@ the coverage is *checked*, not just claimed.
 
 from __future__ import annotations
 
+import math as _math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2468,6 +2470,18 @@ HLL_WBITS = 32 - HLL_B  # 26 remainder bits -> rho in 1..27
 # floor(alpha_m * m^2 * 1e6) with alpha_m = 0.7213/(1 + 1.079/m) (Flajolet
 # et al. 2007); baked as an integer so both engines share one constant.
 HLL_ALPHA_M2_E6 = 2905460551
+# Small-range (linear-counting) correction, Flajolet et al. 2007 §4: when
+# the raw estimate E <= 2.5m and V = #zero registers > 0, the better
+# estimator is m*ln(m/V). ln needs a float, so the 64 possible values are
+# precomputed ONCE here on the driver and baked into both engines as an
+# integer lookup table — the estimate stays on the integer grid and the
+# correction is bit-identical across Spark and the oracle.
+HLL_LC_THRESH = 5 * HLL_M // 2  # 160 = 2.5m, the published regime boundary
+HLL_LC_EST = tuple(
+    int(_math.floor(HLL_M * _math.log(HLL_M / v) + 0.5)) for v in range(1, HLL_M + 1)
+)
+_HLL_LC_SQL = "[" + ", ".join(str(x) for x in HLL_LC_EST) + "]"
+_HLL_LC_SPARK = "array(" + ", ".join(f"{x}L" for x in HLL_LC_EST) + ")"
 
 
 @query(
@@ -2508,14 +2522,22 @@ HLL_ALPHA_M2_E6 = 2905460551
       SELECT COALESCE(event_type, '__all__') AS scope,
              COUNT(DISTINCT user_id) AS exact_distinct
       FROM events GROUP BY ROLLUP(event_type)
+    ),
+    est0 AS (
+      SELECT scope, mmax, s_scaled, n_zero_regs,
+             CAST(({HLL_ALPHA_M2_E6} * (1::BIGINT << mmax))
+                  // (s_scaled * 1000000) AS BIGINT) AS raw_est
+      FROM s
     )
-    SELECT s.scope, CAST(s.mmax AS BIGINT) AS mmax,
-           CAST(s.s_scaled AS BIGINT) AS s_scaled,
-           CAST(s.n_zero_regs AS BIGINT) AS n_zero_regs,
-           CAST(({HLL_ALPHA_M2_E6} * (1::BIGINT << s.mmax))
-                // (s.s_scaled * 1000000) AS BIGINT) AS est_distinct,
+    SELECT e.scope, CAST(e.mmax AS BIGINT) AS mmax,
+           CAST(e.s_scaled AS BIGINT) AS s_scaled,
+           CAST(e.n_zero_regs AS BIGINT) AS n_zero_regs,
+           CAST(CASE WHEN e.n_zero_regs > 0 AND e.raw_est <= {HLL_LC_THRESH}
+                     THEN list_extract({_HLL_LC_SQL},
+                                       CAST(e.n_zero_regs AS INT))
+                     ELSE e.raw_est END AS BIGINT) AS est_distinct,
            CAST(ex.exact_distinct AS BIGINT) AS exact_distinct
-    FROM s JOIN ex ON s.scope = ex.scope
+    FROM est0 e JOIN ex ON e.scope = ex.scope
     """,
     tags=("extension", "agg", "sketch", "bench"),
 )
@@ -2543,12 +2565,16 @@ def agg_hll_merge_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     volume. Union of sketches = element-wise register max (pa CTE /
     ``rAll``), associative and idempotent — the per-source/per-day fold
     a warehouse runs upward for rollup cardinalities. Small-range bias
-    correction (linear counting) is intentionally omitted — it needs a
-    float ln(); ``n_zero_regs`` rides along so a consumer can see when
-    it would bind (at sf0.01's 150 users it does — E <= 2.5m — yet the
-    raw estimator still lands within 10%, asserted in tests; real
-    corpora sit far above 2.5m=160 keys). ``exact_distinct`` is the
-    self-report truth column a production run would drop."""
+    correction (linear counting, Flajolet et al. §4): when the raw
+    estimate is <= 2.5m AND zero registers remain, ``est_distinct``
+    switches to m*ln(m/V) — the ln over the 64 possible V values is
+    baked as the integer table ``HLL_LC_EST`` shared verbatim with the
+    oracle, so the corrected estimate stays bit-exact cross-engine (at
+    sf0.01's 150 users the correction binds; real corpora sit far above
+    2.5m=160 keys and take the raw branch). ``n_zero_regs`` still rides
+    along, so the raw estimator is reconstructible from the emitted
+    registers. ``exact_distinct`` is the self-report truth column a
+    production run would drop."""
     events = load_table(spark, sf_dir, "events").select("event_type", "user_id")
     hv = F.conv(
         F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
@@ -2600,8 +2626,12 @@ def agg_hll_merge_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "s_scaled",
         "n_zero_regs",
         F.expr(
-            f"CAST(({HLL_ALPHA_M2_E6} * shiftleft(1L, mmax))"
-            " div (s_scaled * 1000000) AS BIGINT)"
+            f"CAST(CASE WHEN n_zero_regs > 0 AND ({HLL_ALPHA_M2_E6} *"
+            " shiftleft(1L, mmax)) div (s_scaled * 1000000) <="
+            f" {HLL_LC_THRESH} THEN element_at({_HLL_LC_SPARK},"
+            " CAST(n_zero_regs AS INT)) ELSE"
+            f" ({HLL_ALPHA_M2_E6} * shiftleft(1L, mmax))"
+            " div (s_scaled * 1000000) END AS BIGINT)"
         ).alias("est_distinct"),
         F.col("exact_distinct").cast("long").alias("exact_distinct"),
     )

@@ -634,13 +634,30 @@ def test_stream_hll_matches_batch_registers(spark, sf_dir):
     micro-batch fold and the one-shot batch agg share a fixed point)."""
     from kafka_streams_playground_spark.plans import REGISTRY
 
+    from kafka_streams_playground_spark.plans.relational import (
+        HLL_ALPHA_M2_E6,
+        HLL_LC_EST,
+        HLL_LC_THRESH,
+    )
+
     got = sorted(
         (r["event_type"], r["mmax"], r["s_scaled"], r["n_zero_regs"], r["est_distinct"])
         for r in REGISTRY["stream_hll_distinct_by_type"].fn(spark, sf_dir).collect()
     )
-    want = sorted(
+    batch = sorted(
         (r["scope"], r["mmax"], r["s_scaled"], r["n_zero_regs"], r["est_distinct"])
         for r in REGISTRY["agg_hll_merge_by_type"].fn(spark, sf_dir).collect()
         if r["scope"] != "__all__"
     )
-    assert got == want and len(got) > 0
+    assert len(got) == len(batch) > 0
+    for (gk, gmx, gs, gz, gest), (bk, bmx, bs, bz, best) in zip(got, batch):
+        # registers are bit-equal; the batch side layers the linear-
+        # counting correction on the same registers, the stream side
+        # emits the raw estimator (its monitor consumers correct lazily).
+        assert (gk, gmx, gs, gz) == (bk, bmx, bs, bz)
+        raw = (HLL_ALPHA_M2_E6 * (1 << gmx)) // (gs * 1000000)
+        assert gest == raw
+        want = (
+            HLL_LC_EST[gz - 1] if gz > 0 and raw <= HLL_LC_THRESH else raw
+        )
+        assert best == want
