@@ -233,14 +233,22 @@ def write_zorder_table(
     )
 
 
-def upsert_foreach_batch_writer(path: str, key_cols, seq_col: str):
+def upsert_foreach_batch_writer(
+    path: str, key_cols, seq_col: str, tombstone_col: str | None = None
+):
     """Build a ``foreachBatch`` MERGE/upsert function: each micro-batch is
     applied to the keyed parquet target as latest-per-key wins — the
     changelog→TABLE sink (Kafka Streams' KTable materialization; Delta's
     ``foreachBatch`` + ``MERGE INTO`` streaming-upsert recipe). Within a
     batch the row with the greatest ``seq_col`` (ties: arbitrary but
     per-key single-row) wins; across batches the incoming batch wins over
-    the stored row — upsert semantics, not append.
+    the stored row — upsert semantics, not append. With ``tombstone_col``
+    set, an incoming row whose value in that column is NULL is a DELETE
+    for its key — Kafka's compacted-topic tombstone convention (the S2
+    KTable semantics, operators/tables.py) carried through to the sink:
+    the key is removed from the stored table and the tombstone row is
+    not inserted, which together with update/insert makes the sink a
+    full CDC MERGE target (the ``cdc_merge_upsert`` I/U/D triple).
 
     Commit protocol: the merged table is written to a ``_v<batch_id>``
     staging directory and a ``_current`` pointer file is atomically
@@ -269,12 +277,20 @@ def upsert_foreach_batch_writer(path: str, key_cols, seq_col: str):
             .filter(F.col("_rn") == 1)
             .drop("_rn")
         )
+        # Tombstones participate in latest-per-key (a later tombstone beats
+        # an earlier upsert and vice versa) and in the anti-join below (so
+        # they delete the stored row), but never land in the merged table.
+        upserts = (
+            latest.filter(F.col(tombstone_col).isNotNull())
+            if tombstone_col is not None
+            else latest
+        )
         base = path.rstrip("/")
         jvm = spark._jvm
         hconf = spark._jsc.hadoopConfiguration()
         pointer = jvm.org.apache.hadoop.fs.Path(base + "/_current")
         fs = pointer.getFileSystem(hconf)
-        merged = latest
+        merged = upserts
         vdir = f"_v{batch_id}"
         if fs.exists(pointer):
             stream = fs.open(pointer)
@@ -286,9 +302,10 @@ def upsert_foreach_batch_writer(path: str, key_cols, seq_col: str):
                 return  # replayed batch: its version is already live —
                 # merging would read and overwrite the same files
             prev = spark.read.parquet(f"{base}/{current}")
-            # stored rows lose to any incoming row with the same key
+            # stored rows lose to ANY incoming row with the same key —
+            # including tombstones, which remove without re-inserting
             merged = prev.join(latest.select(*keys), keys, "left_anti").unionByName(
-                latest
+                upserts
             )
         merged.write.mode("overwrite").parquet(f"{base}/{vdir}")
         out = fs.create(pointer, True)

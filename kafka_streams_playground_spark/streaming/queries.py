@@ -2228,3 +2228,187 @@ def _share_benford_oracle() -> None:
 
 
 _share_benford_oracle()
+
+
+@query(
+    "stream_cdc_merge_upsert",
+    oracle=None,  # re-registered below: shares the batch MERGE oracle
+    tags=("extension", "streaming", "cdc", "merge", "sink"),
+)
+def stream_cdc_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``cdc_merge_upsert`` executed as a STREAMING MERGE SINK — the
+    change batch arrives as a stream and is applied to the stored keyed
+    snapshot by ``sources.sinks.upsert_foreach_batch_writer`` (advice r7:
+    wire the already-built upsert sink into a replay query): inserts and
+    updates upsert by key, deletes travel as Kafka-style TOMBSTONES
+    (NULL value column) and remove the stored row — so the I/U/D triple
+    the batch form resolves with one full-outer join is here resolved by
+    the sink's per-micro-batch merge + atomic version-pointer commit.
+    The final pointed-at table IS the merged snapshot; ``merge_action``
+    lineage is a pure projection of the deterministic rule slices (the
+    same id%7/id%11 rules both engines derive), so the drained result
+    shares the batch oracle verbatim — a value-hash match proves the
+    streamed sink path lands the exact table the declarative MERGE
+    computes.
+
+    Scale stance: per micro-batch the sink rewrites the test-scale
+    parquet target (documented in the writer: at 100 TB the identical
+    foreachBatch body issues a Delta/Iceberg ``MERGE INTO`` and the
+    dedup-within-batch, tombstone, and idempotent-versioning semantics
+    carry unchanged). The lineage projection and the seed write are
+    one-pass, key-partitioned; nothing collects to the driver."""
+    import shutil
+    import tempfile
+
+    from kafka_streams_playground_spark.sources.sinks import (
+        read_table_version,
+        upsert_foreach_batch_writer,
+    )
+
+    cents = F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents")
+    tmp = tempfile.mkdtemp(prefix="ksp_upsert_")
+    ckpt = tempfile.mkdtemp(prefix="ksp_ckpt_")
+    try:
+        writer = upsert_foreach_batch_writer(
+            tmp, ["event_id"], "seq", tombstone_col="cents"
+        )
+        base = (
+            load_table(spark, sf_dir, "events")
+            .select("event_id", cents)
+            .filter(F.col("event_id") % 7 != 0)
+            .withColumn("seq", F.lit(0).cast("long"))
+        )
+        # Seed the stored snapshot (the previous run's table). The id is
+        # outside the streaming counter's range, so a replayed batch 0
+        # can never collide with the seed version.
+        writer(base, 10**9)
+        chg = (
+            read_stream_table(spark, sf_dir, "events")
+            .select("event_id", cents)
+            .filter(
+                (F.col("event_id") % 7 == 0)
+                | (F.col("event_id") % 11 == 0)
+                | (F.col("event_id") % 13 == 0)
+            )
+            .select(
+                "event_id",
+                # I keeps cents, U bumps by 100, D ships a tombstone NULL
+                F.when(F.col("event_id") % 7 == 0, F.col("cents"))
+                .when(F.col("event_id") % 11 == 0, F.col("cents") + 100)
+                .otherwise(F.lit(None).cast("long"))
+                .alias("cents"),
+                F.lit(1).cast("long").alias("seq"),
+            )
+        )
+        q = (
+            chg.writeStream.foreachBatch(writer)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+        out = (
+            read_table_version(spark, tmp)
+            .select(
+                "event_id",
+                "cents",
+                F.when(F.col("event_id") % 7 == 0, F.lit("inserted"))
+                .when(F.col("event_id") % 11 == 0, F.lit("updated"))
+                .otherwise(F.lit("kept"))
+                .alias("merge_action"),
+            )
+            # materialize off the temp parquet files so they can be removed
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+def _share_cdc_merge_oracle() -> None:
+    from kafka_streams_playground_spark.plans import relational  # noqa: F401
+
+    REGISTRY["stream_cdc_merge_upsert"] = _replace(
+        REGISTRY["stream_cdc_merge_upsert"],
+        oracle=REGISTRY["cdc_merge_upsert"].oracle,
+    )
+
+
+_share_cdc_merge_oracle()
+
+
+@query(
+    "stream_ivm_incremental_join_view",
+    oracle=None,  # re-registered below: shares the batch full-recompute oracle
+    tags=("northstar", "streaming", "cdc", "ivm", "join", "stateful"),
+)
+def stream_ivm_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental JOIN-view maintenance with the delta ARRIVING AS A
+    STREAM — the streaming half of ``ivm_incremental_join_view``: the
+    stored view v_old = A ⋈ B_old aggregates once batch-side (at 100 TB
+    it is simply the persisted materialized view, never recomputed), and
+    the day's new lineitems ΔB replay as a stream that joins STATIC
+    orders (stream-static inner join — no stream-side state for the
+    join) and folds into a keyed streaming aggregate (update mode) whose
+    drained final state is exactly Δv = A ⋈ ΔB. The view merge
+    v_old + Δv is a groupBy-sum over dashboard-sized aggregate rows.
+    Since B_old ∪ ΔB = B, the maintained view equals the monolithic
+    recompute, and THE BATCH ORACLE IS THAT RECOMPUTE — the value-hash
+    match is the single-side Blakeley delta-join identity
+    A ⋈ B = (A ⋈ B_old) ∪ (A ⋈ ΔB) verified end-to-end through real
+    micro-batch state. (Deltas on BOTH relations need the ΔA⋈ΔB
+    stream-stream term — that algebra is the batch twin's; a production
+    run applies it per-batch via the foreachBatch MERGE sink.)
+
+    Scale stance: the stream side shuffles once on the group key with
+    map-side partials; static orders joins broadcast-or-bucketed exactly
+    as the batch plan chooses; per-batch cost is O(|ΔB| + |view|),
+    never O(|B|) — the IVM win this family exists to demonstrate."""
+    a = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+
+    def b_cols(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col("l_orderkey").alias("b_orderkey"),
+            "l_returnflag",
+            "l_linenumber",
+            F.floor(F.col("l_extendedprice") * 100 + 0.5).cast("long").alias("cents"),
+        )
+
+    b_old = b_cols(load_table(spark, sf_dir, "lineitem")).filter(
+        F.col("l_linenumber") % 3 != 0
+    )
+    v_old = (
+        a.join(b_old, a.o_orderkey == b_old.b_orderkey)
+        .groupBy("o_orderstatus", "l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("cents").alias("sum_cents"))
+    )
+    delta_b = b_cols(read_stream_table(spark, sf_dir, "lineitem")).filter(
+        F.col("l_linenumber") % 3 == 0
+    )
+    d_view = (
+        delta_b.join(a, delta_b.b_orderkey == a.o_orderkey)
+        .groupBy("o_orderstatus", "l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("cents").alias("sum_cents"))
+    )
+    drained = run_to_completion(d_view, output_mode="update", spark=spark)
+    return (
+        v_old.unionByName(drained)
+        .groupBy("o_orderstatus", "l_returnflag")
+        .agg(
+            F.sum("n_rows").alias("n_rows"),
+            F.sum("sum_cents").alias("sum_cents"),
+        )
+    )
+
+
+def _share_ivm_join_oracle() -> None:
+    from kafka_streams_playground_spark.plans import relational  # noqa: F401
+
+    REGISTRY["stream_ivm_incremental_join_view"] = _replace(
+        REGISTRY["stream_ivm_incremental_join_view"],
+        oracle=REGISTRY["ivm_incremental_join_view"].oracle,
+    )
+
+
+_share_ivm_join_oracle()

@@ -308,3 +308,35 @@ def test_upsert_sink_time_travel_reads_past_versions(spark, tmp_path):
     assert cur == v2
     with pytest.raises(ValueError):
         read_table_version(spark, path, 99)
+
+
+def test_upsert_sink_tombstone_deletes_key(spark, tmp_path):
+    """With tombstone_col set, a NULL-valued incoming row deletes its key
+    from the stored table (and inserts nothing); within a batch the
+    latest-per-key rule arbitrates between a tombstone and an upsert by
+    seq, so a delete followed by a later re-insert survives as the row."""
+    from kafka_streams_playground_spark.sources.sinks import (
+        read_table_version,
+        upsert_foreach_batch_writer,
+    )
+
+    path = str(tmp_path / "tomb")
+    write = upsert_foreach_batch_writer(
+        path, key_cols=("k",), seq_col="seq", tombstone_col="v"
+    )
+    b1 = spark.createDataFrame(
+        [(1, 10, 100), (2, 10, 200), (3, 10, 300)], "k int, seq int, v int"
+    )
+    write(b1, 1)
+    # batch 2: delete k=1; update k=2; tombstone-then-reinsert k=3 (the
+    # seq-20 re-insert beats the seq-15 tombstone); delete-nonexistent k=4
+    b2 = spark.createDataFrame(
+        [(1, 20, None), (2, 20, 222), (3, 15, None), (3, 20, 333), (4, 20, None)],
+        "k int, seq int, v int",
+    )
+    write(b2, 2)
+    cur = {r["k"]: r["v"] for r in read_table_version(spark, path).collect()}
+    assert cur == {2: 222, 3: 333}
+    # version 1 is untouched history
+    v1 = {r["k"]: r["v"] for r in read_table_version(spark, path, 1).collect()}
+    assert v1 == {1: 100, 2: 200, 3: 300}

@@ -661,3 +661,46 @@ def test_stream_hll_matches_batch_registers(spark, sf_dir):
             HLL_LC_EST[gz - 1] if gz > 0 and raw <= HLL_LC_THRESH else raw
         )
         assert best == want
+
+
+def test_stream_cdc_merge_upsert_matches_batch(spark, sf_dir):
+    """The streamed MERGE sink (tombstone deletes + upserts through
+    upsert_foreach_batch_writer) must land exactly the table the batch
+    full-outer MERGE computes, lineage column included."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+
+    got = sorted(
+        tuple(r)
+        for r in REGISTRY["stream_cdc_merge_upsert"].fn(spark, sf_dir).collect()
+    )
+    want = sorted(
+        tuple(r) for r in REGISTRY["cdc_merge_upsert"].fn(spark, sf_dir).collect()
+    )
+    assert got == want and len(got) > 0
+    # all three merge actions are exercised
+    assert {t[2] for t in got} == {"kept", "updated", "inserted"}
+
+
+def test_stream_ivm_join_view_matches_batch(spark, sf_dir):
+    """Single-side delta-join maintenance through real streaming state:
+    v_old + drained(A ⋈ ΔB) must equal the monolithic recompute (which is
+    what the shared batch oracle checks), and the delta must be non-empty
+    so the streamed term actually contributes."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+    from kafka_streams_playground_spark.sources.parquet import load_table
+
+    got = {
+        (r["o_orderstatus"], r["l_returnflag"]): (r["n_rows"], r["sum_cents"])
+        for r in REGISTRY["stream_ivm_incremental_join_view"].fn(spark, sf_dir).collect()
+    }
+    want = {
+        (r["o_orderstatus"], r["l_returnflag"]): (r["n_rows"], r["sum_cents"])
+        for r in REGISTRY["ivm_incremental_join_view"].fn(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
+    n_delta = (
+        load_table(spark, sf_dir, "lineitem")
+        .filter(F.col("l_linenumber") % 3 == 0)
+        .count()
+    )
+    assert n_delta > 0
