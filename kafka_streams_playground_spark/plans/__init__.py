@@ -45,103 +45,68 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q4_products_per_user_10s",
     "q5_paid_orders",
     "orders_products_array",
-    # ---- ROUND 7 rotation. Policy: never-driver-checked > changed-this-
-    # round > stalest-last-seen; every demoted query is driver-green in a
-    # prior round, unchanged since, and re-checked by the full-registry
-    # strict replica (CORRECTNESS_LOCAL.json). The 38 never-checked queries
-    # (23 late-r6 additions VERDICT r5/ADVICE r6 promised hard r7 signal,
-    # plus the 15 new round-7 operators) take slots 7-44; two r2-cohort
-    # members (last driver row round 2) take the next slots; the last four
-    # go to text_unigram_lm_score (plan changed late r6: SUM-OVER() →
-    # 1-row broadcast crossJoin) and the three promised r3-cohort members
-    # whose machinery has no slotted sibling (cogroup reconciliation,
-    # KTable-KTable latest join, salted-skew agg).
-    # -- never-checked: late-r6 additions
-    "agg_kmv_merge_by_type",
-    "wf_rank_family_order_totals",
-    "wf_moving_avg_user_value",  # also CHANGED this round (ADVICE r6: full-ts frame order)
-    "cdc_snapshot_diff",
-    "stats_join_cardinality_kmv",
-    "drift_psi_value_halves",
-    "dedup_incremental_new_vs_base",
-    "pipeline_expectation_checks",
-    "text_ngram_novelty",
-    "text_span_corruption_manifest",
-    "stream_kmv_distinct_by_type",
-    "stream_embedding_covariance",
-    "embedding_pca_power_iteration",
-    "stream_stats_ols_by_nation",
-    "agg_heavy_hitters_twopass",
-    "graph_bfs_hops",
-    "stats_ols_qty_price_by_nation",
-    "diag_key_skew_report",
-    "layout_zorder_pruning_audit",
-    "stream_dedup_incremental_new_vs_base",
-    "mm_audio_vad_segments",
-    "tokenizer_bpe_compression_curve",
-    "tokenizer_bpe_train3_delta",
-    # -- never-checked: new in round 7
-    "retrieval_rrf_fusion",
-    "retrieval_mmr_rerank",
-    "sim_hard_negative_mining",
-    "dsir_importance_weights",
-    "stats_countmin_user_traffic",
-    "stats_histogram_quantiles",
-    "mm_phash_neardup",
-    "layout_compaction_bins",
-    "embedding_random_projection",
-    "cdc_merge_upsert",
-    "ivm_incremental_user_agg",
-    "text_stupid_backoff_trigram",
-    "graph_personalized_pagerank",
-    # -- never-checked: this session's additions with genuinely NEW
-    # cross-engine SQL surface (DuckDB bin()/shift registers + ROLLUP;
-    # stack()/UNION-ALL/json canonicalization) — highest divergence risk
-    # of the session, so they displace the two stream twins whose batch
-    # siblings hold slots and whose drain mechanics match 7 already-green
-    # twins (stream_stats_histogram_quantiles, stream_dsir_importance_
-    # weights — deferred to round 8 with the rest):
+    # ---- ROUND 8 rotation (VERDICT r7 item 1: zero never-driver-checked).
+    # Policy unchanged: never-driver-checked > changed-this-round >
+    # stalest-last-seen; every demoted query is driver-green in a prior
+    # round, unchanged since, and re-checked by the full-registry strict
+    # replica (CORRECTNESS_LOCAL.json). Slots 7-40 are EXACTLY the 34
+    # queries the r7 judge computed as never having held a driver row
+    # (union of CORRECTNESS_r01..r07 vs the registry) — after this round
+    # every query registered through round 7 has hard driver signal.
+    "curation_pareto_frontier",
+    "curation_source_cap",
+    "dedup_prefix_filter_jaccard",
+    "drift_ks_value_halves",
+    "events_value_mad_outliers",
+    "gdpr_delete_cascade_plan",
+    "graph_lpa_communities",
+    "graph_lpa_modularity_audit",
+    "ids_dense_global_rownum",
+    "ivm_incremental_join_view",
+    "layout_bloom_skipping_audit",
+    "stats_benford_first_digit",
+    "stats_bootstrap_ci_mean",
+    "stats_chi2_nation_segment",
+    "stats_markov_sequence_score",
+    "stream_curation_source_cap",
+    "stream_drift_ks_value_halves",
+    "stream_dsir_importance_weights",
+    "stream_hll_distinct_by_type",
+    "stream_stats_bootstrap_ci_mean",
+    "stream_stats_histogram_quantiles",
+    "stream_ts_multi_granularity_rollup",
+    "ts_changepoint_binary_seg",
+    "ts_cumulative_new_users",
+    "ts_multi_granularity_rollup",
+    "ts_rollup_distinct_hll",
+    "ts_seasonal_decompose_how",
+    "ts_seasonal_residual_outliers",
+    "wf_quarterly_revenue_growth",
+    "dedup_method_agreement",
+    "sim_ivfpq_refine_topk",
+    "stream_ts_rollup_hll_hour",
+    "sample_kcenter_coreset",
+    "stream_stats_benford_first_digit",
+    # -- the six cohort members VERDICT r7 named as displaced by the r7
+    # rotation (promised the remainder slots this round): two r2-cohort,
+    # the late-r6 plan change, and the three r3-cohort machinery holders
+    "mm_decoded_feature_checksum",
+    "text_quality_score",
+    "text_unigram_lm_score",
+    "cogroup_order_reconciliation",
+    "join_ktable_ktable_latest",
+    "agg_salted_skew",
+    # -- changed this round: est_distinct grew the linear-counting branch
     "agg_hll_merge_by_type",
-    "diag_table_profile",
-    # -- never-checked: round-7 late additions (this session added 20 new
-    # operators after the slots above filled; never-checked > changed >
-    # stale puts them ahead of every query that already holds a driver
-    # row). Six slots remain — they go to the six whose machinery is most
-    # at risk of replica/driver divergence (recursive-CTE oracles, big
-    # compositions, md5/rollup canonicalization):
-    "tokenizer_wordpiece_encode",
-    "tokenizer_unigram_viterbi_score",
-    "sim_ivfpq_adc_topk",
-    "pipeline_pretrain_e2e_manifest",
-    "graph_kcore_peel",
-    "pipeline_content_version",
-    # The remaining round-7-late queries (events_value_mad_outliers,
-    # ts_multi_granularity_rollup + stream twin, ids_dense_global_rownum,
-    # gdpr_delete_cascade_plan, graph_lpa_communities,
-    # stats_bootstrap_ci_mean + stream twin, drift_ks_value_halves +
-    # stream twin, stats_chi2_nation_segment, ivm_incremental_join_view,
-    # ts_seasonal_decompose_how, ts_cumulative_new_users,
-    # ts_seasonal_residual_outliers, graph_lpa_modularity_audit,
-    # wf_quarterly_revenue_growth, ts_changepoint_binary_seg,
-    # layout_bloom_skipping_audit, curation_source_cap + stream twin,
-    # stream_hll_distinct_by_type, curation_pareto_frontier,
-    # dedup_prefix_filter_jaccard, stats_benford_first_digit,
-    # stats_markov_sequence_score, ts_rollup_distinct_hll,
-    # stream_ts_rollup_hll_hour, dedup_method_agreement,
-    # sim_ivfpq_refine_topk, sample_kcenter_coreset,
-    # stream_stats_benford_first_digit,
-    # stream_stats_histogram_quantiles,
-    # stream_dsir_importance_weights) are full-registry-replica-green
-    # (CORRECTNESS_LOCAL.json) and LEAD the round-8 rotation, as do the
-    # displaced r2/r3 members below (driver-green in their round,
-    # unchanged since, replica-checked every round):
-    #   mm_decoded_feature_checksum, text_quality_score (r2 cohort);
-    #   text_unigram_lm_score (plan-only change late r6);
-    #   cogroup_order_reconciliation, join_ktable_ktable_latest,
-    #   agg_salted_skew (r3 cohort);
-    #   dedup_ngram_jaccard / dedup_simhash / mm_image_metadata /
-    #   text_fingerprint (r2 cohort, sibling-covered — see git history
-    #   for the per-query sibling rationale).
+    # -- new this round (ADVICE r7 item 5): the two streaming twins
+    "stream_cdc_merge_upsert",
+    "stream_ivm_incremental_join_view",
+    # -- stalest remaining (r2 cohort, last driver row round 2)
+    "text_fingerprint",
+    # Still-deferred after this round (all driver-green r2, unchanged
+    # since, replica-checked every round; sibling-covered rationale in
+    # git history): dedup_ngram_jaccard, dedup_simhash, mm_image_metadata.
+    # They plus any round-8 additions lead the round-9 rotation.
 )
 
 
