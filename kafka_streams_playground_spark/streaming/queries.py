@@ -2412,3 +2412,166 @@ def _share_ivm_join_oracle() -> None:
 
 
 _share_ivm_join_oracle()
+
+
+@query(
+    "stream_retrieval_rrf_fusion",
+    oracle=None,  # re-registered below: shares the batch RRF oracle
+    tags=("northstar", "streaming", "retrieval", "topk", "complete-mode"),
+)
+def stream_retrieval_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid RRF retrieval with BOTH legs maintained as STREAMING STATE —
+    the streaming form of ``retrieval_rrf_fusion`` (closes the last
+    twin-less round-7 family): documents replay as a stream whose keyed
+    state IS the lexical index statistics (per-doc length and per-(doc,
+    query-term) frequency — exactly what a live indexer keeps current),
+    and embeddings replay as a stream folded into a complete-mode
+    cosine leaderboard (the ``stream_topk_customers_by_revenue``
+    continuous-top-k shape: per-doc aggregate state, sort over the state
+    table, never over the stream). Query-time scoring — BM25 over the
+    drained index stats (formula and 1e-6 integer grid verbatim from
+    ``text_bm25_topk``), rank windows over the two k-row candidate
+    lists, reciprocal-rank fusion — is the batch epilogue, so the result
+    shares the batch oracle bit-for-bit.
+
+    Scale stance: index-stat state is one counter per (doc, query-term)
+    + one per doc; the leaderboard state is one row per scored doc with
+    the sort running over the aggregate, not the corpus; the epilogue
+    touches k+k rows. Per-document ingest cost is O(tokens + dims) with
+    no stream-side shuffle beyond the two keyed aggregations — the
+    always-fresh hybrid index a retrieval product actually runs."""
+    from pyspark.sql import Window as _W
+
+    from kafka_streams_playground_spark.plans.northstar_retrieval import (
+        RRF_K,
+        RRF_TOP,
+        SEM_N,
+        SEM_QUERY_ID,
+    )
+    from kafka_streams_playground_spark.plans.northstar_scoring import (
+        BM25_B,
+        BM25_K1,
+        BM25_TERMS,
+        BM25_TOP_K,
+    )
+    from kafka_streams_playground_spark.plans.northstar_similarity import (
+        _dot,
+        _dot_udf,
+        _vectors,
+    )
+
+    # ---- lexical leg: the stream maintains the index statistics ----
+    def tok_stream() -> DataFrame:
+        return read_stream_table(spark, sf_dir, "documents").select(
+            "doc_id", F.explode(F.split("text", " ")).alias("token")
+        )
+
+    dl = run_to_completion(
+        tok_stream().groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl")),
+        output_mode="update",
+        spark=spark,
+    )
+    tf = run_to_completion(
+        tok_stream()
+        .filter(F.col("token").isin(*BM25_TERMS))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("tf")),
+        output_mode="update",
+        spark=spark,
+        # tf self-joins below (df derives from it); the memory-sink view
+        # can't dedup its own references, so break lineage. O(matching
+        # doc-term pairs) rows — query-term-bounded, not corpus-bounded.
+    ).localCheckpoint(eager=True)
+    # query-time scoring over the drained stats — formula verbatim from
+    # plans/northstar_scoring.py::text_bm25_topk (not refactored into a
+    # shared helper to leave the driver-green batch plan untouched)
+    tot = dl.agg(F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl"))
+    dfq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(1.0 + (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+    denom = F.col("tf") + BM25_K1 * (
+        1.0 - BM25_B + BM25_B * F.col("dl") / (F.col("sum_dl") * 1.0 / F.col("n_docs"))
+    )
+    c6 = F.floor(
+        idf * (F.col("tf") * (BM25_K1 + 1.0)) / denom * 1000000 + F.lit(0.5)
+    ).cast("bigint")
+    lex0 = (
+        tf.join(F.broadcast(dfq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(tot))
+        .select("doc_id", c6.alias("c6"))
+        .groupBy("doc_id")
+        .agg(F.sum("c6").alias("score6"))
+        .orderBy(F.col("score6").desc(), F.col("doc_id").asc())
+        .limit(BM25_TOP_K)
+    )
+    w_lex = _W.orderBy(F.col("score6").desc(), F.col("doc_id").asc())
+    lex = lex0.withColumn("lex_rank", F.row_number().over(w_lex))
+
+    # ---- dense leg: complete-mode cosine leaderboard over vector state ----
+    qv = (
+        _vectors(spark, sf_dir)
+        .filter(F.col("vec_id") == SEM_QUERY_ID)
+        .select(
+            F.lit(1).alias("one"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+        )
+    )
+    emb_s = (
+        read_stream_table(spark, sf_dir, "embeddings")
+        .filter(F.col("vec_id") != SEM_QUERY_ID)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+        .withColumn("one", F.lit(1))
+    )
+    sc = emb_s.join(F.broadcast(qv), "one").select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(
+            _dot_udf(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6
+        ).alias("cosine"),
+    )
+    leader = (
+        sc.groupBy("doc_id")
+        .agg(F.max("cosine").alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("doc_id").asc())
+        .limit(SEM_N)
+    )
+    sem0 = run_to_completion(leader, output_mode="complete", spark=spark)
+    w_sem = _W.orderBy(F.col("cosine").desc(), F.col("doc_id").asc())
+    sem = sem0.withColumn("sem_rank", F.row_number().over(w_sem))
+
+    # ---- fusion epilogue (identical to the batch form) ----
+    fused = (
+        lex.select("doc_id", "lex_rank")
+        .join(sem.select("doc_id", "sem_rank"), "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.coalesce("lex_rank", F.lit(0)).alias("lex_rank"),
+            F.coalesce("sem_rank", F.lit(0)).alias("sem_rank"),
+        )
+    )
+    contrib = lambda c: F.when(  # noqa: E731
+        F.col(c) > 0, F.floor(F.lit(1000000) / (F.lit(RRF_K) + F.col(c)))
+    ).otherwise(F.lit(0))
+    return (
+        fused.select(
+            "doc_id",
+            "lex_rank",
+            "sem_rank",
+            (contrib("lex_rank") + contrib("sem_rank")).cast("bigint").alias("rrf6"),
+        )
+        .orderBy(F.col("rrf6").desc(), F.col("doc_id").asc())
+        .limit(RRF_TOP)
+    )
+
+
+def _share_rrf_oracle() -> None:
+    from kafka_streams_playground_spark.plans import northstar_retrieval  # noqa: F401
+
+    REGISTRY["stream_retrieval_rrf_fusion"] = _replace(
+        REGISTRY["stream_retrieval_rrf_fusion"],
+        oracle=REGISTRY["retrieval_rrf_fusion"].oracle,
+    )
+
+
+_share_rrf_oracle()

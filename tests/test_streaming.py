@@ -704,3 +704,18 @@ def test_stream_ivm_join_view_matches_batch(spark, sf_dir):
         .count()
     )
     assert n_delta > 0
+
+
+def test_stream_rrf_fusion_matches_batch(spark, sf_dir):
+    """Streamed index-stat state + complete-mode cosine leaderboard must
+    fuse to exactly the batch RRF ranking."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+
+    got = [
+        tuple(r)
+        for r in REGISTRY["stream_retrieval_rrf_fusion"].fn(spark, sf_dir).collect()
+    ]
+    want = [
+        tuple(r) for r in REGISTRY["retrieval_rrf_fusion"].fn(spark, sf_dir).collect()
+    ]
+    assert got == want and len(got) > 0
