@@ -106,7 +106,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # Still-deferred after this round (all driver-green r2, unchanged
     # since, replica-checked every round; sibling-covered rationale in
     # git history): dedup_ngram_jaccard, dedup_simhash, mm_image_metadata.
-    # They plus any round-8 additions lead the round-9 rotation.
+    # They plus the round-8 additions made AFTER the slots filled
+    # (sim_nndescent_round, stream_retrieval_rrf_fusion) lead the
+    # round-9 rotation.
 )
 
 

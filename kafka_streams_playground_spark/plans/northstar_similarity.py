@@ -2195,3 +2195,142 @@ def sample_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         centers, "round long, vec_id long, sel_d2 long"
     )
+
+
+# ---------------------------------------------------------------------------
+# NN-descent round (graph-based ANN construction, round 8)
+# ---------------------------------------------------------------------------
+
+# One round of NN-Descent (Dong, Moses & Li 2011, "Efficient k-nearest
+# neighbor graph construction for generic similarity measures", WWW):
+# starting from a cheap seed k-NN graph, each node's candidate set is its
+# neighbors plus its neighbors' neighbors (over the SYMMETRIZED graph —
+# the paper's "local join"), scored and pruned back to top-k. The seed
+# stands in for the paper's random initial graph with a deterministic
+# id-adjacency ring so both engines derive identical inputs.
+NND_SEED_DEG = 4  # directed out-degree of the seed ring graph
+NND_K = 5  # neighbors kept per node after the round
+
+
+@query(
+    "sim_nndescent_round",
+    oracle=f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+    nn AS (SELECT COUNT(*) AS n_vec FROM e),
+    seed AS (
+      SELECT vec_id AS src, (vec_id + gs.i) % nn.n_vec AS dst
+      FROM e, nn, generate_series(1, {NND_SEED_DEG}) gs(i)
+    ),
+    sym AS (
+      SELECT src, dst FROM seed
+      UNION
+      SELECT dst AS src, src AS dst FROM seed
+    ),
+    cand AS (
+      SELECT a.src, b.dst FROM sym a JOIN sym b ON a.dst = b.src
+      UNION
+      SELECT src, dst FROM sym
+    ),
+    cd AS (SELECT src, dst FROM cand WHERE src <> dst),
+    scored AS (
+      SELECT cd.src AS vec_id, cd.dst AS neighbor_id,
+             ROUND(list_dot_product(u.v, w.v) / (u.nrm * w.nrm), 6) AS cosine,
+             CAST(CASE WHEN s.src IS NULL THEN 1 ELSE 0 END AS INT)
+                 AS discovered
+      FROM cd
+      JOIN n u ON u.vec_id = cd.src
+      JOIN n w ON w.vec_id = cd.dst
+      LEFT JOIN seed s ON s.src = cd.src AND s.dst = cd.dst
+    ),
+    ranked AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT vec_id, neighbor_id, cosine, discovered, CAST(rank AS BIGINT) AS rank
+    FROM ranked WHERE rank <= {NND_K}
+    """,
+    tags=("northstar", "similarity", "ann", "graph", "bench"),
+)
+def sim_nndescent_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One NN-Descent round — the graph-based ANN index family (HNSW /
+    NSG / NN-descent) next to the partition-based one (IVF / IVF-PQ
+    elsewhere in this module): symmetrize the seed k-NN graph, expand
+    each node's candidates with its neighbors' neighbors (the paper's
+    local join), score the candidate pairs by exact cosine, keep top-k
+    per node, and flag which survivors were DISCOVERED by the round
+    (absent from the directed seed list) — the per-round improvement
+    signal NN-descent iterates on until it converges.
+
+    Spark shape: the seed ring and the two graph joins carry (id, id)
+    pairs ONLY — candidate generation never shuffles a vector. Full-width
+    vectors join in exactly once per SURVIVING candidate pair, bounded by
+    N·deg·(deg+1) rows (degree-squared, not corpus-squared — the reason
+    NN-descent scales where all-pairs cannot), scored by the Arrow dot
+    UDF, pruned by a per-node rank window partitioned on vec_id. The
+    1-row corpus-count aggregate broadcasts (bounded-scalar stance). At
+    100 TB each round is: ids-only self-join co-shuffled on the middle
+    node, vector fetch co-partitioned on each endpoint, per-node top-k —
+    all linear in N·deg²; iterate to convergence, exactly as a
+    distributed HNSW-build substitute runs in production.
+
+    Extends the reference's join surface (KafkaStreamsApp.scala:155-189
+    is its only join) with the self-join graph-expansion shape."""
+    n = _vectors(spark, sf_dir)
+    nvec = load_table(spark, sf_dir, "embeddings").agg(
+        F.count(F.lit(1)).alias("n_vec")
+    )
+    seed = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id")
+        .crossJoin(F.broadcast(nvec))  # 1-row scalar broadcast
+        .select(
+            F.col("vec_id").alias("src"),
+            F.explode(F.sequence(F.lit(1), F.lit(NND_SEED_DEG))).alias("i"),
+            "n_vec",
+        )
+        .select("src", ((F.col("src") + F.col("i")) % F.col("n_vec")).alias("dst"))
+    )
+    sym = seed.union(
+        seed.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).distinct()
+    cand = (
+        sym.alias("a")
+        .join(sym.alias("b"), F.col("a.dst") == F.col("b.src"))
+        .select(F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+        .union(sym)
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    flagged = cand.join(
+        seed.withColumn("in_seed", F.lit(1)), ["src", "dst"], "left"
+    )
+    u = n.select(
+        F.col("vec_id").alias("src"), F.col("v").alias("uv"), F.col("nrm").alias("un")
+    )
+    w = n.select(
+        F.col("vec_id").alias("dst"), F.col("v").alias("wv"), F.col("nrm").alias("wn")
+    )
+    scored = (
+        flagged.join(u, "src")
+        .join(w, "dst")
+        .select(
+            F.col("src").alias("vec_id"),
+            F.col("dst").alias("neighbor_id"),
+            F.round(
+                _dot_udf(F.col("uv"), F.col("wv")) / (F.col("un") * F.col("wn")), 6
+            ).alias("cosine"),
+            F.when(F.col("in_seed").isNull(), 1).otherwise(0).cast("int").alias(
+                "discovered"
+            ),
+        )
+    )
+    rk = Window.partitionBy("vec_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(rk).cast("bigint"))
+        .filter(F.col("rank") <= NND_K)
+        .select("vec_id", "neighbor_id", "cosine", "discovered", "rank")
+    )

@@ -2063,3 +2063,24 @@ def test_kcenter_coreset_matches_local_greedy(spark, sf_dir):
     assert got == sorted(want)
     curve = [d for _, _, d in sorted(want)[1:]]
     assert curve == sorted(curve, reverse=True)
+
+
+def test_nndescent_round_contract(spark, sf_dir):
+    """sim_nndescent_round: every node keeps exactly K neighbors (the
+    seed+local-join candidate set is always >= K), ranks are 1..K dense,
+    and the round actually discovers edges beyond the seed ring (the
+    improvement signal NN-descent iterates on)."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+    from kafka_streams_playground_spark.plans.northstar_similarity import NND_K
+    from kafka_streams_playground_spark.sources.parquet import load_table
+
+    rows = REGISTRY["sim_nndescent_round"].fn(spark, sf_dir).collect()
+    n_vec = load_table(spark, sf_dir, "embeddings").count()
+    assert len(rows) == n_vec * NND_K
+    per = {}
+    for r in rows:
+        per.setdefault(r["vec_id"], []).append(r["rank"])
+        assert r["neighbor_id"] != r["vec_id"]
+        assert r["discovered"] in (0, 1)
+    assert all(sorted(v) == list(range(1, NND_K + 1)) for v in per.values())
+    assert any(r["discovered"] == 1 for r in rows)  # the round found new edges
