@@ -369,3 +369,39 @@ def read_table_version(spark, path: str, version: int | None = None) -> DataFram
     finally:
         stream.close()
     return spark.read.parquet(f"{base}/{current}")
+
+
+def expire_table_versions(spark, path: str, keep_last: int) -> list[int]:
+    """VACUUM for the ``upsert_foreach_batch_writer`` table: delete all but
+    the newest ``keep_last`` committed version directories and return the
+    version ids removed — the retention job every versioned table needs so
+    the time-travel log doesn't grow without bound (Delta VACUUM / Iceberg
+    ``expireSnapshots``). The live version (the ``_current`` pointer's
+    target) is never deleted even if retention would name it — a pointer
+    must always resolve; readers of retained versions are unaffected
+    because each version owns its directory and deletion goes oldest-first
+    through the same Hadoop FileSystem API as the writer (object-store
+    safe). Metadata-only: the data files are dropped, never rewritten."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    jvm = spark._jvm
+    hconf = spark._jsc.hadoopConfiguration()
+    base = path.rstrip("/")
+    pointer = jvm.org.apache.hadoop.fs.Path(base + "/_current")
+    fs = pointer.getFileSystem(hconf)
+    live = None
+    if fs.exists(pointer):
+        stream = fs.open(pointer)
+        try:
+            live = stream.readUTF()
+        finally:
+            stream.close()
+    versions = list_table_versions(spark, path)
+    removed = []
+    for v in versions[:-keep_last] if keep_last < len(versions) else []:
+        vdir = f"_v{v}"
+        if vdir == live:
+            continue  # never break the pointer
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{base}/{vdir}"), True)
+        removed.append(v)
+    return removed

@@ -340,3 +340,34 @@ def test_upsert_sink_tombstone_deletes_key(spark, tmp_path):
     # version 1 is untouched history
     v1 = {r["k"]: r["v"] for r in read_table_version(spark, path, 1).collect()}
     assert v1 == {1: 100, 2: 200, 3: 300}
+
+
+def test_expire_table_versions_retains_live_and_newest(spark, tmp_path):
+    """VACUUM: old versions are deleted oldest-first, the newest keep_last
+    survive, the pointer target is never deleted, and time-travel reads of
+    retained versions still work while expired ones fail loudly."""
+    import pytest
+
+    from kafka_streams_playground_spark.sources.sinks import (
+        expire_table_versions,
+        list_table_versions,
+        read_table_version,
+        upsert_foreach_batch_writer,
+    )
+
+    path = str(tmp_path / "vac")
+    write = upsert_foreach_batch_writer(path, key_cols=("k",), seq_col="seq")
+    for i in range(1, 5):
+        write(spark.createDataFrame([(1, i, i * 10)], "k int, seq int, v int"), i)
+    assert list_table_versions(spark, path) == [1, 2, 3, 4]
+    removed = expire_table_versions(spark, path, keep_last=2)
+    assert removed == [1, 2]
+    assert list_table_versions(spark, path) == [3, 4]
+    assert {r["k"]: r["v"] for r in read_table_version(spark, path).collect()} == {1: 40}
+    assert {r["k"]: r["v"] for r in read_table_version(spark, path, 3).collect()} == {1: 30}
+    with pytest.raises(ValueError):
+        read_table_version(spark, path, 1)
+    # keep_last larger than history: no-op
+    assert expire_table_versions(spark, path, keep_last=10) == []
+    with pytest.raises(ValueError):
+        expire_table_versions(spark, path, keep_last=0)

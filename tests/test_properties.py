@@ -440,3 +440,62 @@ def test_relax_hops_matches_python_bfs(spark, edges, seeds, k):
         r["node"]: r["hops"] for r in relax_hops(d0, e_df, k).collect()
     }
     assert got == want, (got, want, edges, seeds, k)
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    batches=st.lists(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=5),  # key
+                st.integers(min_value=0, max_value=9),  # seq
+                st.one_of(st.none(), st.integers(min_value=0, max_value=99)),  # val
+            ),
+            min_size=1,
+            max_size=5,
+        ),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_upsert_tombstone_sink_matches_dict_model(spark, tmp_path_factory, batches):
+    """Model-based check of the MERGE sink's full I/U/D semantics: applying
+    arbitrary batches of (key, seq, value|tombstone) rows through
+    upsert_foreach_batch_writer must land exactly the table a plain dict
+    model computes — within a batch the max-seq row per key wins (seq ties
+    broken identically to the window's arbitrary-but-single-row pick are
+    avoided by deduping same-key-same-seq inputs), across batches incoming
+    wins, NULL deletes."""
+    from kafka_streams_playground_spark.sources.sinks import (
+        read_table_version,
+        upsert_foreach_batch_writer,
+    )
+
+    path = str(tmp_path_factory.mktemp("upsert_prop") / "t")
+    write = upsert_foreach_batch_writer(
+        path, key_cols=("k",), seq_col="seq", tombstone_col="v"
+    )
+    model: dict[int, int] = {}
+    wrote = False
+    for i, rows in enumerate(batches):
+        # drop same-(key,seq) duplicates: the window's tie pick is
+        # explicitly arbitrary, so the model can't predict it
+        uniq = {}
+        for k, seq, v in rows:
+            uniq[(k, seq)] = v
+        rows = [(k, seq, v) for (k, seq), v in uniq.items()]
+        df = spark.createDataFrame(rows, "k int, seq int, v int")
+        write(df, i)
+        wrote = True
+        latest = {}
+        for k, seq, v in rows:
+            if k not in latest or seq > latest[k][0]:
+                latest[k] = (seq, v)
+        for k, (_, v) in latest.items():
+            if v is None:
+                model.pop(k, None)
+            else:
+                model[k] = v
+    if wrote:
+        got = {r["k"]: r["v"] for r in read_table_version(spark, path).collect()}
+        assert got == model
