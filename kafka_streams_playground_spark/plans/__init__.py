@@ -107,8 +107,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # since, replica-checked every round; sibling-covered rationale in
     # git history): dedup_ngram_jaccard, dedup_simhash, mm_image_metadata.
     # They plus the round-8 additions made AFTER the slots filled
-    # (sim_nndescent_round, stream_retrieval_rrf_fusion) lead the
-    # round-9 rotation.
+    # (sim_nndescent_round, stream_retrieval_rrf_fusion,
+    # sample_weighted_reservoir) lead the round-9 rotation.
 )
 
 

@@ -1602,3 +1602,90 @@ def curation_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("n_tokens") > F.col("hi_bucket_max"))
         )
     ).select("doc_id", "logit_e6", "n_tokens")
+
+
+# ---------------------------------------------------------------------------
+# Weighted reservoir sampling (round 8)
+# ---------------------------------------------------------------------------
+
+# One-pass weighted sampling without replacement (Efraimidis & Spirakis
+# 2006, "Weighted random sampling with a reservoir"): each item draws
+# u ~ U(0,1) and the k largest u^(1/w) win — equivalently the k largest
+# ln(u)/w (ln u < 0, w > 0 preserves order), the "exponential clocks"
+# form. u derives from md5 so both engines draw the same sample; the
+# clock lands on a 1e-9 grid before ranking (the BM25 idf precedent:
+# F.log vs DuckDB ln agree to well under a grid step).
+AES_K = 20  # reservoir size per language stratum
+AES_U_DEN = 4294967296.0  # 2^32: u = (h + 0.5) / 2^32, never 0 or 1
+
+
+@query(
+    "sample_weighted_reservoir",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, lang, n_chars,
+             (('0x' || substr(md5('aes:' || CAST(doc_id AS VARCHAR)), 1, 8)))::BIGINT
+                 AS h
+      FROM documents
+    ),
+    k AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(FLOOR(ln((h + 0.5) / {AES_U_DEN}) / n_chars * 1000000000
+                        + 0.5) AS BIGINT) AS clock9
+      FROM d
+    ),
+    r AS (
+      SELECT *, row_number() OVER (
+        PARTITION BY lang ORDER BY clock9 DESC, doc_id ASC) AS rank
+      FROM k
+    )
+    SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars, clock9,
+           CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= {AES_K}
+    """,
+    tags=("northstar", "curation", "sampling", "bench"),
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sampling per language stratum — the third member
+    of the sampling family next to ``sample_hash_split`` (uniform holdout)
+    and ``sample_quality_weighted`` (Bernoulli by quality, unbounded
+    output size): Efraimidis-Spirakis exponential clocks give an EXACTLY
+    size-k without-replacement sample where inclusion probability tracks
+    the weight (here n_chars, so the sample is length-proportional — the
+    token-budget-aware pick a mixture builder wants). One deterministic
+    md5 draw per document; the k largest ln(u)/w per stratum win.
+
+    Spark shape: one map-side pass computes the clock (codegen'd md5 +
+    log — no UDF, no state), then a lang-partitioned rank window keeps
+    k per stratum — the same per-group top-K shape as
+    ``curation_source_cap``, with the same scale stance: strata counts
+    are small and the window sorts only within its stratum partition;
+    at extreme per-stratum volume the standard refinement is a two-phase
+    top-K (per-partition k-heaps, then rank the P·k survivors) which
+    changes no semantics because clocks are independent per row. The
+    deterministic draw also makes the sample REPRODUCIBLE and
+    delta-stable: re-running over an appended corpus re-draws nothing,
+    exactly the property distributed samplers want (the paper's reservoir
+    maintenance, expressed relationally)."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("aes:"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    k = d.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("long").alias("n_chars"),
+        F.floor(
+            F.log((h + 0.5) / AES_U_DEN) / F.col("n_chars") * 1000000000 + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("clock9"),
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("clock9").desc(), F.col("doc_id").asc())
+    return (
+        k.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= AES_K)
+        .select("doc_id", "lang", "n_chars", "clock9", "rank")
+    )

@@ -2084,3 +2084,34 @@ def test_nndescent_round_contract(spark, sf_dir):
         assert r["discovered"] in (0, 1)
     assert all(sorted(v) == list(range(1, NND_K + 1)) for v in per.values())
     assert any(r["discovered"] == 1 for r in rows)  # the round found new edges
+
+
+def test_weighted_reservoir_prefers_heavy_docs(spark, sf_dir):
+    """sample_weighted_reservoir: exactly K rows per stratum with dense
+    ranks, and the length-weighted clocks actually bias the pick — the
+    sampled docs' mean n_chars must exceed the stratum mean (the
+    inclusion-probability-tracks-weight property, deterministic here)."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+    from kafka_streams_playground_spark.plans.northstar_curation import AES_K
+    from kafka_streams_playground_spark.sources.parquet import load_table
+
+    rows = REGISTRY["sample_weighted_reservoir"].fn(spark, sf_dir).collect()
+    per = {}
+    for r in rows:
+        per.setdefault(r["lang"], []).append(r)
+    pop = {
+        r["lang"]: (r["avg_chars"], r["n"])
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("lang")
+        .agg(F.avg("n_chars").alias("avg_chars"), F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(per) == set(pop)
+    biased = 0
+    for lang, rs in per.items():
+        expect = min(AES_K, pop[lang][1])
+        assert sorted(r["rank"] for r in rs) == list(range(1, expect + 1))
+        if sum(r["n_chars"] for r in rs) / len(rs) > pop[lang][0]:
+            biased += 1
+    # weight bias holds in (at least) most strata for the fixed fixtures
+    assert biased >= max(1, len(per) - 1)
