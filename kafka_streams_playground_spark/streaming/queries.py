@@ -2575,3 +2575,66 @@ def _share_rrf_oracle() -> None:
 
 
 _share_rrf_oracle()
+
+
+@query(
+    "stream_sample_weighted_reservoir",
+    oracle=None,  # re-registered below: shares the batch reservoir oracle
+    tags=("northstar", "streaming", "curation", "sampling", "stateful"),
+)
+def stream_sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted reservoir sampling AT INGEST — the native form of
+    Efraimidis-Spirakis (the batch twin ``sample_weighted_reservoir`` is
+    the relational restatement; the PAPER'S algorithm is this stream):
+    each arriving document draws its deterministic md5 exponential clock
+    row-locally (codegen'd, stateless), and a per-language keyed store
+    (``streaming/stateful.py::weighted_reservoir_per_key``) keeps only
+    the k largest clocks — O(k) state per stratum forever, re-emitting
+    the stratum's current sample as an update-mode changelog. Drained
+    via the single availableNow replay batch, the final emission per
+    stratum equals the batch window's k-prefix, so the batch oracle
+    applies unchanged."""
+    from kafka_streams_playground_spark.plans.northstar_curation import (
+        AES_U_DEN,
+    )
+    from kafka_streams_playground_spark.streaming.stateful import (
+        weighted_reservoir_per_key,
+    )
+
+    d = read_stream_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.col("n_chars").cast("long").alias("n_chars")
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit("aes:"), F.col("doc_id").cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    scored = d.select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.floor(
+            F.log((h + 0.5) / AES_U_DEN) / F.col("n_chars") * 1000000000
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("clock9"),
+    )
+    drained = run_to_completion(
+        weighted_reservoir_per_key(scored), output_mode="update", spark=spark
+    )
+    return drained.select("doc_id", "lang", "n_chars", "clock9", "rank")
+
+
+def _share_reservoir_oracle() -> None:
+    from kafka_streams_playground_spark.plans import northstar_curation  # noqa: F401
+
+    REGISTRY["stream_sample_weighted_reservoir"] = _replace(
+        REGISTRY["stream_sample_weighted_reservoir"],
+        oracle=REGISTRY["sample_weighted_reservoir"].oracle,
+    )
+
+
+_share_reservoir_oracle()

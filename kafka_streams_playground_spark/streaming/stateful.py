@@ -523,3 +523,70 @@ def hll_sketch_per_key(
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+def _weighted_reservoir_topk(key: tuple, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+    """Per-stratum streaming weighted reservoir (Efraimidis-Spirakis 2006 —
+    the algorithm IS a streaming algorithm; this is its native form):
+    keyed state holds the current k largest (clock9, doc_id, n_chars)
+    triples; each micro-batch merges its arrivals and truncates to
+    AES_K. Top-k of (state ∪ batch) is associative, so batch boundaries
+    never change the fixed point and the drained emission equals the
+    batch window's k-prefix. State per stratum: ≤ k triples, O(k)
+    however many documents the stratum ever ships — the paper's
+    reservoir bound, versus the batch window's full sort."""
+    from kafka_streams_playground_spark.plans.northstar_curation import AES_K
+
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if not chunks:
+        return
+    batch = pd.concat(chunks, ignore_index=True)
+    triples = list(
+        zip(
+            batch["clock9"].astype("int64"),
+            batch["doc_id"].astype("int64"),
+            batch["n_chars"].astype("int64"),
+        )
+    )
+    if state.exists:
+        clocks, ids, chars = state.get
+        triples.extend(
+            (int(c), int(d), int(n)) for c, d, n in zip(clocks, ids, chars)
+        )
+    triples.sort(key=lambda t: (-t[0], t[1]))
+    triples = triples[:AES_K]
+    state.update(
+        (
+            [c for c, _, _ in triples],
+            [d for _, d, _ in triples],
+            [n for _, _, n in triples],
+        )
+    )
+    yield pd.DataFrame(
+        {
+            "lang": key[0],
+            "doc_id": [d for _, d, _ in triples],
+            "n_chars": [n for _, _, n in triples],
+            "clock9": [c for c, _, _ in triples],
+            "rank": list(range(1, len(triples) + 1)),
+        }
+    )
+
+
+def weighted_reservoir_per_key(sdf: DataFrame) -> DataFrame:
+    """Streaming per-stratum weighted reservoir; batch twin =
+    plans/northstar_curation.py::sample_weighted_reservoir (whose oracle
+    this operator shares). Input: a stream of (lang, doc_id, n_chars,
+    clock9) rows with the clock precomputed by codegen'd expressions."""
+    return sdf.groupBy("lang").applyInPandasWithState(
+        _weighted_reservoir_topk,
+        outputStructType=(
+            "lang STRING, doc_id BIGINT, n_chars BIGINT, clock9 BIGINT,"
+            " rank BIGINT"
+        ),
+        stateStructType=(
+            "clocks ARRAY<BIGINT>, doc_ids ARRAY<BIGINT>, chars ARRAY<BIGINT>"
+        ),
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

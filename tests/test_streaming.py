@@ -719,3 +719,64 @@ def test_stream_rrf_fusion_matches_batch(spark, sf_dir):
         tuple(r) for r in REGISTRY["retrieval_rrf_fusion"].fn(spark, sf_dir).collect()
     ]
     assert got == want and len(got) > 0
+
+
+def test_weighted_reservoir_state_across_microbatches(spark):
+    """The reservoir must MERGE across micro-batches (top-k of state ∪
+    batch): replay two batches whose union's top-k differs from either
+    batch's own, and check the drained final emission equals the top-k
+    over the union computed by a hashlib mirror of the clock."""
+    import hashlib
+    import math
+
+    from kafka_streams_playground_spark.plans.northstar_curation import (
+        AES_K,
+        AES_U_DEN,
+    )
+    from kafka_streams_playground_spark.streaming.replay import run_to_completion
+    from kafka_streams_playground_spark.streaming.stateful import (
+        weighted_reservoir_per_key,
+    )
+
+    schema = "doc_id long, lang string, n_chars long"
+    rows = [(i, "xx", 50 + 7 * (i % 9)) for i in range(60)]
+    paths = _write_batches(spark, [rows[:30], rows[30:]], schema)
+    src_dir = os.path.dirname(paths[0])
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src_dir, "b*"))
+    )
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit("aes:"), F.col("doc_id").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    scored = sdf.select(
+        "lang",
+        "doc_id",
+        "n_chars",
+        F.floor(F.log((h + 0.5) / AES_U_DEN) / F.col("n_chars") * 1000000000 + F.lit(0.5))
+        .cast("long")
+        .alias("clock9"),
+    )
+    out = run_to_completion(
+        weighted_reservoir_per_key(scored), output_mode="update", spark=spark
+    )
+    # final state = last emission per (lang, rank)
+    final = {}
+    for r in out.collect():
+        final[(r["lang"], r["rank"])] = (r["doc_id"], r["clock9"])
+
+    def clock(doc_id: int, n_chars: int) -> int:
+        hv = int(hashlib.md5(f"aes:{doc_id}".encode()).hexdigest()[:8], 16)
+        return math.floor(math.log((hv + 0.5) / AES_U_DEN) / n_chars * 1e9 + 0.5)
+
+    want = sorted(
+        ((clock(d, n), d, n) for d, _, n in rows), key=lambda t: (-t[0], t[1])
+    )[:AES_K]
+    got = [final[("xx", i + 1)] for i in range(len(want))]
+    assert got == [(d, c) for c, d, _ in want]
+    # the merged top-k straddles both micro-batches (the merge mattered)
+    ids = {d for d, _ in got}
+    assert ids & {r[0] for r in rows[:30]} and ids & {r[0] for r in rows[30:]}
