@@ -108,8 +108,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # git history): dedup_ngram_jaccard, dedup_simhash, mm_image_metadata.
     # They plus the round-8 additions made AFTER the slots filled
     # (sim_nndescent_round, stream_retrieval_rrf_fusion,
-    # sample_weighted_reservoir + its reservoir-state streaming twin)
-    # lead the round-9 rotation.
+    # sample_weighted_reservoir + its reservoir-state streaming twin,
+    # privacy_k_anonymity_audit) lead the round-9 rotation.
 )
 
 

