@@ -1132,3 +1132,23 @@ def test_hll_rollup_cascade_equals_direct_build(spark, sf_dir):
         s = sum(1 << (mmax - m) for m in regs)
         want[day] = (HLL_ALPHA_M2_E6 * (1 << mmax)) // (s * 1000000)
     assert by_grain["day"] == want
+
+
+def test_round8_addition_plan_shapes(spark, sf_dir):
+    """Pin the load-bearing shapes of the round-8 batch additions: the
+    NN-descent candidate joins must not degrade to a cartesian product,
+    the reservoir's rank window must be partitioned (per-stratum, never a
+    global single-partition sort), and the privacy audit must aggregate
+    with partial (map-side) phases."""
+    p = _plan(spark, sf_dir, "sim_nndescent_round")
+    assert "CartesianProduct" not in p
+
+    p = _plan(spark, sf_dir, "sample_weighted_reservoir")
+    assert "CartesianProduct" not in p
+    import re
+
+    specs = re.findall(r"row_number\(\) windowspecdefinition\(([^,]*),", p)
+    assert specs and all("lang" in s for s in specs), specs
+
+    p = _plan(spark, sf_dir, "privacy_k_anonymity_audit")
+    assert "partial_count" in p and "CartesianProduct" not in p
