@@ -109,7 +109,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # They plus the round-8 additions made AFTER the slots filled
     # (sim_nndescent_round, stream_retrieval_rrf_fusion,
     # sample_weighted_reservoir + its reservoir-state streaming twin,
-    # privacy_k_anonymity_audit) lead the round-9 rotation.
+    # privacy_k_anonymity_audit + its census streaming twin,
+    # stream_stats_countmin_user_traffic,
+    # drift_mannwhitney_value_halves, ts_theil_sen_daily_trend)
+    # lead the round-9 rotation.
 )
 
 

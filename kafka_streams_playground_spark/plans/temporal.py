@@ -2026,3 +2026,232 @@ def ts_changepoint_binary_seg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("gain_scaled"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U rank-sum drift test (round 8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "drift_mannwhitney_value_halves",
+    oracle="""
+    WITH e AS (
+      SELECT event_id % 2 AS half,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS cents
+      FROM events
+    ),
+    g AS (
+      SELECT cents,
+             SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS ca,
+             SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS cb
+      FROM e GROUP BY 1
+    ),
+    c AS (
+      SELECT cents, ca, cb, ca + cb AS cnt,
+             COALESCE(SUM(ca + cb) OVER (ORDER BY cents
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cumb4,
+             SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+      FROM g
+    ),
+    s AS (
+      SELECT MAX(na) AS na, MAX(nb) AS nb,
+             CAST(SUM(ca * (2 * cumb4 + cnt + 1)) AS BIGINT) AS r1_x2,
+             CAST(SUM(CAST(cnt AS BIGINT) * cnt * cnt - cnt) AS BIGINT)
+                 AS tie_term
+      FROM c
+    )
+    SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b, r1_x2,
+           CAST(r1_x2 - na * (na + 1) AS BIGINT) AS u1_x2,
+           CAST(2 * na * nb - (r1_x2 - na * (na + 1)) AS BIGINT) AS u2_x2,
+           CAST((r1_x2 - na * (na + 1)) * 1000000 // (2 * na * nb) AS BIGINT)
+               AS auc_ppm,
+           tie_term
+    FROM s
+    """,
+    tags=("extension", "temporal", "drift", "stats", "bench"),
+)
+def drift_mannwhitney_value_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Mann-Whitney U rank-sum test between the event_id-parity
+    halves — the nonparametric LOCATION-shift companion to the KS sup
+    (shape) and PSI (binned mass) drift tests on the same deterministic
+    split: U answers "does one half stochastically dominate?", and
+    U/(n_a·n_b) IS the common-language effect size / AUC. Tie handling
+    is the textbook average-rank rule kept exact on a doubled grid:
+    2·avgrank(v) = 2·cum_before(v) + count(v) + 1 is always an integer,
+    so R1×2, U1×2, U2×2 are exact BIGINTs and only the final AUC report
+    divides (ppm). The tie term Σ(t³−t) rides along for the variance
+    correction a consumer's z-test needs. U1+U2 = 2·n_a·n_b by
+    construction — self-checking output.
+
+    Spark shape: identical recipe to the KS statistic next door — ONE
+    shuffle to the (cents, countA, countB) grid with map-side partials,
+    then cumulative/total windows over GRID rows only (unpartitioned but
+    grid-bounded — the same documented stance, with the same fixed-
+    quantization fallback for unbounded domains at 100 TB), and a 1-row
+    final fold. Never sorts or ranks raw events — the rank sums come
+    from the grid algebra, which is what makes an exact rank test
+    feasible at corpus scale."""
+    e = load_table(spark, sf_dir, "events").select(
+        (F.col("event_id") % 2).alias("half"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    g = e.groupBy("cents").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("ca"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("cb"),
+    )
+    wb4 = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    wall = Window.partitionBy()
+    c = g.select(
+        "ca",
+        (F.col("ca") + F.col("cb")).alias("cnt"),
+        F.coalesce(F.sum(F.col("ca") + F.col("cb")).over(wb4), F.lit(0)).alias(
+            "cumb4"
+        ),
+        F.sum("ca").over(wall).alias("na"),
+        F.sum("cb").over(wall).alias("nb"),
+    )
+    s = c.agg(
+        F.max("na").alias("na"),
+        F.max("nb").alias("nb"),
+        F.sum(F.col("ca") * (2 * F.col("cumb4") + F.col("cnt") + 1))
+        .cast("bigint")
+        .alias("r1_x2"),
+        F.sum(
+            F.col("cnt").cast("bigint") * F.col("cnt") * F.col("cnt") - F.col("cnt")
+        )
+        .cast("bigint")
+        .alias("tie_term"),
+    )
+    u1 = F.col("r1_x2") - F.col("na") * (F.col("na") + 1)
+    return s.select(
+        F.col("na").cast("bigint").alias("n_a"),
+        F.col("nb").cast("bigint").alias("n_b"),
+        "r1_x2",
+        u1.cast("bigint").alias("u1_x2"),
+        (2 * F.col("na") * F.col("nb") - u1).cast("bigint").alias("u2_x2"),
+        F.expr(
+            "CAST((r1_x2 - na * (na + 1)) * 1000000 div (2 * na * nb) AS BIGINT)"
+        ).alias("auc_ppm"),
+        "tie_term",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend (round 8)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_theil_sen_daily_trend",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             (CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT) // 86400) AS day,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT a.event_type,
+             ((b.v - a.v) * 1000000
+              - ((((b.v - a.v) * 1000000) % (b.day - a.day)
+                  + (b.day - a.day)) % (b.day - a.day)))
+                 // (b.day - a.day) AS slope_e6
+      FROM d a JOIN d b
+        ON b.event_type = a.event_type AND b.day > a.day
+    ),
+    r AS (
+      SELECT event_type, slope_e6,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY slope_e6, 1) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS np
+      FROM p
+    ),
+    m AS (
+      SELECT event_type, MAX(np) AS n_pairs,
+             MAX(CASE WHEN rn = (np + 1) // 2 THEN slope_e6 END) AS slope_lo_e6,
+             MAX(CASE WHEN rn = np // 2 + 1 THEN slope_e6 END) AS slope_hi_e6
+      FROM r GROUP BY 1
+    ),
+    nd AS (SELECT event_type, COUNT(*) AS n_days FROM d GROUP BY 1)
+    SELECT m.event_type, CAST(nd.n_days AS BIGINT) AS n_days,
+           CAST(m.n_pairs AS BIGINT) AS n_pairs,
+           CAST(m.slope_lo_e6 AS BIGINT) AS slope_lo_e6,
+           CAST(m.slope_hi_e6 AS BIGINT) AS slope_hi_e6
+    FROM m JOIN nd USING (event_type)
+    """,
+    tags=("extension", "temporal", "ts", "stats", "bench"),
+)
+def ts_theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust trend per event type — the median of all pairwise
+    slopes of the daily-revenue series (Theil 1950 / Sen 1968): up to
+    ~29% corrupted days cannot move it, where the OLS slope
+    (``stats_ols_qty_price_by_nation``'s machinery) chases any single
+    spiked day. The slope grid is exact: cents×1e6 numerators with an
+    explicit sign-safe floor division (both engines' operators disagree
+    on negative division — DuckDB floors, Spark truncates — so the
+    mod-adjusted floor is spelled out once and shared); the median is
+    reported as its lo/hi middle order statistics (equal when n_pairs is
+    odd) rather than averaging into a fraction.
+
+    Spark shape: events collapse to the per-type DAY grid first (one
+    map-side-partial shuffle — the same series the changepoint query
+    derives), so the pairwise self-join is DAYS², not events² — a
+    time-grid quadratic that is O((span/day)²) per type whatever the
+    corpus size, co-shuffled on event_type. The rank window partitions
+    by type. At 100 TB the day grid for a year is 365 rows per type:
+    ~66k pair rows — the robust-trend answer stays effectively free
+    while the raw data grows unboundedly."""
+    d = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("unix_timestamp(ts) div 86400").alias("day"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").alias("v"))
+        .localCheckpoint(eager=True)  # day-grid-bounded; read by both join sides
+    )
+    a = d.select(
+        F.col("event_type").alias("et"), F.col("day").alias("di"), F.col("v").alias("vi")
+    )
+    b = d.select(
+        F.col("event_type").alias("et"), F.col("day").alias("dj"), F.col("v").alias("vj")
+    )
+    p = a.join(b, ["et"]).filter(F.col("dj") > F.col("di")).select(
+        F.col("et").alias("event_type"),
+        F.expr(
+            "((vj - vi) * 1000000 - pmod((vj - vi) * 1000000, dj - di))"
+            " div (dj - di)"
+        ).alias("slope_e6"),
+    )
+    wr = Window.partitionBy("event_type").orderBy("slope_e6")
+    wn = Window.partitionBy("event_type")
+    r = p.select(
+        "event_type",
+        "slope_e6",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("np"),
+    )
+    m = r.groupBy("event_type").agg(
+        F.max("np").alias("n_pairs"),
+        F.max(
+            F.when(F.col("rn") == (F.col("np") + 1) / 2, F.col("slope_e6")).otherwise(
+                None
+            )
+        ).alias("slope_lo_e6"),
+        F.max(
+            F.when(
+                F.col("rn") == F.floor(F.col("np") / 2) + 1, F.col("slope_e6")
+            ).otherwise(None)
+        ).alias("slope_hi_e6"),
+    )
+    nd = d.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_days"))
+    return m.join(nd, "event_type").select(
+        "event_type",
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.col("n_pairs").cast("bigint").alias("n_pairs"),
+        F.col("slope_lo_e6").cast("bigint").alias("slope_lo_e6"),
+        F.col("slope_hi_e6").cast("bigint").alias("slope_hi_e6"),
+    )

@@ -2638,3 +2638,148 @@ def _share_reservoir_oracle() -> None:
 
 
 _share_reservoir_oracle()
+
+
+@query(
+    "stream_stats_countmin_user_traffic",
+    oracle=None,  # re-registered below: shares the batch count-min oracle
+    tags=("northstar", "streaming", "stats", "sketch"),
+)
+def stream_stats_countmin_user_traffic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The count-min sketch LIVE — completes the streaming sketch matrix
+    (KMV, HLL, histogram, bootstrap, KS, Benford all have twins; this is
+    the frequency member): every arriving event increments its D hashed
+    counters via a map-side posexplode and a D×W-key update-mode
+    aggregate — additive counters, so micro-batch merge = partition
+    merge and the drained state equals the batch sketch exactly (the
+    batch form sums per-user counts into the same cells; grouping order
+    cannot matter for a sum). The top-10 exact-count audit epilogue runs
+    batch-side over the drained sketch, sharing the batch oracle
+    verbatim. State: D×W = 256 counters forever — the whole point of
+    CMS at ingest; at 100 TB only W is retuned to bound n/W error."""
+    from kafka_streams_playground_spark.plans.northstar_stats import (
+        CM_DEPTH,
+        CM_TOP,
+        CM_WIDTH,
+    )
+
+    ev_s = read_stream_table(spark, sf_dir, "events").select("user_id")
+
+    def bucket(r: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"cm{r}:"), F.col("user_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % CM_WIDTH
+        )
+
+    inc = ev_s.select(
+        F.posexplode(F.array(*[bucket(r) for r in range(CM_DEPTH)])).alias("r", "b")
+    )
+    sketch = run_to_completion(
+        inc.groupBy("r", "b").agg(F.count(F.lit(1)).alias("sc")),
+        output_mode="update",
+        spark=spark,
+    )
+    # batch epilogue: exact top-10 readback against the drained counters
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    cnt = ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    buckets = cnt.select(
+        "user_id",
+        "cnt",
+        F.posexplode(F.array(*[bucket(r) for r in range(CM_DEPTH)])).alias("r", "b"),
+    )
+    est = (
+        buckets.join(F.broadcast(sketch), ["r", "b"])
+        .groupBy("user_id")
+        .agg(F.min("sc").alias("est"))
+    )
+    top = cnt.orderBy(F.col("cnt").desc(), F.col("user_id").asc()).limit(CM_TOP)
+    return F.broadcast(top).join(est, "user_id").select(
+        "user_id", "cnt", "est", (F.col("est") - F.col("cnt")).alias("overcount")
+    )
+
+
+def _share_countmin_oracle() -> None:
+    from kafka_streams_playground_spark.plans import northstar_stats  # noqa: F401
+
+    REGISTRY["stream_stats_countmin_user_traffic"] = _replace(
+        REGISTRY["stream_stats_countmin_user_traffic"],
+        oracle=REGISTRY["stats_countmin_user_traffic"].oracle,
+    )
+
+
+_share_countmin_oracle()
+
+
+@query(
+    "stream_privacy_k_anonymity",
+    oracle=None,  # re-registered below: shares the batch privacy oracle
+    tags=("northstar", "streaming", "curation", "privacy"),
+)
+def stream_privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The k-anonymity / l-diversity audit LIVE: customer records arrive
+    as a stream, the sensitive band computes row-locally (codegen'd cent
+    grid), and an update-mode (nation, segment, band) counter aggregate
+    keeps the equivalence-class census current — |classes|×3 counters of
+    state, so the privacy dashboard is always fresh as a release
+    candidate accretes. The class rollup (size, diversity, flags, the
+    release/generalize/suppress ladder) is the batch epilogue over the
+    drained dashboard-sized counter relation; single-drain replay makes
+    it the batch result exactly, sharing the batch oracle."""
+    from kafka_streams_playground_spark.plans.northstar_curation import (
+        ACCTBAL_LOW_CENTS,
+        KANON_K,
+        LDIV_L,
+    )
+
+    c = read_stream_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("long").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.when(F.col("c_acctbal") < 0, F.lit("neg"))
+        .when(
+            F.floor(F.col("c_acctbal") * 100 + 0.5).cast("long") < ACCTBAL_LOW_CENTS,
+            F.lit("low"),
+        )
+        .otherwise(F.lit("high"))
+        .alias("sens"),
+    )
+    cells = run_to_completion(
+        c.groupBy("nation", "segment", "sens").agg(F.count(F.lit(1)).alias("n")),
+        output_mode="update",
+        spark=spark,
+    )
+    cls = cells.groupBy("nation", "segment").agg(
+        F.sum("n").alias("class_size"),
+        F.count(F.lit(1)).alias("n_sensitive"),
+    )
+    return cls.select(
+        "nation",
+        "segment",
+        F.col("class_size").cast("long").alias("class_size"),
+        F.col("n_sensitive").cast("long").alias("n_sensitive"),
+        (F.col("class_size") >= KANON_K).cast("int").alias("k_anonymous"),
+        (F.col("n_sensitive") >= LDIV_L).cast("int").alias("l_diverse"),
+        F.when(F.col("class_size") >= KANON_K, F.lit("release"))
+        .when(F.col("class_size") >= KANON_K // 2, F.lit("generalize"))
+        .otherwise(F.lit("suppress"))
+        .alias("action"),
+    )
+
+
+def _share_privacy_oracle() -> None:
+    from kafka_streams_playground_spark.plans import northstar_curation  # noqa: F401
+
+    REGISTRY["stream_privacy_k_anonymity"] = _replace(
+        REGISTRY["stream_privacy_k_anonymity"],
+        oracle=REGISTRY["privacy_k_anonymity_audit"].oracle,
+    )
+
+
+_share_privacy_oracle()

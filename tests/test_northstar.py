@@ -2147,3 +2147,70 @@ def test_k_anonymity_audit_flags_are_consistent(spark, sf_dir):
         actions.add(r["action"])
     # tiny sf0.001 classes are all suppress-sized; just require a verdict
     assert rows and actions <= {"release", "generalize", "suppress"}
+
+
+def test_mannwhitney_matches_pure_python_ranks(spark, sf_dir):
+    """drift_mannwhitney_value_halves: U1+U2 = 2·n_a·n_b, and every output
+    equals a pure-Python average-rank computation over the same halves."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+    from kafka_streams_playground_spark.sources.parquet import load_table
+
+    row = REGISTRY["drift_mannwhitney_value_halves"].fn(spark, sf_dir).collect()[0]
+    vals = [
+        (int(r["event_id"]) % 2, int(__import__("math").floor(r["value"] * 100 + 0.5)))
+        for r in load_table(spark, sf_dir, "events").select("event_id", "value").collect()
+    ]
+    from collections import Counter
+
+    ca = Counter(c for h, c in vals if h == 0)
+    cb = Counter(c for h, c in vals if h == 1)
+    na, nb = sum(ca.values()), sum(cb.values())
+    r1x2, cum, tie = 0, 0, 0
+    for v in sorted(set(ca) | set(cb)):
+        cnt = ca[v] + cb[v]
+        r1x2 += ca[v] * (2 * cum + cnt + 1)
+        tie += cnt**3 - cnt
+        cum += cnt
+    u1x2 = r1x2 - na * (na + 1)
+    assert (row["n_a"], row["n_b"], row["r1_x2"]) == (na, nb, r1x2)
+    assert row["u1_x2"] == u1x2 and row["u2_x2"] == 2 * na * nb - u1x2
+    assert row["u1_x2"] + row["u2_x2"] == 2 * na * nb
+    assert row["auc_ppm"] == u1x2 * 1000000 // (2 * na * nb)
+    assert row["tie_term"] == tie and 0 <= row["auc_ppm"] <= 1000000
+
+
+def test_theil_sen_matches_pure_python_median(spark, sf_dir):
+    """ts_theil_sen_daily_trend: pair counts are n·(n−1)/2 per type and the
+    lo/hi medians equal a pure-Python pairwise-slope median with the same
+    floor-division grid."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+    from kafka_streams_playground_spark.sources.parquet import load_table
+
+    rows = {
+        r["event_type"]: r
+        for r in REGISTRY["ts_theil_sen_daily_trend"].fn(spark, sf_dir).collect()
+    }
+    days = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.expr("unix_timestamp(ts) div 86400").alias("day"),
+                F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"))
+        .groupBy("event_type", "day")
+        .agg(F.sum("c").alias("v"))
+        .collect()
+    ):
+        days.setdefault(r["event_type"], {})[r["day"]] = r["v"]
+    for et, series in days.items():
+        ds = sorted(series)
+        slopes = sorted(
+            ((series[dj] - series[di]) * 1000000) // (dj - di)
+            for i, di in enumerate(ds)
+            for dj in ds[i + 1:]
+        )
+        n = len(slopes)
+        got = rows[et]
+        assert got["n_days"] == len(ds)
+        assert got["n_pairs"] == n == len(ds) * (len(ds) - 1) // 2
+        assert got["slope_lo_e6"] == slopes[(n + 1) // 2 - 1]
+        assert got["slope_hi_e6"] == slopes[n // 2]
+        assert got["slope_lo_e6"] <= got["slope_hi_e6"]

@@ -780,3 +780,35 @@ def test_weighted_reservoir_state_across_microbatches(spark):
     # the merged top-k straddles both micro-batches (the merge mattered)
     ids = {d for d, _ in got}
     assert ids & {r[0] for r in rows[:30]} and ids & {r[0] for r in rows[30:]}
+
+
+def test_stream_countmin_matches_batch(spark, sf_dir):
+    """Per-event counter increments drained from streaming state must equal
+    the batch sketch built from per-user counts (sums commute)."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+
+    got = sorted(
+        tuple(r)
+        for r in REGISTRY["stream_stats_countmin_user_traffic"].fn(spark, sf_dir).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in REGISTRY["stats_countmin_user_traffic"].fn(spark, sf_dir).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_stream_privacy_audit_matches_batch(spark, sf_dir):
+    """The live equivalence-class census must roll up to exactly the batch
+    k-anonymity report."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+
+    got = sorted(
+        tuple(r)
+        for r in REGISTRY["stream_privacy_k_anonymity"].fn(spark, sf_dir).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in REGISTRY["privacy_k_anonymity_audit"].fn(spark, sf_dir).collect()
+    )
+    assert got == want and len(got) > 0
