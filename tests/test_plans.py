@@ -571,6 +571,7 @@ UNPARTITIONED_WINDOW_WHITELIST = {
     "layout_compaction_bins": "cumulative sizes over the manifest-sized file inventory",
     "ids_dense_global_rownum": "bucket-offset prefix sum over the O(n/W) bucket-count table (the row-level window partitions by bucket — pinned by test_dense_rownum_window_is_bucket_partitioned)",
     "drift_ks_value_halves": "cumulative CDF counts over the O(value grid) cents relation",
+    "drift_mannwhitney_value_halves": "cumulative rank algebra over the same O(value grid) cents relation as the KS sibling",
     "stats_bootstrap_ci_mean": "replica-mean rank over the B=40-row replica table",
     "ts_cumulative_new_users": "running total over the calendar-bounded day spine",
     "curation_pareto_frontier": "strictly-above prefix max over the O(logit range / W) bucket-max relation",
