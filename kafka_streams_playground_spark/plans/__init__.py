@@ -111,8 +111,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # sample_weighted_reservoir + its reservoir-state streaming twin,
     # privacy_k_anonymity_audit + its census streaming twin,
     # stream_stats_countmin_user_traffic,
-    # drift_mannwhitney_value_halves, ts_theil_sen_daily_trend)
-    # lead the round-9 rotation.
+    # drift_mannwhitney_value_halves, ts_theil_sen_daily_trend,
+    # diag_freshness_monitor) lead the round-9 rotation.
 )
 
 

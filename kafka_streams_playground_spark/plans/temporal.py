@@ -2255,3 +2255,113 @@ def ts_theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("slope_lo_e6").cast("bigint").alias("slope_lo_e6"),
         F.col("slope_hi_e6").cast("bigint").alias("slope_hi_e6"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Freshness / volume-anomaly monitor (round 8)
+# ---------------------------------------------------------------------------
+
+FRESH_TRAIL = 7  # trailing window (days) the volume baseline averages over
+FRESH_DEV_PCT = 50  # alert when |today - baseline| exceeds 50% of baseline
+
+
+@query(
+    "diag_freshness_monitor",
+    oracle=f"""
+    WITH d AS (
+      SELECT event_type,
+             (CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT) // 86400) AS day,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT event_type, day, n,
+             COUNT(n) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN {FRESH_TRAIL} PRECEDING AND 1 PRECEDING) AS n_trail,
+             COALESCE(SUM(n) OVER (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN {FRESH_TRAIL} PRECEDING AND 1 PRECEDING), 0)
+                 AS sum_trail
+      FROM d
+    )
+    SELECT event_type, CAST(day AS BIGINT) AS day, CAST(n AS BIGINT) AS n,
+           CAST(n_trail AS BIGINT) AS n_trail,
+           CAST(sum_trail AS BIGINT) AS sum_trail,
+           CAST(CASE WHEN n_trail = 0 THEN NULL
+                ELSE (n * n_trail - sum_trail) * 1000000
+                     - (((((n * n_trail - sum_trail) * 1000000) % sum_trail)
+                         + sum_trail) % sum_trail)
+                END // NULLIF(sum_trail, 0) AS BIGINT) AS dev_ppm,
+           CAST(n_trail > 0 AND
+                ABS(n * n_trail - sum_trail) * 100
+                  > {FRESH_DEV_PCT} * sum_trail AS INT) AS alert
+    FROM w
+    """,
+    tags=("extension", "temporal", "diag", "quality", "bench"),
+)
+def diag_freshness_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source volume/freshness anomaly monitor — the third pillar of
+    the data-observability triad next to ``diag_table_profile`` (content)
+    and ``diag_key_skew_report`` (distribution): for every (event_type,
+    day) cell, today's row count against the trailing-{FRESH_TRAIL}-day
+    baseline, the deviation in ppm, and an alert flag when the day moves
+    more than {FRESH_DEV_PCT}% off baseline — the check that catches a
+    dead producer, a double-ship, or a backfill before it poisons
+    training data. Division-free alerting: the threshold compares
+    |n·n_trail − sum_trail|·100 against {FRESH_DEV_PCT}·sum_trail by
+    cross-multiplication (exact BIGINTs); only the reported dev_ppm
+    divides, through the same sign-safe floor the Theil-Sen slopes use
+    (engines disagree on negative division). Warm-up days (empty
+    trailing window) report NULL deviation and never alert.
+
+    Spark shape: events collapse to the per-type day grid in one
+    map-side-partial shuffle; the trailing windows are ROWS-bounded and
+    PARTITIONED by event_type (never global); output is grid-sized. At
+    100 TB the monitor costs one count-only scan — and in production
+    the day counts come free from partition metadata, making this a
+    metadata-only query; the window algebra is unchanged."""
+    d = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("unix_timestamp(ts) div 86400").alias("day"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    wt = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(-FRESH_TRAIL, -1)
+    )
+    w = d.select(
+        "event_type",
+        "day",
+        "n",
+        F.count("n").over(wt).alias("n_trail"),
+        F.coalesce(F.sum("n").over(wt), F.lit(0)).alias("sum_trail"),
+    )
+    num = (F.col("n") * F.col("n_trail") - F.col("sum_trail")) * 1000000
+    return w.select(
+        "event_type",
+        F.col("day").cast("bigint").alias("day"),
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_trail").cast("bigint").alias("n_trail"),
+        F.col("sum_trail").cast("bigint").alias("sum_trail"),
+        F.when(
+            F.col("n_trail") > 0,
+            F.expr(
+                "((n * n_trail - sum_trail) * 1000000"
+                " - pmod((n * n_trail - sum_trail) * 1000000, sum_trail))"
+                " div sum_trail"  # exact integer floor-div, never a double
+            ),
+        ).alias("dev_ppm"),
+        (
+            (F.col("n_trail") > 0)
+            & (
+                F.abs(F.col("n") * F.col("n_trail") - F.col("sum_trail")) * 100
+                > FRESH_DEV_PCT * F.col("sum_trail")
+            )
+        )
+        .cast("int")
+        .alias("alert"),
+    )

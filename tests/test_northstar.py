@@ -2214,3 +2214,33 @@ def test_theil_sen_matches_pure_python_median(spark, sf_dir):
         assert got["slope_lo_e6"] == slopes[(n + 1) // 2 - 1]
         assert got["slope_hi_e6"] == slopes[n // 2]
         assert got["slope_lo_e6"] <= got["slope_hi_e6"]
+
+
+def test_freshness_monitor_baseline_algebra(spark, sf_dir):
+    """diag_freshness_monitor: warm-up rows never alert and carry NULL
+    deviation; every other row's dev/alert equals a pure-Python trailing
+    recomputation (cross-multiplied threshold, floor-div ppm)."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+    from kafka_streams_playground_spark.plans.temporal import (
+        FRESH_DEV_PCT,
+        FRESH_TRAIL,
+    )
+
+    rows = REGISTRY["diag_freshness_monitor"].fn(spark, sf_dir).collect()
+    series = {}
+    for r in rows:
+        series.setdefault(r["event_type"], []).append(r)
+    assert series and all(len(v) > FRESH_TRAIL for v in series.values())
+    for et, rs in series.items():
+        rs.sort(key=lambda r: r["day"])
+        for i, r in enumerate(rs):
+            trail = rs[max(0, i - FRESH_TRAIL):i]
+            assert r["n_trail"] == len(trail)
+            s = sum(t["n"] for t in trail)
+            assert r["sum_trail"] == s
+            if not trail:
+                assert r["dev_ppm"] is None and r["alert"] == 0
+            else:
+                num = r["n"] * len(trail) - s
+                assert r["dev_ppm"] == (num * 1000000) // s
+                assert r["alert"] == int(abs(num) * 100 > FRESH_DEV_PCT * s)
