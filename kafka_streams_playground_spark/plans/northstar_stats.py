@@ -1949,3 +1949,165 @@ def ts_rollup_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     result = result.localCheckpoint(eager=True)
     hourm.unpersist()
     return result
+
+
+# ---------------------------------------------------------------------------
+# Regression influence diagnostics (leverage / Cook-style influence)
+# ---------------------------------------------------------------------------
+
+# Top influence points reported per nation.
+INFL_TOPK = 3
+
+_INFL_ORACLE = f"""
+    WITH pts AS (
+      SELECT n_name, l_orderkey, l_linenumber,
+             CAST(FLOOR(l_quantity + 0.5) AS BIGINT) AS x,
+             CAST(FLOOR(l_extendedprice * 100 + 0.5) AS BIGINT) AS y
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+    ),
+    s AS (
+      SELECT n_name, COUNT(*) AS n,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x*y) AS sxy, SUM(x*x) AS sxx
+      FROM pts GROUP BY n_name
+    ),
+    fit AS (
+      SELECT n_name, n, sx,
+             n*sxx - sx*sx AS den,
+             n*sxy - sx*sy AS slope_num,
+             sy*sxx - sx*sxy AS icpt_num
+      FROM s WHERE n*sxx - sx*sx <> 0
+    ),
+    diag AS (
+      SELECT p.n_name, p.l_orderkey, p.l_linenumber,
+             CAST(p.y*f.den - f.icpt_num - f.slope_num*p.x AS DOUBLE)
+               / CAST(f.den AS DOUBLE) AS e,
+             CAST(f.den + (f.n*p.x - f.sx)*(f.n*p.x - f.sx) AS DOUBLE)
+               / CAST(f.n*f.den AS DOUBLE) AS h
+      FROM pts p JOIN fit f ON p.n_name = f.n_name
+      WHERE f.n*f.den <> f.den + (f.n*p.x - f.sx)*(f.n*p.x - f.sx)
+    ),
+    scored AS (
+      SELECT n_name, l_orderkey, l_linenumber,
+             CAST(FLOOR(e + 0.5) AS BIGINT) AS resid_cents,
+             CAST(FLOOR(h * 1000000000 + 0.5) AS BIGINT) AS leverage_e9,
+             CAST(FLOOR(e * e * h / ((1.0 - h) * (1.0 - h)) + 0.5) AS BIGINT)
+               AS influence
+      FROM diag
+    )
+    SELECT * FROM (
+      SELECT n_name, l_orderkey, l_linenumber, resid_cents, leverage_e9,
+             influence,
+             ROW_NUMBER() OVER (PARTITION BY n_name
+               ORDER BY influence DESC, l_orderkey, l_linenumber) AS rk
+      FROM scored
+    ) WHERE rk <= {INFL_TOPK}
+"""
+
+
+@query(
+    "stats_ols_influence_outliers",
+    oracle=_INFL_ORACLE,
+    tags=("extension", "stats", "agg", "bench"),
+)
+def stats_ols_influence_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Influence diagnostics for the per-nation OLS fit: leverage h_i and a
+    Cook-style influence score e_i^2 * h_i / (1-h_i)^2 per line item, top
+    INFL_TOPK per nation — the data-valuation pass that surfaces the
+    training points that pull a fitted model hardest (mislabeled or outlier
+    examples rank first; the LLM-curation use is "audit the rows that
+    dominate a quality-regression fit").
+
+    Two passes, both single-shuffle: (1) the OLS sufficient statistics per
+    nation (reusing ols_sufficient_stats' mergeable 5-tuple); (2) the
+    25-row fit relation joins back to the points by BROADCAST — residual
+    and leverage are closed-form per-row expressions in whole-stage
+    codegen, no per-group subquery. Exactness: residual*den and the
+    leverage numerator/denominator are exact DECIMAL(38,0)/HUGEINT
+    integers; the final divisions cast the identical integers to double in
+    both engines (the stats_ols_qty_price_by_nation stance), and ranking
+    happens on the e9/e6-snapped BIGINTs with a total (influence, orderkey,
+    linenumber) order. Headroom: the largest exact product y*den at sf0.1
+    is ~1e19 << 1e38.
+
+    Top-k per group is the two-phase schedule: a per-(nation,
+    input-partition) partial top-INFL_TOPK window first (composite key, no
+    25-key skew wall), then the global per-nation window over the <=
+    partitions*25*K survivor rows — the same survivor-set trick as
+    tokenizer_vocab_coverage, generalized per group."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey",
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(F.col("l_quantity") + 0.5).cast("decimal(38,0)").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100 + 0.5)
+        .cast("decimal(38,0)")
+        .alias("y"),
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    pts = li.join(F.broadcast(sup), li["l_suppkey"] == sup["s_suppkey"]).join(
+        F.broadcast(nat), sup["s_nationkey"] == nat["n_nationkey"]
+    )
+    s = pts.groupBy("n_name").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    fit = s.filter(den != 0).select(
+        "n_name",
+        "n",
+        "sx",
+        den.alias("den"),
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).alias("slope_num"),
+        (F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")).alias("icpt_num"),
+    )
+    d = pts.join(F.broadcast(fit), "n_name")
+    lev_num = F.col("den") + (F.col("n") * F.col("x") - F.col("sx")) * (
+        F.col("n") * F.col("x") - F.col("sx")
+    )
+    e = (
+        F.col("y") * F.col("den") - F.col("icpt_num") - F.col("slope_num") * F.col("x")
+    ).cast("double") / F.col("den").cast("double")
+    h = lev_num.cast("double") / (F.col("n") * F.col("den")).cast("double")
+    scored = (
+        d.filter((F.col("n") * F.col("den")) != lev_num)
+        .select(
+            "n_name",
+            "l_orderkey",
+            "l_linenumber",
+            e.alias("e"),
+            h.alias("h"),
+        )
+        .select(
+            "n_name",
+            "l_orderkey",
+            "l_linenumber",
+            F.floor(F.col("e") + 0.5).cast("long").alias("resid_cents"),
+            F.floor(F.col("h") * 1_000_000_000 + 0.5).cast("long").alias("leverage_e9"),
+            F.floor(
+                F.col("e") * F.col("e") * F.col("h")
+                / ((F.lit(1.0) - F.col("h")) * (F.lit(1.0) - F.col("h")))
+                + 0.5
+            )
+            .cast("long")
+            .alias("influence"),
+        )
+    )
+    order = [F.col("influence").desc(), F.col("l_orderkey"), F.col("l_linenumber")]
+    partial = Window.partitionBy("n_name", "pid").orderBy(*order)
+    survivors = (
+        scored.withColumn("pid", F.spark_partition_id())
+        .withColumn("prk", F.row_number().over(partial))
+        .filter(F.col("prk") <= INFL_TOPK)
+        .drop("pid", "prk")
+    )
+    final = Window.partitionBy("n_name").orderBy(*order)
+    return (
+        survivors.withColumn("rk", F.row_number().over(final))
+        .filter(F.col("rk") <= INFL_TOPK)
+    )
