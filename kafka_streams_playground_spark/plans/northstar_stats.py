@@ -2111,3 +2111,175 @@ def stats_ols_influence_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         survivors.withColumn("rk", F.row_number().over(final))
         .filter(F.col("rk") <= INFL_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source content-overlap matrix via KMV inclusion-exclusion
+# ---------------------------------------------------------------------------
+
+# Sketch size for the per-source shingle sketches. Matches the KMV family
+# (plans/relational.py::KMV_K is the single-scope sibling); redeclared here
+# to keep this module import-light — the value is pinned equal by
+# tests/test_northstar.py::test_source_overlap_kmv_self_consistency.
+SRC_KMV_K = 256
+
+
+def _kmv_est(k_n, kth):
+    """The shared KMV estimator expression: exact below K, (K-1)*2^32/kth
+    above — bit-identical to agg_kmv_distinct_sketch's Spark and SQL forms."""
+    return (
+        F.when(k_n < SRC_KMV_K, k_n.cast("long"))
+        .otherwise(F.floor((SRC_KMV_K - 1) * float(2**32) / kth).cast("long"))
+    )
+
+
+_SRC_KMV_EST_SQL = (
+    f"CASE WHEN k_n < {SRC_KMV_K} THEN CAST(k_n AS BIGINT) "
+    f"ELSE CAST(FLOOR(({SRC_KMV_K} - 1) * {2**32}.0 / kth) AS BIGINT) END"
+)
+
+_SRC_OVERLAP_ORACLE = f"""
+    WITH {T.duck_shingles_cte()},
+    hv AS (
+      SELECT DISTINCT d.source AS src, h AS hv
+      FROM sh JOIN documents d ON sh.doc_id = d.doc_id,
+           unnest({T.duck_shingle_hashes()}) AS u(h)
+    ),
+    sks AS (
+      SELECT src, hv FROM (
+        SELECT src, hv,
+               ROW_NUMBER() OVER (PARTITION BY src ORDER BY hv) AS rn
+        FROM hv
+      ) WHERE rn <= {SRC_KMV_K}
+    ),
+    per AS (
+      SELECT src, {_SRC_KMV_EST_SQL} AS est FROM (
+        SELECT src, COUNT(*) AS k_n, MAX(hv) AS kth FROM sks GROUP BY src
+      )
+    ),
+    prs AS (
+      SELECT a.src AS src_a, b.src AS src_b
+      FROM per a JOIN per b ON a.src < b.src
+    ),
+    uni AS (
+      SELECT p.src_a, p.src_b, s.hv
+      FROM prs p JOIN sks s ON s.src = p.src_a OR s.src = p.src_b
+      GROUP BY p.src_a, p.src_b, s.hv
+    ),
+    uest AS (
+      SELECT src_a, src_b, {_SRC_KMV_EST_SQL} AS est_union FROM (
+        SELECT src_a, src_b, COUNT(*) AS k_n, MAX(hv) AS kth FROM (
+          SELECT src_a, src_b, hv,
+                 ROW_NUMBER() OVER (PARTITION BY src_a, src_b ORDER BY hv) AS rn
+          FROM uni
+        ) WHERE rn <= {SRC_KMV_K}
+        GROUP BY src_a, src_b
+      )
+    )
+    SELECT u.src_a, u.src_b, ea.est AS est_a, eb.est AS est_b, u.est_union,
+           GREATEST(0, ea.est + eb.est - u.est_union) AS est_intersect,
+           CASE WHEN u.est_union > 0
+                THEN (GREATEST(0, ea.est + eb.est - u.est_union) * 1000000)
+                     // u.est_union
+                ELSE 0 END AS jaccard_e6
+    FROM uest u
+    JOIN per ea ON u.src_a = ea.src
+    JOIN per eb ON u.src_b = eb.src
+"""
+
+
+@query(
+    "stats_source_overlap_kmv",
+    oracle=_SRC_OVERLAP_ORACLE,
+    tags=("extension", "stats", "sketch", "northstar", "bench"),
+)
+def stats_source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise content-overlap matrix between document SOURCES from KMV
+    sketches: per source, the bottom-K distinct 3-gram shingle hashes; per
+    source pair, |A∩B| estimated by inclusion-exclusion est(A) + est(B) −
+    est(A∪B), where the union sketch is the bottom-K of the two sketches'
+    union (the textbook KMV union rule — closed under merge). This is the
+    table a curation pass reads to decide which crawls/dumps double-count
+    each other BEFORE paying for cross-source dedup.
+
+    Scale shape — the whole point: raw text is touched ONCE (map-side
+    shingle+hash inside the scan, one distinct on (source, 8-byte hash)),
+    the per-source bottom-K is a source-partitioned rank window, and the
+    entire pairwise stage runs on SKETCHES: |sources|^2/2 pairs × ≤2K
+    sketch rows — O(config²), independent of corpus size. At 100 TB with
+    10^4 sources the pair stage is still ~10^7 sketch-row copies; the
+    corpus-sized work stays one scan + one ids-only shuffle. The estimator
+    is the same md5/bottom-K arithmetic as agg_kmv_distinct_sketch, so the
+    sketch AND the matrix are oracle-checked bit-for-bit (the intersection
+    estimate inherits ~1/sqrt(K) relative error vs exact overlap —
+    tolerance asserted in tests)."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    hv = (
+        docs.select(
+            F.col("source").alias("src"),
+            F.explode(T.shingle_hashes(T.shingles(T.tokens("text")))).alias("hv"),
+        )
+        .distinct()
+    )
+    sk_w = Window.partitionBy("src").orderBy("hv")
+    sks = (
+        hv.withColumn("rn", F.row_number().over(sk_w))
+        .filter(F.col("rn") <= SRC_KMV_K)
+        .drop("rn")
+        .persist()
+    )
+    per = (
+        sks.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("k_n"), F.max("hv").alias("kth"))
+        .select("src", _kmv_est(F.col("k_n"), F.col("kth")).alias("est"))
+        .persist()
+    )
+    # |sources| is O(config) (a corpus has thousands of sources, not
+    # billions) — the pair frame is a broadcast nested loop over two
+    # |sources|-row relations, never corpus-scale.
+    prs = (
+        per.select(F.col("src").alias("src_a"))
+        .join(F.broadcast(per.select(F.col("src").alias("src_b"))))
+        .filter(F.col("src_a") < F.col("src_b"))
+    )
+    uni = (
+        prs.join(sks.withColumnRenamed("src", "src_a"), "src_a")
+        .select("src_a", "src_b", "hv")
+        .unionByName(
+            prs.join(sks.withColumnRenamed("src", "src_b"), "src_b")
+            .select("src_a", "src_b", "hv")
+        )
+        .distinct()
+    )
+    u_w = Window.partitionBy("src_a", "src_b").orderBy("hv")
+    uest = (
+        uni.withColumn("rn", F.row_number().over(u_w))
+        .filter(F.col("rn") <= SRC_KMV_K)
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("k_n"), F.max("hv").alias("kth"))
+        .select("src_a", "src_b", _kmv_est(F.col("k_n"), F.col("kth")).alias("est_union"))
+    )
+    ea = per.select(F.col("src").alias("src_a"), F.col("est").alias("est_a"))
+    eb = per.select(F.col("src").alias("src_b"), F.col("est").alias("est_b"))
+    inter = F.greatest(F.lit(0).cast("long"), F.col("est_a") + F.col("est_b") - F.col("est_union"))
+    return (
+        uest.join(F.broadcast(ea), "src_a")
+        .join(F.broadcast(eb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "est_a",
+            "est_b",
+            "est_union",
+            inter.alias("est_intersect"),
+            F.when(
+                F.col("est_union") > 0,
+                F.expr(
+                    "CAST((GREATEST(CAST(0 AS BIGINT), est_a + est_b - est_union)"
+                    " * 1000000) div est_union AS BIGINT)"
+                ),
+            )
+            .otherwise(F.lit(0).cast("long"))
+            .alias("jaccard_e6"),
+        )
+    )
