@@ -1146,3 +1146,108 @@ def dedup_method_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = out.localCheckpoint(eager=True)
     truth.unpersist()
     return out
+
+
+# ---------------------------------------------------------------------------
+# Sorted-neighborhood method (SNM) blocking
+# ---------------------------------------------------------------------------
+
+# Neighbors compared after each document in sort order (the SNM window w).
+SNM_WINDOW = 5
+# Block = this many leading characters of the sorted-token key; documents
+# never compare across blocks (the distributed-SNM partition boundary).
+SNM_BLOCK_CHARS = 8
+
+_SNM_ORACLE = f"""
+    WITH {T.duck_shingles_cte()},
+    skey AS (
+      SELECT doc_id,
+             array_to_string(list_sort(string_split(text, ' ')), ' ') AS skey
+      FROM documents
+    ),
+    ranked AS (
+      SELECT doc_id, substr(skey, 1, {SNM_BLOCK_CHARS}) AS blk,
+             ROW_NUMBER() OVER (PARTITION BY substr(skey, 1, {SNM_BLOCK_CHARS})
+                                ORDER BY skey, doc_id) AS rn
+      FROM skey
+    ),
+    cand AS (
+      SELECT DISTINCT LEAST(a.doc_id, b.doc_id) AS doc_a,
+                      GREATEST(a.doc_id, b.doc_id) AS doc_b
+      FROM ranked a JOIN ranked b
+        ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + {SNM_WINDOW}
+    )
+    SELECT c.doc_a, c.doc_b,
+      ROUND(len(list_intersect(a.sh, b.sh)) * 1.0
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)
+        AS jaccard
+    FROM cand c JOIN sh a ON c.doc_a = a.doc_id JOIN sh b ON c.doc_b = b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+          >= {JACCARD_THRESHOLD}
+"""
+
+
+@query(
+    "dedup_sorted_neighborhood",
+    oracle=_SNM_ORACLE,
+    tags=("northstar", "dedup", "bench"),
+)
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood-method near-dup (Hernández & Stolfo, SIGMOD'95):
+    sort documents by a normalization key (the space-joined SORTED token
+    list — a bag-of-words canonical form, so reordered/near-identical texts
+    land adjacent), then compare each document only to the next
+    SNM_WINDOW neighbors in sort order. The third classic candidate
+    generator next to banded LSH (dedup_minhash_lsh) and prefix filtering
+    (dedup_prefix_filter_jaccard): O(n·w) comparisons, no signature
+    tuning, catches exactly the near-dups whose canonical forms collate
+    together.
+
+    Distributed form: the sort is BLOCKED — key prefix (SNM_BLOCK_CHARS
+    chars) partitions the corpus, the rank window and the w-band self-join
+    both key on the block, so no global sort and no single-partition
+    window ever materializes (pairs straddling a block boundary are the
+    method's documented blind spot; production runs do a second pass with
+    a shifted key, exactly like multi-probe LSH). The w-band join carries
+    (block, rn, doc_id) only — shingle arrays join back for surviving
+    candidates, the same ids-only-shuffle stance as the LSH path. A hot
+    block (skewed canonical prefix) is a salting candidate, but per-row
+    work stays O(w) regardless. Verification is the shared exact-Jaccard
+    gate at JACCARD_THRESHOLD."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    skey = F.concat_ws(" ", F.array_sort(T.tokens("text")))
+    keyed = docs.select("doc_id", skey.alias("skey")).select(
+        "doc_id",
+        "skey",
+        F.substring("skey", 1, SNM_BLOCK_CHARS).alias("blk"),
+    )
+    from pyspark.sql import Window
+
+    rn_w = Window.partitionBy("blk").orderBy("skey", "doc_id")
+    ranked = keyed.select(
+        "doc_id", "blk", F.row_number().over(rn_w).alias("rn")
+    )
+    a, b = ranked.alias("a"), ranked.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("b.rn") > F.col("a.rn"))
+            & (F.col("b.rn") <= F.col("a.rn") + SNM_WINDOW),
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    sh = _shingled(spark, sf_dir)
+    pairs = cand.join(
+        sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha")), "doc_a"
+    ).join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb")), "doc_b")
+    jac = T.jaccard(F.col("sha"), F.col("shb"))
+    return (
+        pairs.filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
