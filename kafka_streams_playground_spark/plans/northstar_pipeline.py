@@ -1692,3 +1692,119 @@ def graph_lpa_modularity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("contrib_4m2").cast("bigint").alias("contrib_4m2"),
     ).select("community", "n_nodes", "internal_edges", "degree_sum", "contrib_4m2")
     return per.unionByName(total)
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities over the customer→supplier purchase graph
+# ---------------------------------------------------------------------------
+
+HITS_TOPK = 10
+
+_HITS_ORACLE = f"""
+    WITH e AS (
+      SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    a1 AS (SELECT s, COUNT(*) AS a FROM e GROUP BY s),
+    h1 AS (SELECT c, SUM(a) AS h FROM e JOIN a1 USING (s) GROUP BY c),
+    a2 AS (SELECT s, SUM(h) AS a FROM e JOIN h1 USING (c) GROUP BY s),
+    h2 AS (SELECT c, SUM(a) AS h FROM e JOIN a2 USING (s) GROUP BY c),
+    tops AS (
+      SELECT 'authority' AS side, node_id, score FROM (
+        SELECT s AS node_id, CAST(a AS BIGINT) AS score FROM a2
+        ORDER BY a DESC, s LIMIT {HITS_TOPK}
+      )
+      UNION ALL
+      SELECT 'hub' AS side, node_id, score FROM (
+        SELECT c AS node_id, CAST(h AS BIGINT) AS score FROM h2
+        ORDER BY h DESC, c LIMIT {HITS_TOPK}
+      )
+    )
+    SELECT side, node_id, score,
+           ROW_NUMBER() OVER (PARTITION BY side
+                              ORDER BY score DESC, node_id) AS rk
+    FROM tops
+"""
+
+
+@query(
+    "graph_hits_hubs_authorities",
+    oracle=_HITS_ORACLE,
+    tags=("northstar", "graph", "iterative", "bench"),
+)
+def graph_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (Kleinberg, JACM'99) over the DIRECTED bipartite purchase graph
+    customer → supplier (an edge when a customer ever bought from the
+    supplier): hub scores rank customers whose baskets concentrate on
+    authoritative suppliers, authority scores rank suppliers bought by the
+    strongest hubs. Two full mutual-reinforcement rounds (a1 = indegree,
+    h1 = Σ a1, a2 = Σ h1, h2 = Σ a2), reported as the top-HITS_TOPK of
+    each side. The directed-graph complement to graph_copurchase_pagerank
+    — on a bipartite graph PageRank mixes the two roles, HITS keeps them
+    separate, which is why it is the classic recommender/centrality pair.
+
+    Exactness: scores are UNNORMALIZED exact integers (the usual L2
+    normalization only rescales each side, so per-side ranks are
+    identical) — every iteration is a BIGINT sum, bit-equal across
+    engines and partition counts, no float drift ever. Headroom: score
+    bounds multiply by (max degree) per round, ~(10^4)^4 = 1e16 < 2^63 at
+    100 TB fan-outs; widen to DECIMAL(38,0) per the OLS precedent if a
+    marketplace exceeds that.
+
+    Spark shape: the distinct edge list builds with one join + one
+    distinct and is PERSISTED; each half-iteration is a broadcast of the
+    |one-side|-row score vector against the persisted edges plus one
+    keyed shuffle with map-side partial sums (the Pregel schedule, same
+    >10^8-node broadcast→co-partitioned flip note as PageRank). Both
+    top-k legs are TakeOrderedAndProject — per-partition bottom-k, K-row
+    merge, never a full sort; the final rank window runs over 2·K
+    surviving rows."""
+    ord_ = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    e = (
+        ord_.join(li, ord_["o_orderkey"] == li["l_orderkey"])
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .persist()
+    )
+    a = e.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("a"))
+    h = (
+        e.join(F.broadcast(a), "s")
+        .groupBy("c")
+        .agg(F.sum("a").alias("h"))
+    )
+    a = (
+        e.join(F.broadcast(h), "c")
+        .groupBy("s")
+        .agg(F.sum("h").alias("a"))
+    )
+    h = (
+        e.join(F.broadcast(a), "s")
+        .groupBy("c")
+        .agg(F.sum("a").alias("h"))
+    )
+    top_auth = (
+        a.orderBy(F.col("a").desc(), F.col("s"))
+        .limit(HITS_TOPK)
+        .select(
+            F.lit("authority").alias("side"),
+            F.col("s").alias("node_id"),
+            F.col("a").cast("long").alias("score"),
+        )
+    )
+    top_hub = (
+        h.orderBy(F.col("h").desc(), F.col("c"))
+        .limit(HITS_TOPK)
+        .select(
+            F.lit("hub").alias("side"),
+            F.col("c").alias("node_id"),
+            F.col("h").cast("long").alias("score"),
+        )
+    )
+    from pyspark.sql import Window
+
+    rk_w = Window.partitionBy("side").orderBy(F.col("score").desc(), F.col("node_id"))
+    return (
+        top_auth.unionByName(top_hub)
+        .withColumn("rk", F.row_number().over(rk_w))
+    )
