@@ -112,7 +112,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # privacy_k_anonymity_audit + its census streaming twin,
     # stream_stats_countmin_user_traffic,
     # drift_mannwhitney_value_halves, ts_theil_sen_daily_trend,
-    # diag_freshness_monitor) lead the round-9 rotation.
+    # diag_freshness_monitor, stats_ols_influence_outliers,
+    # stats_source_overlap_kmv, dedup_sorted_neighborhood,
+    # graph_hits_hubs_authorities) lead the round-9 rotation.
 )
 
 

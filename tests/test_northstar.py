@@ -2244,3 +2244,181 @@ def test_freshness_monitor_baseline_algebra(spark, sf_dir):
                 num = r["n"] * len(trail) - s
                 assert r["dev_ppm"] == (num * 1000000) // s
                 assert r["alert"] == int(abs(num) * 100 > FRESH_DEV_PCT * s)
+
+
+def test_ols_influence_matches_pure_python(spark, sf_dir):
+    """stats_ols_influence_outliers: every reported row equals a pure-Python
+    recomputation of residual/leverage/influence from exact integer
+    sufficient statistics, and the per-nation top-3 selection matches the
+    same (influence desc, orderkey, linenumber) total order."""
+    import math
+    from collections import defaultdict
+
+    from kafka_streams_playground_spark.plans import REGISTRY
+    from kafka_streams_playground_spark.plans.northstar_stats import INFL_TOPK
+    from kafka_streams_playground_spark.sources.parquet import load_table
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice"
+    )
+    sup = {
+        r["s_suppkey"]: r["s_nationkey"]
+        for r in load_table(spark, sf_dir, "supplier").collect()
+    }
+    nat = {
+        r["n_nationkey"]: r["n_name"]
+        for r in load_table(spark, sf_dir, "nation").collect()
+    }
+    pts = defaultdict(list)
+    for r in li.collect():
+        n_name = nat[sup[r["l_suppkey"]]]
+        x = math.floor(r["l_quantity"] + 0.5)
+        y = math.floor(r["l_extendedprice"] * 100 + 0.5)
+        pts[n_name].append((r["l_orderkey"], r["l_linenumber"], x, y))
+    want = []
+    for n_name, ps in pts.items():
+        n = len(ps)
+        sx = sum(x for *_, x, _ in ps)
+        sy = sum(y for *_, _, y in ps)
+        sxy = sum(x * y for *_, x, y in ps)
+        sxx = sum(x * x for *_, x, _ in ps)
+        den = n * sxx - sx * sx
+        if den == 0:
+            continue
+        slope_num, icpt_num = n * sxy - sx * sy, sy * sxx - sx * sxy
+        scored = []
+        for ok, ln, x, y in ps:
+            lev_num = den + (n * x - sx) ** 2
+            if n * den == lev_num:
+                continue
+            e = (y * den - icpt_num - slope_num * x) / den
+            h = lev_num / (n * den)
+            infl = math.floor(e * e * h / ((1.0 - h) * (1.0 - h)) + 0.5)
+            scored.append(
+                (n_name, ok, ln, math.floor(e + 0.5),
+                 math.floor(h * 1_000_000_000 + 0.5), infl)
+            )
+        scored.sort(key=lambda t: (-t[5], t[1], t[2]))
+        want += [t + (i + 1,) for i, t in enumerate(scored[:INFL_TOPK])]
+    got = sorted(
+        (
+            (r["n_name"], r["l_orderkey"], r["l_linenumber"], r["resid_cents"],
+             r["leverage_e9"], r["influence"], r["rk"])
+            for r in REGISTRY["stats_ols_influence_outliers"].fn(spark, sf_dir).collect()
+        )
+    )
+    assert got == sorted(want)
+
+
+def test_source_overlap_kmv_self_consistency(spark, sf_dir):
+    """stats_source_overlap_kmv: the sketch size pins equal to the KMV
+    family's; every pair row equals a pure-Python bottom-K replication of
+    the estimator (sketch, union sketch, inclusion-exclusion, floor-div
+    Jaccard); and the estimates track the TRUE hashed-shingle set sizes."""
+    import hashlib
+    import math
+    from collections import defaultdict
+
+    from kafka_streams_playground_spark.plans import REGISTRY
+    from kafka_streams_playground_spark.plans.northstar_stats import SRC_KMV_K
+    from kafka_streams_playground_spark.plans.relational import KMV_K
+    from kafka_streams_playground_spark.sources.parquet import load_table
+
+    assert SRC_KMV_K == KMV_K
+
+    sets = defaultdict(set)
+    for r in load_table(spark, sf_dir, "documents").select("source", "text").collect():
+        toks = r["text"].split(" ")
+        sh = (
+            {" ".join(toks[i : i + 3]) for i in range(len(toks) - 2)}
+            if len(toks) >= 3
+            else {" ".join(toks)}
+        )
+        sets[r["source"]] |= {
+            int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in sh
+        }
+
+    def est(hs: set) -> int:
+        bot = sorted(hs)[:SRC_KMV_K]
+        if len(bot) < SRC_KMV_K:
+            return len(bot)
+        return math.floor((SRC_KMV_K - 1) * float(2**32) / bot[-1])
+
+    def sketch(hs: set) -> set:
+        return set(sorted(hs)[:SRC_KMV_K])
+
+    rows = REGISTRY["stats_source_overlap_kmv"].fn(spark, sf_dir).collect()
+    n_src = len(sets)
+    assert len(rows) == n_src * (n_src - 1) // 2
+    for r in rows:
+        a, b = sets[r["src_a"]], sets[r["src_b"]]
+        ea, eb = est(a), est(b)
+        eu = est(sketch(a) | sketch(b))
+        inter = max(0, ea + eb - eu)
+        assert (r["est_a"], r["est_b"], r["est_union"]) == (ea, eb, eu)
+        assert r["est_intersect"] == inter
+        assert r["jaccard_e6"] == (inter * 1_000_000 // eu if eu > 0 else 0)
+        # accuracy vs truth: KMV stderr ~ 1/sqrt(K) ≈ 6%; assert a loose 4σ
+        assert abs(r["est_union"] - len(a | b)) <= max(4, 0.25 * len(a | b))
+
+
+def test_snm_finds_all_planted_neardups(spark, sf_dir):
+    """dedup_sorted_neighborhood: on the fixtures, blocked SNM recovers the
+    FULL quadratic ground truth (the planted near-dups share bags of words,
+    so their canonical sort keys collate adjacently) and reports the same
+    exact Jaccard values. Equality is fixture-specific — SNM is a heuristic
+    blocker in general, which is exactly what this pin documents."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+
+    gt = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in REGISTRY["dedup_ngram_jaccard"].fn(spark, sf_dir).collect()
+    }
+    snm = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in REGISTRY["dedup_sorted_neighborhood"].fn(spark, sf_dir).collect()
+    }
+    assert snm == gt and len(gt) > 0
+
+
+def test_hits_matches_pure_python(spark, sf_dir):
+    """graph_hits_hubs_authorities: the two unnormalized mutual-reinforcement
+    rounds are exact integer sums — a pure-Python dict replication must
+    agree bit-for-bit, including the per-side top-k order."""
+    from collections import defaultdict
+
+    from kafka_streams_playground_spark.plans import REGISTRY
+    from kafka_streams_playground_spark.plans.northstar_pipeline import HITS_TOPK
+    from kafka_streams_playground_spark.sources.parquet import load_table
+
+    ords = {
+        r["o_orderkey"]: r["o_custkey"]
+        for r in load_table(spark, sf_dir, "orders").collect()
+    }
+    e = set()
+    for r in load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").collect():
+        if r["l_orderkey"] in ords:
+            e.add((ords[r["l_orderkey"]], r["l_suppkey"]))
+    a = defaultdict(int)
+    for c, s in e:
+        a[s] += 1
+    for _ in range(1):  # one more mutual round: h1 <- a1, a2 <- h1, h2 <- a2
+        h = defaultdict(int)
+        for c, s in e:
+            h[c] += a[s]
+        a2 = defaultdict(int)
+        for c, s in e:
+            a2[s] += h[c]
+        h2 = defaultdict(int)
+        for c, s in e:
+            h2[c] += a2[s]
+    top_a = sorted(a2.items(), key=lambda t: (-t[1], t[0]))[:HITS_TOPK]
+    top_h = sorted(h2.items(), key=lambda t: (-t[1], t[0]))[:HITS_TOPK]
+    want = {
+        ("authority", n, sc, i + 1) for i, (n, sc) in enumerate(top_a)
+    } | {("hub", n, sc, i + 1) for i, (n, sc) in enumerate(top_h)}
+    got = {
+        (r["side"], r["node_id"], r["score"], r["rk"])
+        for r in REGISTRY["graph_hits_hubs_authorities"].fn(spark, sf_dir).collect()
+    }
+    assert got == want

@@ -1153,3 +1153,30 @@ def test_round8_addition_plan_shapes(spark, sf_dir):
 
     p = _plan(spark, sf_dir, "privacy_k_anonymity_audit")
     assert "partial_count" in p and "CartesianProduct" not in p
+
+
+def test_round8_late_addition_plan_shapes(spark, sf_dir):
+    """Pin the load-bearing shapes of the round-8 late additions (influence
+    / source-overlap / SNM / HITS): every rank window is partitioned (the
+    two-phase top-k keys on (nation, input partition); the sketch windows
+    key on source / source-pair; SNM keys on the block), the HITS top-k
+    legs are TakeOrderedAndProject (never a full sort), and nothing plans
+    a CartesianProduct."""
+    p = _plan(spark, sf_dir, "stats_ols_influence_outliers")
+    assert "CartesianProduct" not in p
+    specs = re.findall(r"row_number\(\) windowspecdefinition\(([^,]*),", p)
+    assert specs and all("n_name" in s for s in specs), specs
+
+    p = _plan(spark, sf_dir, "stats_source_overlap_kmv")
+    assert "CartesianProduct" not in p
+    specs = re.findall(r"row_number\(\) windowspecdefinition\(([^,]*),", p)
+    assert specs and all("src" in s for s in specs), specs
+
+    p = _plan(spark, sf_dir, "dedup_sorted_neighborhood")
+    assert "CartesianProduct" not in p
+    specs = re.findall(r"row_number\(\) windowspecdefinition\(([^,]*),", p)
+    assert specs and all("blk" in s for s in specs), specs
+
+    p = _plan(spark, sf_dir, "graph_hits_hubs_authorities")
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p
