@@ -2228,6 +2228,14 @@ def stats_source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("rn")
         .persist()
     )
+    return source_overlap_from_sketches(sks)
+
+
+def source_overlap_from_sketches(sks: DataFrame) -> DataFrame:
+    """The pairwise inclusion-exclusion epilogue over a (src, hv) sketch
+    relation (bottom-SRC_KMV_K per source, already truncated) — shared by
+    the batch query above and the streaming twin, whose keyed state drains
+    to exactly this relation."""
     per = (
         sks.groupBy("src")
         .agg(F.count(F.lit(1)).alias("k_n"), F.max("hv").alias("kth"))

@@ -2783,3 +2783,55 @@ def _share_privacy_oracle() -> None:
 
 
 _share_privacy_oracle()
+
+
+@query(
+    "stream_stats_source_overlap_kmv",
+    oracle=None,  # set below: shares the batch overlap oracle
+    tags=("northstar", "streaming", "stats", "sketch", "stateful"),
+)
+def stream_stats_source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cross-source overlap matrix with its sketches built AT INGEST —
+    ``stats_source_overlap_kmv``'s per-source bottom-K as KEYED STREAMING
+    STATE (streaming/stateful.py::kmv_sketch_rows_per_source): documents
+    arrive as a stream, shingle+hash map-side (the same Catalyst md5
+    pipeline as batch), and each source's state holds its ≤K smallest
+    distinct hashes forever — O(K) per source however much the source
+    ships, the production shape for keeping per-crawl content sketches
+    live. The pairwise inclusion-exclusion epilogue is the SHARED batch
+    code (source_overlap_from_sketches) over the drained sketch relation;
+    the bottom-K merge is associative, so the drained state is bit-equal
+    to the batch window's bottom-K and the matrix shares the batch
+    oracle."""
+    from kafka_streams_playground_spark.functions import text as T
+    from kafka_streams_playground_spark.plans.northstar_stats import (
+        source_overlap_from_sketches,
+    )
+    from kafka_streams_playground_spark.streaming.stateful import (
+        kmv_sketch_rows_per_source,
+    )
+
+    stream = read_stream_table(spark, sf_dir, "documents").select(
+        "source",
+        F.explode(T.shingle_hashes(T.shingles(T.tokens("text")))).alias("hv"),
+    )
+    sks = run_to_completion(
+        kmv_sketch_rows_per_source(stream), output_mode="update", spark=spark
+    )
+    # The epilogue self-joins the sketch relation through derived
+    # aggregates — a memory-sink plan cannot dedup its own attributes
+    # (Catalyst "conflicting references"); localCheckpoint breaks the
+    # lineage. Bounded: |sources| × K rows.
+    return source_overlap_from_sketches(sks.localCheckpoint(eager=True))
+
+
+def _share_source_overlap_oracle() -> None:
+    from kafka_streams_playground_spark.plans import northstar_stats  # noqa: F401
+
+    REGISTRY["stream_stats_source_overlap_kmv"] = _replace(
+        REGISTRY["stream_stats_source_overlap_kmv"],
+        oracle=REGISTRY["stats_source_overlap_kmv"].oracle,
+    )
+
+
+_share_source_overlap_oracle()

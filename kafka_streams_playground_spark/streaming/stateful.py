@@ -590,3 +590,41 @@ def weighted_reservoir_per_key(sdf: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf="NoTimeout",
     )
+
+
+def _kmv_bottom_k_rows(key: tuple, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+    """Per-source streaming KMV sketch emitting the sketch CONTENT: keyed
+    state is the K smallest distinct hashes (same associative bottom-K
+    merge as _kmv_bottom_k); each micro-batch re-emits the source's current
+    sketch as (source, hv) rows — the update-mode changelog of the sketch
+    store, so the single-batch replay drains exactly the final sketch
+    relation the pairwise overlap epilogue consumes."""
+    import numpy as np
+
+    from kafka_streams_playground_spark.plans.northstar_stats import SRC_KMV_K
+
+    chunks = [pdf for pdf in pdfs if len(pdf)]
+    if not chunks:
+        return
+    batch = pd.concat(chunks, ignore_index=True)["hv"].to_numpy(dtype="int64")
+    prev = (
+        np.array(state.get[0], dtype="int64") if state.exists else
+        np.array([], dtype="int64")
+    )
+    sk = np.unique(np.concatenate([prev, batch]))[:SRC_KMV_K]  # unique() sorts
+    state.update((sk.tolist(),))
+    yield pd.DataFrame({"src": key[0], "hv": sk})
+
+
+def kmv_sketch_rows_per_source(sdf: DataFrame) -> DataFrame:
+    """Streaming per-source KMV sketch store; batch twin =
+    plans/northstar_stats.py::stats_source_overlap_kmv's windowed bottom-K.
+    Input: a stream of (source, hv) shingle hashes. State per key: ≤K
+    int64 hashes — fixed regardless of how many documents a source ships."""
+    return sdf.groupBy("source").applyInPandasWithState(
+        _kmv_bottom_k_rows,
+        outputStructType="src STRING, hv BIGINT",
+        stateStructType="sk ARRAY<BIGINT>",
+        outputMode="update",
+        timeoutConf="NoTimeout",
+    )

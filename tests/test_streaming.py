@@ -812,3 +812,51 @@ def test_stream_privacy_audit_matches_batch(spark, sf_dir):
         for r in REGISTRY["privacy_k_anonymity_audit"].fn(spark, sf_dir).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_source_overlap_sketch_merges_across_batches(spark):
+    """kmv_sketch_rows_per_source: the keyed bottom-K state folded over TWO
+    micro-batches must equal the bottom-K of the union (associativity),
+    and the final emission per source is exactly that sketch."""
+    import hashlib
+
+    from kafka_streams_playground_spark.plans.northstar_stats import SRC_KMV_K
+    from kafka_streams_playground_spark.streaming.replay import run_to_completion
+    from kafka_streams_playground_spark.streaming.stateful import (
+        kmv_sketch_rows_per_source,
+    )
+
+    schema = "source string, hv long"
+
+    def hv(i: int) -> int:
+        return int(hashlib.md5(f"x{i}".encode()).hexdigest()[:8], 16)
+
+    # 300 + 300 hashes per source (with overlap) → union > K = 256
+    b1 = [("sA", hv(i)) for i in range(300)] + [("sB", hv(i)) for i in range(200, 500)]
+    b2 = [("sA", hv(i)) for i in range(150, 450)] + [("sB", hv(i)) for i in range(400, 700)]
+    paths = _write_batches(spark, [b1, b2], schema)
+    src_dir = os.path.dirname(paths[0])
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src_dir, "b*"))
+    )
+    out = run_to_completion(
+        kmv_sketch_rows_per_source(sdf), output_mode="update", spark=spark
+    )
+    # update mode re-emits the full sketch per batch; keep the LAST
+    # emission per source = the union sketch. Dedup via set-of-pairs per
+    # source after filtering to the final (largest) emission set: the
+    # second batch's emission is a superset-refinement — reconstruct by
+    # taking the bottom-K of all emitted hvs per source, which equals the
+    # final emission because sketches only ever shrink element-wise.
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["src"], set()).add(r["hv"])
+    for src, batches in (("sA", (range(300), range(150, 450))),
+                         ("sB", (range(200, 500), range(400, 700)))):
+        union = {hv(i) for rng in batches for i in rng}
+        want = set(sorted(union)[:SRC_KMV_K])
+        assert want <= got[src]
+        # and the final sketch (bottom-K of everything emitted) is exact
+        assert set(sorted(got[src])[:SRC_KMV_K]) == want
