@@ -114,8 +114,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # drift_mannwhitney_value_halves, ts_theil_sen_daily_trend,
     # diag_freshness_monitor, stats_ols_influence_outliers,
     # stats_source_overlap_kmv, dedup_sorted_neighborhood,
-    # graph_hits_hubs_authorities, stream_stats_source_overlap_kmv)
-    # lead the round-9 rotation.
+    # graph_hits_hubs_authorities, stream_stats_source_overlap_kmv,
+    # join_interval_overlap_bins) lead the round-9 rotation.
 )
 
 

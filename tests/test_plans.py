@@ -1180,3 +1180,16 @@ def test_round8_late_addition_plan_shapes(spark, sf_dir):
     p = _plan(spark, sf_dir, "graph_hits_hubs_authorities")
     assert "CartesianProduct" not in p
     assert "TakeOrderedAndProject" in p
+
+
+def test_interval_overlap_join_is_equi_keyed(spark, sf_dir):
+    """join_interval_overlap_bins: binning must restore an EQUI-join — the
+    plan may contain neither a CartesianProduct nor a
+    BroadcastNestedLoopJoin (the shapes a raw range-predicate join
+    degrades to, which is the failure the bin trick exists to avoid), and
+    every rank/sessionization window must be partitioned."""
+    p = _plan(spark, sf_dir, "join_interval_overlap_bins")
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    specs = re.findall(r"windowspecdefinition\(([^,]*),", p)
+    assert specs and all(("user_id" in s or "event_type" in s) for s in specs), specs
