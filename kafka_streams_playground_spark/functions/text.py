@@ -211,3 +211,41 @@ def shingle_sig_fn(k: int = 16, n: int = 3):
         return pd.DataFrame({"hs": hs_out, "sig": sig_out})
 
     return fn
+
+
+def shingle_hash_fn(n: int = 3):
+    """Arrow-batched twin of ``shingles → shingle_hashes`` alone (no MinHash
+    signature) — for consumers that need only the distinct 32-bit shingle
+    hash set (the KMV source sketches). Same bit-identity argument as
+    :func:`shingle_sig_fn`; returned array is sorted (np.unique), which is
+    immaterial to set-semantics consumers.
+
+    Use with ``F.pandas_udf(shingle_hash_fn(), "array<bigint>")`` built
+    lazily at query time.
+    """
+
+    def fn(texts: pd.Series) -> pd.Series:
+        import hashlib
+
+        import numpy as np
+
+        out = []
+        for t in texts:
+            toks = t.split(" ")
+            if len(toks) >= n:
+                sh = dict.fromkeys(
+                    " ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)
+                )
+            else:
+                sh = {" ".join(toks): None}
+            out.append(
+                np.unique(
+                    np.array(
+                        [int(hashlib.md5(s.encode()).hexdigest()[:8], 16) for s in sh],
+                        dtype=np.int64,
+                    )
+                )
+            )
+        return pd.Series(out)
+
+    return fn

@@ -2214,10 +2214,15 @@ def stats_source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     estimate inherits ~1/sqrt(K) relative error vs exact overlap —
     tolerance asserted in tests)."""
     docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    # One Arrow pass for shingle+hash (bit-identical to the Catalyst
+    # shingle_hashes pipeline the streaming twin uses — hashlib md5 == JVM
+    # md5 == DuckDB md5; the interpreted higher-order md5 is ~2× slower,
+    # the dedup_minhash_lsh precedent).
+    sh = F.pandas_udf(T.shingle_hash_fn(), "array<bigint>")
     hv = (
         docs.select(
             F.col("source").alias("src"),
-            F.explode(T.shingle_hashes(T.shingles(T.tokens("text")))).alias("hv"),
+            F.explode(sh("text")).alias("hv"),
         )
         .distinct()
     )
