@@ -1808,3 +1808,82 @@ def graph_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         top_auth.unionByName(top_hub)
         .withColumn("rk", F.row_number().over(rk_w))
     )
+
+
+_AA_ORACLE = f"""
+    WITH e AS (
+      SELECT a.l_partkey AS s, b.l_partkey AS t
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(DISTINCT a.l_orderkey) >= {TRI_MIN_SUPPORT}
+    ),
+    adj AS (SELECT s AS v, t AS u FROM e UNION ALL SELECT t, s FROM e),
+    deg AS (SELECT v, COUNT(*) AS d FROM adj GROUP BY v),
+    ctr AS (
+      SELECT adj.v, adj.u,
+             CAST(FLOOR(1000000000 / ln(d) + 0.5) AS BIGINT) AS aa9
+      FROM adj JOIN deg ON adj.v = deg.v
+      WHERE d >= 2
+    )
+    SELECT a1.u AS part_a, a2.u AS part_b,
+           COUNT(*) AS common,
+           CAST(SUM(a1.aa9) AS BIGINT) AS adamic_adar_e9
+    FROM ctr a1 JOIN ctr a2 ON a1.v = a2.v AND a1.u < a2.u
+    GROUP BY 1, 2 HAVING COUNT(*) >= {RELATED_MIN_COMMON}
+"""
+
+
+@query(
+    "graph_adamic_adar_links",
+    oracle=_AA_ORACLE,
+    tags=("northstar", "graph", "similarity", "bench"),
+)
+def graph_adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adamic-Adar link prediction (Adamic & Adar 2003) on the
+    support-thresholded co-purchase graph: candidate pair score =
+    Σ_{z ∈ CN(a,b)} 1/ln(deg(z)) — common neighbors weighted DOWN by how
+    promiscuous they are, the standard "predict the missing edge"
+    baseline that outranks raw common-neighbor counts (a hub connecting
+    everyone carries almost no evidence; a rare shared neighbor carries a
+    lot). Complements ``graph_related_parts_jaccard``: Jaccard normalizes
+    by the PAIR's degrees, Adamic-Adar by each WITNESS's degree.
+
+    Exactness: each center node's contribution snaps ONCE to the 1e-9
+    integer grid (floor(1e9/ln d + 0.5) — F.log vs DuckDB ln agree well
+    under a grid step, the BM25-idf/reservoir precedent) and the per-pair
+    score is then an order-free exact BIGINT sum — deterministic across
+    engines and partition counts. Centers need d ≥ 2 to form a wedge, so
+    ln d ≥ ln 2 and the weight is bounded by ~1.44e9; a 100 TB pair score
+    stays far under 2^63.
+
+    Spark shape: SHARES the persisted ``_support_edges`` materialization
+    with triangles/Jaccard/LPA/k-core; the per-center weight attaches to
+    the doubled adjacency by a broadcast of the |nodes|-row degree table
+    BEFORE the wedge self-join, so the join carries (v, u, aa9) only and
+    the pair aggregate is one shuffle with map-side partial sums — the
+    same sum(deg²)-bounded wedge set and the same support-prune /
+    degree-orientation levers as the Jaccard sibling."""
+    e = _support_edges(spark, sf_dir)
+    adj = e.select(F.col("s").alias("v"), F.col("t").alias("u")).unionAll(
+        e.select(F.col("t").alias("v"), F.col("s").alias("u"))
+    )
+    deg = adj.groupBy("v").agg(F.count(F.lit(1)).alias("d"))
+    ctr = adj.join(F.broadcast(deg.filter(F.col("d") >= 2)), "v").select(
+        "v",
+        "u",
+        F.floor(F.lit(1_000_000_000) / F.log(F.col("d")) + 0.5)
+        .cast("long")
+        .alias("aa9"),
+    )
+    return (
+        ctr.select("v", F.col("u").alias("part_a"), F.col("aa9"))
+        .join(ctr.select("v", F.col("u").alias("part_b")), "v")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(
+            F.count(F.lit(1)).alias("common"),
+            F.sum("aa9").alias("adamic_adar_e9"),
+        )
+        .filter(F.col("common") >= RELATED_MIN_COMMON)
+    )

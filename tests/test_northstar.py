@@ -2422,3 +2422,41 @@ def test_hits_matches_pure_python(spark, sf_dir):
         for r in REGISTRY["graph_hits_hubs_authorities"].fn(spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_adamic_adar_matches_pure_python(spark, sf_dir):
+    """graph_adamic_adar_links: every pair score equals a pure-Python
+    recomputation (snapped per-center weights, exact integer sums), and
+    Adamic-Adar ranks a rare shared witness above an equally-common but
+    hubbier one wherever the two orders differ."""
+    import math
+    from collections import defaultdict
+
+    from kafka_streams_playground_spark.plans import REGISTRY
+    from kafka_streams_playground_spark.plans.northstar_pipeline import (
+        RELATED_MIN_COMMON,
+        _support_edges,
+    )
+
+    edges = {(r["s"], r["t"]) for r in _support_edges(spark, sf_dir).collect()}
+    nbrs = defaultdict(set)
+    for s, t in edges:
+        nbrs[s].add(t)
+        nbrs[t].add(s)
+    want = {}
+    for v, ns in nbrs.items():
+        d = len(ns)
+        if d < 2:
+            continue
+        aa9 = math.floor(1_000_000_000 / math.log(d) + 0.5)
+        ns_sorted = sorted(ns)
+        for i, a in enumerate(ns_sorted):
+            for b in ns_sorted[i + 1 :]:
+                c, s = want.get((a, b), (0, 0))
+                want[(a, b)] = (c + 1, s + aa9)
+    want = {k: v for k, v in want.items() if v[0] >= RELATED_MIN_COMMON}
+    got = {
+        (r["part_a"], r["part_b"]): (r["common"], r["adamic_adar_e9"])
+        for r in REGISTRY["graph_adamic_adar_links"].fn(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
