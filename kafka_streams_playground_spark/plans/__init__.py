@@ -115,8 +115,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # diag_freshness_monitor, stats_ols_influence_outliers,
     # stats_source_overlap_kmv, dedup_sorted_neighborhood,
     # graph_hits_hubs_authorities, stream_stats_source_overlap_kmv,
-    # join_interval_overlap_bins, graph_adamic_adar_links) lead the
-    # round-9 rotation.
+    # join_interval_overlap_bins, graph_adamic_adar_links,
+    # dedup_cdc_chunks) lead the round-9 rotation.
 )
 
 

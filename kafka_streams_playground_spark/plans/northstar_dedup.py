@@ -1251,3 +1251,112 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
     )
+
+
+# ---------------------------------------------------------------------------
+# Content-defined chunking (CDC) dedup
+# ---------------------------------------------------------------------------
+
+# A token OPENS a new chunk when hash32(token) % CDC_P == 0 — boundaries
+# depend on content alone, so an insertion re-chunks only its local
+# neighborhood (the LBFS/rsync shift-resistance property fixed-width
+# chunking lacks). Expected chunk length ≈ CDC_P tokens.
+CDC_P = 8
+
+_CDC_ORACLE = f"""
+    WITH t AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok,
+             generate_subscripts(string_split(text, ' '), 1) AS idx
+      FROM documents
+    ),
+    f AS (
+      SELECT doc_id, idx, tok,
+             CASE WHEN (('0x' || substr(md5(tok), 1, 8)))::BIGINT % {CDC_P} = 0
+                  THEN 1 ELSE 0 END AS b
+      FROM t
+    ),
+    c AS (
+      SELECT doc_id, idx, tok,
+             SUM(b) OVER (PARTITION BY doc_id ORDER BY idx
+                          ROWS UNBOUNDED PRECEDING) AS chunk_no
+      FROM f
+    ),
+    ch AS (
+      SELECT doc_id, chunk_no, string_agg(tok, ' ' ORDER BY idx) AS chunk
+      FROM c GROUP BY doc_id, chunk_no
+    )
+    SELECT md5(chunk) AS chunk_hash,
+           CAST(MIN(len(string_split(chunk, ' '))) AS BIGINT) AS n_tokens,
+           COUNT(*) AS n_occurrences,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           MIN(doc_id) AS first_doc
+    FROM ch GROUP BY 1 HAVING COUNT(*) >= 2
+"""
+
+
+@query(
+    "dedup_cdc_chunks",
+    oracle=_CDC_ORACLE,
+    tags=("northstar", "dedup", "bench"),
+)
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined-chunking dedup (the LBFS/rsync/restic chunker,
+    Muthitacharoen et al. SOSP'01, applied to text): chunk boundaries fall
+    where a token's content hash ≡ 0 (mod CDC_P), so identical passages
+    chunk identically HOWEVER they are shifted by upstream edits — the
+    shift-resistant complement to ``dedup_substring_chunks``' fixed-width
+    grid (insert one token before a fixed-width grid and every downstream
+    chunk changes; here only the edited chunk does). Reports every chunk
+    text that repeats anywhere in the corpus — the storage/dedup view of
+    boilerplate.
+
+    Spark shape: chunking is per-document-LOCAL, so it runs entirely
+    map-side in ONE Arrow ``mapInPandas`` pass (per-batch token-hash memo —
+    md5 each distinct token once per batch; no posexplode + doc-keyed
+    window shuffle just to compute a per-doc prefix sum); only the 32-hex
+    chunk hash and doc_id ride the single corpus shuffle, keyed on the
+    chunk hash with map-side partial counts — the exact-dedup stance. The
+    oracle recomputes boundaries bit-for-bit in SQL (same md5-derived
+    32-bit hash, same inclusive-boundary rule)."""
+    import pandas as pd  # noqa: PLC0415
+
+    def chunker(batches):
+        import hashlib
+
+        memo: dict[str, bool] = {}
+
+        def is_boundary(tok: str) -> bool:
+            b = memo.get(tok)
+            if b is None:
+                b = int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % CDC_P == 0
+                memo[tok] = b
+            return b
+
+        for pdf in batches:
+            doc_ids, chunks = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = text.split(" ")
+                cur: list[str] = []
+                for t in toks:
+                    if is_boundary(t) and cur:
+                        doc_ids.append(doc_id)
+                        chunks.append(" ".join(cur))
+                        cur = []
+                    cur.append(t)
+                if cur:
+                    doc_ids.append(doc_id)
+                    chunks.append(" ".join(cur))
+            yield pd.DataFrame({"doc_id": doc_ids, "chunk": chunks})
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    ch = docs.mapInPandas(chunker, "doc_id bigint, chunk string")
+    return (
+        ch.groupBy(F.md5("chunk").alias("chunk_hash"))
+        .agg(
+            F.min(F.size(F.split("chunk", " "))).cast("long").alias("n_tokens"),
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_occurrences") >= 2)
+    )

@@ -2460,3 +2460,70 @@ def test_adamic_adar_matches_pure_python(spark, sf_dir):
         for r in REGISTRY["graph_adamic_adar_links"].fn(spark, sf_dir).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_cdc_chunks_are_shift_resistant(spark, sf_dir):
+    """dedup_cdc_chunks: the motivating property — prepending one token to a
+    document changes only the chunking of its FIRST chunk; every chunk
+    after the first boundary is byte-identical. (Fixed-width chunking
+    shifts every downstream chunk; CDC re-chunks locally.) Also pins the
+    boundary rule against a pure-Python replication on real fixture
+    docs."""
+    import hashlib
+
+    from kafka_streams_playground_spark.plans import REGISTRY
+    from kafka_streams_playground_spark.plans.northstar_dedup import CDC_P
+    from kafka_streams_playground_spark.sources.parquet import load_table
+
+    def boundary(tok: str) -> bool:
+        return int(hashlib.md5(tok.encode()).hexdigest()[:8], 16) % CDC_P == 0
+
+    def chunks(text: str) -> list[str]:
+        out, cur = [], []
+        for t in text.split(" "):
+            if boundary(t) and cur:
+                out.append(" ".join(cur))
+                cur = []
+            cur.append(t)
+        if cur:
+            out.append(" ".join(cur))
+        return out
+
+    texts = [
+        r["text"]
+        for r in load_table(spark, sf_dir, "documents").limit(20).collect()
+    ]
+    shifted_docs = 0
+    for t in texts:
+        base, pre = chunks(t), chunks("zqx " + t)
+        # all chunks after the first boundary survive the prepend
+        if len(base) >= 2:
+            assert pre[-(len(base) - 1):] == base[1:], t[:50]
+            shifted_docs += 1
+    assert shifted_docs > 0
+
+    # and the registered query's per-chunk counts equal the pure-Python
+    # replication over the whole fixture corpus
+    from collections import Counter, defaultdict
+
+    occ: Counter = Counter()
+    docs_of = defaultdict(set)
+    first = {}
+    ntok = {}
+    for r in load_table(spark, sf_dir, "documents").collect():
+        for c in chunks(r["text"]):
+            h = hashlib.md5(c.encode()).hexdigest()
+            occ[h] += 1
+            docs_of[h].add(r["doc_id"])
+            first[h] = min(first.get(h, r["doc_id"]), r["doc_id"])
+            ntok[h] = len(c.split(" "))
+    want = {
+        h: (ntok[h], n, len(docs_of[h]), first[h])
+        for h, n in occ.items()
+        if n >= 2
+    }
+    got = {
+        r["chunk_hash"]: (r["n_tokens"], r["n_occurrences"], r["n_docs"], r["first_doc"])
+        for r in REGISTRY["dedup_cdc_chunks"].fn(spark, sf_dir).collect()
+    }
+    assert got == want and len(got) > 0
