@@ -2334,3 +2334,134 @@ def sim_nndescent_round(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= NND_K)
         .select("vec_id", "neighbor_id", "cosine", "discovered", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-label centroid-distance outliers (mislabeled-example detection)
+# ---------------------------------------------------------------------------
+
+OUTLIER_TOPK = 5
+
+_CENT_OUT_ORACLE = f"""
+    WITH e AS (
+      SELECT vec_id, label,
+             [CAST(FLOOR(x * 1000000 + 0.5) AS BIGINT)
+              for x in embedding::DOUBLE[]] AS x6
+      FROM embeddings
+    ),
+    ex AS (
+      SELECT vec_id, label, unnest(x6) AS x,
+             generate_subscripts(x6, 1) AS d
+      FROM e
+    ),
+    s AS (
+      SELECT label, d, CAST(SUM(x) AS BIGINT) AS sd, COUNT(*) AS n
+      FROM ex GROUP BY 1, 2
+    ),
+    m AS (
+      SELECT label, d,
+             (sd - ((sd % n + n) % n)) // n AS md
+      FROM s
+    ),
+    dist AS (
+      SELECT ex.vec_id, ex.label,
+             CAST(SUM((x - md) * (x - md)) AS BIGINT) AS dist12
+      FROM ex JOIN m USING (label, d)
+      GROUP BY 1, 2
+    )
+    SELECT label, vec_id, dist12, rk FROM (
+      SELECT label, vec_id, dist12,
+             ROW_NUMBER() OVER (PARTITION BY label
+                                ORDER BY dist12 DESC, vec_id) AS rk
+      FROM dist
+    ) WHERE rk <= {OUTLIER_TOPK}
+"""
+
+
+@query(
+    "embedding_centroid_outliers",
+    oracle=_CENT_OUT_ORACLE,
+    tags=("northstar", "similarity", "embedding", "bench"),
+)
+def embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mislabeled-example detection: per label, the OUTLIER_TOPK vectors
+    farthest from their label's centroid — the cheap first-pass audit
+    (Northcutt et al.'s confident-learning intuition in embedding space)
+    run before any label-conditioned training or hard-negative mining
+    consumes the labels; a wrong label lands a vector in the wrong
+    cluster, and centroid distance ranks exactly those first.
+
+    Exactness: coordinates on the 1e-6 integer grid; the centroid is the
+    GRID-FLOORED per-dimension mean (sign-safe shared floor division —
+    DuckDB floors, Spark truncates on negatives, so the mod-adjusted form
+    is spelled identically in both engines, the Theil-Sen stance), and
+    distance² to it is an exact BIGINT sum of squared grid deltas
+    (~(1e6·spread)²·d ≈ 1e14 — n-independent headroom, unlike the
+    n-scaled ||n·x − s||² form which overflows BIGINT once n exceeds
+    ~10⁴). Ranking runs on exact integers with a (dist, vec_id) total
+    order.
+
+    Spark shape: per-dimension label sums via one posexplode + (label,
+    dim)-keyed aggregate with map-side partials (N·d rows through one
+    shuffle — the embedding_covariance precedent materializes d² blocks,
+    this needs only d); the |labels|·d sum table reassembles into
+    |labels| centroid arrays (struct-sorted collect_list, an O(config)
+    relation) and BROADCASTS onto the vectors; per-vector distance is one
+    Arrow pass (dimension-ordered numpy fold, the _dot_udf stance); top-k
+    per label is the two-phase partial-window schedule (no |labels|-key
+    skew wall)."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000000 + F.lit(0.5)).cast("long"),
+        ).alias("x6"),
+    )
+    s = (
+        emb.select("label", F.posexplode("x6").alias("d", "x"))
+        .groupBy("label", "d")
+        .agg(F.sum("x").alias("sd"), F.count(F.lit(1)).alias("n"))
+    )
+    cent = (
+        s.select(
+            "label",
+            "d",
+            F.expr("(sd - ((sd % n + n) % n)) div n").alias("md"),
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "md"))),
+                lambda st: st["md"],
+            ).alias("m6")
+        )
+    )
+
+    @F.pandas_udf("long")
+    def dist12(x6: pd.Series, m6: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for x, m in zip(x6, m6):
+            dx = np.asarray(x, dtype="int64") - np.asarray(m, dtype="int64")
+            out.append(int((dx * dx).sum()))
+        return pd.Series(out, dtype="int64")
+
+    scored = emb.join(F.broadcast(cent), "label").select(
+        "label", "vec_id", dist12(F.col("x6"), F.col("m6")).alias("dist12")
+    )
+    order = [F.col("dist12").desc(), F.col("vec_id")]
+    partial = Window.partitionBy("label", "pid").orderBy(*order)
+    survivors = (
+        scored.withColumn("pid", F.spark_partition_id())
+        .withColumn("prk", F.row_number().over(partial))
+        .filter(F.col("prk") <= OUTLIER_TOPK)
+        .drop("pid", "prk")
+    )
+    final = Window.partitionBy("label").orderBy(*order)
+    return (
+        survivors.withColumn("rk", F.row_number().over(final))
+        .filter(F.col("rk") <= OUTLIER_TOPK)
+        .select("label", "vec_id", "dist12", "rk")
+    )

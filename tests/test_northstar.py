@@ -2527,3 +2527,43 @@ def test_cdc_chunks_are_shift_resistant(spark, sf_dir):
         for r in REGISTRY["dedup_cdc_chunks"].fn(spark, sf_dir).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_centroid_outliers_match_pure_python(spark, sf_dir):
+    """embedding_centroid_outliers: grid snap, floor-mean centroid, exact
+    integer distances, and the per-label top-k order all equal a pure-Python
+    replication."""
+    import math
+    from collections import defaultdict
+
+    from kafka_streams_playground_spark.plans import REGISTRY
+    from kafka_streams_playground_spark.plans.northstar_similarity import (
+        OUTLIER_TOPK,
+    )
+    from kafka_streams_playground_spark.sources.parquet import load_table
+
+    by_label = defaultdict(list)
+    for r in load_table(spark, sf_dir, "embeddings").collect():
+        x6 = [math.floor(float(x) * 1_000_000 + 0.5) for x in r["embedding"]]
+        by_label[r["label"]].append((r["vec_id"], x6))
+    want = []
+    for label, vecs in by_label.items():
+        n = len(vecs)
+        d = len(vecs[0][1])
+        m = [sum(v[1][i] for v in vecs) // n for i in range(d)]  # // floors
+        scored = sorted(
+            (
+                (sum((xi - mi) ** 2 for xi, mi in zip(x6, m)), vid)
+                for vid, x6 in vecs
+            ),
+            key=lambda t: (-t[0], t[1]),
+        )
+        want += [
+            (label, vid, dist, i + 1)
+            for i, (dist, vid) in enumerate(scored[:OUTLIER_TOPK])
+        ]
+    got = sorted(
+        (r["label"], r["vec_id"], r["dist12"], r["rk"])
+        for r in REGISTRY["embedding_centroid_outliers"].fn(spark, sf_dir).collect()
+    )
+    assert got == sorted(want) and len(got) > 0
