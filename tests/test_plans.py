@@ -1193,3 +1193,25 @@ def test_interval_overlap_join_is_equi_keyed(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in p
     specs = re.findall(r"windowspecdefinition\(([^,]*),", p)
     assert specs and all(("user_id" in s or "event_type" in s) for s in specs), specs
+
+
+def test_interval_overlap_invariant_to_bin_width(spark, sf_dir, monkeypatch):
+    """join_interval_overlap_bins: the grid width is a pure performance
+    knob — the result set must be IDENTICAL under a 1 h, the default 6 h,
+    and a 1-week bin (completeness does not depend on the binning, only
+    the shuffle fan-out does)."""
+    from kafka_streams_playground_spark.plans import temporal
+
+    def run():
+        # the query body reads temporal.OVERLAP_BIN_S at plan-build time,
+        # so monkeypatching the module global re-bins the same plan
+        return sorted(
+            tuple(r)
+            for r in REGISTRY["join_interval_overlap_bins"].fn(spark, sf_dir).collect()
+        )
+
+    base = run()
+    for w in (3600, 604800):
+        monkeypatch.setattr(temporal, "OVERLAP_BIN_S", w)
+        assert run() == base, w
+    assert len(base) > 0
