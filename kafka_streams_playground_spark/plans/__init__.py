@@ -116,8 +116,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # stats_source_overlap_kmv, dedup_sorted_neighborhood,
     # graph_hits_hubs_authorities, stream_stats_source_overlap_kmv,
     # join_interval_overlap_bins, graph_adamic_adar_links,
-    # dedup_cdc_chunks, embedding_centroid_outliers) lead the round-9
-    # rotation.
+    # dedup_cdc_chunks, embedding_centroid_outliers,
+    # stats_gini_value_concentration) lead the round-9 rotation.
 )
 
 

@@ -2296,3 +2296,107 @@ def source_overlap_from_sketches(sks: DataFrame) -> DataFrame:
             .alias("jaccard_e6"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration audit (Lorenz-curve inequality on the value grid)
+# ---------------------------------------------------------------------------
+
+_GINI_ORACLE = """
+    WITH g AS (
+      SELECT event_type,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c,
+             COUNT(*) AS cnt
+      FROM events
+      WHERE value >= 0
+      GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT event_type, c, cnt,
+             COALESCE(SUM(cnt) OVER (PARTITION BY event_type ORDER BY c
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                      0) AS cum_before
+      FROM g
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(SUM(c * cnt) AS BIGINT) AS total_cents,
+             CAST(SUM(c * (cnt * cum_before + (cnt * (cnt + 1)) // 2))
+                  AS BIGINT) AS s1
+      FROM w GROUP BY 1
+    )
+    SELECT event_type, n, total_cents,
+           CAST((2 * s1 - (n + 1) * total_cents) * 1000000
+                // (n * total_cents) AS BIGINT) AS gini_ppm
+    FROM s WHERE total_cents > 0
+"""
+
+
+@query(
+    "stats_gini_value_concentration",
+    oracle=_GINI_ORACLE,
+    tags=("extension", "stats", "agg", "bench"),
+)
+def stats_gini_value_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini concentration coefficient of event value per type — the
+    Lorenz-curve inequality audit ("is this source's volume carried by a
+    few whales?") a curation pass runs before trusting per-type averages;
+    the same statistic audits token-count concentration across sources or
+    shard-size balance before a training run.
+
+    Exact O(grid) formulation — NEVER the O(n²) |x_i − x_j| double sum:
+    collapse values to the integer cent grid with counts (one shuffle,
+    map-side partials), then on the per-type sorted grid the rank-sum
+    Σ i·x_(i) over INDIVIDUALS is recovered from grouped counts exactly:
+    the cnt copies of value v occupy ranks cum_before+1 .. cum_before+cnt,
+    so their contribution is v·(cnt·cum_before + cnt(cnt+1)/2) — all
+    BIGINT (cnt(cnt+1) is even, the /2 is exact). G = (2·S1 − (n+1)·S)
+    / (n·S) lands on the ppm grid by one integer floor division of exact
+    integers in both engines. Negative values are excluded (Gini is
+    defined over nonnegative mass; the filter is shared). The cumulative
+    window runs PARTITIONED by event_type over the O(value grid) cents
+    relation — the drift_ks/mannwhitney sibling shape. Headroom: n·S at
+    100 TB ≈ 1e10 · 1e15 overflows BIGINT — widen the final division to
+    DECIMAL(38,0)/HUGEINT per the OLS precedent when n·total_cents
+    approaches 2^63 (at the fixture scales it is ~1e12)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+    )
+    g = (
+        ev.filter(F.col("c") >= 0)
+        .groupBy("event_type", "c")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("event_type").orderBy("c").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    wd = g.select(
+        "event_type",
+        "c",
+        "cnt",
+        F.coalesce(F.sum("cnt").over(w), F.lit(0)).alias("cum_before"),
+    )
+    s = wd.groupBy("event_type").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(F.col("c") * F.col("cnt")).cast("long").alias("total_cents"),
+        F.sum(
+            F.col("c")
+            * (
+                F.col("cnt") * F.col("cum_before")
+                + F.expr("(cnt * (cnt + 1)) div 2")
+            )
+        )
+        .cast("long")
+        .alias("s1"),
+    )
+    return s.filter(F.col("total_cents") > 0).select(
+        "event_type",
+        "n",
+        "total_cents",
+        F.expr(
+            "CAST((2 * s1 - (n + 1) * total_cents) * 1000000"
+            " div (n * total_cents) AS BIGINT)"
+        ).alias("gini_ppm"),
+    )

@@ -2567,3 +2567,35 @@ def test_centroid_outliers_match_pure_python(spark, sf_dir):
         for r in REGISTRY["embedding_centroid_outliers"].fn(spark, sf_dir).collect()
     )
     assert got == sorted(want) and len(got) > 0
+
+
+def test_gini_matches_pure_python_sorted_individuals(spark, sf_dir):
+    """stats_gini_value_concentration: the grouped-grid rank-sum identity
+    must equal the naive per-individual computation (sort, Σ i·x_(i)),
+    and the ppm coefficient lands in [0, 1e6)."""
+    import math
+    from collections import defaultdict
+
+    from kafka_streams_playground_spark.plans import REGISTRY
+    from kafka_streams_playground_spark.sources.parquet import load_table
+
+    vals = defaultdict(list)
+    for r in load_table(spark, sf_dir, "events").select("event_type", "value").collect():
+        c = math.floor(r["value"] * 100 + 0.5)
+        if c >= 0:
+            vals[r["event_type"]].append(c)
+    rows = {
+        r["event_type"]: r
+        for r in REGISTRY["stats_gini_value_concentration"].fn(spark, sf_dir).collect()
+    }
+    for et, xs in vals.items():
+        xs.sort()
+        n, s = len(xs), sum(xs)
+        if s == 0:
+            assert et not in rows
+            continue
+        s1 = sum((i + 1) * x for i, x in enumerate(xs))
+        g = (2 * s1 - (n + 1) * s) * 1_000_000 // (n * s)
+        r = rows[et]
+        assert (r["n"], r["total_cents"], r["gini_ppm"]) == (n, s, g)
+        assert 0 <= r["gini_ppm"] < 1_000_000
