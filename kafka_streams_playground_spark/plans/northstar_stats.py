@@ -2360,13 +2360,19 @@ def stats_gini_value_concentration(spark: SparkSession, sf_dir: str) -> DataFram
     100 TB ≈ 1e10 · 1e15 overflows BIGINT — widen the final division to
     DECIMAL(38,0)/HUGEINT per the OLS precedent when n·total_cents
     approaches 2^63 (at the fixture scales it is ~1e12)."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_type",
-        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+    ev = (
+        load_table(spark, sf_dir, "events")
+        # Boundary rule shared with the oracle: filter the RAW value, not the
+        # rounded cents — values in (-0.005, 0) round to c=0 and must be
+        # excluded by both engines identically (ADVICE r8).
+        .filter(F.col("value") >= 0)
+        .select(
+            "event_type",
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+        )
     )
     g = (
-        ev.filter(F.col("c") >= 0)
-        .groupBy("event_type", "c")
+        ev.groupBy("event_type", "c")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
     w = Window.partitionBy("event_type").orderBy("c").rowsBetween(

@@ -2237,9 +2237,9 @@ def ts_theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = r.groupBy("event_type").agg(
         F.max("np").alias("n_pairs"),
         F.max(
-            F.when(F.col("rn") == (F.col("np") + 1) / 2, F.col("slope_e6")).otherwise(
-                None
-            )
+            F.when(
+                F.col("rn") == F.floor((F.col("np") + 1) / 2), F.col("slope_e6")
+            ).otherwise(None)
         ).alias("slope_lo_e6"),
         F.max(
             F.when(

@@ -2216,6 +2216,39 @@ def test_theil_sen_matches_pure_python_median(spark, sf_dir):
         assert got["slope_lo_e6"] <= got["slope_hi_e6"]
 
 
+def test_theil_sen_even_pair_count(spark, tmp_path):
+    """Regression (ADVICE r8): with an EVEN pair count the lo-median rank is
+    floor((np+1)/2) — the old float comparison `rn == (np+1)/2` matched no
+    rank and left slope_lo NULL. 4 days → 6 pairs; lo and hi medians differ."""
+    import datetime as dt
+
+    import pandas as pd
+
+    base = dt.datetime(2024, 1, 1)
+    day_vals = [0.0, 1.0, 3.0, 7.0]  # cent sums 0,100,300,700
+    rows = [
+        (i + 1, base + dt.timedelta(days=i), 1, "even", v, "{}")
+        for i, v in enumerate(day_vals)
+    ]
+    pdf = pd.DataFrame(
+        rows, columns=["event_id", "ts", "user_id", "event_type", "value", "props"]
+    )
+    d = tmp_path / "fix"
+    d.mkdir()
+    spark.createDataFrame(pdf).write.parquet(str(d / "events.parquet"))
+
+    from kafka_streams_playground_spark.plans import REGISTRY
+
+    out = REGISTRY["ts_theil_sen_daily_trend"].fn(spark, str(d)).collect()
+    assert len(out) == 1
+    r = out[0]
+    # pairwise slopes (e6, floor): 100e6,150e6,200e6,233333333,300e6,400e6
+    assert r["n_days"] == 4 and r["n_pairs"] == 6
+    assert r["slope_lo_e6"] == 200_000_000  # rank 3 = floor((6+1)/2)
+    assert r["slope_hi_e6"] == 233_333_333  # rank 4 = floor(6/2)+1
+    assert r["slope_lo_e6"] <= r["slope_hi_e6"]
+
+
 def test_freshness_monitor_baseline_algebra(spark, sf_dir):
     """diag_freshness_monitor: warm-up rows never alert and carry NULL
     deviation; every other row's dev/alert equals a pure-Python trailing
@@ -2581,9 +2614,10 @@ def test_gini_matches_pure_python_sorted_individuals(spark, sf_dir):
 
     vals = defaultdict(list)
     for r in load_table(spark, sf_dir, "events").select("event_type", "value").collect():
-        c = math.floor(r["value"] * 100 + 0.5)
-        if c >= 0:
-            vals[r["event_type"]].append(c)
+        # Shared boundary rule (ADVICE r8): filter the RAW value — values in
+        # (-0.005, 0) round to c=0 but are excluded by both engines.
+        if r["value"] >= 0:
+            vals[r["event_type"]].append(math.floor(r["value"] * 100 + 0.5))
     rows = {
         r["event_type"]: r
         for r in REGISTRY["stats_gini_value_concentration"].fn(spark, sf_dir).collect()
