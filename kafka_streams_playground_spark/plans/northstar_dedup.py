@@ -1188,6 +1188,36 @@ _SNM_ORACLE = f"""
 """
 
 
+def snm_candidates(docs: DataFrame, key: "F.Column") -> DataFrame:
+    """One SNM pass parameterized by the canonical sort key: block on the
+    key prefix (SNM_BLOCK_CHARS), rank within the block, compare each doc
+    to its next SNM_WINDOW neighbors. The rank window and the w-band
+    self-join both key on the block — no global sort, ids-only shuffle."""
+    from pyspark.sql import Window
+
+    keyed = docs.select("doc_id", key.alias("skey")).select(
+        "doc_id",
+        "skey",
+        F.substring("skey", 1, SNM_BLOCK_CHARS).alias("blk"),
+    )
+    rn_w = Window.partitionBy("blk").orderBy("skey", "doc_id")
+    ranked = keyed.select("doc_id", "blk", F.row_number().over(rn_w).alias("rn"))
+    a, b = ranked.alias("a"), ranked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("b.rn") > F.col("a.rn"))
+            & (F.col("b.rn") <= F.col("a.rn") + SNM_WINDOW),
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
 @query(
     "dedup_sorted_neighborhood",
     oracle=_SNM_ORACLE,
@@ -1216,32 +1246,7 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     work stays O(w) regardless. Verification is the shared exact-Jaccard
     gate at JACCARD_THRESHOLD."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    skey = F.concat_ws(" ", F.array_sort(T.tokens("text")))
-    keyed = docs.select("doc_id", skey.alias("skey")).select(
-        "doc_id",
-        "skey",
-        F.substring("skey", 1, SNM_BLOCK_CHARS).alias("blk"),
-    )
-    from pyspark.sql import Window
-
-    rn_w = Window.partitionBy("blk").orderBy("skey", "doc_id")
-    ranked = keyed.select(
-        "doc_id", "blk", F.row_number().over(rn_w).alias("rn")
-    )
-    a, b = ranked.alias("a"), ranked.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("b.rn") > F.col("a.rn"))
-            & (F.col("b.rn") <= F.col("a.rn") + SNM_WINDOW),
-        )
-        .select(
-            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
-            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
-        )
-        .dropDuplicates(["doc_a", "doc_b"])
-    )
+    cand = snm_candidates(docs, F.concat_ws(" ", F.array_sort(T.tokens("text"))))
     sh = _shingled(spark, sf_dir)
     pairs = cand.join(
         sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha")), "doc_a"
@@ -1250,6 +1255,106 @@ def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.filter(jac >= JACCARD_THRESHOLD)
         .select("doc_a", "doc_b", F.round(jac, 4).alias("jaccard"))
+    )
+
+
+_SNM_MULTI_ORACLE = f"""
+    WITH {{shingles}},
+    skeys AS (
+      SELECT doc_id,
+             array_to_string(list_sort(string_split(text, ' ')), ' ') AS k1,
+             array_to_string(list_reverse(list_sort(string_split(text, ' '))),
+                             ' ') AS k2
+      FROM documents
+    ),
+    r1 AS (
+      SELECT doc_id, substr(k1, 1, {SNM_BLOCK_CHARS}) AS blk,
+             ROW_NUMBER() OVER (PARTITION BY substr(k1, 1, {SNM_BLOCK_CHARS})
+                                ORDER BY k1, doc_id) AS rn
+      FROM skeys
+    ),
+    r2 AS (
+      SELECT doc_id, substr(k2, 1, {SNM_BLOCK_CHARS}) AS blk,
+             ROW_NUMBER() OVER (PARTITION BY substr(k2, 1, {SNM_BLOCK_CHARS})
+                                ORDER BY k2, doc_id) AS rn
+      FROM skeys
+    ),
+    cand AS (
+      SELECT doc_a, doc_b, MAX(p1) AS p1, MAX(p2) AS p2 FROM (
+        SELECT LEAST(a.doc_id, b.doc_id) AS doc_a,
+               GREATEST(a.doc_id, b.doc_id) AS doc_b, 1 AS p1, 0 AS p2
+        FROM r1 a JOIN r1 b
+          ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + {SNM_WINDOW}
+        UNION ALL
+        SELECT LEAST(a.doc_id, b.doc_id), GREATEST(a.doc_id, b.doc_id), 0, 1
+        FROM r2 a JOIN r2 b
+          ON a.blk = b.blk AND b.rn > a.rn AND b.rn <= a.rn + {SNM_WINDOW}
+      ) GROUP BY 1, 2
+    )
+    SELECT c.doc_a, c.doc_b,
+      ROUND(len(list_intersect(a.sh, b.sh)) * 1.0
+            / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 4)
+        AS jaccard,
+      CAST(c.p1 + 2 * c.p2 AS BIGINT) AS passes
+    FROM cand c JOIN sh a ON c.doc_a = a.doc_id JOIN sh b ON c.doc_b = b.doc_id
+    WHERE len(list_intersect(a.sh, b.sh)) * 1.0
+          / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh)))
+          >= {JACCARD_THRESHOLD}
+""".format(shingles=T.duck_shingles_cte())
+
+
+@query(
+    "dedup_snm_multipass",
+    oracle=_SNM_MULTI_ORACLE,
+    tags=("northstar", "dedup", "bench"),
+)
+def dedup_snm_multipass(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-pass sorted-neighborhood near-dup — Hernández & Stolfo's own
+    production fix for single-pass SNM's cross-block blind spot (SIGMOD'95
+    §4.2 runs SEVERAL passes with independent keys and unions the matches;
+    the multi-probe-LSH analogue). Pass 1 sorts on the canonical
+    bag-of-words key; pass 2 on the REVERSED sorted-token key, so
+    documents sharing suffix vocabulary collate together even when their
+    leading tokens (hence pass-1 blocks) differ. A pair straddling a
+    pass-1 block boundary is exactly the pair whose first sorted tokens
+    diverge — the reversed key starts from the other end of the
+    vocabulary, making the two blind spots (near-)disjoint. The union of
+    both candidate sets feeds the shared exact-Jaccard gate (precision
+    stays 1.0 by construction — the gate re-verifies every candidate);
+    ``passes`` reports which pass(es) produced each surviving pair
+    (1 = sort-key only, 2 = reverse-key only, 3 = both) — the recall
+    telemetry a production run tracks to decide whether a third key is
+    worth its scan.
+
+    Scale stance: each pass is the single-pass plan verbatim (blocked rank
+    window, O(n·w) ids-only band join — ``snm_candidates``); two passes =
+    2× that, still no global sort, and the union + max-bitmask collapse is
+    one (doc_a, doc_b)-keyed aggregate over candidate ids. Shingle arrays
+    join back only for surviving candidates."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    k1 = F.concat_ws(" ", F.array_sort(T.tokens("text")))
+    k2 = F.concat_ws(" ", F.reverse(F.array_sort(T.tokens("text"))))
+    c1 = snm_candidates(docs, k1).select(
+        "doc_a", "doc_b", F.lit(1).alias("p1"), F.lit(0).alias("p2")
+    )
+    c2 = snm_candidates(docs, k2).select(
+        "doc_a", "doc_b", F.lit(0).alias("p1"), F.lit(1).alias("p2")
+    )
+    cand = (
+        c1.unionByName(c2)
+        .groupBy("doc_a", "doc_b")
+        .agg(F.max("p1").alias("p1"), F.max("p2").alias("p2"))
+    )
+    sh = _shingled(spark, sf_dir)
+    pairs = cand.join(
+        sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sha")), "doc_a"
+    ).join(sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("shb")), "doc_b")
+    jac = T.jaccard(F.col("sha"), F.col("shb"))
+    return pairs.filter(jac >= JACCARD_THRESHOLD).select(
+        "doc_a",
+        "doc_b",
+        F.round(jac, 4).alias("jaccard"),
+        (F.col("p1") + 2 * F.col("p2")).cast("bigint").alias("passes"),
     )
 
 

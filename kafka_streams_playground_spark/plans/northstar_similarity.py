@@ -2378,6 +2378,61 @@ _CENT_OUT_ORACLE = f"""
 """
 
 
+def centroid_dist12_udf():
+    """Arrow-batched exact grid distance²: Σ(x6−m6)² as BIGINT (built
+    lazily — pandas_udf type parsing needs an active session)."""
+
+    @F.pandas_udf("long")
+    def dist12(x6: pd.Series, m6: pd.Series) -> pd.Series:
+        import numpy as np
+
+        out = []
+        for x, m in zip(x6, m6):
+            dx = np.asarray(x, dtype="int64") - np.asarray(m, dtype="int64")
+            out.append(int((dx * dx).sum()))
+        return pd.Series(out, dtype="int64")
+
+    return dist12
+
+
+def _emb_x6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings with coordinates quantized to the 1e-6 integer grid."""
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000000 + F.lit(0.5)).cast("long"),
+        ).alias("x6"),
+    )
+
+
+def label_centroids_x6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label grid-floored centroid arrays (label, m6) — the O(labels·d)
+    broadcast table shared by the batch outlier audit and its score-at-
+    ingest streaming twin."""
+    s = (
+        _emb_x6(spark, sf_dir)
+        .select("label", F.posexplode("x6").alias("d", "x"))
+        .groupBy("label", "d")
+        .agg(F.sum("x").alias("sd"), F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        s.select(
+            "label",
+            "d",
+            F.expr("(sd - ((sd % n + n) % n)) div n").alias("md"),
+        )
+        .groupBy("label")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "md"))),
+                lambda st: st["md"],
+            ).alias("m6")
+        )
+    )
+
+
 @query(
     "embedding_centroid_outliers",
     oracle=_CENT_OUT_ORACLE,
@@ -2410,44 +2465,9 @@ def embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     Arrow pass (dimension-ordered numpy fold, the _dot_udf stance); top-k
     per label is the two-phase partial-window schedule (no |labels|-key
     skew wall)."""
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "label",
-        F.transform(
-            "embedding",
-            lambda x: F.floor(x.cast("double") * 1000000 + F.lit(0.5)).cast("long"),
-        ).alias("x6"),
-    )
-    s = (
-        emb.select("label", F.posexplode("x6").alias("d", "x"))
-        .groupBy("label", "d")
-        .agg(F.sum("x").alias("sd"), F.count(F.lit(1)).alias("n"))
-    )
-    cent = (
-        s.select(
-            "label",
-            "d",
-            F.expr("(sd - ((sd % n + n) % n)) div n").alias("md"),
-        )
-        .groupBy("label")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("d", "md"))),
-                lambda st: st["md"],
-            ).alias("m6")
-        )
-    )
-
-    @F.pandas_udf("long")
-    def dist12(x6: pd.Series, m6: pd.Series) -> pd.Series:
-        import numpy as np
-
-        out = []
-        for x, m in zip(x6, m6):
-            dx = np.asarray(x, dtype="int64") - np.asarray(m, dtype="int64")
-            out.append(int((dx * dx).sum()))
-        return pd.Series(out, dtype="int64")
-
+    emb = _emb_x6(spark, sf_dir)
+    cent = label_centroids_x6(spark, sf_dir)
+    dist12 = centroid_dist12_udf()
     scored = emb.join(F.broadcast(cent), "label").select(
         "label", "vec_id", dist12(F.col("x6"), F.col("m6")).alias("dist12")
     )

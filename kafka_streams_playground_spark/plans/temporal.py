@@ -2433,6 +2433,38 @@ _BURSTS_SQL = f"""
       FROM bnum GROUP BY event_type, burst_no
     )"""
 
+def interval_islands(df: DataFrame, part: str, out_no: str) -> DataFrame:
+    """Gaps-and-islands sessionization shared by the batch interval-overlap
+    join and its streaming twin: per-``part`` key, a new island opens when
+    the gap to the previous event reaches the key's threshold
+    (SESSION_GAP_S for users, BURST_GAP_S for event types); bounds are
+    floor-epoch BIGINTs so downstream overlap arithmetic is integer-exact."""
+    w = Window.partitionBy(part).orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap_s = SESSION_GAP_S if part == "user_id" else BURST_GAP_S
+    gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
+    flagged = df.select(
+        part,
+        "ts",
+        "event_id",
+        F.when(F.lag("ts").over(w).isNull() | (gap >= gap_s), 1)
+        .otherwise(0)
+        .alias("flag"),
+    )
+    wnum = (
+        Window.partitionBy(part)
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        flagged.withColumn(out_no, F.sum("flag").over(wnum))
+        .groupBy(part, out_no)
+        .agg(
+            F.unix_timestamp(F.min("ts")).alias("i_start"),
+            F.unix_timestamp(F.max("ts")).alias("i_end"),
+        )
+    )
+
+
 _INTERVAL_ORACLE = f"""
     WITH {_SESSIONIZE_SQL.format(gap=SESSION_GAP_S)},
     {_BURSTS_SQL}
@@ -2475,33 +2507,7 @@ def join_interval_overlap_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap); bounds are floor-epoch BIGINTs, so the overlap arithmetic is
     integer-exact in both engines."""
     events = load_table(spark, sf_dir, "events")
-
-    def islands(df: DataFrame, part: str, out_no: str) -> DataFrame:
-        w = Window.partitionBy(part).orderBy(F.col("ts").asc(), F.col("event_id").asc())
-        gap_s = SESSION_GAP_S if part == "user_id" else BURST_GAP_S
-        gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
-        flagged = df.select(
-            part,
-            "ts",
-            "event_id",
-            F.when(F.lag("ts").over(w).isNull() | (gap >= gap_s), 1)
-            .otherwise(0)
-            .alias("flag"),
-        )
-        wnum = (
-            Window.partitionBy(part)
-            .orderBy(F.col("ts").asc(), F.col("event_id").asc())
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        )
-        return (
-            flagged.withColumn(out_no, F.sum("flag").over(wnum))
-            .groupBy(part, out_no)
-            .agg(
-                F.unix_timestamp(F.min("ts")).alias("i_start"),
-                F.unix_timestamp(F.max("ts")).alias("i_end"),
-            )
-        )
-
+    islands = interval_islands
     sessions = islands(events, "user_id", "session_no").select(
         "user_id",
         "session_no",

@@ -2835,3 +2835,175 @@ def _share_source_overlap_oracle() -> None:
 
 
 _share_source_overlap_oracle()
+
+
+@query(
+    "stream_join_interval_overlap_bins",
+    oracle=None,  # set below: shares join_interval_overlap_bins' oracle
+    tags=("extension", "streaming", "temporal", "join", "J3"),
+)
+def stream_join_interval_overlap_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The keyless interval-overlap join run as a WATERMARKED STREAM-STREAM
+    join — Flink's interval join (which the batch twin's docstring cites)
+    is natively a streaming operator, and the grid-binning trick is exactly
+    how its state stores key themselves. Both interval relations (user
+    sessions, per-type bursts — sessionized upstream by the shared
+    gaps-and-islands pass; in production that stage is a session_window
+    aggregation feeding this join) REPLAY AS STREAMS, each interval
+    explodes map-side into the OVERLAP_BIN_S bins it touches, the bin
+    start becomes the row's EVENT TIME, and Spark's
+    StreamingSymmetricHashJoinExec joins the two streams on bin-timestamp
+    EQUALITY: per-bin state on each side holds only the intervals touching
+    that bin, and the advancing watermark evicts a bin's state the moment
+    no new interval can still reach it — the canonical distributed
+    streaming interval-join schedule (state ∝ bins in the watermark
+    horizon × intervals per bin, never the stream history). The true
+    overlap predicate verifies row-locally on the joined pair; multi-bin
+    duplicates collapse post-drain (identical rows, the batch path's
+    dropDuplicates). The drained result equals the batch query's, so the
+    NAIVE-QUADRATIC range-join oracle value-checks streaming completeness
+    too."""
+    import shutil
+    import tempfile
+
+    from kafka_streams_playground_spark.plans.temporal import (
+        OVERLAP_BIN_S,
+        interval_islands,
+    )
+
+    events = load_table(spark, sf_dir, "events")
+    sessions = interval_islands(events, "user_id", "session_no").select(
+        "user_id",
+        "session_no",
+        F.col("i_start").alias("s_start"),
+        F.col("i_end").alias("s_end"),
+    )
+    bursts = interval_islands(events, "event_type", "burst_no").select(
+        "event_type",
+        "burst_no",
+        F.col("i_start").alias("b_start"),
+        F.col("i_end").alias("b_end"),
+    )
+
+    tmp = tempfile.mkdtemp(prefix="ksp_interval_stream_")
+    try:
+        sessions.write.parquet(f"{tmp}/sessions.parquet")
+        bursts.write.parquet(f"{tmp}/bursts.parquet")
+
+        def bins(name: str, start: str, end: str, bcol: str, tcol: str) -> DataFrame:
+            path = f"{tmp}/{name}.parquet"
+            schema = spark.read.parquet(path).schema
+            sdf = spark.readStream.schema(schema).parquet(path)
+            return sdf.select(
+                "*",
+                F.explode(
+                    F.sequence(
+                        F.expr(f"{start} div {OVERLAP_BIN_S}"),
+                        F.expr(f"{end} div {OVERLAP_BIN_S}"),
+                    )
+                ).alias(bcol),
+            ).withColumn(
+                tcol, F.timestamp_seconds(F.col(bcol) * OVERLAP_BIN_S)
+            ).withWatermark(tcol, WATERMARK)
+
+        sb = bins("sessions", "s_start", "s_end", "sbin", "sbin_ts")
+        bb = bins("bursts", "b_start", "b_end", "bbin", "bbin_ts")
+        joined = sb.join(bb, F.col("sbin_ts") == F.col("bbin_ts")).filter(
+            (F.col("s_start") <= F.col("b_end"))
+            & (F.col("b_start") <= F.col("s_end"))
+        )
+        out = joined.select(
+            "user_id",
+            "session_no",
+            "event_type",
+            "burst_no",
+            "s_start",
+            "s_end",
+            "b_start",
+            "b_end",
+            (
+                F.least(F.col("s_end"), F.col("b_end"))
+                - F.greatest(F.col("s_start"), F.col("b_start"))
+            ).alias("overlap_s"),
+        )
+        drained = run_to_completion(out, output_mode="append", spark=spark)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return drained.dropDuplicates(
+        ["user_id", "session_no", "event_type", "burst_no"]
+    )
+
+
+def _share_interval_overlap_oracle() -> None:
+    from kafka_streams_playground_spark.plans import temporal  # noqa: F401
+
+    REGISTRY["stream_join_interval_overlap_bins"] = _replace(
+        REGISTRY["stream_join_interval_overlap_bins"],
+        oracle=REGISTRY["join_interval_overlap_bins"].oracle,
+    )
+
+
+_share_interval_overlap_oracle()
+
+
+@query(
+    "stream_embedding_centroid_outliers",
+    oracle=None,  # set below: shares embedding_centroid_outliers' oracle
+    tags=("northstar", "streaming", "similarity", "embedding"),
+)
+def stream_embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Centroid-distance outlier scoring AT INGEST — the train-batch /
+    score-stream form of ``embedding_centroid_outliers`` (the
+    stream_dsir_importance_weights shape): the per-label centroid table
+    trains once batch-side over the standing corpus (one (label,dim)-keyed
+    shuffle, O(labels·d) result), BROADCASTS onto the ingest stream, and
+    each arriving vector's exact grid distance² computes row-locally in
+    one Arrow pass — no state store, no stream-side shuffle. This is how a
+    label-quality gate runs in production at 100 TB: centroids refresh
+    nightly batch-side, every incoming labeled vector is scored online and
+    routed to review when it lands far from its label's cluster. Scoring
+    is stateless, so the drained scores equal the batch ones row-for-row;
+    the top-OUTLIER_TOPK ranking runs post-drain on the bounded drained
+    relation and the batch oracle applies unchanged."""
+    from kafka_streams_playground_spark.plans.northstar_similarity import (
+        OUTLIER_TOPK,
+        centroid_dist12_udf,
+        label_centroids_x6,
+    )
+
+    cent = label_centroids_x6(spark, sf_dir)
+    dist12 = centroid_dist12_udf()
+    stream = read_stream_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * 1000000 + F.lit(0.5)).cast("long"),
+        ).alias("x6"),
+    )
+    scored = stream.join(F.broadcast(cent), "label").select(
+        "label", "vec_id", dist12(F.col("x6"), F.col("m6")).alias("dist12")
+    )
+    drained = run_to_completion(scored, output_mode="append", spark=spark)
+
+    from pyspark.sql import Window as _W
+
+    order = [F.col("dist12").desc(), F.col("vec_id")]
+    final = _W.partitionBy("label").orderBy(*order)
+    return (
+        drained.withColumn("rk", F.row_number().over(final))
+        .filter(F.col("rk") <= OUTLIER_TOPK)
+        .select("label", "vec_id", "dist12", "rk")
+    )
+
+
+def _share_centroid_outlier_oracle() -> None:
+    from kafka_streams_playground_spark.plans import northstar_similarity  # noqa: F401
+
+    REGISTRY["stream_embedding_centroid_outliers"] = _replace(
+        REGISTRY["stream_embedding_centroid_outliers"],
+        oracle=REGISTRY["embedding_centroid_outliers"].oracle,
+    )
+
+
+_share_centroid_outlier_oracle()

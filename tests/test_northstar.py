@@ -2414,6 +2414,64 @@ def test_snm_finds_all_planted_neardups(spark, sf_dir):
     assert snm == gt and len(gt) > 0
 
 
+def test_snm_multipass_superset_of_single_pass(spark, sf_dir):
+    """dedup_snm_multipass: the unioned candidate set can only widen —
+    every single-pass pair survives with identical Jaccard, every pair
+    carries a passes bitmask in {1,2,3}, and precision stays 1.0 (every
+    emitted pair clears the exact gate)."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+    from kafka_streams_playground_spark.plans.northstar_dedup import JACCARD_THRESHOLD
+
+    single = {
+        (r["doc_a"], r["doc_b"]): r["jaccard"]
+        for r in REGISTRY["dedup_sorted_neighborhood"].fn(spark, sf_dir).collect()
+    }
+    multi = {
+        (r["doc_a"], r["doc_b"]): (r["jaccard"], r["passes"])
+        for r in REGISTRY["dedup_snm_multipass"].fn(spark, sf_dir).collect()
+    }
+    assert set(single) <= set(multi) and len(single) > 0
+    for pair, j in single.items():
+        mj, passes = multi[pair]
+        assert mj == j and passes in (1, 3)
+    for (_, _), (j, passes) in multi.items():
+        assert j >= JACCARD_THRESHOLD and passes in (1, 2, 3)
+
+
+def test_snm_multipass_recall_improves_on_blind_spot(spark, tmp_path):
+    """The cross-block blind spot fix, pinned on a constructed fixture: two
+    near-identical documents whose LEADING sorted tokens differ (different
+    pass-1 blocks — single-pass SNM finds nothing) but whose suffix
+    vocabulary collates them adjacent under the reversed key. Multipass
+    recall strictly improves; the exact gate keeps precision at 1.0."""
+    import pandas as pd
+
+    from kafka_streams_playground_spark.plans import REGISTRY
+    from kafka_streams_playground_spark.plans.northstar_dedup import JACCARD_THRESHOLD
+
+    common = " ".join(f"common{i:02d}" for i in range(20))
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": [f"apple {common} zztail", f"banana {common} zztail"],
+            "lang": ["en", "en"],
+            "source": ["s", "s"],
+            "n_chars": [1, 1],
+        }
+    )
+    d = tmp_path / "fix"
+    d.mkdir()
+    spark.createDataFrame(pdf).write.parquet(str(d / "documents.parquet"))
+
+    single = REGISTRY["dedup_sorted_neighborhood"].fn(spark, str(d)).collect()
+    multi = REGISTRY["dedup_snm_multipass"].fn(spark, str(d)).collect()
+    assert single == []  # blocks "apple co" vs "banana c" never compare
+    assert len(multi) == 1
+    r = multi[0]
+    assert (r["doc_a"], r["doc_b"], r["passes"]) == (1, 2, 2)
+    assert r["jaccard"] >= JACCARD_THRESHOLD
+
+
 def test_hits_matches_pure_python(spark, sf_dir):
     """graph_hits_hubs_authorities: the two unnormalized mutual-reinforcement
     rounds are exact integer sums — a pure-Python dict replication must
