@@ -2406,3 +2406,126 @@ def stats_gini_value_concentration(spark: SparkSession, sf_dir: str) -> DataFram
             " div (n * total_cents) AS BIGINT)"
         ).alias("gini_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Welch's two-sample t-statistic (unequal variances) between halves
+# ---------------------------------------------------------------------------
+
+_WELCH_ORACLE = """
+    WITH e AS (
+      SELECT event_type, event_id % 2 AS half,
+             CAST(FLOOR(value * 100 + 0.5) AS BIGINT) AS c
+      FROM events
+    ),
+    s AS (
+      SELECT event_type,
+        SUM(CASE WHEN half = 0 THEN 1 ELSE 0 END) AS n0,
+        SUM(CASE WHEN half = 0 THEN c ELSE 0 END) AS s0,
+        SUM(CASE WHEN half = 0 THEN c * c ELSE 0 END) AS q0,
+        SUM(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS n1,
+        SUM(CASE WHEN half = 1 THEN c ELSE 0 END) AS s1,
+        SUM(CASE WHEN half = 1 THEN c * c ELSE 0 END) AS q1
+      FROM e GROUP BY 1
+    )
+    SELECT event_type,
+      CAST(n0 AS BIGINT) AS n_a, CAST(n1 AS BIGINT) AS n_b,
+      CAST((s0 * 1000000 - ((s0 * 1000000 % n0 + n0) % n0)) // n0 AS BIGINT)
+          AS mean_a_ppm,
+      CAST((s1 * 1000000 - ((s1 * 1000000 % n1 + n1) % n1)) // n1 AS BIGINT)
+          AS mean_b_ppm,
+      CAST(
+        (CAST(s0 * n1 - s1 * n0 AS HUGEINT) * CAST(s0 * n1 - s1 * n0 AS HUGEINT)
+          * CAST((n0 - 1) * (n1 - 1) AS HUGEINT) * 1000)
+        // (CAST(n0 * q0 - s0 * s0 AS HUGEINT) * CAST(n1 * n1 * (n1 - 1) AS HUGEINT)
+            + CAST(n1 * q1 - s1 * s1 AS HUGEINT) * CAST(n0 * n0 * (n0 - 1) AS HUGEINT))
+        AS BIGINT) AS t2_milli
+    FROM s
+    -- A = n0q0 - s0^2 and B are >= 0 (Cauchy-Schwarz), D_i > 0 for n_i > 1,
+    -- so the denominator is zero iff A + B = 0 - a product-free guard that
+    -- stays in BIGINT range.
+    WHERE n0 > 1 AND n1 > 1
+      AND (n0 * q0 - s0 * s0) + (n1 * q1 - s1 * s1) > 0
+"""
+
+
+def welch_epilogue(s: DataFrame) -> DataFrame:
+    """t²/mean arithmetic over the six-sufficient-sums relation — shared
+    by the batch query and its accumulate-at-ingest streaming twin."""
+    # A and B are >= 0 (Cauchy-Schwarz) and D_i > 0 for n_i > 1, so the
+    # denominator vanishes iff A + B = 0 — a product-free guard that never
+    # leaves BIGINT range (the full product overflows long at sf0.01).
+    den_guard = "(n0 * q0 - s0 * s0) + (n1 * q1 - s1 * s1)"
+    return (
+        s.filter(F.expr(f"n0 > 1 AND n1 > 1 AND {den_guard} > 0"))
+        .select(
+            "event_type",
+            F.col("n0").cast("bigint").alias("n_a"),
+            F.col("n1").cast("bigint").alias("n_b"),
+            F.expr(
+                "CAST((s0 * 1000000 - pmod(s0 * 1000000, n0)) div n0 AS BIGINT)"
+            ).alias("mean_a_ppm"),
+            F.expr(
+                "CAST((s1 * 1000000 - pmod(s1 * 1000000, n1)) div n1 AS BIGINT)"
+            ).alias("mean_b_ppm"),
+            F.expr(
+                "CAST((CAST(s0 * n1 - s1 * n0 AS DECIMAL(38,0))"
+                " * CAST(s0 * n1 - s1 * n0 AS DECIMAL(38,0))"
+                " * CAST((n0 - 1) * (n1 - 1) AS DECIMAL(38,0)) * 1000)"
+                " div (CAST(n0 * q0 - s0 * s0 AS DECIMAL(38,0))"
+                "      * CAST(n1 * n1 * (n1 - 1) AS DECIMAL(38,0))"
+                "      + CAST(n1 * q1 - s1 * s1 AS DECIMAL(38,0))"
+                "      * CAST(n0 * n0 * (n0 - 1) AS DECIMAL(38,0))) AS BIGINT)"
+            ).alias("t2_milli"),
+        )
+    )
+
+
+@query(
+    "stats_welch_ttest_halves",
+    oracle=_WELCH_ORACLE,
+    tags=("extension", "stats", "drift", "bench"),
+)
+def stats_welch_ttest_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance two-sample t² between the event_id-parity
+    halves, per event type — the MEAN-shift member completing the drift
+    family (KS = full-distribution sup, Mann-Whitney = rank/stochastic
+    dominance, PSI = binned mass; Welch asks the narrower, more sensitive
+    question "did the average move?", robust to the halves having
+    different variances — Welch 1947, the default two-sample t in every
+    stats package).
+
+    Exactness: on the cent grid the statistic is a ratio of integer
+    polynomials in the six sufficient statistics (n, Σc, Σc² per half):
+    t² = Δ²·(n₀−1)(n₁−1) / (A·D₁ + B·D₀) with Δ = s₀n₁ − s₁n₀,
+    A = n₀q₀ − s₀², B = n₁q₁ − s₁², Dᵢ = nᵢ²(nᵢ−1) — the n₀²n₁²
+    factor cancels against Δ²'s denominator, which is what keeps the
+    HUGEINT/DECIMAL(38,0) products under 38 digits (~1e32 at sf0.1; the
+    1e38 ceiling is reached only past ~1e6 rows per half × max cents —
+    production re-centers c around a pivot first, shrinking Δ and A
+    without changing t²). Numerator and denominator are exact integers in
+    both engines; one DECIMAL floor division lands t² on the milli grid.
+
+    Spark shape: ONE shuffle — six conditional map-side-partial sums per
+    type; everything after is arithmetic on the 5-row result. The same
+    mergeable-sufficient-statistic stance as the OLS family: the six
+    sums are associative folds, so the statistic streams and unions for
+    free."""
+    e = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("event_id") % 2).alias("half"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+    )
+    s = e.groupBy("event_type").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("half") == 0, F.col("c")).otherwise(0)).alias("s0"),
+        F.sum(F.when(F.col("half") == 0, F.col("c") * F.col("c")).otherwise(0)).alias(
+            "q0"
+        ),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("half") == 1, F.col("c")).otherwise(0)).alias("s1"),
+        F.sum(F.when(F.col("half") == 1, F.col("c") * F.col("c")).otherwise(0)).alias(
+            "q1"
+        ),
+    )
+    return welch_epilogue(s)

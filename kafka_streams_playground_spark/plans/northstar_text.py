@@ -591,3 +591,132 @@ def text_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Heaps'-law vocabulary-growth fit (round 9)
+# ---------------------------------------------------------------------------
+
+# Corpus-growth grid: bucket b adds the documents with doc_id % B = b, and
+# the cumulative corpus at step b is the union of residue classes 0..b — a
+# deterministic shuffled-growth order (Heaps exponents are order-robust;
+# random order is the standard presentation-free choice).
+HEAPS_BUCKETS = 32
+
+_HEAPS_ORACLE = f"""
+    WITH {{shingles}},
+    g AS (
+      SELECT doc_id % {HEAPS_BUCKETS} AS bkt, unnest(sh) AS gram FROM sh
+    ),
+    tokcnt AS (SELECT bkt, COUNT(*) AS n_gram FROM g GROUP BY 1),
+    fscnt AS (
+      SELECT bkt, COUNT(*) AS nv
+      FROM (SELECT gram, MIN(bkt) AS bkt FROM g GROUP BY 1) GROUP BY 1
+    ),
+    cum AS (
+      SELECT c.bkt,
+        SUM(c.n_gram) OVER (ORDER BY c.bkt ROWS UNBOUNDED PRECEDING)
+            AS cum_tok,
+        SUM(COALESCE(f.nv, 0)) OVER (ORDER BY c.bkt ROWS UNBOUNDED PRECEDING)
+            AS cum_vocab
+      FROM tokcnt c LEFT JOIN fscnt f USING (bkt)
+    ),
+    r AS (
+      SELECT CAST(FLOOR(ln(cum_tok) * 1000000 + 0.5) AS BIGINT) AS x6,
+             CAST(FLOOR(ln(cum_vocab) * 1000000 + 0.5) AS BIGINT) AS y6
+      FROM cum
+    ),
+    st AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(x6) AS BIGINT) AS sx, CAST(SUM(y6) AS BIGINT) AS sy,
+             CAST(SUM(x6 * y6) AS BIGINT) AS sxy,
+             CAST(SUM(x6 * x6) AS BIGINT) AS sxx
+      FROM r
+    )
+    SELECT n AS n_points,
+      FLOOR((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx) * 10000 + 0.5)
+          / 10000 AS heaps_beta,
+      FLOOR((sy - (n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx) * sx)
+            / n / 1000000 * 10000 + 0.5) / 10000 AS heaps_lnk
+    FROM st
+""".format(shingles=T.duck_shingles_cte())
+
+
+@query(
+    "text_heaps_law_fit",
+    oracle=_HEAPS_ORACLE,
+    tags=("northstar", "text", "curation", "bench"),
+)
+def text_heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps'-law fit V(N) = K·N^β over the corpus: least-squares slope β
+    and intercept ln K of ln(distinct 3-shingle types) against
+    ln(cumulative shingle volume) across a deterministic corpus-growth
+    grid — the vocabulary-growth sanity panel next to text_zipf_fit's
+    frequency-decay panel. Natural corpora sit near β ≈ 0.4–0.6; a
+    saturating curve (β → 0) flags templated/bounded-vocabulary text and
+    crawl exhaustion, a β near 1 flags id/hash pollution minting new
+    types forever. Fit on 3-SHINGLE types, not unigrams: the fixture's
+    31-token vocabulary saturates at the first bucket (unigram β = 0
+    exactly — itself the signal, but a degenerate fit), while shingle
+    types keep growing, exercising the estimator end-to-end.
+
+    Spark shape: growth is bucketed by doc_id mod HEAPS_BUCKETS — bucket
+    volume is one (bucket)-keyed count, and "first new types at step b"
+    is groupBy(gram).min(bucket) (one shuffle of the gram dictionary),
+    so the cumulative pair series needs NO per-step corpus rescans (the
+    naive formulation recounts distinct types B times). The two
+    cumulative windows are unpartitioned but run over the B-row bucket
+    relation (whitelisted, bound = HEAPS_BUCKETS); ln values quantize to
+    the 1e-6 grid so all regression sums are exact integers and the two
+    final float divisions are spelled identically in both engines (the
+    zipf stance)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    g = docs.select(
+        (F.col("doc_id") % HEAPS_BUCKETS).alias("bkt"),
+        F.explode(T.shingles(T.tokens("text"))).alias("gram"),
+    )
+    tokcnt = g.groupBy("bkt").agg(F.count(F.lit(1)).alias("n_gram"))
+    fscnt = (
+        g.groupBy("gram")
+        .agg(F.min("bkt").alias("bkt"))
+        .groupBy("bkt")
+        .agg(F.count(F.lit(1)).alias("nv"))
+    )
+    from pyspark.sql import Window
+
+    wc = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = (
+        tokcnt.join(fscnt, "bkt", "left")
+        .select(
+            "bkt",
+            F.sum("n_gram").over(wc).alias("cum_tok"),
+            F.sum(F.coalesce("nv", F.lit(0))).over(wc).alias("cum_vocab"),
+        )
+    )
+    r = cum.select(
+        F.floor(F.log("cum_tok") * 1000000 + F.lit(0.5)).cast("bigint").alias("x6"),
+        F.floor(F.log("cum_vocab") * 1000000 + F.lit(0.5)).cast("bigint").alias("y6"),
+    )
+    st = r.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x6").alias("sx"),
+        F.sum("y6").alias("sy"),
+        F.sum(F.col("x6") * F.col("y6")).alias("sxy"),
+        F.sum(F.col("x6") * F.col("x6")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return st.select(
+        F.col("n").alias("n_points"),
+        (F.floor(num * 1.0 / den * 10000 + F.lit(0.5)) / 10000).alias("heaps_beta"),
+        (
+            F.floor(
+                (F.col("sy") - num * 1.0 / den * F.col("sx"))
+                / F.col("n")
+                / 1000000
+                * 10000
+                + F.lit(0.5)
+            )
+            / 10000
+        ).alias("heaps_lnk"),
+    )

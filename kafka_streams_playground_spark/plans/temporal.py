@@ -2557,3 +2557,231 @@ def join_interval_overlap_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("overlap_s"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function on the daily grid (round 9)
+# ---------------------------------------------------------------------------
+
+ACF_MAX_LAG = 3  # report lags 1..3 of the daily-revenue series per type
+
+_ACF_NUM = "n*n*p{k} - n*s*(h{k} + t{k}) + (n - {k})*s*s"
+
+_ACF_ORACLE = f"""
+    WITH d AS (
+      SELECT event_type,
+             (CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT) // 86400) AS day,
+             SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    l AS (
+      SELECT event_type, v,
+        LAG(v, 1) OVER w AS v1, LAG(v, 2) OVER w AS v2, LAG(v, 3) OVER w AS v3
+      FROM d WINDOW w AS (PARTITION BY event_type ORDER BY day)
+    ),
+    agg AS (
+      SELECT event_type, COUNT(*) AS n, SUM(v) AS s, SUM(v * v) AS q,
+        SUM(CASE WHEN v1 IS NOT NULL THEN v * v1 ELSE 0 END) AS p1,
+        SUM(CASE WHEN v1 IS NOT NULL THEN v ELSE 0 END) AS t1,
+        SUM(COALESCE(v1, 0)) AS h1,
+        SUM(CASE WHEN v2 IS NOT NULL THEN v * v2 ELSE 0 END) AS p2,
+        SUM(CASE WHEN v2 IS NOT NULL THEN v ELSE 0 END) AS t2,
+        SUM(COALESCE(v2, 0)) AS h2,
+        SUM(CASE WHEN v3 IS NOT NULL THEN v * v3 ELSE 0 END) AS p3,
+        SUM(CASE WHEN v3 IS NOT NULL THEN v ELSE 0 END) AS t3,
+        SUM(COALESCE(v3, 0)) AS h3
+      FROM l GROUP BY 1
+    ),
+    u AS (
+      SELECT event_type, n, CAST(1 AS BIGINT) AS lag,
+             CAST({_ACF_NUM.format(k=1)} AS HUGEINT) AS num FROM agg
+      UNION ALL
+      SELECT event_type, n, 2, CAST({_ACF_NUM.format(k=2)} AS HUGEINT) FROM agg
+      UNION ALL
+      SELECT event_type, n, 3, CAST({_ACF_NUM.format(k=3)} AS HUGEINT) FROM agg
+    ),
+    f AS (
+      SELECT u.event_type, u.lag, u.n, u.num,
+             CAST(a.n * (a.n * a.q - a.s * a.s) AS HUGEINT) AS den
+      FROM u JOIN agg a USING (event_type)
+    )
+    SELECT event_type, lag, CAST(n AS BIGINT) AS n_days,
+      CAST((num * 1000000 - ((num * 1000000 % den + den) % den)) // den
+           AS BIGINT) AS acf_ppm
+    FROM f WHERE den > 0 AND n > lag
+"""
+
+
+@query(
+    "ts_autocorrelation_lags",
+    oracle=_ACF_ORACLE,
+    tags=("extension", "temporal", "stats", "bench"),
+)
+def ts_autocorrelation_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample autocorrelation of the per-type daily-revenue series at lags
+    1..ACF_MAX_LAG — the seasonality/momentum panel a forecasting or
+    anomaly pipeline checks before trusting day-over-day deltas (lag-1
+    near +1 = strong momentum, near −1 = alternation; lag-7 would be the
+    weekly-seasonality probe on a longer grid). Complements
+    ts_seasonal_decompose_how (which ASSUMES a period) by MEASURING serial
+    dependence.
+
+    Exactness: with the series on the integer cent grid, the lag-k
+    centered covariance scaled by n² is an integer polynomial in five
+    sufficient sums — n²·Σx_t·x_{t−k} − n·S·(head+tail sums) + (n−k)·S² —
+    and the variance·n² is n(nQ − S²); their ratio is the exact ACF, so
+    one sign-safe floor division (the shared pmod trick — ACF is routinely
+    negative) lands it on the ppm grid identically in both engines. The
+    raw polynomial terms stay under 2⁶³ (day-grid n, cent-sum magnitudes
+    ≈ 1e17 at sf0.1) but num·10⁶ does not — the final division alone
+    rides DECIMAL(38,0)/HUGEINT.
+
+    Spark shape: ONE shuffle to the (type, day) grid, lag columns via a
+    type-partitioned window over grid rows (O(days) per type, never event
+    rows), one aggregate to the 5-row sufficient-stat table, then a
+    3-element inline explode — the Theil-Sen/KS day-grid stance: the
+    statistic's cost is calendar-bounded, corpus-unbounded."""
+    d = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("unix_timestamp(ts) div 86400").alias("day"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").alias("v"))
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    lagged = d.select(
+        "event_type",
+        "v",
+        *[F.lag("v", k).over(w).alias(f"v{k}") for k in (1, 2, 3)],
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n"),
+        F.sum("v").alias("s"),
+        F.sum(F.col("v") * F.col("v")).alias("q"),
+    ]
+    for k in (1, 2, 3):
+        vk = F.col(f"v{k}")
+        aggs += [
+            F.sum(F.when(vk.isNotNull(), F.col("v") * vk).otherwise(0)).alias(f"p{k}"),
+            F.sum(F.when(vk.isNotNull(), F.col("v")).otherwise(0)).alias(f"t{k}"),
+            F.sum(F.coalesce(vk, F.lit(0))).alias(f"h{k}"),
+        ]
+    agg = lagged.groupBy("event_type").agg(*aggs)
+    u = agg.select(
+        "event_type",
+        "n",
+        F.expr("n * (n*q - s*s)").alias("den"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("bigint").alias("lag"),
+                        F.expr(_ACF_NUM.format(k=k)).alias("num"),
+                    )
+                    for k in (1, 2, 3)
+                ]
+            )
+        ).alias("kn"),
+    ).select("event_type", "n", "den", F.col("kn.lag").alias("lag"), F.col("kn.num").alias("num"))
+    return u.filter((F.col("den") > 0) & (F.col("n") > F.col("lag"))).select(
+        "event_type",
+        "lag",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.expr(
+            "CAST((CAST(num AS DECIMAL(38,0)) * 1000000"
+            " - pmod(CAST(num AS DECIMAL(38,0)) * 1000000, CAST(den AS DECIMAL(38,0))))"
+            " div CAST(den AS DECIMAL(38,0)) AS BIGINT)"
+        ).alias("acf_ppm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Spearman rank-correlation trend on the daily grid (round 9)
+# ---------------------------------------------------------------------------
+
+_SPEARMAN_ORACLE = """
+    WITH d AS (
+      SELECT event_type,
+             (CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT) // 86400) AS day,
+             SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT event_type,
+        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY day) AS rx,
+        ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY v, day) AS ry
+      FROM d
+    ),
+    s AS (
+      SELECT event_type, COUNT(*) AS n, SUM((rx - ry) * (rx - ry)) AS d2
+      FROM r GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n_days, CAST(d2 AS BIGINT) AS d2,
+      CAST(((n*(n*n - 1) - 6*d2) * 1000000
+            - (((n*(n*n - 1) - 6*d2) * 1000000 % (n*(n*n - 1)) + n*(n*n - 1))
+               % (n*(n*n - 1)))) // (n*(n*n - 1)) AS BIGINT) AS rho_ppm
+    FROM s WHERE n > 1
+"""
+
+
+@query(
+    "ts_spearman_daily_trend",
+    oracle=_SPEARMAN_ORACLE,
+    tags=("extension", "temporal", "stats", "bench"),
+)
+def ts_spearman_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between calendar day and daily revenue per
+    event type — the NONPARAMETRIC monotone-trend test next to Theil-Sen's
+    robust slope (Theil-Sen answers "how steep", Spearman answers "how
+    consistently monotone" on a −1..+1 scale immune to outliers and any
+    monotone transform of the values). The classic pairing for trend
+    audits on volatile per-source volume/quality series.
+
+    Exactness: days are distinct within a type, so the day rank is a pure
+    permutation; value ranks use the deterministic (v, day) total order
+    (a documented tie-break — bit-identical in both engines, and exact
+    cent-sum ties on a daily grid are measure-zero in practice), making
+    Spearman's d² formula ρ = 1 − 6Σd²/(n(n²−1)) an exact integer
+    rational; one sign-safe pmod floor division lands it on the ppm grid.
+    n³·10⁶ caps BIGINT at ~2000 days (5.7 years of dailies) — past that
+    the final division widens to DECIMAL(38,0), nothing else changes.
+
+    Spark shape: one shuffle to the (type, day) grid, two type-partitioned
+    rank windows over grid rows, one aggregate — O(days·types) total state,
+    corpus-size-independent (the Theil-Sen/ACF stance)."""
+    d = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("unix_timestamp(ts) div 86400").alias("day"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").alias("v"))
+    )
+    wx = Window.partitionBy("event_type").orderBy("day")
+    wy = Window.partitionBy("event_type").orderBy("v", "day")
+    r = d.select(
+        "event_type",
+        F.row_number().over(wx).alias("rx"),
+        F.row_number().over(wy).alias("ry"),
+    )
+    s = r.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            (F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry"))
+        ).alias("d2"),
+    )
+    return s.filter(F.col("n") > 1).select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.col("d2").cast("bigint").alias("d2"),
+        F.expr(
+            "CAST(((n*(n*n - 1) - 6*d2) * 1000000"
+            " - pmod((n*(n*n - 1) - 6*d2) * 1000000, n*(n*n - 1)))"
+            " div (n*(n*n - 1)) AS BIGINT)"
+        ).alias("rho_ppm"),
+    )

@@ -3007,3 +3007,57 @@ def _share_centroid_outlier_oracle() -> None:
 
 
 _share_centroid_outlier_oracle()
+
+
+@query(
+    "stream_stats_welch_ttest_halves",
+    oracle=None,  # set below: shares stats_welch_ttest_halves' oracle
+    tags=("extension", "streaming", "stats", "drift"),
+)
+def stream_stats_welch_ttest_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's t² with its sufficient statistics accumulated AT INGEST —
+    the live form of ``stats_welch_ttest_halves``: the six per-type sums
+    (n, Σc, Σc² per parity half) are an associative, mergeable streaming
+    aggregate (exactly why the batch twin chose sufficient statistics —
+    the same six numbers work as keyed state, update-mode emission), and
+    the t² epilogue is pure arithmetic on the drained |types|-row state.
+    This is the canonical drift monitor deployment: state is O(types),
+    the statistic is exact at every emission instant, and a control/
+    treatment split streams through the identical plan. Single-batch
+    drain ⇒ final state equals the batch sums, so the batch oracle
+    applies unchanged."""
+    from kafka_streams_playground_spark.plans.northstar_stats import (
+        welch_epilogue,
+    )
+
+    e = read_stream_table(spark, sf_dir, "events").select(
+        "event_type",
+        (F.col("event_id") % 2).alias("half"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+    )
+    s = e.groupBy("event_type").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("half") == 0, F.col("c")).otherwise(0)).alias("s0"),
+        F.sum(F.when(F.col("half") == 0, F.col("c") * F.col("c")).otherwise(0)).alias(
+            "q0"
+        ),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("half") == 1, F.col("c")).otherwise(0)).alias("s1"),
+        F.sum(F.when(F.col("half") == 1, F.col("c") * F.col("c")).otherwise(0)).alias(
+            "q1"
+        ),
+    )
+    drained = run_to_completion(s, output_mode="update", spark=spark)
+    return welch_epilogue(drained)
+
+
+def _share_welch_oracle() -> None:
+    from kafka_streams_playground_spark.plans import northstar_stats  # noqa: F401
+
+    REGISTRY["stream_stats_welch_ttest_halves"] = _replace(
+        REGISTRY["stream_stats_welch_ttest_halves"],
+        oracle=REGISTRY["stats_welch_ttest_halves"].oracle,
+    )
+
+
+_share_welch_oracle()

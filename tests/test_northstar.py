@@ -2691,3 +2691,198 @@ def test_gini_matches_pure_python_sorted_individuals(spark, sf_dir):
         r = rows[et]
         assert (r["n"], r["total_cents"], r["gini_ppm"]) == (n, s, g)
         assert 0 <= r["gini_ppm"] < 1_000_000
+
+
+def test_welch_matches_pure_python_fractions(spark, sf_dir):
+    """stats_welch_ttest_halves: the integer-polynomial t² must equal an
+    exact-fraction Welch computation on the collected cents, per type."""
+    import math
+    from fractions import Fraction
+
+    from kafka_streams_playground_spark.plans import REGISTRY
+    from kafka_streams_playground_spark.sources.parquet import load_table
+
+    halves = {}
+    for r in load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    ).collect():
+        c = math.floor(r["value"] * 100 + 0.5)
+        halves.setdefault(r["event_type"], ([], []))[r["event_id"] % 2].append(c)
+    rows = {
+        r["event_type"]: r
+        for r in REGISTRY["stats_welch_ttest_halves"].fn(spark, sf_dir).collect()
+    }
+    for et, (a, b) in halves.items():
+        if len(a) <= 1 or len(b) <= 1:
+            assert et not in rows
+            continue
+        ma, mb = Fraction(sum(a), len(a)), Fraction(sum(b), len(b))
+        va = Fraction(sum((x - ma) ** 2 for x in a), len(a) - 1)
+        vb = Fraction(sum((x - mb) ** 2 for x in b), len(b) - 1)
+        se2 = va / len(a) + vb / len(b)
+        if se2 == 0:
+            assert et not in rows
+            continue
+        t2 = (ma - mb) ** 2 / se2
+        r = rows[et]
+        assert r["n_a"] == len(a) and r["n_b"] == len(b)
+        assert r["mean_a_ppm"] == (sum(a) * 1_000_000) // len(a)
+        assert r["mean_b_ppm"] == (sum(b) * 1_000_000) // len(b)
+        assert r["t2_milli"] == (t2.numerator * 1000) // t2.denominator
+
+
+def test_acf_matches_pure_python_fractions(spark, sf_dir):
+    """ts_autocorrelation_lags: exact-fraction lag-k autocorrelation on the
+    day-ordered daily cent sums, floor-divided onto the ppm grid."""
+    import math
+    from fractions import Fraction
+
+    from kafka_streams_playground_spark.plans import REGISTRY
+    from kafka_streams_playground_spark.sources.parquet import load_table
+
+    days = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("unix_timestamp(ts) div 86400").alias("day"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("c").alias("v"))
+        .collect()
+    ):
+        days.setdefault(r["event_type"], {})[r["day"]] = r["v"]
+    rows = {
+        (r["event_type"], r["lag"]): r
+        for r in REGISTRY["ts_autocorrelation_lags"].fn(spark, sf_dir).collect()
+    }
+    seen = set()
+    for et, series in days.items():
+        xs = [series[d] for d in sorted(series)]
+        n = len(xs)
+        m = Fraction(sum(xs), n)
+        den = sum((x - m) ** 2 for x in xs)
+        for k in (1, 2, 3):
+            if den == 0 or n <= k:
+                assert (et, k) not in rows
+                continue
+            num = sum((xs[t] - m) * (xs[t - k] - m) for t in range(k, n))
+            acf = Fraction(num, 1) / den
+            r = rows[(et, k)]
+            seen.add((et, k))
+            assert r["n_days"] == n
+            assert r["acf_ppm"] == (acf.numerator * 1_000_000) // acf.denominator
+            assert -1_000_000 <= r["acf_ppm"] <= 1_000_000
+    assert seen == set(rows)
+
+
+def test_spearman_matches_pure_python(spark, sf_dir):
+    """ts_spearman_daily_trend: the d² formula on the deterministic
+    (v, day) tie-broken permutation ranks, floor-divided onto ppm."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+    from kafka_streams_playground_spark.sources.parquet import load_table
+
+    days = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("unix_timestamp(ts) div 86400").alias("day"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("c").alias("v"))
+        .collect()
+    ):
+        days.setdefault(r["event_type"], {})[r["day"]] = r["v"]
+    rows = {
+        r["event_type"]: r
+        for r in REGISTRY["ts_spearman_daily_trend"].fn(spark, sf_dir).collect()
+    }
+    for et, series in days.items():
+        ds = sorted(series)
+        n = len(ds)
+        rx = {d: i + 1 for i, d in enumerate(ds)}
+        ry = {d: i + 1 for i, d in enumerate(sorted(ds, key=lambda d: (series[d], d)))}
+        d2 = sum((rx[d] - ry[d]) ** 2 for d in ds)
+        r = rows[et]
+        assert (r["n_days"], r["d2"]) == (n, d2)
+        assert r["rho_ppm"] == ((n * (n * n - 1) - 6 * d2) * 1_000_000) // (
+            n * (n * n - 1)
+        )
+        assert -1_000_000 <= r["rho_ppm"] <= 1_000_000
+
+
+def test_heaps_fit_matches_pure_python(spark, sf_dir):
+    """text_heaps_law_fit: replicate the bucketed growth series and the
+    1e-6-grid log-log OLS in pure Python; β must land in (0, 1) on the
+    shingle-type curve (the unigram curve is degenerate — the docstring's
+    point)."""
+    import math
+    from collections import defaultdict
+
+    from kafka_streams_playground_spark.plans import REGISTRY
+    from kafka_streams_playground_spark.plans.northstar_text import HEAPS_BUCKETS
+    from kafka_streams_playground_spark.sources.parquet import load_table
+
+    tok_per_bkt = defaultdict(int)
+    first_seen = {}
+    for r in load_table(spark, sf_dir, "documents").select("doc_id", "text").collect():
+        toks = r["text"].split(" ")
+        if len(toks) >= 3:
+            sh = set(" ".join(toks[i : i + 3]) for i in range(len(toks) - 2))
+        else:
+            sh = {" ".join(toks)}
+        b = r["doc_id"] % HEAPS_BUCKETS
+        tok_per_bkt[b] += len(sh)
+        for g in sh:
+            first_seen[g] = min(first_seen.get(g, b), b)
+    new_per_bkt = defaultdict(int)
+    for g, b in first_seen.items():
+        new_per_bkt[b] += 1
+    cum_tok = cum_voc = 0
+    pts = []
+    for b in sorted(tok_per_bkt):
+        cum_tok += tok_per_bkt[b]
+        cum_voc += new_per_bkt[b]
+        pts.append(
+            (
+                math.floor(math.log(cum_tok) * 1_000_000 + 0.5),
+                math.floor(math.log(cum_voc) * 1_000_000 + 0.5),
+            )
+        )
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    num, den = n * sxy - sx * sy, n * sxx - sx * sx
+    beta = math.floor(num * 1.0 / den * 10000 + 0.5) / 10000
+    lnk = math.floor((sy - num * 1.0 / den * sx) / n / 1_000_000 * 10000 + 0.5) / 10000
+    r = REGISTRY["text_heaps_law_fit"].fn(spark, sf_dir).collect()
+    assert len(r) == 1
+    assert (r[0]["n_points"], r[0]["heaps_beta"], r[0]["heaps_lnk"]) == (n, beta, lnk)
+    assert 0.0 < r[0]["heaps_beta"] < 1.0
+
+
+def test_clustering_coefficient_consistent_with_triangles(spark, sf_dir):
+    """graph_clustering_coefficient: row-for-row consistent with
+    graph_triangle_count (same substrate) — cc_ppm = 2·tri·1e6 //
+    (deg·(deg−1)), degree-1 nodes excluded, cc in [0, 1e6]."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+
+    tri = {
+        r["part_id"]: (r["degree"], r["n_triangles"])
+        for r in REGISTRY["graph_triangle_count"].fn(spark, sf_dir).collect()
+    }
+    cc = {
+        r["part_id"]: r
+        for r in REGISTRY["graph_clustering_coefficient"].fn(spark, sf_dir).collect()
+    }
+    assert set(cc) == {p for p, (d, _) in tri.items() if d >= 2}
+    for p, r in cc.items():
+        d, t = tri[p]
+        assert (r["degree"], r["n_triangles"]) == (d, t)
+        assert r["cc_ppm"] == (2 * t * 1_000_000) // (d * (d - 1))
+        assert 0 <= r["cc_ppm"] <= 1_000_000

@@ -575,6 +575,7 @@ UNPARTITIONED_WINDOW_WHITELIST = {
     "stats_bootstrap_ci_mean": "replica-mean rank over the B=40-row replica table",
     "ts_cumulative_new_users": "running total over the calendar-bounded day spine",
     "curation_pareto_frontier": "strictly-above prefix max over the O(logit range / W) bucket-max relation",
+    "text_heaps_law_fit": "cumulative token/vocab sums over the HEAPS_BUCKETS(=32)-row bucket relation",
 }
 
 

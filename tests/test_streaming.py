@@ -860,3 +860,53 @@ def test_stream_source_overlap_sketch_merges_across_batches(spark):
         assert want <= got[src]
         # and the final sketch (bottom-K of everything emitted) is exact
         assert set(sorted(got[src])[:SRC_KMV_K]) == want
+
+
+def test_stream_interval_overlap_join_matches_batch(spark, sf_dir):
+    """The watermarked bin-keyed stream-stream interval join must emit
+    exactly the batch grid-binned join's pair set (which itself is
+    value-checked against the naive quadratic range join) — completeness
+    AND no inventions through the streaming state path."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+
+    got = sorted(
+        tuple(r)
+        for r in REGISTRY["stream_join_interval_overlap_bins"].fn(spark, sf_dir).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in REGISTRY["join_interval_overlap_bins"].fn(spark, sf_dir).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_stream_centroid_outliers_matches_batch(spark, sf_dir):
+    """Score-at-ingest centroid distances: stateless scoring + post-drain
+    top-k must equal the batch audit row-for-row."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+
+    got = sorted(
+        tuple(r)
+        for r in REGISTRY["stream_embedding_centroid_outliers"].fn(spark, sf_dir).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in REGISTRY["embedding_centroid_outliers"].fn(spark, sf_dir).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_stream_welch_matches_batch(spark, sf_dir):
+    """Accumulate-at-ingest Welch: the six keyed-state sums drain to the
+    batch sufficient statistics, so the t² epilogue matches exactly."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+
+    got = sorted(
+        tuple(r)
+        for r in REGISTRY["stream_stats_welch_ttest_halves"].fn(spark, sf_dir).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in REGISTRY["stats_welch_ttest_halves"].fn(spark, sf_dir).collect()
+    )
+    assert got == want and len(got) > 0
