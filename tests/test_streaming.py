@@ -910,3 +910,112 @@ def test_stream_welch_matches_batch(spark, sf_dir):
         for r in REGISTRY["stats_welch_ttest_halves"].fn(spark, sf_dir).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_interval_join_state_across_microbatches(spark):
+    """The bin-keyed stream-stream interval join must pair intervals that
+    arrive in DIFFERENT micro-batches on the two sides — the keyed join
+    state carries across batches (single-batch drain equality cannot see
+    this). Each expected pair has its session and burst in opposite
+    batches."""
+    from kafka_streams_playground_spark.plans.temporal import OVERLAP_BIN_S
+
+    s_schema = "user_id long, session_no long, s_start long, s_end long"
+    b_schema = "event_type string, burst_no long, b_start long, b_end long"
+    # Timestamps sit well above epoch 0: a bin at ts=0 is evictable by the
+    # INITIAL watermark (0) before the other side's batch arrives — the
+    # eviction contract, not a bug (a row for a watermark-passed bin would
+    # itself be too late to join).
+    s_paths = _write_batches(
+        spark,
+        [[(1, 1, 200000, 207000)], [(2, 1, 250000, 260000)]],
+        s_schema,
+    )
+    b_paths = _write_batches(
+        spark,
+        [[("x", 1, 255000, 258000)], [("y", 1, 201000, 203000)]],
+        b_schema,
+    )
+
+    def bins(paths, schema, start, end, bcol, tcol):
+        sdf = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(os.path.join(os.path.dirname(paths[0]), "b*"))
+        )
+        return sdf.select(
+            "*",
+            F.explode(
+                F.sequence(
+                    F.expr(f"{start} div {OVERLAP_BIN_S}"),
+                    F.expr(f"{end} div {OVERLAP_BIN_S}"),
+                )
+            ).alias(bcol),
+        ).withColumn(
+            tcol, F.timestamp_seconds(F.col(bcol) * OVERLAP_BIN_S)
+        ).withWatermark(tcol, "24 hours")
+
+    sb = bins(s_paths, s_schema, "s_start", "s_end", "sbin", "sbin_ts")
+    bb = bins(b_paths, b_schema, "b_start", "b_end", "bbin", "bbin_ts")
+    joined = sb.join(bb, F.col("sbin_ts") == F.col("bbin_ts")).filter(
+        (F.col("s_start") <= F.col("b_end")) & (F.col("b_start") <= F.col("s_end"))
+    )
+    out = run_to_completion(
+        joined.select("user_id", "session_no", "event_type", "burst_no"),
+        output_mode="append",
+        spark=spark,
+    )
+    pairs = {tuple(r) for r in out.collect()}
+    # session from batch 1 x burst from batch 2, and vice versa
+    assert pairs == {(1, 1, "y", 1), (2, 1, "x", 1)}
+
+
+def test_stream_welch_sums_accumulate_across_microbatches(spark):
+    """The six Welch sufficient sums are keyed streaming state: with the
+    events split across two micro-batches, the FINAL update-mode emission
+    must carry the sums over BOTH batches (associative accumulation), and
+    the epilogue over that state must equal the whole-data statistic."""
+    from kafka_streams_playground_spark.plans.northstar_stats import welch_epilogue
+
+    schema = "event_id long, event_type string, value double"
+    vals = [float(i % 7) + 0.25 * (i % 3) for i in range(20)]
+    paths = _write_batches(
+        spark,
+        [
+            [(i, "t", vals[i]) for i in range(10)],
+            [(i, "t", vals[i]) for i in range(10, 20)],
+        ],
+        schema,
+    )
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(os.path.dirname(paths[0]), "b*"))
+    )
+    e = sdf.select(
+        "event_type",
+        (F.col("event_id") % 2).alias("half"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+    )
+    s = e.groupBy("event_type").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("half") == 0, F.col("c")).otherwise(0)).alias("s0"),
+        F.sum(F.when(F.col("half") == 0, F.col("c") * F.col("c")).otherwise(0)).alias("q0"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("half") == 1, F.col("c")).otherwise(0)).alias("s1"),
+        F.sum(F.when(F.col("half") == 1, F.col("c") * F.col("c")).otherwise(0)).alias("q1"),
+    )
+    drained = run_to_completion(s, output_mode="update", spark=spark)
+    # update mode emits once per batch; the final state is the max-n row
+    final = drained.orderBy((F.col("n0") + F.col("n1")).desc()).limit(1)
+    import math
+
+    cents = [math.floor(v * 100 + 0.5) for v in vals]
+    a = [c for i, c in enumerate(cents) if i % 2 == 0]
+    b = [c for i, c in enumerate(cents) if i % 2 == 1]
+    r = final.collect()[0]
+    assert (r["n0"], r["s0"], r["q0"]) == (len(a), sum(a), sum(x * x for x in a))
+    assert (r["n1"], r["s1"], r["q1"]) == (len(b), sum(b), sum(x * x for x in b))
+    # the epilogue over the accumulated state is well-formed
+    ep = welch_epilogue(final.localCheckpoint(eager=True)).collect()
+    assert len(ep) == 1 and ep[0]["t2_milli"] >= 0
