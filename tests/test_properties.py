@@ -499,3 +499,95 @@ def test_upsert_tombstone_sink_matches_dict_model(spark, tmp_path_factory, batch
     if wrote:
         got = {r["k"]: r["v"] for r in read_table_version(spark, path).collect()}
         assert got == model
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    a=st.lists(st.integers(min_value=-500, max_value=500), min_size=2, max_size=30),
+    b=st.lists(st.integers(min_value=-500, max_value=500), min_size=2, max_size=30),
+)
+def test_welch_integer_polynomial_matches_fraction_t2(a, b):
+    """The n₀²n₁²-cancelled integer-polynomial Welch formula used by
+    stats_welch_ttest_halves must equal the exact-fraction t² for ANY
+    integer samples (including negative cents and zero-variance halves,
+    where both sides agree the statistic is undefined)."""
+    from fractions import Fraction
+
+    n0, n1 = len(a), len(b)
+    s0, s1 = sum(a), sum(b)
+    q0, q1 = sum(x * x for x in a), sum(x * x for x in b)
+    A, B = n0 * q0 - s0 * s0, n1 * q1 - s1 * s1
+    assert A >= 0 and B >= 0  # Cauchy-Schwarz, the guard's premise
+    if A + B == 0:
+        return  # both engines filter the row out
+    num = (s0 * n1 - s1 * n0) ** 2 * (n0 - 1) * (n1 - 1)
+    den = A * n1 * n1 * (n1 - 1) + B * n0 * n0 * (n0 - 1)
+    ma, mb = Fraction(s0, n0), Fraction(s1, n1)
+    va = Fraction(A, n0 * (n0 - 1))  # n·q − s² = n(n−1)·sample-var
+    vb = Fraction(B, n1 * (n1 - 1))
+    t2 = (ma - mb) ** 2 / (va / n0 + vb / n1)
+    assert Fraction(num, den) == t2
+    assert (num * 1000) // den == (t2.numerator * 1000) // t2.denominator
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    xs=st.lists(st.integers(min_value=-1000, max_value=1000), min_size=2, max_size=40),
+    k=st.integers(min_value=1, max_value=3),
+)
+def test_acf_integer_polynomial_matches_fraction(xs, k):
+    """ts_autocorrelation_lags' n²-scaled sufficient-sum polynomial must
+    equal the exact-fraction lag-k autocorrelation for ANY integer series
+    (negative values, constant tails, short series)."""
+    from fractions import Fraction
+
+    n = len(xs)
+    if n <= k:
+        return
+    s = sum(xs)
+    q = sum(x * x for x in xs)
+    den = n * (n * q - s * s)
+    if den == 0:
+        return  # constant series: both engines filter the row
+    p = sum(xs[t] * xs[t - k] for t in range(k, n))
+    t_ = sum(xs[t] for t in range(k, n))
+    h = sum(xs[t - k] for t in range(k, n))
+    num = n * n * p - n * s * (h + t_) + (n - k) * s * s
+    m = Fraction(s, n)
+    acf = Fraction(
+        sum((xs[t] - m) * (xs[t - k] - m) for t in range(k, n)),
+        1,
+    ) / sum((x - m) ** 2 for x in xs)
+    assert Fraction(num, den) == acf
+    # the ppm floor both engines compute via the shared pmod trick
+    # (python // is already floor division, den > 0 here)
+    assert (num * 1_000_000) // den == (acf.numerator * 1_000_000) // acf.denominator
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    vals=st.lists(st.integers(min_value=-50, max_value=50), min_size=2, max_size=40),
+)
+def test_spearman_d2_equals_pearson_on_permutation_ranks(vals):
+    """ts_spearman_daily_trend's d² shortcut is exactly Pearson correlation
+    of the two rank permutations whenever both ranks are permutations of
+    1..n — which the deterministic (v, day) tie-break guarantees."""
+    from fractions import Fraction
+
+    n = len(vals)
+    days = list(range(n))
+    rx = {d: d + 1 for d in days}
+    order = sorted(days, key=lambda d: (vals[d], d))
+    ry = {d: i + 1 for i, d in enumerate(order)}
+    d2 = sum((rx[d] - ry[d]) ** 2 for d in days)
+    rho_d2 = Fraction(n * (n * n - 1) - 6 * d2, n * (n * n - 1))
+    # Pearson on the rank vectors, exact fractions
+    xs = [rx[d] for d in days]
+    ys = [ry[d] for d in days]
+    mx, my = Fraction(sum(xs), n), Fraction(sum(ys), n)
+    cov = sum((x - mx) * (y - my) for x, y in zip(xs, ys))
+    vx = sum((x - mx) ** 2 for x in xs)
+    vy = sum((y - my) ** 2 for y in ys)
+    assert vx == vy and vx > 0  # permutations of 1..n have equal variance
+    assert rho_d2 == Fraction(cov, vx)
+    assert -1 <= rho_d2 <= 1
