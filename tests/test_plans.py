@@ -1216,3 +1216,31 @@ def test_interval_overlap_invariant_to_bin_width(spark, sf_dir, monkeypatch):
         monkeypatch.setattr(temporal, "OVERLAP_BIN_S", w)
         assert run() == base, w
     assert len(base) > 0
+
+
+def test_round9_addition_plan_shapes(spark, sf_dir):
+    """Pin the load-bearing shapes of the round-9 batch additions: the
+    multipass SNM rank windows all key on the block (two passes, still no
+    global sort), the ACF/Spearman day-grid windows all key on event_type,
+    Welch aggregates with a partial (map-side) phase, and the Heaps fit's
+    gram aggregates are partial too (its only unpartitioned windows run
+    over the whitelisted B-row bucket relation)."""
+    p = _plan(spark, sf_dir, "dedup_snm_multipass")
+    assert "CartesianProduct" not in p
+    specs = re.findall(r"row_number\(\) windowspecdefinition\(([^,]*),", p)
+    assert specs and all("blk" in s for s in specs), specs
+
+    for name in ("ts_autocorrelation_lags", "ts_spearman_daily_trend"):
+        p = _plan(spark, sf_dir, name)
+        assert "CartesianProduct" not in p
+        specs = re.findall(r"windowspecdefinition\(([^,]*),", p)
+        assert specs and all("event_type" in s for s in specs), (name, specs)
+
+    p = _plan(spark, sf_dir, "stats_welch_ttest_halves")
+    assert "partial_sum" in p or "partial_count" in p
+
+    p = _plan(spark, sf_dir, "text_heaps_law_fit")
+    assert "partial_count" in p and "CartesianProduct" not in p
+
+    p = _plan(spark, sf_dir, "graph_clustering_coefficient")
+    assert "CartesianProduct" not in p and "partial_count" in p
