@@ -97,7 +97,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "mm_image_metadata",
-    # -- slots 39-50: the stalest r3 cohort (last driver row round 3)
+    # -- slot 39: changed this round — the triangle substrate was
+    # extracted into node_triangle_degrees, shared with the new
+    # clustering-coefficient query (behavior-preserving refactor, but the
+    # policy is that touched plan code gets a slot; displaces the last
+    # flexible r3 refresh, join_range_price_band, to round 10)
+    "graph_triangle_count",
+    # -- slots 40-50: the stalest r3 cohort (last driver row round 3)
     "agg_pricing_summary",
     "wf_top3_orders_per_customer",
     "setop_active_or_negative_customers",
@@ -109,7 +115,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "setop_except_never_urgent",
     "wf_running_customer_spend",
     "agg_cube_status_priority",
-    "join_range_price_band",
 )
 
 

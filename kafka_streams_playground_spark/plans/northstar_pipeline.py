@@ -812,10 +812,12 @@ def _support_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "graph_triangle_count",
-    oracle=f"""
-    WITH e AS (
+# CTE chain ending in deg(part_id, degree) + node_tri(part_id, n) over the
+# support graph — shared verbatim by the triangle-count and
+# clustering-coefficient oracles so the two engines' (and two queries')
+# triangle enumerations provably agree.
+TRI_DEG_CTES = f"""
+    e AS (
       SELECT a.l_partkey AS s, b.l_partkey AS t
       FROM lineitem a JOIN lineitem b
         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
@@ -839,10 +841,44 @@ def _support_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT x AS part_id, COUNT(*) AS degree FROM (
         SELECT s AS x FROM e UNION ALL SELECT t FROM e
       ) GROUP BY 1
+    )"""
+
+
+def node_triangle_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(part_id, degree, n_triangles) over the support graph — the shared
+    Spark substrate of ``graph_triangle_count`` and
+    ``graph_clustering_coefficient`` (one persisted edge materialization,
+    node-ordered wedge-close join, endpoint-keyed co-partitioned shuffles
+    with map-side partial counts)."""
+    e = _support_edges(spark, sf_dir)
+    wedge = e.select(F.col("s").alias("a"), F.col("t").alias("b")).join(
+        e.select(F.col("s").alias("b"), F.col("t").alias("c")), "b"
     )
+    tri = wedge.join(
+        e.select(F.col("s").alias("a"), F.col("t").alias("c")), ["a", "c"]
+    ).select("a", "b", "c")
+    node_tri = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("part_id"))
+        .groupBy("part_id")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    deg = (
+        e.select(F.explode(F.array("s", "t")).alias("part_id"))
+        .groupBy("part_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    return deg.join(node_tri, "part_id", "left").select(
+        "part_id", "degree", F.coalesce("n", F.lit(0)).alias("n_triangles")
+    )
+
+
+@query(
+    "graph_triangle_count",
+    oracle=f"""
+    WITH {{TRI_DEG_CTES}}
     SELECT d.part_id, d.degree, COALESCE(node_tri.n, 0) AS n_triangles
     FROM deg d LEFT JOIN node_tri USING (part_id)
-    """,
+    """.format(TRI_DEG_CTES=TRI_DEG_CTES),
     tags=("northstar", "graph", "bench"),
 )
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -867,26 +903,7 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     fan-out for power-law graphs; skewed hub nodes take the salted-agg
     recipe. Support raises with scale (affinity needs more evidence in
     bigger data), keeping |E| sub-quadratic by construction."""
-    e = _support_edges(spark, sf_dir)
-    wedge = e.select(F.col("s").alias("a"), F.col("t").alias("b")).join(
-        e.select(F.col("s").alias("b"), F.col("t").alias("c")), "b"
-    )
-    tri = wedge.join(
-        e.select(F.col("s").alias("a"), F.col("t").alias("c")), ["a", "c"]
-    ).select("a", "b", "c")
-    node_tri = (
-        tri.select(F.explode(F.array("a", "b", "c")).alias("part_id"))
-        .groupBy("part_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    deg = (
-        e.select(F.explode(F.array("s", "t")).alias("part_id"))
-        .groupBy("part_id")
-        .agg(F.count(F.lit(1)).alias("degree"))
-    )
-    return deg.join(node_tri, "part_id", "left").select(
-        "part_id", "degree", F.coalesce("n", F.lit(0)).alias("n_triangles")
-    )
+    return node_triangle_degrees(spark, sf_dir)
 
 
 # Related-items similarity needs a common-neighbor floor for the same
@@ -1891,38 +1908,14 @@ def graph_adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "graph_clustering_coefficient",
-    oracle=f"""
-    WITH e AS (
-      SELECT a.l_partkey AS s, b.l_partkey AS t
-      FROM lineitem a JOIN lineitem b
-        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-      GROUP BY 1, 2
-      HAVING COUNT(DISTINCT a.l_orderkey) >= {TRI_MIN_SUPPORT}
-    ),
-    tri AS (
-      SELECT e1.s AS a, e1.t AS b, e2.t AS c
-      FROM e e1
-      JOIN e e2 ON e2.s = e1.t
-      JOIN e e3 ON e3.s = e1.s AND e3.t = e2.t
-    ),
-    node_tri AS (
-      SELECT x AS part_id, COUNT(*) AS n FROM (
-        SELECT a AS x FROM tri
-        UNION ALL SELECT b FROM tri
-        UNION ALL SELECT c FROM tri
-      ) GROUP BY 1
-    ),
-    deg AS (
-      SELECT x AS part_id, COUNT(*) AS degree FROM (
-        SELECT s AS x FROM e UNION ALL SELECT t FROM e
-      ) GROUP BY 1
-    )
+    oracle="""
+    WITH {TRI_DEG_CTES}
     SELECT d.part_id, d.degree, COALESCE(node_tri.n, 0) AS n_triangles,
            CAST(COALESCE(node_tri.n, 0) * 2 * 1000000
                 // (d.degree * (d.degree - 1)) AS BIGINT) AS cc_ppm
     FROM deg d LEFT JOIN node_tri USING (part_id)
     WHERE d.degree >= 2
-    """,
+    """.format(TRI_DEG_CTES=TRI_DEG_CTES),
     tags=("northstar", "graph", "bench"),
 )
 def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1946,33 +1939,12 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     joins, map-side partial counts); the coefficient is a projection on
     the |nodes|-row join of the degree and triangle tables. Same
     degree-orientation / salting levers at 100 TB."""
-    e = _support_edges(spark, sf_dir)
-    wedge = e.select(F.col("s").alias("a"), F.col("t").alias("b")).join(
-        e.select(F.col("s").alias("b"), F.col("t").alias("c")), "b"
-    )
-    tri = wedge.join(
-        e.select(F.col("s").alias("a"), F.col("t").alias("c")), ["a", "c"]
-    ).select("a", "b", "c")
-    node_tri = (
-        tri.select(F.explode(F.array("a", "b", "c")).alias("part_id"))
-        .groupBy("part_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
-    deg = (
-        e.select(F.explode(F.array("s", "t")).alias("part_id"))
-        .groupBy("part_id")
-        .agg(F.count(F.lit(1)).alias("degree"))
-    )
-    return (
-        deg.filter(F.col("degree") >= 2)
-        .join(node_tri, "part_id", "left")
-        .select(
-            "part_id",
-            "degree",
-            F.coalesce("n", F.lit(0)).alias("n_triangles"),
-            F.expr(
-                "CAST(coalesce(n, 0) * 2 * 1000000"
-                " div (degree * (degree - 1)) AS BIGINT)"
-            ).alias("cc_ppm"),
-        )
+    return node_triangle_degrees(spark, sf_dir).filter(F.col("degree") >= 2).select(
+        "part_id",
+        "degree",
+        "n_triangles",
+        F.expr(
+            "CAST(n_triangles * 2 * 1000000"
+            " div (degree * (degree - 1)) AS BIGINT)"
+        ).alias("cc_ppm"),
     )

@@ -2395,9 +2395,12 @@ def centroid_dist12_udf():
     return dist12
 
 
-def _emb_x6(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embeddings with coordinates quantized to the 1e-6 integer grid."""
-    return load_table(spark, sf_dir, "embeddings").select(
+def quantize_embedding_x6(df: DataFrame) -> DataFrame:
+    """Quantize an embeddings relation (batch scan OR ingest stream) to the
+    1e-6 integer grid — the ONE rounding rule shared by the batch centroid
+    audit and its score-at-ingest streaming twin, so a grid change can
+    never desync the two."""
+    return df.select(
         "vec_id",
         "label",
         F.transform(
@@ -2405,6 +2408,11 @@ def _emb_x6(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda x: F.floor(x.cast("double") * 1000000 + F.lit(0.5)).cast("long"),
         ).alias("x6"),
     )
+
+
+def _emb_x6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embeddings with coordinates quantized to the 1e-6 integer grid."""
+    return quantize_embedding_x6(load_table(spark, sf_dir, "embeddings"))
 
 
 def label_centroids_x6(spark: SparkSession, sf_dir: str) -> DataFrame:

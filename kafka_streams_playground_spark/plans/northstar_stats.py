@@ -2442,8 +2442,8 @@ _WELCH_ORACLE = """
         AS BIGINT) AS t2_milli
     FROM s
     -- A = n0q0 - s0^2 and B are >= 0 (Cauchy-Schwarz), D_i > 0 for n_i > 1,
-    -- so the denominator is zero iff A + B = 0 - a product-free guard that
-    -- stays in BIGINT range.
+    -- so the denominator is zero iff A + B = 0. DuckDB's SUM(BIGINT)
+    -- already returns HUGEINT, so every product here is int128-exact.
     WHERE n0 > 1 AND n1 > 1
       AND (n0 * q0 - s0 * s0) + (n1 * q1 - s1 * s1) > 0
 """
@@ -2451,31 +2451,39 @@ _WELCH_ORACLE = """
 
 def welch_epilogue(s: DataFrame) -> DataFrame:
     """t²/mean arithmetic over the six-sufficient-sums relation — shared
-    by the batch query and its accumulate-at-ingest streaming twin."""
-    # A and B are >= 0 (Cauchy-Schwarz) and D_i > 0 for n_i > 1, so the
-    # denominator vanishes iff A + B = 0 — a product-free guard that never
-    # leaves BIGINT range (the full product overflows long at sf0.01).
-    den_guard = "(n0 * q0 - s0 * s0) + (n1 * q1 - s1 * s1)"
+    by the batch query and its accumulate-at-ingest streaming twin.
+
+    Every product WIDENS to DECIMAL(38,0) before multiplying (one cast per
+    product is enough — Spark promotes the other operand), mirroring the
+    oracle where DuckDB's SUM(BIGINT)→HUGEINT promotion makes the same
+    terms int128 automatically: n·q alone passes 2⁶³ near 1e6 rows per
+    half × max cents, and Spark's non-ANSI LONG multiply would wrap
+    SILENTLY — the one failure mode worse than overflowing loudly."""
+    d = "CAST({} AS DECIMAL(38,0))"
+    A = f"({d.format('n0')} * q0 - {d.format('s0')} * s0)"
+    B = f"({d.format('n1')} * q1 - {d.format('s1')} * s1)"
+    D0 = f"({d.format('n0')} * n0 * (n0 - 1))"
+    D1 = f"({d.format('n1')} * n1 * (n1 - 1))"
+    dn = f"({d.format('s0')} * n1 - {d.format('s1')} * n0)"
+    # A, B >= 0 (Cauchy-Schwarz) and D_i > 0 for n_i > 1, so the
+    # denominator vanishes iff A + B = 0 — a product-free guard.
     return (
-        s.filter(F.expr(f"n0 > 1 AND n1 > 1 AND {den_guard} > 0"))
+        s.filter(F.expr(f"n0 > 1 AND n1 > 1 AND {A} + {B} > 0"))
         .select(
             "event_type",
             F.col("n0").cast("bigint").alias("n_a"),
             F.col("n1").cast("bigint").alias("n_b"),
             F.expr(
-                "CAST((s0 * 1000000 - pmod(s0 * 1000000, n0)) div n0 AS BIGINT)"
+                f"CAST(({d.format('s0')} * 1000000"
+                f" - pmod({d.format('s0')} * 1000000, n0)) div n0 AS BIGINT)"
             ).alias("mean_a_ppm"),
             F.expr(
-                "CAST((s1 * 1000000 - pmod(s1 * 1000000, n1)) div n1 AS BIGINT)"
+                f"CAST(({d.format('s1')} * 1000000"
+                f" - pmod({d.format('s1')} * 1000000, n1)) div n1 AS BIGINT)"
             ).alias("mean_b_ppm"),
             F.expr(
-                "CAST((CAST(s0 * n1 - s1 * n0 AS DECIMAL(38,0))"
-                " * CAST(s0 * n1 - s1 * n0 AS DECIMAL(38,0))"
-                " * CAST((n0 - 1) * (n1 - 1) AS DECIMAL(38,0)) * 1000)"
-                " div (CAST(n0 * q0 - s0 * s0 AS DECIMAL(38,0))"
-                "      * CAST(n1 * n1 * (n1 - 1) AS DECIMAL(38,0))"
-                "      + CAST(n1 * q1 - s1 * s1 AS DECIMAL(38,0))"
-                "      * CAST(n0 * n0 * (n0 - 1) AS DECIMAL(38,0))) AS BIGINT)"
+                f"CAST(({dn} * {dn} * CAST((n0 - 1) * (n1 - 1) AS DECIMAL(38,0))"
+                f" * 1000) div ({A} * {D1} + {B} * {D0}) AS BIGINT)"
             ).alias("t2_milli"),
         )
     )

@@ -2433,14 +2433,15 @@ _BURSTS_SQL = f"""
       FROM bnum GROUP BY event_type, burst_no
     )"""
 
-def interval_islands(df: DataFrame, part: str, out_no: str) -> DataFrame:
+def interval_islands(df: DataFrame, part: str, out_no: str, gap_s: int) -> DataFrame:
     """Gaps-and-islands sessionization shared by the batch interval-overlap
     join and its streaming twin: per-``part`` key, a new island opens when
-    the gap to the previous event reaches the key's threshold
-    (SESSION_GAP_S for users, BURST_GAP_S for event types); bounds are
-    floor-epoch BIGINTs so downstream overlap arithmetic is integer-exact."""
+    the gap to the previous event reaches ``gap_s`` (SESSION_GAP_S for
+    user sessions, BURST_GAP_S for per-type bursts — the caller passes its
+    threshold explicitly so a third key can never silently inherit the
+    wrong one); bounds are floor-epoch BIGINTs so downstream overlap
+    arithmetic is integer-exact."""
     w = Window.partitionBy(part).orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    gap_s = SESSION_GAP_S if part == "user_id" else BURST_GAP_S
     gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
     flagged = df.select(
         part,
@@ -2462,6 +2463,23 @@ def interval_islands(df: DataFrame, part: str, out_no: str) -> DataFrame:
             F.unix_timestamp(F.min("ts")).alias("i_start"),
             F.unix_timestamp(F.max("ts")).alias("i_end"),
         )
+    )
+
+
+def explode_to_bins(df: DataFrame, start: str, end: str, bcol: str) -> DataFrame:
+    """Explode each interval to the OVERLAP_BIN_S grid bins it touches —
+    the ONE binning contract (closed on both end bins) shared by the batch
+    interval-overlap join and its streaming twin, so the two paths stay
+    keyed identically by construction. Reads the module global at call
+    time (the bin-width invariance test monkeypatches it)."""
+    return df.select(
+        "*",
+        F.explode(
+            F.sequence(
+                F.expr(f"{start} div {OVERLAP_BIN_S}"),
+                F.expr(f"{end} div {OVERLAP_BIN_S}"),
+            )
+        ).alias(bcol),
     )
 
 
@@ -2507,37 +2525,20 @@ def join_interval_overlap_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     gap); bounds are floor-epoch BIGINTs, so the overlap arithmetic is
     integer-exact in both engines."""
     events = load_table(spark, sf_dir, "events")
-    islands = interval_islands
-    sessions = islands(events, "user_id", "session_no").select(
+    sessions = interval_islands(events, "user_id", "session_no", SESSION_GAP_S).select(
         "user_id",
         "session_no",
         F.col("i_start").alias("s_start"),
         F.col("i_end").alias("s_end"),
     )
-    bursts = islands(events, "event_type", "burst_no").select(
+    bursts = interval_islands(events, "event_type", "burst_no", BURST_GAP_S).select(
         "event_type",
         "burst_no",
         F.col("i_start").alias("b_start"),
         F.col("i_end").alias("b_end"),
     )
-    sb = sessions.select(
-        "*",
-        F.explode(
-            F.sequence(
-                F.expr(f"s_start div {OVERLAP_BIN_S}"),
-                F.expr(f"s_end div {OVERLAP_BIN_S}"),
-            )
-        ).alias("bin"),
-    )
-    bb = bursts.select(
-        "*",
-        F.explode(
-            F.sequence(
-                F.expr(f"b_start div {OVERLAP_BIN_S}"),
-                F.expr(f"b_end div {OVERLAP_BIN_S}"),
-            )
-        ).alias("bin"),
-    )
+    sb = explode_to_bins(sessions, "s_start", "s_end", "bin")
+    bb = explode_to_bins(bursts, "b_start", "b_end", "bin")
     return (
         sb.join(bb, "bin")
         .filter((F.col("s_start") <= F.col("b_end")) & (F.col("b_start") <= F.col("s_end")))
@@ -2566,6 +2567,21 @@ def join_interval_overlap_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
 ACF_MAX_LAG = 3  # report lags 1..3 of the daily-revenue series per type
 
 _ACF_NUM = "n*n*p{k} - n*s*(h{k} + t{k}) + (n - {k})*s*s"
+# The Spark twin of the polynomial widens every product to DECIMAL(38,0)
+# (one cast per product suffices — Spark promotes the other operand). The
+# oracle gets the same width for free: DuckDB's SUM(BIGINT) returns
+# HUGEINT, so n/s/p/q/h/t are already int128 there. In LONG the docstring's
+# ~1e17 sf0.1 magnitudes leave only ~50× headroom, and Spark's non-ANSI
+# multiply would wrap SILENTLY past it.
+_ACF_NUM_DEC = (
+    "CAST(n AS DECIMAL(38,0))*n*p{k}"
+    " - CAST(n AS DECIMAL(38,0))*s*(h{k} + t{k})"
+    " + CAST(n - {k} AS DECIMAL(38,0))*s*s"
+)
+_ACF_DEN_DEC = (
+    "CAST(n AS DECIMAL(38,0))"
+    " * (CAST(n AS DECIMAL(38,0))*q - CAST(s AS DECIMAL(38,0))*s)"
+)
 
 _ACF_ORACLE = f"""
     WITH d AS (
@@ -2673,13 +2689,13 @@ def ts_autocorrelation_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
     u = agg.select(
         "event_type",
         "n",
-        F.expr("n * (n*q - s*s)").alias("den"),
+        F.expr(_ACF_DEN_DEC).alias("den"),
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(k).cast("bigint").alias("lag"),
-                        F.expr(_ACF_NUM.format(k=k)).alias("num"),
+                        F.expr(_ACF_NUM_DEC.format(k=k)).alias("num"),
                     )
                     for k in (1, 2, 3)
                 ]
@@ -2691,9 +2707,7 @@ def ts_autocorrelation_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lag",
         F.col("n").cast("bigint").alias("n_days"),
         F.expr(
-            "CAST((CAST(num AS DECIMAL(38,0)) * 1000000"
-            " - pmod(CAST(num AS DECIMAL(38,0)) * 1000000, CAST(den AS DECIMAL(38,0))))"
-            " div CAST(den AS DECIMAL(38,0)) AS BIGINT)"
+            "CAST((num * 1000000 - pmod(num * 1000000, den)) div den AS BIGINT)"
         ).alias("acf_ppm"),
     )
 

@@ -2867,18 +2867,21 @@ def stream_join_interval_overlap_bins(spark: SparkSession, sf_dir: str) -> DataF
     import tempfile
 
     from kafka_streams_playground_spark.plans.temporal import (
+        BURST_GAP_S,
         OVERLAP_BIN_S,
+        SESSION_GAP_S,
+        explode_to_bins,
         interval_islands,
     )
 
     events = load_table(spark, sf_dir, "events")
-    sessions = interval_islands(events, "user_id", "session_no").select(
+    sessions = interval_islands(events, "user_id", "session_no", SESSION_GAP_S).select(
         "user_id",
         "session_no",
         F.col("i_start").alias("s_start"),
         F.col("i_end").alias("s_end"),
     )
-    bursts = interval_islands(events, "event_type", "burst_no").select(
+    bursts = interval_islands(events, "event_type", "burst_no", BURST_GAP_S).select(
         "event_type",
         "burst_no",
         F.col("i_start").alias("b_start"),
@@ -2894,15 +2897,9 @@ def stream_join_interval_overlap_bins(spark: SparkSession, sf_dir: str) -> DataF
             path = f"{tmp}/{name}.parquet"
             schema = spark.read.parquet(path).schema
             sdf = spark.readStream.schema(schema).parquet(path)
-            return sdf.select(
-                "*",
-                F.explode(
-                    F.sequence(
-                        F.expr(f"{start} div {OVERLAP_BIN_S}"),
-                        F.expr(f"{end} div {OVERLAP_BIN_S}"),
-                    )
-                ).alias(bcol),
-            ).withColumn(
+            # the SHARED binning contract — batch and stream stay keyed
+            # identically by construction
+            return explode_to_bins(sdf, start, end, bcol).withColumn(
                 tcol, F.timestamp_seconds(F.col(bcol) * OVERLAP_BIN_S)
             ).withWatermark(tcol, WATERMARK)
 
@@ -2969,18 +2966,13 @@ def stream_embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> Data
         OUTLIER_TOPK,
         centroid_dist12_udf,
         label_centroids_x6,
+        quantize_embedding_x6,
     )
 
     cent = label_centroids_x6(spark, sf_dir)
     dist12 = centroid_dist12_udf()
-    stream = read_stream_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        "label",
-        F.transform(
-            "embedding",
-            lambda x: F.floor(x.cast("double") * 1000000 + F.lit(0.5)).cast("long"),
-        ).alias("x6"),
-    )
+    # the SHARED 1e-6 grid rule — scoring stays on the centroid's grid
+    stream = quantize_embedding_x6(read_stream_table(spark, sf_dir, "embeddings"))
     scored = stream.join(F.broadcast(cent), "label").select(
         "label", "vec_id", dist12(F.col("x6"), F.col("m6")).alias("dist12")
     )
