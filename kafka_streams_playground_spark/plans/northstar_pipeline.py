@@ -847,25 +847,81 @@ TRI_DEG_CTES = f"""
 def node_triangle_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(part_id, degree, n_triangles) over the support graph — the shared
     Spark substrate of ``graph_triangle_count`` and
-    ``graph_clustering_coefficient`` (one persisted edge materialization,
-    node-ordered wedge-close join, endpoint-keyed co-partitioned shuffles
-    with map-side partial counts)."""
+    ``graph_clustering_coefficient``.
+
+    Wedges form under the DEGREE ORIENTATION (Suri & Vassilvitskii 2011,
+    "Counting Triangles and the Curse of the Last Reducer",
+    MR-Node-Iterator++): every undirected edge points from its lower-rank
+    to its higher-rank endpoint, rank = (degree, part_id) — ties broken by
+    the unique node id so the order is total. Each triangle {x, y, z} with
+    rank(x) < rank(y) < rank(z) then materializes EXACTLY once: as the
+    wedge centered at x (x's two out-edges x→y, x→z, pair ordered by rank)
+    closed by the oriented edge y→z. Same output as the plain node-id
+    ordering this replaces — the oracle CTE chain (``TRI_DEG_CTES``) is
+    unchanged and pins equality.
+
+    Why it scales where id-ordering doesn't: a node's wedge fan-out is
+    C(outdeg, 2), and under degree orientation max outdeg is O(√|E|)
+    (every out-neighbor has rank ≥ the center's, so a node of out-degree k
+    forces k nodes of degree ≥ k) even on power-law graphs where a raw hub
+    degree is O(|V|). The wedge set drops from Σ deg² to O(|E|^1.5)
+    worst-case — the difference between one stuck hub reducer and a
+    balanced shuffle at 100 TB. Plan: one persisted edge materialization
+    (degrees + two wedge legs + closing probe all read it); the
+    |nodes|-row degree table broadcasts onto both endpoints to orient
+    map-side (co-shuffle above broadcast budget); the wedge join keys on
+    the center, the closing probe on the ordered (b, c) pair — both
+    co-partitioned shuffles with map-side partial counts. The rank carries
+    as (d_hi, hi) ints on each oriented edge so pair-ordering inside a
+    wedge needs no extra degree join."""
     e = _support_edges(spark, sf_dir)
-    wedge = e.select(F.col("s").alias("a"), F.col("t").alias("b")).join(
-        e.select(F.col("s").alias("b"), F.col("t").alias("c")), "b"
-    )
-    tri = wedge.join(
-        e.select(F.col("s").alias("a"), F.col("t").alias("c")), ["a", "c"]
-    ).select("a", "b", "c")
-    node_tri = (
-        tri.select(F.explode(F.array("a", "b", "c")).alias("part_id"))
-        .groupBy("part_id")
-        .agg(F.count(F.lit(1)).alias("n"))
-    )
+    # Persisted: the |nodes|-row degree table feeds BOTH orientation
+    # broadcasts and the final join — without it Spark re-aggregates the
+    # edge table once per reference (measured 2x on the sf0.1 bench).
     deg = (
         e.select(F.explode(F.array("s", "t")).alias("part_id"))
         .groupBy("part_id")
         .agg(F.count(F.lit(1)).alias("degree"))
+        .persist()
+    )
+    ds = deg.select(F.col("part_id").alias("s"), F.col("degree").alias("d_s"))
+    dt = deg.select(F.col("part_id").alias("t"), F.col("degree").alias("d_t"))
+    s_first = (F.col("d_s") < F.col("d_t")) | (
+        (F.col("d_s") == F.col("d_t")) & (F.col("s") < F.col("t"))
+    )
+    # Persisted: the oriented edge list is read three times (two wedge legs
+    # + the closing probe); materializing it once keeps the orientation
+    # broadcasts out of the per-leg pipelines. |E| rows of three ints.
+    oriented = (
+        e.join(F.broadcast(ds), "s")
+        .join(F.broadcast(dt), "t")
+        .select(
+            F.when(s_first, F.col("s")).otherwise(F.col("t")).alias("lo"),
+            F.when(s_first, F.col("t")).otherwise(F.col("s")).alias("hi"),
+            F.when(s_first, F.col("d_t")).otherwise(F.col("d_s")).alias("d_hi"),
+        )
+        .persist()
+    )
+    w1 = oriented.select(
+        F.col("lo").alias("a"), F.col("hi").alias("b"), F.col("d_hi").alias("d_b")
+    )
+    w2 = oriented.select(
+        F.col("lo").alias("a"), F.col("hi").alias("c"), F.col("d_hi").alias("d_c")
+    )
+    b_first = (F.col("d_b") < F.col("d_c")) | (
+        (F.col("d_b") == F.col("d_c")) & (F.col("b") < F.col("c"))
+    )
+    tri = (
+        w1.join(w2, "a")
+        .filter(b_first)
+        .select("a", "b", "c")
+        .join(oriented.select(F.col("lo").alias("b"), F.col("hi").alias("c")), ["b", "c"])
+        .select("a", "b", "c")
+    )
+    node_tri = (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("part_id"))
+        .groupBy("part_id")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
     return deg.join(node_tri, "part_id", "left").select(
         "part_id", "degree", F.coalesce("n", F.lit(0)).alias("n_triangles")
@@ -890,19 +946,18 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark shape: edges build exactly like ``graph_copurchase_pagerank``
     (one scan → per-order part sets → in-set pair expansion, bounded by
-    order width) but oriented ``src < dst`` and support-filtered, then
-    persisted — the edge table is read three times (two wedge sides + the
-    closing probe) off one materialization. Counting is the classic
-    node-ordered join: wedges (s<t<u by construction, so each triangle
-    materializes exactly once) equi-join the closing edge on (s, u). Both
-    joins key on edge endpoints — co-partitioned shuffles, map-side
-    partial counts. At 100 TB the wedge set is the cost driver: it is
-    sum-over-nodes(deg^2) AFTER the support prune, and the standard
-    degree-orientation refinement (point each edge low→high degree, cf.
-    the Suri & Vassilvitskii MapReduce formulation) bounds per-node wedge
-    fan-out for power-law graphs; skewed hub nodes take the salted-agg
-    recipe. Support raises with scale (affinity needs more evidence in
-    bigger data), keeping |E| sub-quadratic by construction."""
+    order width) but canonicalized ``s < t`` and support-filtered, then
+    persisted — the edge table is read for degrees, both wedge sides, and
+    the closing probe off one materialization. Counting is the
+    DEGREE-ORIENTED wedge-close join (Suri & Vassilvitskii
+    MR-Node-Iterator++, see ``node_triangle_degrees``): each edge points
+    low-rank→high-rank by (degree, id), each triangle materializes exactly
+    once at its lowest-rank corner, and per-node wedge fan-out is bounded
+    by C(outdeg, 2) with outdeg ≤ O(√|E|) — so power-law hubs cannot
+    produce a stuck last reducer. Both joins key on edge endpoints —
+    co-partitioned shuffles, map-side partial counts. Support raises with
+    scale (affinity needs more evidence in bigger data), keeping |E|
+    sub-quadratic by construction."""
     return node_triangle_degrees(spark, sf_dir)
 
 
@@ -948,12 +1003,15 @@ def graph_related_parts_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark shape: SHARES the persisted ``_support_edges`` materialization
     with ``graph_triangle_count``; the common-neighbor count is one
-    center-keyed self-join over the doubled adjacency (the same
-    sum(deg²)-bounded wedge set as triangles, same support prune keeping
-    it sub-quadratic, same degree-orientation/salting levers at 100 TB)
-    followed by a pair-keyed count with map-side partials; degrees attach
-    via two joins against the |nodes|-row degree table (broadcast-sized
-    here; co-shuffle above broadcast budget)."""
+    center-keyed self-join over the doubled adjacency followed by a
+    pair-keyed count with map-side partials; degrees attach via two joins
+    against the |nodes|-row degree table (broadcast-sized here; co-shuffle
+    above broadcast budget). Unlike the triangle substrate, the
+    degree-orientation prune does NOT apply here: every common neighbor
+    is evidence the output must witness, so the full Σ deg² wedge set IS
+    the answer's support — the scale levers are the support prune (which
+    bounds degrees before any pairing) and the salted-agg recipe for
+    residual hub centers."""
     e = _support_edges(spark, sf_dir)
     adj = e.select(F.col("s").alias("v"), F.col("t").alias("u")).unionAll(
         e.select(F.col("t").alias("v"), F.col("s").alias("u"))
@@ -1879,8 +1937,10 @@ def graph_adamic_adar_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     the doubled adjacency by a broadcast of the |nodes|-row degree table
     BEFORE the wedge self-join, so the join carries (v, u, aa9) only and
     the pair aggregate is one shuffle with map-side partial sums — the
-    same sum(deg²)-bounded wedge set and the same support-prune /
-    degree-orientation levers as the Jaccard sibling."""
+    same full wedge set as the Jaccard sibling (every common neighbor is
+    a scored witness, so degree orientation cannot prune it; the levers
+    are the support prune and salting, see
+    ``graph_related_parts_jaccard``)."""
     e = _support_edges(spark, sf_dir)
     adj = e.select(F.col("s").alias("v"), F.col("t").alias("u")).unionAll(
         e.select(F.col("t").alias("v"), F.col("s").alias("u"))
@@ -1934,11 +1994,12 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
     excluded (C(1,2) = 0), matching the textbook convention.
 
     Spark shape: SHARES the persisted ``_support_edges`` substrate and
-    the node-ordered wedge-close join with ``graph_triangle_count`` (one
-    edge materialization read three times, co-partitioned endpoint-keyed
-    joins, map-side partial counts); the coefficient is a projection on
-    the |nodes|-row join of the degree and triangle tables. Same
-    degree-orientation / salting levers at 100 TB."""
+    the DEGREE-ORIENTED wedge-close join with ``graph_triangle_count``
+    (Suri & Vassilvitskii MR-Node-Iterator++, see
+    ``node_triangle_degrees``: hub fan-out bounded by C(outdeg, 2) with
+    outdeg ≤ O(√|E|)); co-partitioned endpoint-keyed joins, map-side
+    partial counts; the coefficient is a projection on the |nodes|-row
+    join of the degree and triangle tables."""
     return node_triangle_degrees(spark, sf_dir).filter(F.col("degree") >= 2).select(
         "part_id",
         "degree",

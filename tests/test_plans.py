@@ -361,6 +361,19 @@ def test_triangle_edges_built_once_and_reused(spark, sf_dir):
     assert len(scan_ids) == 1, (scan_ids, plan)
 
 
+def test_triangle_wedges_are_degree_oriented(spark, sf_dir):
+    """The triangle substrate orients edges by (degree, id) rank before the
+    wedge join (Suri & Vassilvitskii MR-Node-Iterator++): the plan must
+    carry the rank-comparison CASE WHEN (d_s < d_t with the id tie-break)
+    that flips each edge low-rank→high-rank, and the wedge pair-ordering
+    filter on the carried out-neighbor degrees (d_b / d_c) — so hub
+    fan-out is bounded by the oriented out-degree, not the raw degree."""
+    plan = _plan(spark, sf_dir, "graph_triangle_count")
+    assert re.search(r"CASE WHEN \(\(d_s#\d+L? < d_t#\d+L?\)", plan), plan
+    assert re.search(r"d_b#\d+L? < d_c#\d+L?", plan), plan
+    assert "CartesianProduct" not in plan, plan
+
+
 def test_unpivot_stack_adds_no_extra_shuffle(spark, sf_dir):
     """The stack() generator runs map-side on the pivot's aggregate output:
     no Exchange beyond the pivot's own groupBy and the join's."""
