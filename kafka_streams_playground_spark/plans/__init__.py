@@ -45,76 +45,72 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q4_products_per_user_10s",
     "q5_paid_orders",
     "orders_products_array",
-    # ---- ROUND 9 rotation (VERDICT r8 item 1). Policy unchanged:
-    # never-driver-checked > changed-this-round > stalest-last-seen; every
-    # demoted query is driver-green in a prior round, unchanged since, and
-    # re-checked by the full-registry strict replica
-    # (CORRECTNESS_LOCAL.json).
-    # -- slots 7-26: the 20 round-8 late additions the r8 judge computed
-    # as never having held a driver row (union CORRECTNESS_r01..r08 vs
-    # the registry) — after this round, zero registered queries are
-    # without a driver row ever. Highest-divergence-risk oracles first.
-    # ts_theil_sen_daily_trend and stats_gini_value_concentration also
-    # carry the two ADVICE r8 fixes (changed-this-round on top of
-    # never-checked); join_interval_overlap_bins,
-    # dedup_sorted_neighborhood and embedding_centroid_outliers had
-    # helpers extracted for their new streaming/multipass siblings
-    # (plan-identical, re-slotted here regardless per the policy).
-    "join_interval_overlap_bins",
-    "stats_source_overlap_kmv",
-    "stream_stats_source_overlap_kmv",
-    "stats_gini_value_concentration",
-    "graph_hits_hubs_authorities",
+    # ---- ROUND 10 rotation (VERDICT r9 item 2). Policy unchanged:
+    # changed-this-round > stalest-last-seen; every demoted query is
+    # driver-green in a prior round, unchanged since, and re-checked by
+    # the full-registry strict replica (CORRECTNESS_LOCAL.json).
+    # -- slots 7-16: changed or new this round. The triangle substrate
+    # gained the Suri-Vassilvitskii degree orientation (VERDICT item 4;
+    # all four graph-family queries re-slotted per the changed-plan
+    # policy — jaccard/adamic-adar share the _support_edges substrate
+    # and their docstrings changed with it). Welch (batch + stream) and
+    # ACF carry the ADVICE r9 in-fold DECIMAL(38,0) widening; the stream
+    # twin also drops the single-file-fixture reliance (max-(n0+n1)
+    # state reduce). Spearman's final division widened in both engines
+    # (VERDICT item 7). drift_chi2_event_type_halves (VERDICT item 6)
+    # and stream_session_window_interval_overlap (VERDICT item 5) are
+    # the round's two new queries, slotted in their birth round.
+    "graph_triangle_count",
+    "graph_clustering_coefficient",
+    "graph_related_parts_jaccard",
     "graph_adamic_adar_links",
-    "ts_theil_sen_daily_trend",
-    "drift_mannwhitney_value_halves",
-    "stats_ols_influence_outliers",
-    "dedup_sorted_neighborhood",
-    "dedup_cdc_chunks",
-    "sim_nndescent_round",
-    "embedding_centroid_outliers",
-    "sample_weighted_reservoir",
-    "stream_sample_weighted_reservoir",
-    "privacy_k_anonymity_audit",
-    "stream_privacy_k_anonymity",
-    "stream_retrieval_rrf_fusion",
-    "stream_stats_countmin_user_traffic",
-    "diag_freshness_monitor",
-    # -- slots 27-35: new this round (standing policy: every new query
-    # gets a slot in its birth round). The first three are VERDICT r8
-    # items 3-5; the rest widen the stats/text/graph panels.
-    "stream_join_interval_overlap_bins",
-    "stream_embedding_centroid_outliers",
-    "dedup_snm_multipass",
     "stats_welch_ttest_halves",
     "stream_stats_welch_ttest_halves",
     "ts_autocorrelation_lags",
     "ts_spearman_daily_trend",
-    "text_heaps_law_fit",
-    "graph_clustering_coefficient",
-    # -- slots 36-38: the r2 cohort (last driver row round 2 — the
-    # stalest queries in the registry; VERDICT r8 asked for the refresh)
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "mm_image_metadata",
-    # -- slot 39: changed this round — the triangle substrate was
-    # extracted into node_triangle_degrees, shared with the new
-    # clustering-coefficient query (behavior-preserving refactor, but the
-    # policy is that touched plan code gets a slot; displaces the last
-    # flexible r3 refresh, join_range_price_band, to round 10)
-    "graph_triangle_count",
-    # -- slots 40-50: the stalest r3 cohort (last driver row round 3)
-    "agg_pricing_summary",
-    "wf_top3_orders_per_customer",
-    "setop_active_or_negative_customers",
-    "json_props_extract",
-    "join_left_order_lineitem_counts",
-    "agg_rollup_nation_segment",
-    "agg_pivot_status_by_segment",
-    "setop_intersect_urgent_returned",
-    "setop_except_never_urgent",
-    "wf_running_customer_spend",
-    "agg_cube_status_priority",
+    "drift_chi2_event_type_halves",
+    "stream_session_window_interval_overlap",
+    # -- slots 17-42: the complete r3 cohort (last driver row round 3 —
+    # the stalest in the registry; VERDICT item 2 named this backlog:
+    # the stream_q1-q3 twins, dedup_exact, dedup_minhash_lsh,
+    # sim_topk_bruteforce, the asof/session/sliding-window family, and
+    # join_range_price_band displaced from the r9 list).
+    "join_range_price_band",
+    "merge_order_ship_activity",
+    "asof_purchase_last_click",
+    "session_windows_per_user",
+    "sliding_window_event_counts",
+    "stream_q4_products_per_user_10s",
+    "stream_s2_latest_event_per_user",
+    "stream_q1_expensive_orders",
+    "stream_q2_order_projection",
+    "stream_q3_products_by_first_letter",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "dedup_keep_best_by_quality",
+    "sim_topk_bruteforce",
+    "sim_ann_lsh_topk",
+    "stream_dedup_within_watermark",
+    "stream_q5_daily_revenue",
+    "text_contamination_check",
+    "pack_sequences",
+    "sample_stratified_by_lang",
+    "pipeline_quality_filter",
+    "stream_pipeline_quality_filter",
+    "text_repetition_stats",
+    "sample_temperature_mix",
+    "train_shuffle_shards",
+    "pii_scrub_events",
+    # -- slots 43-50: the head of the r4 cohort (next-stalest; the rest
+    # of r4 rotates in round 11)
+    "agg_revenue_by_nation",
+    "s2_latest_event_per_user",
+    "join_semi_urgent_customers",
+    "join_anti_parts_never_shipped",
+    "agg_price_percentiles",
+    "stream_q5_paid_orders",
+    "stream_session_windows_per_user",
+    "stream_dedup_exact",
 )
 
 

@@ -2449,6 +2449,32 @@ _WELCH_ORACLE = """
 """
 
 
+def welch_sufficient_sums(e: DataFrame) -> DataFrame:
+    """groupBy(event_type) → the six Welch sufficient sums — shared by the
+    batch query and the streaming twin (where the same aggregate runs as
+    keyed state with update-mode emission).
+
+    The squared term widens to DECIMAL(38,0) INSIDE the aggregate: Σc²
+    adds ~2.5e9 per max-cent row, so the LONG sum passes 2⁶³ near 4e9
+    rows per (type, half) and Spark's non-ANSI sum would wrap SILENTLY,
+    while the oracle's SUM(BIGINT) auto-promotes to HUGEINT — so the two
+    engines would diverge exactly at the scale boundary (ADVICE r9).
+    Widening inside the fold aligns Spark's promotion point with the
+    oracle's. n and Σc stay LONG: their per-row increments (1, ≤5e4)
+    leave ~1e14 rows of documented headroom, and the epilogue widens
+    them before any product."""
+    c2 = F.col("c").cast("decimal(38,0)") * F.col("c")
+    zero = F.lit(0).cast("decimal(38,0)")
+    return e.groupBy("event_type").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("half") == 0, F.col("c")).otherwise(0)).alias("s0"),
+        F.sum(F.when(F.col("half") == 0, c2).otherwise(zero)).alias("q0"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n1"),
+        F.sum(F.when(F.col("half") == 1, F.col("c")).otherwise(0)).alias("s1"),
+        F.sum(F.when(F.col("half") == 1, c2).otherwise(zero)).alias("q1"),
+    )
+
+
 def welch_epilogue(s: DataFrame) -> DataFrame:
     """t²/mean arithmetic over the six-sufficient-sums relation — shared
     by the batch query and its accumulate-at-ingest streaming twin.
@@ -2524,16 +2550,4 @@ def stats_welch_ttest_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("event_id") % 2).alias("half"),
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
     )
-    s = e.groupBy("event_type").agg(
-        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n0"),
-        F.sum(F.when(F.col("half") == 0, F.col("c")).otherwise(0)).alias("s0"),
-        F.sum(F.when(F.col("half") == 0, F.col("c") * F.col("c")).otherwise(0)).alias(
-            "q0"
-        ),
-        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n1"),
-        F.sum(F.when(F.col("half") == 1, F.col("c")).otherwise(0)).alias("s1"),
-        F.sum(F.when(F.col("half") == 1, F.col("c") * F.col("c")).otherwise(0)).alias(
-            "q1"
-        ),
-    )
-    return welch_epilogue(s)
+    return welch_epilogue(welch_sufficient_sums(e))

@@ -2138,6 +2138,131 @@ def drift_mannwhitney_value_halves(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 # ---------------------------------------------------------------------------
+# Chi-square categorical drift between halves (round 10)
+# ---------------------------------------------------------------------------
+
+# Per-cell chi² term with E = rt·ct/N cleared of division:
+# (obs·N − rt·ct)²·10⁶ div (N·rt·ct). The squared product nears 10⁵² at
+# web scale, so it rides DECIMAL(38,0) Spark-side / HUGEINT in the oracle
+# after the rt·ct/N share cancels... in practice obs·N ≈ 1e13·1e13 = 1e26
+# stays inside 38 digits; numerator and denominator are exact integers in
+# both engines and the per-cell floor is identical. Non-negative, so no
+# pmod is needed.
+_CHI2_CELL_SPARK = (
+    "cast((cast({obs} as decimal(38,0)) * (ct_a + ct_b)"
+    " - cast(n_a + n_b as decimal(38,0)) * {ct})"
+    " * (cast({obs} as decimal(38,0)) * (ct_a + ct_b)"
+    " - cast(n_a + n_b as decimal(38,0)) * {ct})"
+    " * 1000000 div (cast(ct_a + ct_b as decimal(38,0))"
+    " * (n_a + n_b) * {ct}) as bigint)"
+)
+_CHI2_CELL_SQL = (
+    "CAST((CAST({obs} AS HUGEINT) * (ct_a + ct_b)"
+    " - CAST(n_a + n_b AS HUGEINT) * {ct})"
+    " * (CAST({obs} AS HUGEINT) * (ct_a + ct_b)"
+    " - CAST(n_a + n_b AS HUGEINT) * {ct})"
+    " * 1000000 // (CAST(ct_a + ct_b AS HUGEINT)"
+    " * (n_a + n_b) * {ct}) AS BIGINT)"
+)
+
+
+@query(
+    "drift_chi2_event_type_halves",
+    oracle=f"""
+    WITH o AS (
+      SELECT event_type,
+             SUM(CASE WHEN event_id % 2 = 0 THEN 1 ELSE 0 END) AS n_a,
+             SUM(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END) AS n_b
+      FROM events GROUP BY 1
+    ),
+    t AS (SELECT SUM(n_a) AS ct_a, SUM(n_b) AS ct_b, COUNT(*) AS k FROM o),
+    c AS (
+      SELECT o.event_type, o.n_a, o.n_b, t.k,
+             {_CHI2_CELL_SQL.format(obs="n_a", ct="ct_a")}
+           + {_CHI2_CELL_SQL.format(obs="n_b", ct="ct_b")} AS contrib_e6
+      FROM o CROSS JOIN t
+      WHERE t.ct_a > 0 AND t.ct_b > 0
+    )
+    SELECT event_type,
+           CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           contrib_e6,
+           CAST(SUM(contrib_e6) OVER () AS BIGINT) AS chi2_e6,
+           CAST(k - 1 AS BIGINT) AS dof
+    FROM c
+    """,
+    tags=("extension", "temporal", "monitoring", "drift", "stats", "bench"),
+)
+def drift_chi2_event_type_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square drift test on the EVENT-TYPE MIX between the
+    event_id-parity halves — the CATEGORICAL member completing the drift
+    panel (KS = full continuous distribution, Mann-Whitney = location/
+    stochastic dominance, PSI = binned mass, Welch = mean; none of them
+    sees a composition shift in a categorical column, the classic silent
+    failure when one source's traffic share doubles). The 2×|types|
+    contingency table is event_type × half; each cell contributes the
+    textbook (O−E)²/E with E = rt·ct/N cleared of division, so the
+    statistic is a sum of exact integer floor terms (the
+    stats_chi2_nation_segment grid recipe applied to drift). Per-type
+    rows expose each type's own contribution — the drill-down a drift
+    alert needs — alongside the global chi2_e6 and dof = |types|−1.
+
+    Zero cells need no cross-join repair here: the column dimension is
+    the fixed {{0, 1}} parity, so the conditional per-type sums
+    materialize BOTH cells for every type (a type absent from one half
+    contributes (0·N − rt·ct)²/E exactly, not nothing).
+
+    Spark shape: ONE shuffle — conditional map-side-partial counts per
+    type (the Welch stance: the contingency row IS a sufficient
+    statistic, associative and mergeable, so the same aggregate streams);
+    the margins are a 1-row aggregate of the |types|-row grid, attached
+    by broadcast crossJoin, and the global statistic is a second 1-row
+    broadcast over the same O(types) relation — nothing after the first
+    shuffle touches row-count-sized data. At 100 TB the cost IS the
+    first aggregate."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", (F.col("event_id") % 2).alias("half")
+    )
+    # contingency grid read by margins + cells; materialize once (O(types))
+    o = (
+        ev.groupBy("event_type")
+        .agg(
+            F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n_a"),
+            F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n_b"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    t = o.agg(
+        F.sum("n_a").alias("ct_a"),
+        F.sum("n_b").alias("ct_b"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    cells = (
+        o.crossJoin(F.broadcast(t))
+        .filter((F.col("ct_a") > 0) & (F.col("ct_b") > 0))
+        .select(
+            "event_type",
+            "n_a",
+            "n_b",
+            "k",
+            (
+                F.expr(_CHI2_CELL_SPARK.format(obs="n_a", ct="ct_a"))
+                + F.expr(_CHI2_CELL_SPARK.format(obs="n_b", ct="ct_b"))
+            ).alias("contrib_e6"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    g = cells.agg(F.sum("contrib_e6").alias("chi2_e6"))
+    return cells.crossJoin(F.broadcast(g)).select(
+        "event_type",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        "contrib_e6",
+        F.col("chi2_e6").cast("bigint").alias("chi2_e6"),
+        (F.col("k") - 1).cast("bigint").alias("dof"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Theil-Sen robust trend (round 8)
 # ---------------------------------------------------------------------------
 
@@ -2568,11 +2693,11 @@ ACF_MAX_LAG = 3  # report lags 1..3 of the daily-revenue series per type
 
 _ACF_NUM = "n*n*p{k} - n*s*(h{k} + t{k}) + (n - {k})*s*s"
 # The Spark twin of the polynomial widens every product to DECIMAL(38,0)
-# (one cast per product suffices — Spark promotes the other operand). The
-# oracle gets the same width for free: DuckDB's SUM(BIGINT) returns
-# HUGEINT, so n/s/p/q/h/t are already int128 there. In LONG the docstring's
-# ~1e17 sf0.1 magnitudes leave only ~50× headroom, and Spark's non-ANSI
-# multiply would wrap SILENTLY past it.
+# (one cast per product suffices — Spark promotes the other operand), and
+# the q/p_k sums themselves are decimal-widened inside the fold (ADVICE
+# r9 — the per-row product v·v_k alone nears 2⁶³). The oracle gets the
+# same width for free: DuckDB's SUM(BIGINT) returns HUGEINT, so
+# n/s/p/q/h/t are already int128 there.
 _ACF_NUM_DEC = (
     "CAST(n AS DECIMAL(38,0))*n*p{k}"
     " - CAST(n AS DECIMAL(38,0))*s*(h{k} + t{k})"
@@ -2673,15 +2798,24 @@ def ts_autocorrelation_lags(spark: SparkSession, sf_dir: str) -> DataFrame:
         "v",
         *[F.lag("v", k).over(w).alias(f"v{k}") for k in (1, 2, 3)],
     )
+    # The product sums q = Σv² and p_k = Σv·v_{t−k} widen to DECIMAL(38,0)
+    # INSIDE the fold (ADVICE r9): a daily cent-sum v ≈ 1e9 at sf0.1 makes
+    # each product ~1e18 — one max-magnitude day from wrapping a LONG sum
+    # silently — while the oracle's SUM(BIGINT) auto-promotes to HUGEINT.
+    # Widening at the aggregate matches the two engines' promotion points.
+    # n, s, t_k, h_k stay LONG: linear-in-v increments leave wide headroom
+    # and the epilogue widens them before any product.
+    vd = F.col("v").cast("decimal(38,0)")
+    dzero = F.lit(0).cast("decimal(38,0)")
     aggs = [
         F.count(F.lit(1)).alias("n"),
         F.sum("v").alias("s"),
-        F.sum(F.col("v") * F.col("v")).alias("q"),
+        F.sum(vd * F.col("v")).alias("q"),
     ]
     for k in (1, 2, 3):
         vk = F.col(f"v{k}")
         aggs += [
-            F.sum(F.when(vk.isNotNull(), F.col("v") * vk).otherwise(0)).alias(f"p{k}"),
+            F.sum(F.when(vk.isNotNull(), vd * vk).otherwise(dzero)).alias(f"p{k}"),
             F.sum(F.when(vk.isNotNull(), F.col("v")).otherwise(0)).alias(f"t{k}"),
             F.sum(F.coalesce(vk, F.lit(0))).alias(f"h{k}"),
         ]
@@ -2732,12 +2866,19 @@ _SPEARMAN_ORACLE = """
     s AS (
       SELECT event_type, COUNT(*) AS n, SUM((rx - ry) * (rx - ry)) AS d2
       FROM r GROUP BY 1
+    ),
+    -- den/num ride HUGEINT (mirroring the Spark side's DECIMAL(38,0)):
+    -- n(n**2 - 1)*1e6 would overflow BIGINT past ~21000 days
+    w AS (
+      SELECT event_type, n, d2,
+             CAST(n AS HUGEINT) * n * n - n AS den,
+             (CAST(n AS HUGEINT) * n * n - n - 6 * CAST(d2 AS HUGEINT))
+               * 1000000 AS num
+      FROM s WHERE n > 1
     )
     SELECT event_type, CAST(n AS BIGINT) AS n_days, CAST(d2 AS BIGINT) AS d2,
-      CAST(((n*(n*n - 1) - 6*d2) * 1000000
-            - (((n*(n*n - 1) - 6*d2) * 1000000 % (n*(n*n - 1)) + n*(n*n - 1))
-               % (n*(n*n - 1)))) // (n*(n*n - 1)) AS BIGINT) AS rho_ppm
-    FROM s WHERE n > 1
+      CAST((num - ((num % den + den) % den)) // den AS BIGINT) AS rho_ppm
+    FROM w
 """
 
 
@@ -2760,8 +2901,11 @@ def ts_spearman_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent-sum ties on a daily grid are measure-zero in practice), making
     Spearman's d² formula ρ = 1 − 6Σd²/(n(n²−1)) an exact integer
     rational; one sign-safe pmod floor division lands it on the ppm grid.
-    n³·10⁶ caps BIGINT at ~2000 days (5.7 years of dailies) — past that
-    the final division widens to DECIMAL(38,0), nothing else changes.
+    n³·10⁶ passes 2⁶³ near 21 000 days, so the final division rides
+    DECIMAL(38,0) on the Spark side and HUGEINT in the oracle (widened
+    round 10 per VERDICT r9 — the ACF/Welch precedent; the >cap grid is
+    pinned by ``test_spearman_division_survives_bigint_cap``), making the
+    grid length unbounded.
 
     Spark shape: one shuffle to the (type, day) grid, two type-partitioned
     rank windows over grid rows, one aggregate — O(days·types) total state,
@@ -2776,6 +2920,15 @@ def ts_spearman_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "day")
         .agg(F.sum("cents").alias("v"))
     )
+    return spearman_rho_from_grid(d)
+
+
+def spearman_rho_from_grid(d: DataFrame) -> DataFrame:
+    """Rank windows + d² aggregate + widened ppm division over a
+    (event_type, day, v) grid relation — split from the query so the
+    >2⁶³ grid-length test can drive the exact arithmetic directly.
+    Every term of the final division is DECIMAL(38,0): n(n²−1) alone
+    wraps a LONG near n = 2.1e6 and n(n²−1)·10⁶ near n = 21 000."""
     wx = Window.partitionBy("event_type").orderBy("day")
     wy = Window.partitionBy("event_type").orderBy("v", "day")
     r = d.select(
@@ -2789,13 +2942,22 @@ def ts_spearman_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry"))
         ).alias("d2"),
     )
-    return s.filter(F.col("n") > 1).select(
+    w = s.filter(F.col("n") > 1).select(
+        "event_type",
+        "n",
+        "d2",
+        F.expr("CAST(n AS DECIMAL(38,0)) * n * n - n").alias("den"),
+    )
+    w = w.select(
+        "event_type",
+        "n",
+        "d2",
+        "den",
+        F.expr("(den - 6 * CAST(d2 AS DECIMAL(38,0))) * 1000000").alias("num"),
+    )
+    return w.select(
         "event_type",
         F.col("n").cast("bigint").alias("n_days"),
         F.col("d2").cast("bigint").alias("d2"),
-        F.expr(
-            "CAST(((n*(n*n - 1) - 6*d2) * 1000000"
-            " - pmod((n*(n*n - 1) - 6*d2) * 1000000, n*(n*n - 1)))"
-            " div (n*(n*n - 1)) AS BIGINT)"
-        ).alias("rho_ppm"),
+        F.expr("CAST((num - pmod(num, den)) div den AS BIGINT)").alias("rho_ppm"),
     )

@@ -2814,6 +2814,33 @@ def test_spearman_matches_pure_python(spark, sf_dir):
         assert -1_000_000 <= r["rho_ppm"] <= 1_000_000
 
 
+def test_spearman_division_survives_bigint_cap(spark):
+    """The widened final division (DECIMAL(38,0) Spark-side, HUGEINT in
+    the oracle — VERDICT r9 item 7): on a 23 000-day grid n(n²−1)·10⁶
+    ≈ 1.2e19 passes 2⁶³ ≈ 9.2e18, where the pre-widening LONG arithmetic
+    wrapped silently. Pinned against exact Python bignum arithmetic."""
+    from kafka_streams_playground_spark.plans.temporal import spearman_rho_from_grid
+
+    n = 23_000
+    assert n * (n * n - 1) * 1_000_000 > 2**63  # the grid is past the cap
+    grid = spark.range(n).select(
+        F.lit("t").alias("event_type"),
+        F.col("id").alias("day"),
+        # Knuth-hash mix so the value order is a nontrivial permutation of
+        # the day order; identical formula evaluated in Python below
+        ((F.col("id") * 2654435761) % 1000003 - 500000).alias("v"),
+    )
+    got = spearman_rho_from_grid(grid).collect()
+    assert len(got) == 1
+    vals = {d: (d * 2654435761) % 1000003 - 500000 for d in range(n)}
+    ry = {d: i + 1 for i, d in enumerate(sorted(vals, key=lambda d: (vals[d], d)))}
+    d2 = sum((d + 1 - ry[d]) ** 2 for d in range(n))
+    den = n * (n * n - 1)
+    r = got[0]
+    assert (r["n_days"], r["d2"]) == (n, d2)
+    assert r["rho_ppm"] == ((den - 6 * d2) * 1_000_000) // den
+
+
 def test_heaps_fit_matches_pure_python(spark, sf_dir):
     """text_heaps_law_fit: replicate the bucketed growth series and the
     1e-6-grid log-log OLS in pure Python; β must land in (0, 1) on the
@@ -2886,3 +2913,45 @@ def test_clustering_coefficient_consistent_with_triangles(spark, sf_dir):
         assert (r["degree"], r["n_triangles"]) == (d, t)
         assert r["cc_ppm"] == (2 * t * 1_000_000) // (d * (d - 1))
         assert 0 <= r["cc_ppm"] <= 1_000_000
+
+
+def test_chi2_drift_matches_pure_python(spark, sf_dir):
+    """drift_chi2_event_type_halves: the cleared-of-division per-cell
+    floor terms, the global statistic, and dof, recomputed with exact
+    Python bignums from the raw contingency counts."""
+    from collections import Counter
+
+    from kafka_streams_playground_spark.plans import REGISTRY
+    from kafka_streams_playground_spark.sources.parquet import load_table
+
+    counts = Counter(
+        (r["event_type"], r["event_id"] % 2)
+        for r in load_table(spark, sf_dir, "events")
+        .select("event_type", "event_id")
+        .collect()
+    )
+    types = sorted({t for t, _ in counts})
+    ct = {h: sum(counts[(t, h)] for t in types) for h in (0, 1)}
+    n = ct[0] + ct[1]
+
+    def cell(obs, rt, c):
+        return (obs * n - rt * c) ** 2 * 1_000_000 // (n * rt * c)
+
+    contrib = {}
+    for t in types:
+        rt = counts[(t, 0)] + counts[(t, 1)]
+        contrib[t] = cell(counts[(t, 0)], rt, ct[0]) + cell(
+            counts[(t, 1)], rt, ct[1]
+        )
+    chi2 = sum(contrib.values())
+
+    rows = {
+        r["event_type"]: r
+        for r in REGISTRY["drift_chi2_event_type_halves"].fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == set(types)
+    for t, r in rows.items():
+        assert (r["n_a"], r["n_b"]) == (counts[(t, 0)], counts[(t, 1)])
+        assert r["contrib_e6"] == contrib[t]
+        assert r["chi2_e6"] == chi2
+        assert r["dof"] == len(types) - 1

@@ -975,7 +975,10 @@ def test_stream_welch_sums_accumulate_across_microbatches(spark):
     events split across two micro-batches, the FINAL update-mode emission
     must carry the sums over BOTH batches (associative accumulation), and
     the epilogue over that state must equal the whole-data statistic."""
-    from kafka_streams_playground_spark.plans.northstar_stats import welch_epilogue
+    from kafka_streams_playground_spark.plans.northstar_stats import (
+        welch_epilogue,
+        welch_sufficient_sums,
+    )
 
     schema = "event_id long, event_type string, value double"
     vals = [float(i % 7) + 0.25 * (i % 3) for i in range(20)]
@@ -997,15 +1000,10 @@ def test_stream_welch_sums_accumulate_across_microbatches(spark):
         (F.col("event_id") % 2).alias("half"),
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
     )
-    s = e.groupBy("event_type").agg(
-        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n0"),
-        F.sum(F.when(F.col("half") == 0, F.col("c")).otherwise(0)).alias("s0"),
-        F.sum(F.when(F.col("half") == 0, F.col("c") * F.col("c")).otherwise(0)).alias("q0"),
-        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n1"),
-        F.sum(F.when(F.col("half") == 1, F.col("c")).otherwise(0)).alias("s1"),
-        F.sum(F.when(F.col("half") == 1, F.col("c") * F.col("c")).otherwise(0)).alias("q1"),
+    # the SHARED aggregate (q sums DECIMAL(38,0)-widened inside the fold)
+    drained = run_to_completion(
+        welch_sufficient_sums(e), output_mode="update", spark=spark
     )
-    drained = run_to_completion(s, output_mode="update", spark=spark)
     # update mode emits once per batch; the final state is the max-n row
     final = drained.orderBy((F.col("n0") + F.col("n1")).desc()).limit(1)
     import math
