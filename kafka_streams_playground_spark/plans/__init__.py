@@ -49,7 +49,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # changed-this-round > stalest-last-seen; every demoted query is
     # driver-green in a prior round, unchanged since, and re-checked by
     # the full-registry strict replica (CORRECTNESS_LOCAL.json).
-    # -- slots 7-16: changed or new this round. The triangle substrate
+    # -- slots 7-19: changed or new this round. The triangle substrate
     # gained the Suri-Vassilvitskii degree orientation (VERDICT item 4;
     # all four graph-family queries re-slotted per the changed-plan
     # policy — jaccard/adamic-adar share the _support_edges substrate
@@ -57,9 +57,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # ACF carry the ADVICE r9 in-fold DECIMAL(38,0) widening; the stream
     # twin also drops the single-file-fixture reliance (max-(n0+n1)
     # state reduce). Spearman's final division widened in both engines
-    # (VERDICT item 7). drift_chi2_event_type_halves (VERDICT item 6)
-    # and stream_session_window_interval_overlap (VERDICT item 5) are
-    # the round's two new queries, slotted in their birth round.
+    # (VERDICT item 7). The round's NEW queries — drift_chi2 (VERDICT
+    # item 6) + its streaming twin, ts_mann_kendall_trend,
+    # stats_simpson_user_concentration, and
+    # stream_session_window_interval_overlap (VERDICT item 5) — are
+    # slotted in their birth round per the standing policy.
     "graph_triangle_count",
     "graph_clustering_coefficient",
     "graph_related_parts_jaccard",
@@ -69,8 +71,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ts_autocorrelation_lags",
     "ts_spearman_daily_trend",
     "drift_chi2_event_type_halves",
+    "stream_drift_chi2_event_type_halves",
+    "ts_mann_kendall_trend",
+    "stats_simpson_user_concentration",
     "stream_session_window_interval_overlap",
-    # -- slots 17-42: the complete r3 cohort (last driver row round 3 —
+    # -- slots 20-45: the complete r3 cohort (last driver row round 3 —
     # the stalest in the registry; VERDICT item 2 named this backlog:
     # the stream_q1-q3 twins, dedup_exact, dedup_minhash_lsh,
     # sim_topk_bruteforce, the asof/session/sliding-window family, and
@@ -101,16 +106,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sample_temperature_mix",
     "train_shuffle_shards",
     "pii_scrub_events",
-    # -- slots 43-50: the head of the r4 cohort (next-stalest; the rest
+    # -- slots 46-50: the head of the r4 cohort (next-stalest; the rest
     # of r4 rotates in round 11)
     "agg_revenue_by_nation",
     "s2_latest_event_per_user",
     "join_semi_urgent_customers",
     "join_anti_parts_never_shipped",
     "agg_price_percentiles",
-    "stream_q5_paid_orders",
-    "stream_session_windows_per_user",
-    "stream_dedup_exact",
 )
 
 

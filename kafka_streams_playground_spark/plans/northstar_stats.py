@@ -2409,6 +2409,90 @@ def stats_gini_value_concentration(spark: SparkSession, sf_dir: str) -> DataFram
 
 
 # ---------------------------------------------------------------------------
+# Simpson repeat-rate concentration of per-user traffic (round 10)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "stats_simpson_user_concentration",
+    oracle="""
+    WITH c AS (
+      SELECT event_type, user_id, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ),
+    s AS (
+      SELECT event_type,
+             CAST(SUM(c) AS BIGINT) AS n_events,
+             COUNT(*) AS n_users,
+             SUM(CAST(c AS HUGEINT) * (c - 1)) AS rep
+      FROM c GROUP BY 1
+    )
+    SELECT event_type, n_events, CAST(n_users AS BIGINT) AS n_users,
+      CAST(rep * 1000000
+           // (CAST(n_events AS HUGEINT) * (n_events - 1)) AS BIGINT)
+        AS simpson_ppm,
+      CASE WHEN rep > 0
+           THEN CAST(CAST(n_events AS HUGEINT) * (n_events - 1) * 1000000
+                     // rep AS BIGINT)
+           ELSE NULL END AS inv_simpson_e6
+    FROM s WHERE n_events > 1
+    """,
+    tags=("northstar", "stats", "curation", "bench"),
+)
+def stats_simpson_user_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson repeat-rate index of per-user traffic within each event
+    type — the COUNT-concentration audit next to Gini's VALUE
+    concentration: λ = Σ c_u(c_u−1) / (N(N−1)) is the exact probability
+    that two events of the type drawn without replacement come from the
+    SAME user (Simpson 1949; the unbiased finite-sample form), and
+    1/λ is the "effective user count" — the source-diversity number a
+    curation pipeline gates on before trusting a type's volume (a type
+    whose traffic is one bot has λ → 1 and effective sources → 1,
+    however big N is; the same audit applied to document sources catches
+    a single crawler dominating a corpus slice).
+
+    Exactness: both the index and its inverse are ratios of integer
+    products of exact counts — one non-negative floor division each onto
+    the 1e-6 grid, identical in both engines. The repeat sum Σ c(c−1)
+    widens to DECIMAL(38,0)/HUGEINT INSIDE the fold (a 1e10-event hot
+    user contributes ~1e20, past 2⁶³ on its own — the Welch stance) and
+    N(N−1)·10⁶ rides the same width. The inverse is NULL exactly when
+    every user appeared once (rep = 0, diversity is maximal and the
+    reciprocal undefined) — spelled identically in both engines.
+
+    Spark shape: two aggregates — (type, user)-keyed counts with
+    map-side partials (the only corpus-sized shuffle; the key includes
+    user, so hot types spread across the grid), then a |types|-row
+    rollup of the O(types·users) count relation. Counters are additive
+    ⇒ the same sums merge across partitions, days, or streaming
+    micro-batches. At 100 TB the cost IS the first aggregate."""
+    c = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    s = c.groupBy("event_type").agg(
+        F.sum("c").alias("n_events"),
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum(F.col("c").cast("decimal(38,0)") * (F.col("c") - 1)).alias("rep"),
+    )
+    return s.filter(F.col("n_events") > 1).select(
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.expr(
+            "CAST(rep * 1000000"
+            " div (CAST(n_events AS DECIMAL(38,0)) * (n_events - 1)) AS BIGINT)"
+        ).alias("simpson_ppm"),
+        F.expr(
+            "CASE WHEN rep > 0"
+            " THEN CAST(CAST(n_events AS DECIMAL(38,0)) * (n_events - 1) * 1000000"
+            " div rep AS BIGINT) ELSE NULL END"
+        ).alias("inv_simpson_e6"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # Welch's two-sample t-statistic (unequal variances) between halves
 # ---------------------------------------------------------------------------
 

@@ -2222,15 +2222,21 @@ def drift_chi2_event_type_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "event_type", (F.col("event_id") % 2).alias("half")
     )
-    # contingency grid read by margins + cells; materialize once (O(types))
-    o = (
-        ev.groupBy("event_type")
-        .agg(
-            F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n_a"),
-            F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n_b"),
-        )
-        .localCheckpoint(eager=True)
+    o = ev.groupBy("event_type").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n_b"),
     )
+    return chi2_epilogue(o)
+
+
+def chi2_epilogue(o: DataFrame) -> DataFrame:
+    """Margins, exact per-cell floor terms, and the global statistic over
+    a (event_type, n_a, n_b) contingency relation — shared by the batch
+    drift query and its accumulate-at-ingest streaming twin (a
+    contingency row is an associative keyed aggregate, the Welch
+    stance). Everything here runs on the O(types) grid."""
+    # contingency grid read by margins + cells; materialize once (O(types))
+    o = o.localCheckpoint(eager=True)
     t = o.agg(
         F.sum("n_a").alias("ct_a"),
         F.sum("n_b").alias("ct_b"),
@@ -2681,6 +2687,134 @@ def join_interval_overlap_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.least(F.col("s_end"), F.col("b_end"))
                 - F.greatest(F.col("s_start"), F.col("b_start"))
             ).alias("overlap_s"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Mann-Kendall trend test on the daily grid (round 10)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "ts_mann_kendall_trend",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             (CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT) // 86400) AS day,
+             CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS v
+      FROM events GROUP BY 1, 2
+    ),
+    p AS (
+      SELECT a.event_type,
+             SUM(CASE WHEN b.v > a.v THEN 1
+                      WHEN b.v < a.v THEN -1 ELSE 0 END) AS s,
+             COUNT(*) AS n_pairs
+      FROM d a JOIN d b
+        ON b.event_type = a.event_type AND b.day > a.day
+      GROUP BY 1
+    ),
+    n AS (SELECT event_type, COUNT(*) AS n FROM d GROUP BY 1),
+    t AS (
+      SELECT event_type,
+             SUM(c * (c - 1) * (2 * c + 5)) AS tie18
+      FROM (SELECT event_type, v, COUNT(*) AS c FROM d GROUP BY 1, 2)
+      GROUP BY 1
+    )
+    SELECT p.event_type,
+           CAST(n.n AS BIGINT) AS n_days,
+           CAST(p.n_pairs AS BIGINT) AS n_pairs,
+           CAST(p.s AS BIGINT) AS s_stat,
+           CAST((p.s * 1000000
+                 - ((p.s * 1000000 % p.n_pairs + p.n_pairs) % p.n_pairs))
+                // p.n_pairs AS BIGINT) AS tau_a_ppm,
+           CAST(n.n * (n.n - 1) * (2 * n.n + 5) - t.tie18 AS BIGINT)
+             AS var_s_x18
+    FROM p JOIN n USING (event_type) JOIN t USING (event_type)
+    """,
+    tags=("extension", "temporal", "stats", "drift", "bench"),
+)
+def ts_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test per event type — the PAIRWISE-CONCORDANCE
+    member completing the trend panel (Theil-Sen reports HOW STEEP the
+    robust slope is, Spearman how consistently monotone the ranks are;
+    Mann-Kendall's S = #concordant − #discordant pairs is the standard
+    significance test for "is there ANY monotone trend", the one
+    hydrology/quality-monitoring reaches for first — Mann 1945, Kendall
+    1975). Reports S, Kendall's tau_a = S/C(n,2) on the ppm grid, and the
+    EXACT 18-scaled variance 18·Var(S) = n(n−1)(2n+5) − Σ t(t−1)(2t+5)
+    (tie-corrected), so a consumer's z-test needs no re-aggregation.
+
+    Exactness: S is a sum of {−1, 0, +1} sign terms on exact cent sums —
+    pure integers; tau_a is one sign-safe pmod floor division onto ppm
+    (S is routinely negative); the variance polynomial is integer with
+    the tie term folded from the (type, v) group sizes. All BIGINT-safe:
+    |S| ≤ C(n,2), so S·10⁶ needs n past ~4e6 days to overflow — far
+    beyond any calendar.
+
+    Spark shape: the Theil-Sen schedule — events collapse to the per-type
+    day grid ONCE (map-side-partial shuffle, localCheckpoint since three
+    derivations read it), the sign sum rides the same O((span/day)²)
+    per-type pair self-join as the Theil-Sen slopes (66k pair rows for a
+    365-day year — effectively free at any corpus size), and the tie and
+    n_days relations are grid-sized aggregates joined back on the
+    |types|-row result."""
+    d = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("unix_timestamp(ts) div 86400").alias("day"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").alias("v"))
+        .localCheckpoint(eager=True)  # day-grid-bounded; read three times
+    )
+    a = d.select(
+        F.col("event_type").alias("et"), F.col("day").alias("di"), F.col("v").alias("vi")
+    )
+    b = d.select(
+        F.col("event_type").alias("et"), F.col("day").alias("dj"), F.col("v").alias("vj")
+    )
+    p = (
+        a.join(b, ["et"])
+        .filter(F.col("dj") > F.col("di"))
+        .groupBy(F.col("et").alias("event_type"))
+        .agg(
+            F.sum(
+                F.when(F.col("vj") > F.col("vi"), 1)
+                .when(F.col("vj") < F.col("vi"), -1)
+                .otherwise(0)
+            ).alias("s"),
+            F.count(F.lit(1)).alias("n_pairs"),
+        )
+    )
+    ties = (
+        d.groupBy("event_type", "v")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(
+                F.col("c") * (F.col("c") - 1) * (2 * F.col("c") + 5)
+            ).alias("tie18")
+        )
+    )
+    nd = d.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        p.join(nd, "event_type")
+        .join(ties, "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_days"),
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            F.col("s").cast("bigint").alias("s_stat"),
+            F.expr(
+                "CAST((s * 1000000 - pmod(s * 1000000, n_pairs))"
+                " div n_pairs AS BIGINT)"
+            ).alias("tau_a_ppm"),
+            F.expr(
+                "CAST(n * (n - 1) * (2 * n + 5) - tie18 AS BIGINT)"
+            ).alias("var_s_x18"),
         )
     )
 

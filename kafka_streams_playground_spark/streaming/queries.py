@@ -3191,3 +3191,59 @@ def _share_welch_oracle() -> None:
 
 
 _share_welch_oracle()
+
+
+@query(
+    "stream_drift_chi2_event_type_halves",
+    oracle=None,  # set below: shares drift_chi2_event_type_halves' oracle
+    tags=("extension", "streaming", "temporal", "drift", "stats"),
+)
+def stream_drift_chi2_event_type_halves(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The categorical drift chi² with its contingency row accumulated AT
+    INGEST — the live form of ``drift_chi2_event_type_halves`` and the
+    third member of the streaming drift bench next to the Welch and KMV
+    twins: a contingency row (n_a, n_b per type) is an associative,
+    mergeable keyed aggregate, so it runs as streaming state with
+    update-mode emission, and the margins/per-cell/global epilogue
+    (shared ``chi2_epilogue``) is pure grid arithmetic on the drained
+    O(types) relation. The counts are monotone in rows seen, so the final
+    state per type is its max-(n_a+n_b) drained row — correct under ANY
+    micro-batch split. This is the composition-shift monitor a
+    multi-source ingest runs live: state O(types), statistic exact at
+    every emission instant."""
+    from kafka_streams_playground_spark.plans.temporal import chi2_epilogue
+
+    e = read_stream_table(spark, sf_dir, "events").select(
+        "event_type", (F.col("event_id") % 2).alias("half")
+    )
+    o = e.groupBy("event_type").agg(
+        F.sum(F.when(F.col("half") == 0, 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n_b"),
+    )
+    drained = run_to_completion(o, output_mode="update", spark=spark)
+
+    from pyspark.sql import Window as _W
+
+    # rank-1 by the monotone total = the final emission per type;
+    # bounded: |types| × micro-batches rows
+    final = _W.partitionBy("event_type").orderBy(
+        (F.col("n_a") + F.col("n_b")).desc()
+    )
+    latest = (
+        drained.withColumn("rk", F.row_number().over(final))
+        .filter(F.col("rk") == 1)
+        .drop("rk")
+    )
+    return chi2_epilogue(latest)
+
+
+def _share_chi2_oracle() -> None:
+    from kafka_streams_playground_spark.plans import temporal  # noqa: F401
+
+    REGISTRY["stream_drift_chi2_event_type_halves"] = _replace(
+        REGISTRY["stream_drift_chi2_event_type_halves"],
+        oracle=REGISTRY["drift_chi2_event_type_halves"].oracle,
+    )
+
+
+_share_chi2_oracle()

@@ -2955,3 +2955,85 @@ def test_chi2_drift_matches_pure_python(spark, sf_dir):
         assert r["contrib_e6"] == contrib[t]
         assert r["chi2_e6"] == chi2
         assert r["dof"] == len(types) - 1
+
+
+def test_mann_kendall_matches_pure_python(spark, sf_dir):
+    """ts_mann_kendall_trend: S, tau_a, and the tie-corrected 18-scaled
+    variance recomputed with exact Python ints from the day grid."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+    from kafka_streams_playground_spark.sources.parquet import load_table
+
+    days = {}
+    for r in (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr("unix_timestamp(ts) div 86400").alias("day"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("c"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("c").alias("v"))
+        .collect()
+    ):
+        days.setdefault(r["event_type"], {})[r["day"]] = r["v"]
+    rows = {
+        r["event_type"]: r
+        for r in REGISTRY["ts_mann_kendall_trend"].fn(spark, sf_dir).collect()
+    }
+    from collections import Counter
+
+    for et, series in days.items():
+        ds = sorted(series)
+        n = len(ds)
+        if n < 2:
+            assert et not in rows
+            continue
+        s = sum(
+            (series[ds[j]] > series[ds[i]]) - (series[ds[j]] < series[ds[i]])
+            for i in range(n)
+            for j in range(i + 1, n)
+        )
+        pairs = n * (n - 1) // 2
+        tie18 = sum(
+            c * (c - 1) * (2 * c + 5) for c in Counter(series.values()).values()
+        )
+        r = rows[et]
+        assert (r["n_days"], r["n_pairs"], r["s_stat"]) == (n, pairs, s)
+        assert r["tau_a_ppm"] == (s * 1_000_000) // pairs  # python // floors
+        assert r["var_s_x18"] == n * (n - 1) * (2 * n + 5) - tie18
+        assert -1_000_000 <= r["tau_a_ppm"] <= 1_000_000
+
+
+def test_simpson_concentration_matches_pure_python(spark, sf_dir):
+    """stats_simpson_user_concentration: the repeat-rate index and its
+    inverse recomputed with exact Python ints from raw (type, user)
+    counts, including the rep=0 NULL-inverse contract."""
+    from collections import Counter
+
+    from kafka_streams_playground_spark.plans import REGISTRY
+    from kafka_streams_playground_spark.sources.parquet import load_table
+
+    counts = Counter(
+        (r["event_type"], r["user_id"])
+        for r in load_table(spark, sf_dir, "events")
+        .select("event_type", "user_id")
+        .collect()
+    )
+    per_type = {}
+    for (et, _), c in counts.items():
+        ne, nu, rep = per_type.get(et, (0, 0, 0))
+        per_type[et] = (ne + c, nu + 1, rep + c * (c - 1))
+    rows = {
+        r["event_type"]: r
+        for r in REGISTRY["stats_simpson_user_concentration"].fn(spark, sf_dir).collect()
+    }
+    assert set(rows) == {et for et, (ne, _, _) in per_type.items() if ne > 1}
+    for et, r in rows.items():
+        ne, nu, rep = per_type[et]
+        assert (r["n_events"], r["n_users"]) == (ne, nu)
+        assert r["simpson_ppm"] == rep * 1_000_000 // (ne * (ne - 1))
+        if rep > 0:
+            assert r["inv_simpson_e6"] == ne * (ne - 1) * 1_000_000 // rep
+            assert r["inv_simpson_e6"] >= 1_000_000  # effective count >= 1
+        else:
+            assert r["inv_simpson_e6"] is None

@@ -1017,3 +1017,42 @@ def test_stream_welch_sums_accumulate_across_microbatches(spark):
     # the epilogue over the accumulated state is well-formed
     ep = welch_epilogue(final.localCheckpoint(eager=True)).collect()
     assert len(ep) == 1 and ep[0]["t2_milli"] >= 0
+
+
+def test_stream_chi2_matches_batch(spark, sf_dir):
+    """Accumulate-at-ingest categorical drift: the keyed contingency rows
+    drain to the batch counts (max-(n_a+n_b) reduce), so the shared
+    margins/per-cell/global epilogue matches exactly."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+
+    got = sorted(
+        tuple(r)
+        for r in REGISTRY["stream_drift_chi2_event_type_halves"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in REGISTRY["drift_chi2_event_type_halves"].fn(spark, sf_dir).collect()
+    )
+    assert got == want and len(got) > 0
+
+
+def test_stream_session_window_overlap_matches_batch_islands_join(spark, sf_dir):
+    """The full streaming pipeline (session_window sessionization feeding
+    the bin join) equals the batch islands + binned-join result row for
+    row — the drain-equality contract its shared quadratic oracle rests
+    on."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+
+    got = sorted(
+        tuple(r)
+        for r in REGISTRY["stream_session_window_interval_overlap"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in REGISTRY["join_interval_overlap_bins"].fn(spark, sf_dir).collect()
+    )
+    assert got == want and len(got) > 0
