@@ -2982,7 +2982,14 @@ def _session_window_intervals(
     belt-and-braces dropped by the i_start bound filter. Session ordinals
     attach post-drain by a key-partitioned row_number over the O(sessions)
     interval relation — per-key sessions are disjoint, so start order IS
-    island order."""
+    island order.
+
+    Contrast with ``stream_session_windows_per_user`` (the standalone
+    session query): that one drains in COMPLETE mode — fine for a final
+    report, but complete re-emits the whole session table every trigger,
+    which no downstream topic can consume at scale. APPEND + sentinel is
+    the production emit-each-session-once contract a downstream join
+    stage requires, which is exactly what this helper feeds."""
     import shutil
     import tempfile
 
