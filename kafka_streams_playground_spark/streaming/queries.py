@@ -23,7 +23,11 @@ from kafka_streams_playground_spark.operators.joins import interval_join
 from kafka_streams_playground_spark.plans.registry import REGISTRY, query
 from kafka_streams_playground_spark.sources.parquet import load_table
 from kafka_streams_playground_spark.streaming.ktable import latest_per_key_stream
-from kafka_streams_playground_spark.streaming.replay import read_stream_table, run_to_completion
+from kafka_streams_playground_spark.streaming.replay import (
+    latest_update_state,
+    read_stream_table,
+    run_to_completion,
+)
 
 WATERMARK = "24 hours"  # mirrors the reference's default grace (:142)
 
@@ -3172,20 +3176,11 @@ def stream_stats_welch_ttest_halves(spark: SparkSession, sf_dir: str) -> DataFra
     drained = run_to_completion(
         welch_sufficient_sums(e), output_mode="update", spark=spark
     )
-    from pyspark.sql import Window as _W
-
-    # Update-mode sink keeps one row per (type, emitting micro-batch);
-    # n0+n1 strictly grows with every emission, so rank-1 by it IS the
-    # final state. Bounded: |types| × micro-batches rows.
-    final = _W.partitionBy("event_type").orderBy(
-        (F.col("n0") + F.col("n1")).desc()
+    # n0+n1 strictly grows with every emission → max-count row per type
+    # is the final state (latest_update_state docstring has the contract)
+    return welch_epilogue(
+        latest_update_state(drained, "event_type", F.col("n0") + F.col("n1"))
     )
-    latest = (
-        drained.withColumn("rk", F.row_number().over(final))
-        .filter(F.col("rk") == 1)
-        .drop("rk")
-    )
-    return welch_epilogue(latest)
 
 
 def _share_welch_oracle() -> None:
@@ -3228,20 +3223,11 @@ def stream_drift_chi2_event_type_halves(spark: SparkSession, sf_dir: str) -> Dat
         F.sum(F.when(F.col("half") == 1, 1).otherwise(0)).alias("n_b"),
     )
     drained = run_to_completion(o, output_mode="update", spark=spark)
-
-    from pyspark.sql import Window as _W
-
-    # rank-1 by the monotone total = the final emission per type;
-    # bounded: |types| × micro-batches rows
-    final = _W.partitionBy("event_type").orderBy(
-        (F.col("n_a") + F.col("n_b")).desc()
+    # n_a+n_b strictly grows with every emission → max-count row per type
+    # is the final state (latest_update_state docstring has the contract)
+    return chi2_epilogue(
+        latest_update_state(drained, "event_type", F.col("n_a") + F.col("n_b"))
     )
-    latest = (
-        drained.withColumn("rk", F.row_number().over(final))
-        .filter(F.col("rk") == 1)
-        .drop("rk")
-    )
-    return chi2_epilogue(latest)
 
 
 def _share_chi2_oracle() -> None:

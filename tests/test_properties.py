@@ -591,3 +591,108 @@ def test_spearman_d2_equals_pearson_on_permutation_ranks(vals):
     assert vx == vy and vx > 0  # permutations of 1..n have equal variance
     assert rho_d2 == Fraction(cov, vx)
     assert -1 <= rho_d2 <= 1
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    cells=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=10_000),
+            st.integers(min_value=0, max_value=10_000),
+        ),
+        min_size=2,
+        max_size=12,
+    )
+)
+def test_chi2_cleared_cell_terms_match_textbook_fraction(cells):
+    """drift_chi2_event_type_halves' division-cleared per-cell term
+    (obs·N − rt·ct)²·10⁶ // (N·rt·ct) must floor the EXACT textbook
+    (O−E)²/E with E = rt·ct/N for ANY contingency table (zero cells
+    included — rows with rt = 0 are impossible by construction since a
+    type only exists if it has rows)."""
+    from fractions import Fraction
+
+    cells = [(a, b) for a, b in cells if a + b > 0]  # rt > 0 by construction
+    if not cells:
+        return
+    ct_a = sum(a for a, _ in cells)
+    ct_b = sum(b for _, b in cells)
+    if ct_a == 0 or ct_b == 0:
+        return  # both engines filter the degenerate one-sided split
+    n = ct_a + ct_b
+    for a, b in cells:
+        rt = a + b
+        for obs, ct in ((a, ct_a), (b, ct_b)):
+            e = Fraction(rt * ct, n)
+            exact = (obs - e) ** 2 / e * 1_000_000
+            cleared = (obs * n - rt * ct) ** 2 * 1_000_000 // (n * rt * ct)
+            assert cleared == exact.numerator // exact.denominator
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    xs=st.lists(st.integers(min_value=-1000, max_value=1000), min_size=2, max_size=40),
+)
+def test_mann_kendall_identities(xs):
+    """ts_mann_kendall_trend's integer outputs satisfy the defining
+    identities for ANY integer series: S = concordant − discordant with
+    concordant + discordant + value-ties = C(n,2); tau_a = S/C(n,2)
+    floors onto ppm via the pmod spelling; and the tie-corrected
+    18-scaled variance is non-negative and at most the tie-free bound."""
+    from collections import Counter
+    from fractions import Fraction
+
+    n = len(xs)
+    conc = disc = ties = 0
+    for i in range(n):
+        for j in range(i + 1, n):
+            if xs[j] > xs[i]:
+                conc += 1
+            elif xs[j] < xs[i]:
+                disc += 1
+            else:
+                ties += 1
+    s = conc - disc
+    pairs = n * (n - 1) // 2
+    assert conc + disc + ties == pairs
+    # pairwise value-ties relate to group sizes: ties = sum C(t,2)
+    assert ties == sum(t * (t - 1) // 2 for t in Counter(xs).values())
+    tau = Fraction(s, pairs)
+    assert -1 <= tau <= 1
+    # the engines' pmod floor division == python's // (floor) on any sign
+    assert (s * 1_000_000) // pairs == (
+        s * 1_000_000 - ((s * 1_000_000 % pairs + pairs) % pairs)
+    ) // pairs
+    tie18 = sum(t * (t - 1) * (2 * t + 5) for t in Counter(xs).values())
+    var18 = n * (n - 1) * (2 * n + 5) - tie18
+    assert 0 <= var18 <= n * (n - 1) * (2 * n + 5)
+    if len(set(xs)) == 1:
+        assert var18 == 0  # all-tied series has zero-variance S
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    counts=st.lists(st.integers(min_value=1, max_value=50), min_size=1, max_size=20),
+)
+def test_simpson_repeat_rate_is_exact_pair_probability(counts):
+    """stats_simpson_user_concentration's Σc(c−1)/(N(N−1)) equals the
+    exact probability that two draws without replacement share a user,
+    verified by direct pair enumeration over the expanded population."""
+    from fractions import Fraction
+
+    n = sum(counts)
+    if n < 2:
+        return
+    pop = [u for u, c in enumerate(counts) for _ in range(c)]
+    same = sum(
+        1 for i in range(n) for j in range(n) if i != j and pop[i] == pop[j]
+    )
+    rep = sum(c * (c - 1) for c in counts)
+    assert Fraction(rep, n * (n - 1)) == Fraction(same, n * (n - 1))
+    assert rep == same
+    # ppm floor the engines compute (non-negative — plain floor division)
+    assert 0 <= rep * 1_000_000 // (n * (n - 1)) <= 1_000_000
+    # inverse Simpson bounds: 1 <= N(N-1)/rep... only when rep > 0
+    if rep > 0:
+        inv = n * (n - 1) * 1_000_000 // rep
+        assert inv >= 1_000_000
