@@ -1056,3 +1056,72 @@ def test_stream_session_window_overlap_matches_batch_islands_join(spark, sf_dir)
         for r in REGISTRY["join_interval_overlap_bins"].fn(spark, sf_dir).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_session_window_intervals_merge_across_microbatches(spark):
+    """The semantics stream_session_window_interval_overlap's stage 1
+    claims, pinned under a REAL multi-micro-batch split (the helper's own
+    replay drains availableNow in one batch; here maxFilesPerTrigger=1
+    forces separate batches in time order, like an ordered topic): a
+    session whose events arrive in DIFFERENT micro-batches must merge in
+    the session_window state store; a trailing flush-sentinel batch must
+    close every real session (append mode withholds them otherwise)
+    without leaking its own; and i_start/i_end = unix(window.start) /
+    unix(window.end) − gap must equal the batch gaps-and-islands bounds."""
+    from datetime import datetime, timedelta
+
+    from kafka_streams_playground_spark.plans.temporal import interval_islands
+
+    gap = 600  # 10 min gap for a compact fixture
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    schema = "user_id long, ts timestamp"
+    sentinel_ts = t0 + timedelta(seconds=5000 + gap + 1)
+    batches = [
+        # batch 1: u1 session A opens; u2 singleton (the tail-session case)
+        [(1, t0), (2, t0 + timedelta(seconds=100))],
+        # batch 2: u1 session A CONTINUES (gap 300 < 600 — must merge with
+        # batch-1 state); u1 session B opens
+        [(1, t0 + timedelta(seconds=300)), (1, t0 + timedelta(seconds=5000))],
+        # batch 3: the flush sentinel — drives the watermark past every
+        # real window end so append mode emits them; its own session stays
+        # open and must NOT leak
+        [(1, sentinel_ts)],
+    ]
+    paths = _write_batches(spark, batches, schema)
+    src_dir = os.path.dirname(paths[0])
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src_dir, "b*"))
+    )
+    sess = (
+        sdf.withWatermark("ts", "0 seconds")
+        .groupBy("user_id", F.session_window("ts", f"{gap} seconds"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    drained = run_to_completion(sess, output_mode="append", spark=spark)
+    import calendar
+
+    # timegm, not .timestamp(): the naive datetimes are UTC wall-clock in
+    # the Spark session, and .timestamp() would re-interpret them in the
+    # host's local zone
+    mx_epoch = calendar.timegm((t0 + timedelta(seconds=5000)).utctimetuple())
+    got = {
+        (r["user_id"], r["i_start"], r["i_end"])
+        for r in drained.select(
+            "user_id",
+            F.unix_timestamp("session_window.start").alias("i_start"),
+            (F.unix_timestamp("session_window.end") - gap).alias("i_end"),
+        )
+        .filter(F.col("i_start") <= F.lit(mx_epoch))
+        .collect()
+    }
+    real = spark.createDataFrame(
+        [r for b in batches[:2] for r in b], schema
+    ).withColumn("event_id", F.monotonically_increasing_id())
+    want = {
+        (r["user_id"], r["i_start"], r["i_end"])
+        for r in interval_islands(real, "user_id", "session_no", gap).collect()
+    }
+    assert got == want
+    assert len(got) == 3  # A merged across batches, B separate, u2 singleton
