@@ -2142,12 +2142,17 @@ def drift_mannwhitney_value_halves(spark: SparkSession, sf_dir: str) -> DataFram
 # ---------------------------------------------------------------------------
 
 # Per-cell chi² term with E = rt·ct/N cleared of division:
-# (obs·N − rt·ct)²·10⁶ div (N·rt·ct). The squared product nears 10⁵² at
-# web scale, so it rides DECIMAL(38,0) Spark-side / HUGEINT in the oracle
-# after the rt·ct/N share cancels... in practice obs·N ≈ 1e13·1e13 = 1e26
-# stays inside 38 digits; numerator and denominator are exact integers in
-# both engines and the per-cell floor is identical. Non-negative, so no
-# pmod is needed.
+# (obs·N − rt·ct)²·10⁶ div (N·rt·ct), on DECIMAL(38,0) Spark-side /
+# HUGEINT in the oracle. Headroom is set by the SQUARED difference:
+# |obs·N − rt·ct| = N·|obs − E| ≤ N·rt, so the ·10⁶ numerator stays
+# inside 38 digits to N ≈ 10⁸ rows in the adversarial one-type-dominates
+# case and far beyond for realistic mixes (|obs − E| ≪ rt) — and past
+# the cap both engines fail LOUDLY, not silently (Spark decimal overflow
+# → NULL, DuckDB HUGEINT → error; either surfaces in the hash compare).
+# At true web scale the production spelling re-centers: fold counts at a
+# coarser unit or compute the asymptotic statistic in doubles — the
+# exact-integer contract here is the ORACLE-ALIGNMENT device, same
+# stance as stats_chi2_nation_segment. Non-negative, so no pmod.
 _CHI2_CELL_SPARK = (
     "cast((cast({obs} as decimal(38,0)) * (ct_a + ct_b)"
     " - cast(n_a + n_b as decimal(38,0)) * {ct})"
