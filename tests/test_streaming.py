@@ -1004,8 +1004,10 @@ def test_stream_welch_sums_accumulate_across_microbatches(spark):
     drained = run_to_completion(
         welch_sufficient_sums(e), output_mode="update", spark=spark
     )
-    # update mode emits once per batch; the final state is the max-n row
-    final = drained.orderBy((F.col("n0") + F.col("n1")).desc()).limit(1)
+    # the SHARED final-state reduce (max monotone counter per key)
+    from kafka_streams_playground_spark.streaming.replay import latest_update_state
+
+    final = latest_update_state(drained, "event_type", F.col("n0") + F.col("n1"))
     import math
 
     cents = [math.floor(v * 100 + 0.5) for v in vals]
