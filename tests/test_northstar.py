@@ -3037,3 +3037,55 @@ def test_simpson_concentration_matches_pure_python(spark, sf_dir):
             assert r["inv_simpson_e6"] >= 1_000_000  # effective count >= 1
         else:
             assert r["inv_simpson_e6"] is None
+
+
+def test_degree_oriented_triangles_match_bruteforce_on_adversarial_graphs(
+    spark, sf_dir, monkeypatch
+):
+    """node_triangle_degrees under the Suri-Vassilvitskii orientation must
+    enumerate each triangle EXACTLY once on graphs the fixtures don't
+    stress: a hub wheel (one max-degree node in every triangle), a clique
+    (all degrees tied — the (degree, id) tie-break does all the work),
+    and a deterministic random graph. Pinned against brute-force Python
+    triangle counting per node."""
+    from itertools import combinations
+
+    from kafka_streams_playground_spark.plans import northstar_pipeline as NP
+
+    def check(edges):
+        edges = sorted({(min(a, b), max(a, b)) for a, b in edges if a != b})
+        df = spark.createDataFrame(edges, "s long, t long")
+        monkeypatch.setattr(NP, "_support_edges", lambda *_: df)
+        got = {
+            r["part_id"]: (r["degree"], r["n_triangles"])
+            for r in NP.node_triangle_degrees(spark, sf_dir).collect()
+        }
+        adj = {}
+        for a, b in edges:
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        want = {}
+        for v in adj:
+            tri = sum(
+                1 for x, y in combinations(sorted(adj[v]), 2) if y in adj.get(x, ())
+            )
+            want[v] = (len(adj[v]), tri)
+        assert got == want
+
+    # hub wheel: node 0 joins every rim node; rim is a cycle — every
+    # triangle contains the hub, whose raw degree would dominate an
+    # unoriented wedge join
+    rim = list(range(1, 12))
+    wheel = [(0, v) for v in rim] + [
+        (rim[i], rim[(i + 1) % len(rim)]) for i in range(len(rim))
+    ]
+    check(wheel)
+    # clique K7: C(7,3)=35 triangles, all degrees equal — orientation
+    # falls back entirely to the id tie-break
+    check([(a, b) for a, b in combinations(range(7), 2)])
+    # deterministic pseudo-random graph (Knuth-hash edge pick)
+    rand = [
+        (i % 23, (i * 2654435761) % 23)
+        for i in range(160)
+    ]
+    check(rand)
