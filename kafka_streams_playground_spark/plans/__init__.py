@@ -49,7 +49,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # changed-this-round > stalest-last-seen; every demoted query is
     # driver-green in a prior round, unchanged since, and re-checked by
     # the full-registry strict replica (CORRECTNESS_LOCAL.json).
-    # -- slots 7-19: changed or new this round. The triangle substrate
+    # -- slots 7-20: changed or new this round. The triangle substrate
     # gained the Suri-Vassilvitskii degree orientation (VERDICT item 4;
     # all four graph-family queries re-slotted per the changed-plan
     # policy — jaccard/adamic-adar share the _support_edges substrate
@@ -59,7 +59,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # state reduce). Spearman's final division widened in both engines
     # (VERDICT item 7). The round's NEW queries — drift_chi2 (VERDICT
     # item 6) + its streaming twin, ts_mann_kendall_trend,
-    # stats_simpson_user_concentration, and
+    # stats_simpson_user_concentration (+ its streaming twin), and
     # stream_session_window_interval_overlap (VERDICT item 5) — are
     # slotted in their birth round per the standing policy.
     "graph_triangle_count",
@@ -74,8 +74,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stream_drift_chi2_event_type_halves",
     "ts_mann_kendall_trend",
     "stats_simpson_user_concentration",
+    "stream_stats_simpson_user_concentration",
     "stream_session_window_interval_overlap",
-    # -- slots 20-45: the complete r3 cohort (last driver row round 3 —
+    # -- slots 21-46: the complete r3 cohort (last driver row round 3 —
     # the stalest in the registry; VERDICT item 2 named this backlog:
     # the stream_q1-q3 twins, dedup_exact, dedup_minhash_lsh,
     # sim_topk_bruteforce, the asof/session/sliding-window family, and
@@ -106,13 +107,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "sample_temperature_mix",
     "train_shuffle_shards",
     "pii_scrub_events",
-    # -- slots 46-50: the head of the r4 cohort (next-stalest; the rest
+    # -- slots 47-50: the head of the r4 cohort (next-stalest; the rest
     # of r4 rotates in round 11)
     "agg_revenue_by_nation",
     "s2_latest_event_per_user",
     "join_semi_urgent_customers",
     "join_anti_parts_never_shipped",
-    "agg_price_percentiles",
 )
 
 

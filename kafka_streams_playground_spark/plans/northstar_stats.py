@@ -2471,6 +2471,15 @@ def stats_simpson_user_concentration(spark: SparkSession, sf_dir: str) -> DataFr
         .groupBy("event_type", "user_id")
         .agg(F.count(F.lit(1)).alias("c"))
     )
+    return simpson_from_counts(c)
+
+
+def simpson_from_counts(c: DataFrame) -> DataFrame:
+    """|types|-row rollup + index/inverse divisions over a
+    (event_type, user_id, c) count relation — shared by the batch query
+    and its accumulate-at-ingest streaming twin (a per-(type, user)
+    counter is an associative keyed aggregate). Everything here runs on
+    the O(types·users) count grid, never event rows."""
     s = c.groupBy("event_type").agg(
         F.sum("c").alias("n_events"),
         F.count(F.lit(1)).alias("n_users"),

@@ -3240,3 +3240,51 @@ def _share_chi2_oracle() -> None:
 
 
 _share_chi2_oracle()
+
+
+@query(
+    "stream_stats_simpson_user_concentration",
+    oracle=None,  # set below: shares stats_simpson_user_concentration's oracle
+    tags=("northstar", "streaming", "stats", "curation"),
+)
+def stream_stats_simpson_user_concentration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Simpson traffic concentration with the (type, user) counters
+    accumulated AT INGEST — the live form of
+    ``stats_simpson_user_concentration``: per-(type, user) counts are an
+    associative keyed streaming aggregate (update mode), and the rollup/
+    index epilogue (shared ``simpson_from_counts``) is grid arithmetic on
+    the drained count relation. This is the source-diversity gate run
+    live — a type whose traffic collapses onto one user trips the
+    effective-user-count alarm while the events are still arriving.
+    State is O(types·users) exact counters — the same footprint as any
+    per-user metric state; a corpus whose user cardinality outgrows that
+    swaps in the count-min twin (``stream_stats_countmin_user_traffic``)
+    and accepts the estimate, but the AUDIT wants exact counts. Counter
+    monotonicity makes the max-count row per (type, user) the final
+    state, so the result is micro-batch-split-independent and the batch
+    oracle applies unchanged."""
+    from kafka_streams_playground_spark.plans.northstar_stats import (
+        simpson_from_counts,
+    )
+
+    e = read_stream_table(spark, sf_dir, "events").select("event_type", "user_id")
+    c = e.groupBy("event_type", "user_id").agg(F.count(F.lit(1)).alias("c"))
+    drained = run_to_completion(c, output_mode="update", spark=spark)
+    final = latest_update_state(
+        drained, ["event_type", "user_id"], F.col("c")
+    )
+    return simpson_from_counts(final)
+
+
+def _share_simpson_oracle() -> None:
+    from kafka_streams_playground_spark.plans import northstar_stats  # noqa: F401
+
+    REGISTRY["stream_stats_simpson_user_concentration"] = _replace(
+        REGISTRY["stream_stats_simpson_user_concentration"],
+        oracle=REGISTRY["stats_simpson_user_concentration"].oracle,
+    )
+
+
+_share_simpson_oracle()

@@ -43,17 +43,19 @@ def read_stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return sdf
 
 
-def latest_update_state(drained: DataFrame, key: str, counter) -> DataFrame:
+def latest_update_state(drained: DataFrame, key, counter) -> DataFrame:
     """Reduce an update-mode memory-sink drain to the FINAL state row per
-    key. The sink keeps one row per (key, emitting micro-batch); for
-    aggregates whose ``counter`` column expression is strictly monotone in
-    rows seen (counts, count sums), the max-counter row per key IS the
-    last emission — so the result equals the batch aggregate under ANY
-    micro-batch split, not just single-file fixtures (ADVICE r9). Bounded:
-    |keys| × micro-batches rows."""
+    key (a column name or list of names). The sink keeps one row per
+    (key, emitting micro-batch); for aggregates whose ``counter`` column
+    expression is strictly monotone in rows seen (counts, count sums),
+    the max-counter row per key IS the last emission — so the result
+    equals the batch aggregate under ANY micro-batch split, not just
+    single-file fixtures (ADVICE r9). Bounded: |keys| × micro-batches
+    rows."""
     from pyspark.sql import Window
 
-    w = Window.partitionBy(key).orderBy(counter.desc())
+    keys = [key] if isinstance(key, str) else list(key)
+    w = Window.partitionBy(*keys).orderBy(counter.desc())
     return (
         drained.withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") == 1)

@@ -1127,3 +1127,22 @@ def test_session_window_intervals_merge_across_microbatches(spark):
     }
     assert got == want
     assert len(got) == 3  # A merged across batches, B separate, u2 singleton
+
+
+def test_stream_simpson_matches_batch(spark, sf_dir):
+    """Accumulate-at-ingest Simpson concentration: the keyed (type, user)
+    counters drain to the batch counts (composite-key max-count reduce),
+    so the shared rollup/index epilogue matches exactly."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+
+    got = sorted(
+        tuple(r)
+        for r in REGISTRY["stream_stats_simpson_user_concentration"]
+        .fn(spark, sf_dir)
+        .collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in REGISTRY["stats_simpson_user_concentration"].fn(spark, sf_dir).collect()
+    )
+    assert got == want and len(got) > 0
