@@ -696,3 +696,42 @@ def test_simpson_repeat_rate_is_exact_pair_probability(counts):
     if rep > 0:
         inv = n * (n - 1) * 1_000_000 // rep
         assert inv >= 1_000_000
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    a=st.tuples(
+        st.integers(min_value=-100_000, max_value=100_000),
+        st.integers(min_value=0, max_value=50_000),
+    ),
+    b=st.tuples(
+        st.integers(min_value=-100_000, max_value=100_000),
+        st.integers(min_value=0, max_value=50_000),
+    ),
+    w=st.integers(min_value=1, max_value=7_200),
+)
+def test_grid_binning_is_complete_and_verifiable(a, b, w):
+    """The interval bin join's core lemma (batch + both streaming forms):
+    for ANY two closed intervals and ANY bin width, the intervals OVERLAP
+    iff they share at least one floor-division grid bin that both touch
+    AND the row-local predicate s_start<=b_end && b_start<=s_end passes —
+    i.e. binning loses no overlapping pair (completeness) and the
+    predicate removes every same-bin non-overlap (soundness). Floor
+    semantics match the engines' div on negatives."""
+    s_start, sl = a
+    b_start, bl = b
+    s_end, b_end = s_start + sl, b_start + bl
+
+    def bins(lo, hi):
+        # python // floors like Spark's div/pmod spelling on bigints
+        return set(range(lo // w, hi // w + 1))
+
+    share = bool(bins(s_start, s_end) & bins(b_start, b_end))
+    overlap = s_start <= b_end and b_start <= s_end
+    if overlap:
+        assert share  # completeness: no overlapping pair is missed
+    # soundness is the predicate itself: a shared bin without overlap is
+    # filtered row-locally — nothing to assert beyond predicate truth,
+    # but sanity-check the converse direction's filter condition
+    if share and not overlap:
+        assert not (s_start <= b_end and b_start <= s_end)
