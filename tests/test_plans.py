@@ -1257,3 +1257,28 @@ def test_round9_addition_plan_shapes(spark, sf_dir):
 
     p = _plan(spark, sf_dir, "graph_clustering_coefficient")
     assert "CartesianProduct" not in p and "partial_count" in p
+
+
+def test_round10_addition_plan_shapes(spark, sf_dir):
+    """Pin the load-bearing shapes of the round-10 batch additions: the
+    chi2 drift grid attaches margins and the global statistic by
+    BROADCAST (never a shuffle of the O(types) relation), Mann-Kendall's
+    sign sum aggregates with a map-side partial phase over the
+    co-shuffled day-grid pair join, and Simpson runs exactly its two
+    aggregate shuffles (the (type, user) count and the |types| rollup)
+    with no join at all."""
+    p = _plan(spark, sf_dir, "drift_chi2_event_type_halves")
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastExchange") >= 1, p
+    assert "Exchange hashpartitioning" not in p, p  # grid stays post-checkpoint
+
+    p = _plan(spark, sf_dir, "ts_mann_kendall_trend")
+    assert "CartesianProduct" not in p
+    assert "partial_sum" in p or "partial_count" in p
+
+    p = _plan(spark, sf_dir, "stats_simpson_user_concentration")
+    assert "CartesianProduct" not in p and "Join" not in p, p
+    # formatted explain prints each node in the tree AND a detail block;
+    # count detail headers so each Exchange is counted once
+    assert len(re.findall(r"^\(\d+\) Exchange\b", p, re.M)) == 2, p
+    assert "partial_sum" in p or "partial_count" in p
