@@ -3043,8 +3043,12 @@ def ts_spearman_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     n³·10⁶ passes 2⁶³ near 21 000 days, so the final division rides
     DECIMAL(38,0) on the Spark side and HUGEINT in the oracle (widened
     round 10 per VERDICT r9 — the ACF/Welch precedent; the >cap grid is
-    pinned by ``test_spearman_division_survives_bigint_cap``), making the
-    grid length unbounded.
+    pinned by ``test_spearman_division_survives_bigint_cap``). The Σd²
+    fold itself also widens to DECIMAL(38,0) INSIDE the sum (ADVICE r10
+    — the in-fold Welch/ACF stance; the oracle's SUM(BIGINT) already
+    auto-promotes to HUGEINT), so rho_ppm stays exact to n ≈ 5·10¹⁰
+    days; only the surfaced d2 DIAGNOSTIC column's BIGINT cast caps
+    earlier (n ≈ 3·10⁶ days ≈ 8 000 years — both beyond any calendar).
 
     Spark shape: one shuffle to the (type, day) grid, two type-partitioned
     rank windows over grid rows, one aggregate — O(days·types) total state,
@@ -3077,8 +3081,12 @@ def spearman_rho_from_grid(d: DataFrame) -> DataFrame:
     )
     s = r.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n"),
+        # widen INSIDE the fold (ADVICE r10): a LONG Σ(rx−ry)² wraps
+        # silently near n ≈ 3e6 under non-ANSI mode; DECIMAL(38,0)
+        # overflows loudly (null) and matches the oracle's HUGEINT
+        # auto-promotion of SUM(BIGINT)
         F.sum(
-            (F.col("rx") - F.col("ry")) * (F.col("rx") - F.col("ry"))
+            F.expr("CAST(rx - ry AS DECIMAL(38,0)) * (rx - ry)")
         ).alias("d2"),
     )
     w = s.filter(F.col("n") > 1).select(

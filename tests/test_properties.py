@@ -713,25 +713,33 @@ def test_simpson_repeat_rate_is_exact_pair_probability(counts):
 def test_grid_binning_is_complete_and_verifiable(a, b, w):
     """The interval bin join's core lemma (batch + both streaming forms):
     for ANY two closed intervals and ANY bin width, the intervals OVERLAP
-    iff they share at least one floor-division grid bin that both touch
-    AND the row-local predicate s_start<=b_end && b_start<=s_end passes —
-    i.e. binning loses no overlapping pair (completeness) and the
-    predicate removes every same-bin non-overlap (soundness). Floor
-    semantics match the engines' div on negatives."""
+    iff they share at least one grid bin AND pass the row-local predicate
+    s_start<=b_end && b_start<=s_end. Bins are modeled with the ENGINE's
+    actual semantics (ADVICE r10): explode_to_bins spells ``lo div W`` /
+    ``hi div W``, and Spark's ``div`` TRUNCATES toward zero — not floor —
+    on negative operands. Completeness survives trunc because trunc-div
+    is monotone non-decreasing: any common point p of both intervals has
+    trunc(lo/w) <= trunc(p/w) <= trunc(hi/w) on each side, and
+    ``sequence`` enumerates that range contiguously, so p's bin is shared.
+    Soundness is exercised by evaluating the join's emission set (shared
+    bin AND predicate) and asserting it EQUALS the overlap set — a
+    shared-bin non-overlap pair must be filtered row-locally."""
     s_start, sl = a
     b_start, bl = b
     s_end, b_end = s_start + sl, b_start + bl
 
-    def bins(lo, hi):
-        # python // floors like Spark's div/pmod spelling on bigints
-        return set(range(lo // w, hi // w + 1))
+    def trunc_div(x):
+        # Spark SQL `div` on BIGINT: quotient truncated toward zero
+        # (python's // floors; they differ on negative non-multiples)
+        q = abs(x) // w
+        return -q if x < 0 else q
 
-    share = bool(bins(s_start, s_end) & bins(b_start, b_end))
+    def bins(lo, hi):
+        return set(range(trunc_div(lo), trunc_div(hi) + 1))
+
     overlap = s_start <= b_end and b_start <= s_end
+    share = bool(bins(s_start, s_end) & bins(b_start, b_end))
+    emitted = share and overlap  # what the binned join outputs (pre-dedup)
     if overlap:
         assert share  # completeness: no overlapping pair is missed
-    # soundness is the predicate itself: a shared bin without overlap is
-    # filtered row-locally — nothing to assert beyond predicate truth,
-    # but sanity-check the converse direction's filter condition
-    if share and not overlap:
-        assert not (s_start <= b_end and b_start <= s_end)
+    assert emitted == overlap  # soundness + completeness: exact emission

@@ -37,11 +37,32 @@ def last_driver_round(repo: str) -> dict[str, int]:
         with open(f) as fh:
             doc = json.load(fh)
         # the artifact is a flat {query_name: {rows_match, ...}} map; be
-        # tolerant of a wrapper key if the driver ever adds one
-        rows = doc.get("queries") if isinstance(doc.get("queries"), dict) else doc
-        for name, val in rows.items():
-            if isinstance(val, dict):
-                last[name] = max(last.get(name, 0), rnd)
+        # tolerant of the two wrapper shapes in the repo ('queries', and
+        # CORRECTNESS_LOCAL.json's 'results' — ADVICE r10) if the driver
+        # ever adopts one
+        rows = doc
+        for wrapper in ("queries", "results"):
+            if isinstance(doc.get(wrapper), dict):
+                rows = doc[wrapper]
+                break
+        parsed = [name for name, val in rows.items() if isinstance(val, dict)]
+        for name in parsed:
+            last[name] = max(last.get(name, 0), rnd)
+        if parsed:
+            # a round file none of whose names are registered means the
+            # shape changed — warn loudly instead of silently recording
+            # bogus names (ADVICE r10)
+            try:
+                from kafka_streams_playground_spark.plans import REGISTRY
+
+                if not any(n in REGISTRY for n in parsed):
+                    print(
+                        f"WARNING: {os.path.basename(f)} yielded no registered "
+                        f"query names — unrecognized artifact shape?",
+                        file=sys.stderr,
+                    )
+            except ImportError:
+                pass
     return last
 
 
