@@ -234,30 +234,41 @@ def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     watermark closes sessions. Session end is reported as the last event's
     time (``max(ts)``), not Spark's internal last+gap bound, so the oracle
     is the precise-epoch gaps-and-islands twin (strict ``>= gap`` opens a
-    new session — session_window's boundary semantics). Complete output
-    mode: session aggregations don't do update mode, and append would hold
-    back sessions still inside the watermark horizon — complete re-emits
-    the whole (closed + open) session table, whose final batch is the
-    drained state the oracle checks."""
-    events = read_stream_table(spark, sf_dir, "events").withWatermark("ts", WATERMARK)
-    ses = events.groupBy(
-        F.session_window("ts", "6 hours").alias("sw"), "user_id"
-    ).agg(
-        F.min("ts").alias("min_ts"),
-        F.max("ts").alias("max_ts"),
-        F.count(F.lit(1)).alias("n_events"),
-        # floor-cent rounding (see plans/temporal.py::session_windows_per_user):
-        # ROUND(SUM(double),2) is tie-boundary-unstable across engines.
-        (F.floor(F.sum("value") * 100 + 0.5) / 100).alias("sum_value"),
+    new session — session_window's boundary semantics).
+
+    APPEND + FLUSH-SENTINEL emission (converted from a complete-mode drain
+    per VERDICT r10 item 4): rides the shared ``_append_session_windows``
+    stage — one sentinel row at corpus max(ts)+gap+1 drives the watermark
+    past every real window end, so append emits each session EXACTLY ONCE
+    (the contract a downstream topic can consume; complete mode re-emits
+    the whole session table every trigger). The sentinel's own island is
+    withheld by the watermark and dropped by the window-start bound; the
+    sentinel row's value column never reaches the output. Floor-cent
+    rounding on sum_value (see plans/temporal.py::session_windows_per_user):
+    ROUND(SUM(double),2) is tie-boundary-unstable across engines."""
+    from kafka_streams_playground_spark.plans.temporal import SESSION_GAP_S
+
+    events = load_table(spark, sf_dir, "events")
+    proj = events.select("user_id", "ts", "value")
+    drained = _append_session_windows(
+        spark,
+        proj,
+        "user_id",
+        SESSION_GAP_S,
+        [
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+            (F.floor(F.sum("value") * 100 + 0.5) / 100).alias("sum_value"),
+        ],
     )
-    out = ses.select(
+    return drained.select(
         "user_id",
         F.unix_timestamp("min_ts").alias("session_start"),
         F.unix_timestamp("max_ts").alias("session_end"),
         "n_events",
         "sum_value",
     )
-    return run_to_completion(out, output_mode="complete", spark=spark)
 
 
 @query(
@@ -2988,25 +2999,52 @@ def _session_window_intervals(
     interval relation — per-key sessions are disjoint, so start order IS
     island order.
 
-    Contrast with ``stream_session_windows_per_user`` (the standalone
-    session query): that one drains in COMPLETE mode — fine for a final
-    report, but complete re-emits the whole session table every trigger,
-    which no downstream topic can consume at scale. APPEND + sentinel is
-    the production emit-each-session-once contract a downstream join
-    stage requires, which is exactly what this helper feeds."""
-    import shutil
-    import tempfile
-
+    Since round 11 the sentinel + append drain is the SHARED
+    ``_append_session_windows`` stage — ``stream_session_windows_per_user``
+    (the standalone session query, converted from its complete-mode drain
+    per VERDICT r10 item 4) rides the same contract, so every streaming
+    session query now emits each session exactly once."""
     from pyspark.sql import Window as _W
 
     proj = events.select(F.col(key), "ts")
+    drained = _append_session_windows(
+        spark, proj, key, gap_s, [F.count(F.lit(1)).alias("n_events")]
+    )
+    intervals = drained.select(
+        key,
+        F.unix_timestamp("session_window.start").alias("i_start"),
+        (F.unix_timestamp("session_window.end") - gap_s).alias("i_end"),
+    )
+    w = _W.partitionBy(key).orderBy("i_start")
+    return intervals.withColumn(out_no, F.row_number().over(w))
+
+
+def _append_session_windows(
+    spark: SparkSession, proj: DataFrame, key: str, gap_s: int, aggs: list
+) -> DataFrame:
+    """The shared APPEND + FLUSH-SENTINEL ``session_window`` drain: append
+    one sentinel row at corpus ``max(ts) + gap + 1`` (the punctuation
+    marker a Kafka job would inject), replay through the streaming
+    sessionizer under a 0-second watermark, and drain in APPEND mode — the
+    emit-each-session-ONCE contract a downstream topic can actually
+    consume (complete mode re-emits the whole session table every
+    trigger). The sentinel sits ≥ gap+1 past EVERY key's last event, so it
+    never merges into a real session; it drives the final watermark past
+    every real window end (real end = last event + gap < sentinel ts),
+    while its own island's end exceeds that watermark and is withheld —
+    and is belt-and-braces dropped by the window-start bound filter here.
+    Returns the drained (key, session_window, *aggs) rows of the REAL
+    sessions only."""
+    import shutil
+    import tempfile
+
     # bounded collect: ONE scalar — the corpus max floor-epoch, the upper
     # bound real session starts must satisfy (drops the sentinel's island)
     mx_epoch = int(proj.agg(F.max(F.unix_timestamp("ts"))).collect()[0][0])
     tmp = tempfile.mkdtemp(prefix="ksp_session_stream_")
     try:
-        flush = proj.agg(F.max(key).alias(key), F.max("ts").alias("ts")).select(
-            key, (F.col("ts") + F.expr(f"INTERVAL {gap_s + 1} SECONDS")).alias("ts")
+        flush = proj.agg(*[F.max(c).alias(c) for c in proj.columns]).withColumn(
+            "ts", F.col("ts") + F.expr(f"INTERVAL {gap_s + 1} SECONDS")
         )
         proj.unionByName(flush).write.parquet(f"{tmp}/in.parquet")
         schema = spark.read.parquet(f"{tmp}/in.parquet").schema
@@ -3014,16 +3052,12 @@ def _session_window_intervals(
         sess = (
             sdf.withWatermark("ts", "0 seconds")
             .groupBy(F.col(key), F.session_window("ts", f"{gap_s} seconds"))
-            .agg(F.count(F.lit(1)).alias("n_events"))
+            .agg(*aggs)
         )
         drained = run_to_completion(sess, output_mode="append", spark=spark)
-        intervals = drained.select(
-            key,
-            F.unix_timestamp("session_window.start").alias("i_start"),
-            (F.unix_timestamp("session_window.end") - gap_s).alias("i_end"),
-        ).filter(F.col("i_start") <= F.lit(mx_epoch))
-        w = _W.partitionBy(key).orderBy("i_start")
-        return intervals.withColumn(out_no, F.row_number().over(w))
+        return drained.filter(
+            F.unix_timestamp("session_window.start") <= F.lit(mx_epoch)
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

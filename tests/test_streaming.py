@@ -1060,6 +1060,30 @@ def test_stream_session_window_overlap_matches_batch_islands_join(spark, sf_dir)
     assert got == want and len(got) > 0
 
 
+def test_stream_session_windows_append_emits_each_session_once(spark, sf_dir):
+    """stream_session_windows_per_user's converted APPEND + flush-sentinel
+    drain (VERDICT r10 item 4) pinned on both halves of the contract:
+    (a) EMIT-ONCE — the drained sink holds exactly one row per session
+    (no complete-mode re-emission, no sentinel leak), keyed by
+    (user_id, session_start) which gaps-and-islands makes unique per
+    user; (b) DRAIN EQUALITY — the appended rows equal the batch
+    sessionization twin row for row (the oracle contract)."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+
+    got_rows = REGISTRY["stream_session_windows_per_user"].fn(spark, sf_dir).collect()
+    keys = [(r["user_id"], r["session_start"]) for r in got_rows]
+    assert len(keys) == len(set(keys))  # emit-once: no session appears twice
+    got = sorted(tuple(r) for r in got_rows)
+    want = sorted(
+        tuple(r)
+        for r in REGISTRY["session_windows_per_user"]
+        .fn(spark, sf_dir)
+        .drop("session_no")
+        .collect()
+    )
+    assert got == want and len(got) > 0
+
+
 def test_session_window_intervals_merge_across_microbatches(spark):
     """The semantics stream_session_window_interval_overlap's stage 1
     claims, pinned under a REAL multi-micro-batch split (the helper's own
