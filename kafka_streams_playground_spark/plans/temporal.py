@@ -2338,17 +2338,34 @@ def ts_theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     by type. At 100 TB the day grid for a year is 365 rows per type:
     ~66k pair rows — the robust-trend answer stays effectively free
     while the raw data grows unboundedly."""
-    d = (
-        load_table(spark, sf_dir, "events")
-        .select(
+    return theil_sen_from_grid(day_grid(load_table(spark, sf_dir, "events")))
+
+
+def day_grid(events: DataFrame) -> DataFrame:
+    """The per-(event_type, day) exact cent-sum grid — the ONE shared
+    sufficient statistic of the whole trend panel (Theil-Sen, Mann-Kendall,
+    Spearman, and their streaming twins): one map-side-partial shuffle of
+    the corpus down to O(types × days) rows; every epilogue after it is
+    grid arithmetic."""
+    return (
+        events.select(
             "event_type",
             F.expr("unix_timestamp(ts) div 86400").alias("day"),
             F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
         )
         .groupBy("event_type", "day")
         .agg(F.sum("cents").alias("v"))
-        .localCheckpoint(eager=True)  # day-grid-bounded; read by both join sides
     )
+
+
+def theil_sen_from_grid(d: DataFrame) -> DataFrame:
+    """Pairwise-slope median + day count over a (event_type, day, v) grid —
+    split from the query so the streaming twin's drained state rides the
+    same epilogue. localCheckpoint: the grid is day-bounded, read by both
+    self-join sides and the n_days aggregate — and a memory-sink drain
+    (the streaming twin) cannot be self-joined without breaking lineage
+    first (Catalyst conflicting-references, FIXTURES.md §C)."""
+    d = d.localCheckpoint(eager=True)
     a = d.select(
         F.col("event_type").alias("et"), F.col("day").alias("di"), F.col("v").alias("vi")
     )
@@ -2764,17 +2781,16 @@ def ts_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     365-day year — effectively free at any corpus size), and the tie and
     n_days relations are grid-sized aggregates joined back on the
     |types|-row result."""
-    d = (
-        load_table(spark, sf_dir, "events")
-        .select(
-            "event_type",
-            F.expr("unix_timestamp(ts) div 86400").alias("day"),
-            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
-        )
-        .groupBy("event_type", "day")
-        .agg(F.sum("cents").alias("v"))
-        .localCheckpoint(eager=True)  # day-grid-bounded; read three times
-    )
+    return mann_kendall_from_grid(day_grid(load_table(spark, sf_dir, "events")))
+
+
+def mann_kendall_from_grid(d: DataFrame) -> DataFrame:
+    """S / tau_a / 18·Var(S) over a (event_type, day, v) grid — split from
+    the query so the streaming twin's drained state rides the same
+    epilogue. localCheckpoint: grid read three times (pair self-join ×2,
+    ties, n_days), and a memory-sink drain cannot be self-joined without
+    breaking lineage first (Catalyst conflicting-references)."""
+    d = d.localCheckpoint(eager=True)
     a = d.select(
         F.col("event_type").alias("et"), F.col("day").alias("di"), F.col("v").alias("vi")
     )
@@ -3053,17 +3069,7 @@ def ts_spearman_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark shape: one shuffle to the (type, day) grid, two type-partitioned
     rank windows over grid rows, one aggregate — O(days·types) total state,
     corpus-size-independent (the Theil-Sen/ACF stance)."""
-    d = (
-        load_table(spark, sf_dir, "events")
-        .select(
-            "event_type",
-            F.expr("unix_timestamp(ts) div 86400").alias("day"),
-            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
-        )
-        .groupBy("event_type", "day")
-        .agg(F.sum("cents").alias("v"))
-    )
-    return spearman_rho_from_grid(d)
+    return spearman_rho_from_grid(day_grid(load_table(spark, sf_dir, "events")))
 
 
 def spearman_rho_from_grid(d: DataFrame) -> DataFrame:

@@ -3322,3 +3322,98 @@ def _share_simpson_oracle() -> None:
 
 
 _share_simpson_oracle()
+
+
+def _day_grid_update_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-(event_type, day) cent-sum grid accumulated AT INGEST — the
+    SHARED state substrate of the three trend-panel twins (VERDICT r10
+    item 5): the grid is an associative keyed aggregate (exact cent sums
+    + row counts per (type, day) cell), so it runs as streaming state
+    with update-mode emission; every trend statistic is then pure grid
+    arithmetic on the drained O(types × days) relation via the SAME
+    epilogue the batch query uses (``plans.temporal.day_grid`` twins this
+    projection bit for bit). State is the day grid itself — bounded by
+    the calendar span, never the stream history; with an unbounded
+    horizon a production job adds a watermark on the day column and
+    emits closed days to a compacted topic. The per-cell row count is
+    strictly monotone in rows seen, so the max-count row per (type, day)
+    is the final state (``latest_update_state`` contract) and the result
+    is micro-batch-split-independent — the batch oracles apply
+    unchanged."""
+    e = read_stream_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_timestamp(ts) div 86400").alias("day"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    g = e.groupBy("event_type", "day").agg(
+        F.sum("cents").alias("v"), F.count(F.lit(1)).alias("n_rows")
+    )
+    drained = run_to_completion(g, output_mode="update", spark=spark)
+    final = latest_update_state(drained, ["event_type", "day"], F.col("n_rows"))
+    return final.select("event_type", "day", "v")
+
+
+@query(
+    "stream_ts_mann_kendall_trend",
+    oracle=None,  # set below: shares ts_mann_kendall_trend's oracle
+    tags=("extension", "streaming", "temporal", "stats", "drift"),
+)
+def stream_ts_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Kendall trend test with the day grid accumulated AT INGEST —
+    the live form of ``ts_mann_kendall_trend`` on the shared
+    ``_day_grid_update_state`` substrate: the S/tau_a/Var(S) epilogue
+    (shared ``mann_kendall_from_grid``, which checkpoints the drained
+    grid before its pair self-join) runs on the drained state. The
+    monotone-trend alarm a quality monitor keeps live per source."""
+    from kafka_streams_playground_spark.plans.temporal import mann_kendall_from_grid
+
+    return mann_kendall_from_grid(_day_grid_update_state(spark, sf_dir))
+
+
+@query(
+    "stream_ts_theil_sen_daily_trend",
+    oracle=None,  # set below: shares ts_theil_sen_daily_trend's oracle
+    tags=("extension", "streaming", "temporal", "ts", "stats"),
+)
+def stream_ts_theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen robust slope with the day grid accumulated AT INGEST —
+    the live form of ``ts_theil_sen_daily_trend`` on the shared
+    ``_day_grid_update_state`` substrate; the pairwise-slope-median
+    epilogue (shared ``theil_sen_from_grid``) runs on the drained
+    O(types × days) state, so the slope answer is as fresh as the last
+    micro-batch at day-grid cost."""
+    from kafka_streams_playground_spark.plans.temporal import theil_sen_from_grid
+
+    return theil_sen_from_grid(_day_grid_update_state(spark, sf_dir))
+
+
+@query(
+    "stream_ts_spearman_daily_trend",
+    oracle=None,  # set below: shares ts_spearman_daily_trend's oracle
+    tags=("extension", "streaming", "temporal", "ts", "stats"),
+)
+def stream_ts_spearman_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank trend with the day grid accumulated AT INGEST — the
+    live form of ``ts_spearman_daily_trend`` on the shared
+    ``_day_grid_update_state`` substrate; the rank-window + widened-d²
+    epilogue (shared ``spearman_rho_from_grid``) runs on the drained
+    grid. Completes the LIVE trend panel: Theil-Sen (how steep),
+    Spearman (how consistently monotone), Mann-Kendall (is there any
+    trend) — all three now batch + streaming on one substrate."""
+    from kafka_streams_playground_spark.plans.temporal import spearman_rho_from_grid
+
+    return spearman_rho_from_grid(_day_grid_update_state(spark, sf_dir))
+
+
+def _share_trend_panel_oracles() -> None:
+    from kafka_streams_playground_spark.plans import temporal  # noqa: F401
+
+    for twin, batch in (
+        ("stream_ts_mann_kendall_trend", "ts_mann_kendall_trend"),
+        ("stream_ts_theil_sen_daily_trend", "ts_theil_sen_daily_trend"),
+        ("stream_ts_spearman_daily_trend", "ts_spearman_daily_trend"),
+    ):
+        REGISTRY[twin] = _replace(REGISTRY[twin], oracle=REGISTRY[batch].oracle)
+
+
+_share_trend_panel_oracles()

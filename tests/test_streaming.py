@@ -1040,6 +1040,27 @@ def test_stream_chi2_matches_batch(spark, sf_dir):
     assert got == want and len(got) > 0
 
 
+def test_stream_trend_panel_twins_match_batch(spark, sf_dir):
+    """The three trend-panel twins (VERDICT r10 item 5) equal their batch
+    forms row for row: all three reduce to the per-(type, day) cent-sum
+    grid, accumulated at ingest by the shared _day_grid_update_state
+    substrate and fed through the SAME epilogue the batch query uses —
+    so drained state == batch grid implies result equality, which this
+    pins end to end."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+
+    for name in (
+        "ts_mann_kendall_trend",
+        "ts_theil_sen_daily_trend",
+        "ts_spearman_daily_trend",
+    ):
+        got = sorted(
+            tuple(r) for r in REGISTRY[f"stream_{name}"].fn(spark, sf_dir).collect()
+        )
+        want = sorted(tuple(r) for r in REGISTRY[name].fn(spark, sf_dir).collect())
+        assert got == want and len(got) > 0, name
+
+
 def test_stream_session_window_overlap_matches_batch_islands_join(spark, sf_dir):
     """The full streaming pipeline (session_window sessionization feeding
     the bin join) equals the batch islands + binned-join result row for
