@@ -873,7 +873,16 @@ def node_triangle_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     the center, the closing probe on the ordered (b, c) pair — both
     co-partitioned shuffles with map-side partial counts. The rank carries
     as (d_hi, hi) ints on each oriented edge so pair-ordering inside a
-    wedge needs no extra degree join."""
+    wedge needs no extra degree join.
+
+    Measured trade at sf0.1 (quiet-machine, min-of-2, the SNM
+    checkpoint-vs-recompute precedent — VERDICT r10 item 3): the
+    orientation costs ~1.0 s of fixed overhead on the small support graph
+    (graph_triangle_count 1.46 s under r9's plain id-ordering → 2.51 s
+    here; the r10 driver's 2.86 s included machine noise). Pure overhead
+    at this scale — sf0.1's hubs are too small for the Σ deg² term to
+    bite — and exactly the price paid for the O(|E|^1.5) wedge bound
+    that keeps the last reducer unstuck on a power-law graph at 100 TB."""
     e = _support_edges(spark, sf_dir)
     # Persisted: the |nodes|-row degree table feeds BOTH orientation
     # broadcasts and the final join — without it Spark re-aggregates the
