@@ -45,74 +45,69 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q4_products_per_user_10s",
     "q5_paid_orders",
     "orders_products_array",
-    # ---- ROUND 10 rotation (VERDICT r9 item 2). Policy unchanged:
+    # ---- ROUND 11 rotation (VERDICT r10 item 1). Policy unchanged:
     # changed-this-round > stalest-last-seen; every demoted query is
     # driver-green in a prior round, unchanged since, and re-checked by
     # the full-registry strict replica (CORRECTNESS_LOCAL.json).
-    # -- slots 7-20: changed or new this round. The triangle substrate
-    # gained the Suri-Vassilvitskii degree orientation (VERDICT item 4;
-    # all four graph-family queries re-slotted per the changed-plan
-    # policy — jaccard/adamic-adar share the _support_edges substrate
-    # and their docstrings changed with it). Welch (batch + stream) and
-    # ACF carry the ADVICE r9 in-fold DECIMAL(38,0) widening; the stream
-    # twin also drops the single-file-fixture reliance (max-(n0+n1)
-    # state reduce). Spearman's final division widened in both engines
-    # (VERDICT item 7). The round's NEW queries — drift_chi2 (VERDICT
-    # item 6) + its streaming twin, ts_mann_kendall_trend,
-    # stats_simpson_user_concentration (+ its streaming twin), and
-    # stream_session_window_interval_overlap (VERDICT item 5) — are
-    # slotted in their birth round per the standing policy.
-    "graph_triangle_count",
-    "graph_clustering_coefficient",
-    "graph_related_parts_jaccard",
-    "graph_adamic_adar_links",
-    "stats_welch_ttest_halves",
-    "stream_stats_welch_ttest_halves",
-    "ts_autocorrelation_lags",
-    "ts_spearman_daily_trend",
-    "drift_chi2_event_type_halves",
-    "stream_drift_chi2_event_type_halves",
+    # -- slots 7-13: changed or new this round. The trend panel gained
+    # its three streaming twins on the shared _day_grid_update_state
+    # substrate (VERDICT item 5) — the batch trio re-slots with them
+    # because their bodies moved to the shared day_grid/epilogue helpers
+    # (plan-identical refactor) and Spearman additionally widened its
+    # Σd² fold to DECIMAL(38,0) (ADVICE r10). The interval pipeline
+    # re-slots because its sessionizer stage was refactored onto the
+    # shared _append_session_windows drain (same contract).
     "ts_mann_kendall_trend",
-    "stats_simpson_user_concentration",
-    "stream_stats_simpson_user_concentration",
+    "stream_ts_mann_kendall_trend",
+    "ts_theil_sen_daily_trend",
+    "stream_ts_theil_sen_daily_trend",
+    "ts_spearman_daily_trend",
+    "stream_ts_spearman_daily_trend",
     "stream_session_window_interval_overlap",
-    # -- slots 21-46: the complete r3 cohort (last driver row round 3 —
-    # the stalest in the registry; VERDICT item 2 named this backlog:
-    # the stream_q1-q3 twins, dedup_exact, dedup_minhash_lsh,
-    # sim_topk_bruteforce, the asof/session/sliding-window family, and
-    # join_range_price_band displaced from the r9 list).
-    "join_range_price_band",
-    "merge_order_ship_activity",
-    "asof_purchase_last_click",
-    "session_windows_per_user",
-    "sliding_window_event_counts",
-    "stream_q4_products_per_user_10s",
-    "stream_s2_latest_event_per_user",
-    "stream_q1_expensive_orders",
-    "stream_q2_order_projection",
-    "stream_q3_products_by_first_letter",
-    "dedup_exact",
-    "dedup_minhash_lsh",
-    "dedup_keep_best_by_quality",
-    "sim_topk_bruteforce",
-    "sim_ann_lsh_topk",
-    "stream_dedup_within_watermark",
-    "stream_q5_daily_revenue",
-    "text_contamination_check",
-    "pack_sequences",
-    "sample_stratified_by_lang",
-    "pipeline_quality_filter",
-    "stream_pipeline_quality_filter",
-    "text_repetition_stats",
-    "sample_temperature_mix",
-    "train_shuffle_shards",
-    "pii_scrub_events",
-    # -- slots 47-50: the head of the r4 cohort (next-stalest; the rest
-    # of r4 rotates in round 11)
-    "agg_revenue_by_nation",
-    "s2_latest_event_per_user",
-    "join_semi_urgent_customers",
-    "join_anti_parts_never_shipped",
+    # -- slots 14-49: the complete r4 cohort (last driver row round 4 —
+    # exactly at the ~6-round staleness boundary; VERDICT item 1 named
+    # it and tools/rotation_audit.py reproduces it). Includes
+    # stream_session_windows_per_user, ALSO changed this round
+    # (complete-mode drain -> APPEND + flush sentinel, VERDICT item 4).
+    "stream_session_windows_per_user",
+    "join_left_interval_unpaid",
+    "agg_price_percentiles",
+    "q_shipping_priority_top10",
+    "join_salted_skew_above_avg",
+    "join_bloom_prefiltered_urgent_items",
+    "s2_compacted_tombstones",
+    "agg_grouping_sets_mixed",
+    "asof_forward_next_purchase",
+    "scd2_user_event_history",
+    "ts_gapfill_user_daily",
+    "funnel_view_click_purchase",
+    "retention_cohort_weeks",
+    "stream_q5_paid_orders",
+    "stream_dedup_exact",
+    "stream_running_count_per_user",
+    "stream_sliding_window_event_counts",
+    "stream_asof_purchase_last_click",
+    "stream_s2_compacted_tombstones",
+    "stream_join_left_interval_unpaid",
+    "dedup_embedding_cosine",
+    "dedup_fuzzy_part_names",
+    "text_token_stats",
+    "text_langid",
+    "text_vocabulary",
+    "domain_quality_stats",
+    "sim_lsh_bucket_stats",
+    "sim_ivf_topk",
+    "sim_ann_multiprobe_topk",
+    "sim_ivf_multiprobe_topk",
+    "semdedup_embedding_prune",
+    "tokenizer_bpe_pair_counts",
+    "mm_frame_sample",
+    "mm_resize_audit",
+    "mm_audio_chunk_energy",
+    "mm_paired_modality_manifest",
+    # -- slot 50: the head of the r5 cohort (next-stalest; the rest of
+    # r5 rotates in round 12)
+    "topk_customers_by_revenue",
 )
 
 
