@@ -1282,3 +1282,30 @@ def test_round10_addition_plan_shapes(spark, sf_dir):
     # count detail headers so each Exchange is counted once
     assert len(re.findall(r"^\(\d+\) Exchange\b", p, re.M)) == 2, p
     assert "partial_sum" in p or "partial_count" in p
+
+def test_round11_refactor_plan_shapes(spark, sf_dir):
+    """Pin the load-bearing shapes of the round-11 refactor: moving the
+    trend trio onto the shared day_grid/epilogue helpers must not change
+    their physical plans. Theil-Sen's pair join is the co-shuffled
+    equi-join on event_type (never a cartesian) with map-side partial
+    aggregates, its rank/median windows all key on event_type, and the
+    day grid itself aggregates with a partial phase before the epilogue
+    self-join reads the checkpointed grid."""
+    p = _plan(spark, sf_dir, "ts_theil_sen_daily_trend")
+    assert "CartesianProduct" not in p
+    assert "partial_max" in p or "partial_count" in p, p
+    specs = re.findall(r"windowspecdefinition\(([^,]*),", p)
+    assert specs and all("event_type" in s for s in specs), specs
+
+    # the shared grid: one map-side-partial aggregate of the corpus
+    from kafka_streams_playground_spark.plans.temporal import day_grid
+    from kafka_streams_playground_spark.sources.parquet import load_table
+
+    import io as _io
+    from contextlib import redirect_stdout as _rs
+
+    buf = _io.StringIO()
+    with _rs(buf):
+        day_grid(load_table(spark, sf_dir, "events")).explain("formatted")
+    g = buf.getvalue()
+    assert "partial_sum" in g and "CartesianProduct" not in g, g

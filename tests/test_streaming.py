@@ -1061,6 +1061,59 @@ def test_stream_trend_panel_twins_match_batch(spark, sf_dir):
         assert got == want and len(got) > 0, name
 
 
+def test_day_grid_state_split_independent_across_microbatches(spark):
+    """The trend twins' shared substrate under a REAL multi-micro-batch
+    split (the fixture replay drains in one batch; maxFilesPerTrigger=1
+    forces three): a (type, day) cell whose events arrive in DIFFERENT
+    micro-batches must accumulate in the state store, the update-mode
+    sink then holds one row per (cell, emitting batch), and the
+    max-row-count reduce (latest_update_state) must pick each cell's
+    FINAL state — so the reduced grid equals the batch day_grid of the
+    union, which is the exact premise the three trend twins' shared
+    oracles rest on."""
+    from datetime import datetime
+
+    from kafka_streams_playground_spark.plans.temporal import day_grid
+    from kafka_streams_playground_spark.streaming.replay import latest_update_state
+
+    schema = "event_type string, ts timestamp, value double"
+    d0, d1 = datetime(2024, 1, 1, 8), datetime(2024, 1, 2, 8)
+    batches = [
+        [("click", d0, 1.25), ("view", d0, 2.00)],
+        # same (click, day-0) cell continues in a later batch; day-1 opens
+        [("click", d0, 0.75), ("click", d1, 10.00)],
+        [("view", d1, 4.50), ("click", d1, 0.50)],
+    ]
+    paths = _write_batches(spark, batches, schema)
+    src_dir = os.path.dirname(paths[0])
+    sdf = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(src_dir, "b*"))
+    )
+    g = (
+        sdf.select(
+            "event_type",
+            F.expr("unix_timestamp(ts) div 86400").alias("day"),
+            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        )
+        .groupBy("event_type", "day")
+        .agg(F.sum("cents").alias("v"), F.count(F.lit(1)).alias("n_rows"))
+    )
+    drained = run_to_completion(g, output_mode="update", spark=spark)
+    # the split produced re-emissions: more sink rows than final cells
+    assert drained.count() > 4
+    got = {
+        (r["event_type"], r["day"], r["v"])
+        for r in latest_update_state(
+            drained, ["event_type", "day"], F.col("n_rows")
+        ).collect()
+    }
+    union = spark.createDataFrame([r for b in batches for r in b], schema)
+    want = {(r["event_type"], r["day"], r["v"]) for r in day_grid(union).collect()}
+    assert got == want and len(want) == 4
+
+
 def test_stream_session_window_overlap_matches_batch_islands_join(spark, sf_dir):
     """The full streaming pipeline (session_window sessionization feeding
     the bin join) equals the batch islands + binned-join result row for
