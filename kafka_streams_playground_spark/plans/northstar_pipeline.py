@@ -876,13 +876,17 @@ def node_triangle_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     wedge needs no extra degree join.
 
     Measured trade at sf0.1 (quiet-machine, min-of-2, the SNM
-    checkpoint-vs-recompute precedent — VERDICT r10 item 3): the
-    orientation costs ~1.0 s of fixed overhead on the small support graph
-    (graph_triangle_count 1.46 s under r9's plain id-ordering → 2.51 s
-    here; the r10 driver's 2.86 s included machine noise). Pure overhead
-    at this scale — sf0.1's hubs are too small for the Σ deg² term to
-    bite — and exactly the price paid for the O(|E|^1.5) wedge bound
-    that keeps the last reducer unstuck on a power-law graph at 100 TB."""
+    checkpoint-vs-recompute precedent — VERDICT r10 item 3): identical
+    post-orientation code measured 1.63 s (r11 full-bench run), 2.51 s
+    (r11 targeted run), and 2.86 s (r10 driver run) against 1.46 s under
+    r9's plain id-ordering — i.e. the orientation's fixed overhead on the
+    small support graph is real but SMALLER than the per-run variance
+    (≈0.2–1.4 s depending on JIT/page-cache warmth; sub-second precision
+    is unattainable on this box — README documents the 169.7–219.7 s
+    same-binary span for the full map). Pure overhead at this scale —
+    sf0.1's hubs are too small for the Σ deg² term to bite — and exactly
+    the price paid for the O(|E|^1.5) wedge bound that keeps the last
+    reducer unstuck on a power-law graph at 100 TB."""
     e = _support_edges(spark, sf_dir)
     # Persisted: the |nodes|-row degree table feeds BOTH orientation
     # broadcasts and the final join — without it Spark re-aggregates the
