@@ -3040,13 +3040,24 @@ def _append_session_windows(
 
     # bounded collect: ONE scalar — the corpus max floor-epoch, the upper
     # bound real session starts must satisfy (drops the sentinel's island)
-    mx_epoch = int(proj.agg(F.max(F.unix_timestamp("ts"))).collect()[0][0])
+    mx = proj.agg(F.max(F.unix_timestamp("ts"))).collect()[0][0]
     tmp = tempfile.mkdtemp(prefix="ksp_session_stream_")
     try:
-        flush = proj.agg(*[F.max(c).alias(c) for c in proj.columns]).withColumn(
-            "ts", F.col("ts") + F.expr(f"INTERVAL {gap_s + 1} SECONDS")
-        )
-        proj.unionByName(flush).write.parquet(f"{tmp}/in.parquet")
+        if mx is None:
+            # empty input: no sessions to flush — the sentinel row would be
+            # all-NULL (null ts breaks session_window), so replay the empty
+            # relation as-is and the append drain emits nothing
+            mx_epoch = 0
+            feed = proj
+        else:
+            mx_epoch = int(mx)
+            flush = proj.agg(
+                *[F.max(c).alias(c) for c in proj.columns]
+            ).withColumn(
+                "ts", F.col("ts") + F.expr(f"INTERVAL {gap_s + 1} SECONDS")
+            )
+            feed = proj.unionByName(flush)
+        feed.write.parquet(f"{tmp}/in.parquet")
         schema = spark.read.parquet(f"{tmp}/in.parquet").schema
         sdf = spark.readStream.schema(schema).parquet(f"{tmp}/in.parquet")
         sess = (

@@ -1061,6 +1061,26 @@ def test_stream_trend_panel_twins_match_batch(spark, sf_dir):
         assert got == want and len(got) > 0, name
 
 
+def test_append_session_windows_empty_input(spark):
+    """_append_session_windows on an EMPTY relation must drain to zero
+    rows instead of crashing on the all-NULL sentinel (int(None) /
+    null-ts session_window) — the guard the production path needs when
+    a filtered feed goes quiet."""
+    # plans first: importing streaming.queries as the entry module would
+    # re-enter plans/__init__ mid-registration (circular import) and trip
+    # the length-50 reorder invariant
+    from kafka_streams_playground_spark.plans import REGISTRY  # noqa: F401
+    from kafka_streams_playground_spark.streaming.queries import (
+        _append_session_windows,
+    )
+
+    empty = spark.createDataFrame([], "user_id long, ts timestamp")
+    out = _append_session_windows(
+        spark, empty, "user_id", 600, [F.count(F.lit(1)).alias("n_events")]
+    )
+    assert out.count() == 0
+
+
 def test_day_grid_state_split_independent_across_microbatches(spark):
     """The trend twins' shared substrate under a REAL multi-micro-batch
     split (the fixture replay drains in one batch; maxFilesPerTrigger=1
