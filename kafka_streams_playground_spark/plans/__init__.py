@@ -51,19 +51,28 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # the full-registry strict replica (CORRECTNESS_LOCAL.json).
     # -- slots 7-13: changed or new this round. The trend panel gained
     # its three streaming twins on the shared _day_grid_update_state
-    # substrate (VERDICT item 5) — the batch trio re-slots with them
-    # because their bodies moved to the shared day_grid/epilogue helpers
-    # (plan-identical refactor) and Spearman additionally widened its
-    # Σd² fold to DECIMAL(38,0) (ADVICE r10). The interval pipeline
-    # re-slots because its sessionizer stage was refactored onto the
-    # shared _append_session_windows drain (same contract).
-    "ts_mann_kendall_trend",
+    # substrate (VERDICT item 5); Spearman's batch form re-slots with
+    # them because its Σd² fold widened to DECIMAL(38,0) (ADVICE r10).
+    # The session/interval family re-slots because the EXACT-GAP
+    # BOUNDARY RULE CHANGED IN BOTH ENGINES this round (>= -> > opens a
+    # new island, matching Spark session_window's touching-bounds merge
+    # and Kafka Streams' inclusive gap — found by the new boundary test;
+    # fixture results are provably unchanged, but a both-engines rule
+    # flip is exactly what warrants fresh driver signal). Slot
+    # efficiency (VERDICT r10 item 7): ts_mann_kendall_trend and
+    # ts_theil_sen_daily_trend — plan-identical refactors, r10 driver
+    # rows, plan-shape-pinned — cede their slots to the boundary-rule
+    # queries; their streaming twins (slotted) share the same oracles
+    # and run the SAME epilogue functions, so the moved code still gets
+    # driver signal this round.
     "stream_ts_mann_kendall_trend",
-    "ts_theil_sen_daily_trend",
     "stream_ts_theil_sen_daily_trend",
     "ts_spearman_daily_trend",
     "stream_ts_spearman_daily_trend",
     "stream_session_window_interval_overlap",
+    "session_windows_per_user",
+    "join_interval_overlap_bins",
+    "stream_join_interval_overlap_bins",
     # -- slots 14-49: the complete r4 cohort (last driver row round 4 —
     # exactly at the ~6-round staleness boundary; VERDICT item 1 named
     # it and tools/rotation_audit.py reproduces it). Includes
@@ -105,9 +114,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "mm_resize_audit",
     "mm_audio_chunk_energy",
     "mm_paired_modality_manifest",
-    # -- slot 50: the head of the r5 cohort (next-stalest; the rest of
-    # r5 rotates in round 12)
-    "topk_customers_by_revenue",
+    # (no r5-head filler this round: the boundary-rule re-slots consumed
+    # the spare slot; the complete r5 cohort rotates in round 12)
 )
 
 

@@ -109,7 +109,7 @@ def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         CASE WHEN lag(ts) OVER w IS NULL
                   OR epoch(ts::TIMESTAMP)
                      - epoch((lag(ts) OVER w)::TIMESTAMP)
-                     >= {SESSION_GAP_S}
+                     > {SESSION_GAP_S}
              THEN 1 ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -131,15 +131,20 @@ def asof_purchase_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def session_windows_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sessionization with a 6 h inactivity gap — gaps-and-islands: flag a
-    row as session-opening when the previous event of the same user is at
-    least the gap away; a running sum of flags numbers the sessions; group
-    by (user, session_no). Batch twin of ``session_window()`` (the
+    row as session-opening when the previous event of the same user is
+    MORE than the gap away; a running sum of flags numbers the sessions;
+    group by (user, session_no). Batch twin of ``session_window()`` (the
     streaming form in streaming/queries.py) with IDENTICAL boundary
-    semantics: the gap is computed on precise (sub-second) epochs and a gap
-    exactly equal to SESSION_GAP_S opens a new session, matching
-    session_window's end-exclusive bound. One shuffle on user_id, two
-    in-partition window passes, no self-join — the linear-cost
-    sessionization that holds at 100 TB."""
+    semantics: the gap is computed on precise (sub-second) epochs and a
+    gap EXACTLY equal to SESSION_GAP_S MERGES — Spark's session windows
+    merge on touching window bounds, and Kafka Streams'
+    ``SessionWindows.ofInactivityGap`` likewise merges events that differ
+    by no more than the gap, so strict ``>`` opens a new session (fixed
+    round 11: the old ``>=`` rule disagreed with both engines exactly at
+    the boundary — a targeted boundary test now pins equality; fixture
+    results are unchanged since sub-second timestamps never land on the
+    exact gap). One shuffle on user_id, two in-partition window passes,
+    no self-join — the linear-cost sessionization that holds at 100 TB."""
     events = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
     gap = F.col("ts").cast("double") - F.lag(F.col("ts").cast("double")).over(w)
@@ -148,7 +153,7 @@ def session_windows_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "ts",
         "value",
-        F.when(F.lag("ts").over(w).isNull() | (gap >= SESSION_GAP_S), 1)
+        F.when(F.lag("ts").over(w).isNull() | (gap > SESSION_GAP_S), 1)
         .otherwise(0)
         .alias("new_session"),
     )
@@ -2539,7 +2544,7 @@ _SESSIONIZE_SQL = """
         CASE WHEN lag(ts) OVER w IS NULL
                   OR epoch(ts::TIMESTAMP)
                      - epoch((lag(ts) OVER w)::TIMESTAMP)
-                     >= {gap}
+                     > {gap}
              THEN 1 ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -2565,7 +2570,7 @@ _BURSTS_SQL = f"""
         CASE WHEN lag(ts) OVER w IS NULL
                   OR epoch(ts::TIMESTAMP)
                      - epoch((lag(ts) OVER w)::TIMESTAMP)
-                     >= {BURST_GAP_S}
+                     > {BURST_GAP_S}
              THEN 1 ELSE 0 END AS new_burst
       FROM events
       WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
@@ -2589,7 +2594,10 @@ _BURSTS_SQL = f"""
 def interval_islands(df: DataFrame, part: str, out_no: str, gap_s: int) -> DataFrame:
     """Gaps-and-islands sessionization shared by the batch interval-overlap
     join and its streaming twin: per-``part`` key, a new island opens when
-    the gap to the previous event reaches ``gap_s`` (SESSION_GAP_S for
+    the gap to the previous event EXCEEDS ``gap_s`` — a gap exactly equal
+    merges, matching Spark session_window's touching-bounds merge and
+    Kafka Streams' inclusive inactivity gap (boundary fixed round 11,
+    pinned by test) — (SESSION_GAP_S for
     user sessions, BURST_GAP_S for per-type bursts — the caller passes its
     threshold explicitly so a third key can never silently inherit the
     wrong one); bounds are floor-epoch BIGINTs so downstream overlap
@@ -2600,7 +2608,7 @@ def interval_islands(df: DataFrame, part: str, out_no: str, gap_s: int) -> DataF
         part,
         "ts",
         "event_id",
-        F.when(F.lag("ts").over(w).isNull() | (gap >= gap_s), 1)
+        F.when(F.lag("ts").over(w).isNull() | (gap > gap_s), 1)
         .otherwise(0)
         .alias("flag"),
     )

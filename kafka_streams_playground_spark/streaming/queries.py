@@ -208,7 +208,7 @@ def stream_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
       SELECT user_id, event_id, ts, value,
         CASE WHEN lag(ts) OVER w IS NULL
                   OR epoch(ts::TIMESTAMP) - epoch((lag(ts) OVER w)::TIMESTAMP)
-                     >= {6 * 3600}
+                     > {6 * 3600}
              THEN 1 ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -230,11 +230,13 @@ def stream_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def stream_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Native streaming session windows: ``session_window(ts, gap)`` merges
-    events closer than 6 h into one session held in the state store; the
-    watermark closes sessions. Session end is reported as the last event's
-    time (``max(ts)``), not Spark's internal last+gap bound, so the oracle
-    is the precise-epoch gaps-and-islands twin (strict ``>= gap`` opens a
-    new session — session_window's boundary semantics).
+    events no more than 6 h apart into one session held in the state
+    store; the watermark closes sessions. Session end is reported as the
+    last event's time (``max(ts)``), not Spark's internal last+gap bound,
+    so the oracle is the precise-epoch gaps-and-islands twin (strict
+    ``> gap`` opens a new session; a gap exactly equal MERGES —
+    session_window merges touching window bounds, as does Kafka Streams'
+    inclusive inactivity gap; boundary fixed round 11, pinned by test).
 
     APPEND + FLUSH-SENTINEL emission (converted from a complete-mode drain
     per VERDICT r10 item 4): rides the shared ``_append_session_windows``
@@ -2981,11 +2983,13 @@ def _session_window_intervals(
     """STREAMING sessionization: the gaps-and-islands intervals formed by a
     ``session_window`` aggregation on the replayed event stream — the
     production stage the bin join's docstring names. Spark's session
-    window merges events whose gap is < gapDuration (window start = first
-    event, end = last event + gap), which is exactly ``interval_islands``'
-    new-island-at-gap-≥-threshold rule, so (key, floor-epoch bounds) match
-    the batch pass bit-for-bit: i_start = unix(window.start) and i_end =
-    unix(window.end) − gap (gap is integer seconds, so the floors agree).
+    window merges events whose gap is <= gapDuration (touching window
+    bounds merge; window start = first event, end = last event + gap),
+    which is exactly ``interval_islands``' new-island-at-gap->-threshold
+    rule (boundary aligned round 11, pinned by the exact-gap test), so
+    (key, floor-epoch bounds) match the batch pass bit-for-bit: i_start =
+    unix(window.start) and i_end = unix(window.end) − gap (gap is integer
+    seconds, so the floors agree).
 
     Append mode only emits a session once the watermark passes its window
     end, and the LAST session per key ends gap seconds past its last

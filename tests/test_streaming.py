@@ -1061,6 +1061,55 @@ def test_stream_trend_panel_twins_match_batch(spark, sf_dir):
         assert got == want and len(got) > 0, name
 
 
+def test_session_gap_boundary_semantics_match_batch_and_stream(spark):
+    """The sessionizer boundary semantics pinned at the exact threshold —
+    the ROUND-11 FIX this test exposed: Spark's session_window (and Kafka
+    Streams' inclusive inactivity gap) MERGE two events exactly GAP
+    seconds apart, while the batch islands rule used >= gap and split
+    them. The fixtures never land on the exact boundary (sub-second
+    timestamps vs a 6 h gap), so every fixture-level equality test passed
+    with the mismatch latent. Both engines now use strict > to open: the
+    interval relations must agree at gap-1 (merge), gap (MERGE — the case
+    that used to disagree), and gap+1 (split)."""
+    from datetime import datetime, timedelta
+
+    from kafka_streams_playground_spark.plans import REGISTRY  # noqa: F401
+    from kafka_streams_playground_spark.plans.temporal import interval_islands
+    from kafka_streams_playground_spark.streaming.queries import (
+        _session_window_intervals,
+    )
+
+    gap = 600
+    t0 = datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        # u1: EXACTLY gap apart -> ONE merged session in both engines
+        (1, t0),
+        (1, t0 + timedelta(seconds=gap)),
+        # u2: gap-1 apart -> one session
+        (2, t0),
+        (2, t0 + timedelta(seconds=gap - 1)),
+        # u3: gap+1 apart -> two sessions
+        (3, t0),
+        (3, t0 + timedelta(seconds=gap + 1)),
+    ]
+    events = spark.createDataFrame(rows, "user_id long, ts timestamp").withColumn(
+        "event_id", F.monotonically_increasing_id()
+    )
+    want = sorted(
+        (r["user_id"], r["session_no"], r["i_start"], r["i_end"])
+        for r in interval_islands(events, "user_id", "session_no", gap).collect()
+    )
+    got = sorted(
+        (r["user_id"], r["session_no"], r["i_start"], r["i_end"])
+        for r in _session_window_intervals(
+            spark, events, "user_id", gap, "session_no"
+        ).collect()
+    )
+    assert got == want
+    per_user = {u: sum(1 for g in got if g[0] == u) for u in (1, 2, 3)}
+    assert per_user == {1: 1, 2: 1, 3: 2}
+
+
 def test_append_session_windows_empty_input(spark):
     """_append_session_windows on an EMPTY relation must drain to zero
     rows instead of crashing on the all-NULL sentinel (int(None) /
