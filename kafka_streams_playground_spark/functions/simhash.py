@@ -86,7 +86,8 @@ def band_bounds(n_bands: int = 5, n_bits: int = N_BITS) -> list[tuple[int, int]]
 
 def band_value_sql(fp_expr: str, lo: int, width: int) -> str:
     """Band-extraction expression ``(fp >> lo) % 2^width`` in pure INTEGER
-    arithmetic (DuckDB ``//`` floor division). Float division here would be
+    arithmetic (DuckDB ``//`` integer division — trunc and floor coincide
+    on the non-negative fingerprint). Float division here would be
     a correctness bug: fp uses up to 63 bits, beyond float64's 53-bit
     mantissa, so ``FLOOR(fp / 2^lo.0)`` can round away low-order band bits
     and silently break the pigeonhole recall guarantee."""

@@ -2456,8 +2456,9 @@ def embedding_centroid_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: coordinates on the 1e-6 integer grid; the centroid is the
     GRID-FLOORED per-dimension mean (sign-safe shared floor division —
-    DuckDB floors, Spark truncates on negatives, so the mod-adjusted form
-    is spelled identically in both engines, the Theil-Sen stance), and
+    both engines' operators truncate toward zero on negatives while the
+    grid wants the mathematical floor, so the mod-adjusted form is
+    spelled identically in both engines, the Theil-Sen stance), and
     distance² to it is an exact BIGINT sum of squared grid deltas
     (~(1e6·spread)²·d ≈ 1e14 — n-independent headroom, unlike the
     n-scaled ||n·x − s||² form which overflows BIGINT once n exceeds

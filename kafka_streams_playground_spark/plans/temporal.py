@@ -2329,9 +2329,12 @@ def ts_theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ~29% corrupted days cannot move it, where the OLS slope
     (``stats_ols_qty_price_by_nation``'s machinery) chases any single
     spiked day. The slope grid is exact: cents×1e6 numerators with an
-    explicit sign-safe floor division (both engines' operators disagree
-    on negative division — DuckDB floors, Spark truncates — so the
-    mod-adjusted floor is spelled out once and shared); the median is
+    explicit sign-safe floor division (BOTH engines' integer-division
+    operators truncate toward zero on negatives — probed: Spark ``div``
+    and DuckDB v1.0.0 ``//`` both give −7/2 → −3 — which differs from
+    the mathematical floor the ppm grid wants, so the mod-adjusted floor
+    is spelled out once and shared; it is exact under either operator
+    semantic since the adjusted numerator divides evenly); the median is
     reported as its lo/hi middle order statistics (equal when n_pairs is
     odd) rather than averaging into a fraction.
 
