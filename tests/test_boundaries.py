@@ -1,0 +1,148 @@
+"""Exact-threshold boundary probes (the round-11 lesson): when two
+implementations claim identical semantics — a Spark plan and its DuckDB
+oracle, or a batch pass and its streaming twin — the only rows that can
+disagree are measure-zero boundary cases the random fixtures never
+produce. Each test here materializes a tiny synthetic events table that
+SITS on a boundary and runs BOTH engines on it with the replica's own
+type-strict compare (the session-gap mismatch was found exactly this
+way; see test_streaming.test_session_gap_boundary_semantics_*)."""
+
+import os
+import sys
+from datetime import datetime, timedelta
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from tools.check_correctness import _norm_rows  # noqa: E402
+
+
+def _events_fixture_dir(spark, tmp_path, rows):
+    """Write rows as <dir>/events.parquet in the fixture schema."""
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp, value double"
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    return str(tmp_path)
+
+
+def _spark_vs_oracle(spark, sf_dir, name):
+    """Run a registered query and its DuckDB oracle on the same fixture
+    dir and return (normalized_spark_rows, normalized_oracle_rows)."""
+    import duckdb
+
+    from kafka_streams_playground_spark.plans import REGISTRY
+
+    spec = REGISTRY[name]
+    sdf = spec.fn(spark, sf_dir)
+    spdf = sdf.toPandas()
+    s = _norm_rows(
+        sorted(sdf.columns), [tuple(t) for t in spdf.itertuples(index=False, name=None)]
+    )
+    con = duckdb.connect()
+    # Spark writes a parquet DIRECTORY (the real fixtures are single
+    # files); glob the part files for DuckDB
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM "
+        f"read_parquet('{os.path.join(sf_dir, 'events.parquet', '*.parquet')}')"
+    )
+    ddf = con.execute(spec.oracle).df()
+    d = _norm_rows(
+        sorted(ddf.columns), [tuple(t) for t in ddf.itertuples(index=False, name=None)]
+    )
+    assert sorted(sdf.columns) == sorted(ddf.columns), (sdf.columns, list(ddf.columns))
+    return s, d
+
+
+def test_asof_nearest_boundary_cases(spark, tmp_path):
+    """asof_nearest_click at every boundary the fixtures can't hit:
+    a click at EXACTLY the purchase timestamp (backward-inclusive, dist
+    0), an exact equidistant tie (backward must win in both engines),
+    multiple clicks at the same timestamp (largest id wins backward),
+    sub-second floor asymmetry (distances computed on FLOORED epochs),
+    and a nearest click exactly AT the tolerance (kept) vs one second
+    past it (dropped)."""
+    from kafka_streams_playground_spark.plans.temporal import NEAREST_TOL_S
+
+    t = datetime(2024, 5, 1, 12, 0, 0)
+    s = timedelta(seconds=1)
+    rows = [
+        # u1: click at exactly purchase ts + a later click -> back, dist 0
+        (10, 1, "click", t, 1.0),
+        (11, 1, "purchase", t, 1.0),
+        (12, 1, "click", t + 5 * s, 1.0),
+        # u2: exact equidistant tie (10 s both sides) -> backward wins
+        (20, 2, "click", t - 10 * s, 1.0),
+        (21, 2, "purchase", t, 1.0),
+        (22, 2, "click", t + 10 * s, 1.0),
+        # u3: two clicks at the SAME ts before the purchase -> largest id
+        (30, 3, "click", t, 1.0),
+        (31, 3, "click", t, 1.0),
+        (32, 3, "purchase", t + 3 * s, 1.0),
+        # u4: sub-second floor asymmetry: purchase at t+0.9 s, click at t
+        # (precise dist 0.9, FLOORED dist 0), fwd click at t+1.2 s
+        # (precise dist 0.3 — nearer! — but FLOORED dist 1): the floored
+        # contract must pick BACKWARD in both engines
+        (40, 4, "click", t, 1.0),
+        (41, 4, "purchase", t + timedelta(microseconds=900_000), 1.0),
+        (42, 4, "click", t + timedelta(seconds=1, microseconds=200_000), 1.0),
+        # u5: click exactly AT the tolerance -> kept; u6: one past -> dropped
+        (50, 5, "click", t - NEAREST_TOL_S * s, 1.0),
+        (51, 5, "purchase", t, 1.0),
+        (60, 6, "click", t - (NEAREST_TOL_S + 1) * s, 1.0),
+        (61, 6, "purchase", t, 1.0),
+    ]
+    sf_dir = _events_fixture_dir(spark, tmp_path, rows)
+    s_rows, d_rows = _spark_vs_oracle(spark, sf_dir, "asof_nearest_click")
+    assert s_rows == d_rows and len(s_rows) == 6
+    # spot-check the semantics, not just cross-engine agreement
+    got = {
+        r["event_id"]: (r["nearest_click_id"], r["nearest_dist_s"], r["direction"])
+        for r in __import__(
+            "kafka_streams_playground_spark.plans", fromlist=["REGISTRY"]
+        ).REGISTRY["asof_nearest_click"].fn(spark, sf_dir).collect()
+    }
+    assert got[11] == (10, 0, 1)  # equal-ts click, backward, dist 0
+    assert got[21] == (20, 10, 1)  # exact tie -> backward
+    assert got[32] == (31, 3, 1)  # same-ts clicks -> largest id
+    assert got[41] == (40, 0, 1)  # floored contract -> backward dist 0
+    assert got[51] == (50, NEAREST_TOL_S, 1)  # at tolerance: kept
+    assert got[61] == (None, None, 0)  # past tolerance: dropped
+
+
+def test_asof_backward_equal_ts_inclusive(spark, tmp_path):
+    """asof_purchase_last_click: a click at EXACTLY the purchase timestamp
+    is a valid backward match in both engines (<= semantics), with
+    same-ts ties resolved to the largest click id."""
+    t = datetime(2024, 5, 1, 12, 0, 0)
+    rows = [
+        (10, 1, "click", t, 1.0),
+        (11, 1, "click", t, 1.0),
+        (12, 1, "purchase", t, 1.0),
+        # u2: no click at or before -> null match survives in both engines
+        (20, 2, "purchase", t, 1.0),
+        (21, 2, "click", t + timedelta(seconds=1), 1.0),
+    ]
+    sf_dir = _events_fixture_dir(spark, tmp_path, rows)
+    s_rows, d_rows = _spark_vs_oracle(spark, sf_dir, "asof_purchase_last_click")
+    assert s_rows == d_rows and len(s_rows) == 2
+
+
+def test_asof_forward_equal_ts_inclusive(spark, tmp_path):
+    """asof_forward_next_purchase: a purchase at EXACTLY the view
+    timestamp is a valid forward match in both engines (>= semantics),
+    ties to the smallest purchase id."""
+    t = datetime(2024, 5, 1, 12, 0, 0)
+    rows = [
+        (10, 1, "view", t, 1.0),
+        (11, 1, "purchase", t, 1.0),
+        (12, 1, "purchase", t, 1.0),
+        # u2: purchase strictly before the view only -> null forward match
+        (20, 2, "purchase", t - timedelta(seconds=1), 1.0),
+        (21, 2, "view", t, 1.0),
+    ]
+    sf_dir = _events_fixture_dir(spark, tmp_path, rows)
+    s_rows, d_rows = _spark_vs_oracle(spark, sf_dir, "asof_forward_next_purchase")
+    assert s_rows == d_rows and len(s_rows) == 2
