@@ -146,3 +146,83 @@ def test_asof_forward_equal_ts_inclusive(spark, tmp_path):
     sf_dir = _events_fixture_dir(spark, tmp_path, rows)
     s_rows, d_rows = _spark_vs_oracle(spark, sf_dir, "asof_forward_next_purchase")
     assert s_rows == d_rows and len(s_rows) == 2
+
+
+def test_adversarial_tie_fixture_sweep(spark, tmp_path):
+    """Shotgun boundary sweep: every events-only oracled BATCH query runs
+    on a tie-heavy adversarial fixture — exact timestamp collisions
+    (same user+ts across types, duplicate (user, ts, type) under
+    different ids), events exactly on day/10 s-window boundaries,
+    event_id order deliberately decorrelated from time order, duplicated
+    values, zero values — and must still agree with its DuckDB oracle
+    under the replica's type-strict compare. Random fixtures make all of
+    these measure-zero, so a query whose tie-break silently leans on
+    non-colliding timestamps (the round-11 session-gap lesson) passes
+    every fixture gate and fails only here."""
+    import re
+    from datetime import datetime, timedelta
+
+    from kafka_streams_playground_spark.plans import REGISTRY
+
+    TABLES = {
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "documents", "embeddings", "events",
+    }
+
+    def refs(sql):
+        return {
+            m.group(1).lower()
+            for m in re.finditer(r"\b(?:FROM|JOIN)\s+([a-zA-Z_]\w*)", sql, re.I)
+        } & TABLES
+
+    day0 = datetime(2024, 6, 1, 0, 0, 0)  # exactly midnight: day boundary
+    s = timedelta(seconds=1)
+    rows, eid = [], 0
+
+    def add(user, etype, ts, value, k):
+        nonlocal eid
+        # decorrelate id from time order: ids descend as time ascends
+        rows.append((10_000 - eid, user, etype, ts, value, '{"k": %d}' % k))
+        eid += 1
+
+    for u in (1, 2):
+        add(u, "view", day0, 10.0, 0)                 # exactly midnight
+        add(u, "click", day0, 10.0, 5)                # SAME ts, other type
+        add(u, "click", day0, 7.25, 5)                # SAME (user, ts, type)
+        add(u, "purchase", day0 + 10 * s, 10.0, 7)    # exactly at 10 s window edge
+        add(u, "purchase", day0 + 10 * s, 10.0, 7)    # full duplicate row content
+        add(u, "view", day0 + timedelta(days=1), 0.0, 0)      # next-day midnight
+        add(u, "error", day0 + timedelta(days=1), -3.5, 9)    # negative value tie point
+        add(u, "signup", day0 + timedelta(days=1, seconds=10), 7.25, 12)
+    # u3: single event (degenerate groups for windows/trends)
+    add(3, "purchase", day0 + 5 * s, 1.005, 1)  # cent-rounding tie value
+    # u4: all five types at ONE shared timestamp
+    for t_, k_ in (("view", 1), ("click", 2), ("purchase", 3), ("signup", 4), ("error", 5)):
+        add(4, t_, day0 + timedelta(days=2), 50.0, k_)
+
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, ts timestamp, "
+        "value double, props string",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+    sf_dir = str(tmp_path)
+
+    names = sorted(
+        n
+        for n, spec in REGISTRY.items()
+        if not n.startswith("stream_")
+        and spec.oracle is not None
+        and refs(spec.oracle) == {"events"}
+    )
+    assert len(names) >= 50  # the sweep must keep covering the family
+    mismatches = []
+    for n in names:
+        try:
+            got, want = _spark_vs_oracle(spark, sf_dir, n)
+        except Exception as e:  # noqa: BLE001
+            mismatches.append((n, f"error: {e}"))
+            continue
+        if got != want:
+            mismatches.append((n, f"{len(got)} vs {len(want)} rows / value diff"))
+    assert not mismatches, mismatches
