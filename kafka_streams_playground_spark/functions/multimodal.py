@@ -55,11 +55,16 @@ def attach_binary_payload(docs: DataFrame) -> DataFrame:
 
 def _decode_stub(buf: bytes) -> list[float]:
     """STUB decoder — stands in for PIL/ffmpeg/torchvision, which are not in
-    this container. Deterministic fake "pixel features": the first
-    FEATURE_DIM bytes scaled to [0,1]. A real deployment swaps only this
-    function; the Arrow plumbing around it is production-shaped."""
-    head = buf[:FEATURE_DIM]
-    feats = [b / 255.0 for b in head]
+    this container. Deterministic fake "pixel features": the payload is
+    DECODED (UTF-8, the fake container format) and the first FEATURE_DIM
+    codepoints scale by 1/255. Codepoints, not raw bytes: the oracle reads
+    positions via ``ascii(substr(text, i, 1))`` (codepoints), and a
+    byte-indexed stub silently diverged on non-ASCII payloads — found by
+    the round-11 adversarial documents sweep; ASCII inputs are unchanged
+    (byte == codepoint). A real deployment swaps only this function; the
+    Arrow plumbing around it is production-shaped."""
+    head = buf.decode("utf-8")[:FEATURE_DIM]
+    feats = [ord(c) / 255.0 for c in head]
     feats += [0.0] * (FEATURE_DIM - len(feats))
     return feats
 

@@ -58,21 +58,35 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # new island, matching Spark session_window's touching-bounds merge
     # and Kafka Streams' inclusive gap — found by the new boundary test;
     # fixture results are provably unchanged, but a both-engines rule
-    # flip is exactly what warrants fresh driver signal). Slot
-    # efficiency (VERDICT r10 item 7): ts_mann_kendall_trend and
-    # ts_theil_sen_daily_trend — plan-identical refactors, r10 driver
-    # rows, plan-shape-pinned — cede their slots to the boundary-rule
-    # queries; their streaming twins (slotted) share the same oracles
-    # and run the SAME epilogue functions, so the moved code still gets
-    # driver signal this round.
+    # flip is exactly what warrants fresh driver signal). Three MORE
+    # queries changed late in the round when the new ADVERSARIAL
+    # BOUNDARY SWEEPS (tests/test_boundaries.py) exposed latent defects:
+    # mm_decoded_feature_checksum (stub decode switched bytes ->
+    # codepoints — diverged on non-ASCII), sample_weighted_reservoir
+    # (zero-weight guard — ANSI division crash),
+    # embedding_pca_power_iteration (rescale widened to HUGEINT/Python
+    # ints — int64 overflow, silent on the numpy side). Slot efficiency
+    # (VERDICT r10 item 7) funds all the changed-query slots:
+    # ts_mann_kendall_trend, ts_theil_sen_daily_trend, and
+    # ts_spearman_daily_trend cede to their slotted streaming twins
+    # (same oracles, SAME epilogue functions incl. Spearman's widened
+    # fold); stream_join_interval_overlap_bins and
+    # stream_session_window_interval_overlap cede because every piece
+    # that changed in them is carried by a slotted sibling —
+    # join_interval_overlap_bins holds the flipped-boundary oracle and
+    # islands relation, stream_session_windows_per_user holds the
+    # append-sentinel sessionizer — while their own bin-join stage is
+    # unchanged since its r10-green driver row. All demoted queries are
+    # green in the committed full-registry replica at BOTH fixture
+    # scales this round.
     "stream_ts_mann_kendall_trend",
     "stream_ts_theil_sen_daily_trend",
-    "ts_spearman_daily_trend",
     "stream_ts_spearman_daily_trend",
-    "stream_session_window_interval_overlap",
     "session_windows_per_user",
     "join_interval_overlap_bins",
-    "stream_join_interval_overlap_bins",
+    "mm_decoded_feature_checksum",
+    "sample_weighted_reservoir",
+    "embedding_pca_power_iteration",
     # -- slots 14-49: the complete r4 cohort (last driver row round 4 —
     # exactly at the ~6-round staleness boundary; VERDICT item 1 named
     # it and tools/rotation_audit.py reproduces it). Includes

@@ -1627,6 +1627,10 @@ AES_U_DEN = 4294967296.0  # 2^32: u = (h + 0.5) / 2^32, never 0 or 1
              (('0x' || substr(md5('aes:' || CAST(doc_id AS VARCHAR)), 1, 8)))::BIGINT
                  AS h
       FROM documents
+      -- A-ES contract: a zero-weight item is never drawn (its clock is
+      -- -inf); excluding it up front keeps the division total (the
+      -- adversarial empty-doc fixture crashed the unguarded form)
+      WHERE n_chars > 0
     ),
     k AS (
       SELECT doc_id, lang, n_chars,
@@ -1667,7 +1671,14 @@ def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta-stable: re-running over an appended corpus re-draws nothing,
     exactly the property distributed samplers want (the paper's reservoir
     maintenance, expressed relationally)."""
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    # A-ES contract: zero-weight items are never drawn (clock -inf) —
+    # filter them before the 1/w division so it is total (an empty doc
+    # crashed the unguarded form under ANSI division; oracle matches)
+    d = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", "lang", "n_chars")
+        .filter(F.col("n_chars") > 0)
+    )
     h = F.conv(
         F.substring(F.md5(F.concat(F.lit("aes:"), F.col("doc_id").cast("string"))), 1, 8),
         16,

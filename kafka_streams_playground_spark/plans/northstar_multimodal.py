@@ -69,8 +69,11 @@ _FEATSUM_SQL = " + ".join(
 def mm_decoded_feature_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drives the Arrow-batched ``mapInPandas`` decode path end-to-end and
     reduces the feature vector to a checksum the SQL oracle can recompute
-    (stub decode = first bytes / 255; text is ASCII so bytes == codepoints).
-    Floats are summed in doc order in both engines → doubles agree."""
+    (stub decode = first FEATURE_DIM decoded CODEPOINTS / 255, matching
+    the oracle's ascii(substr(...)) for any text — the byte-indexed stub
+    diverged on non-ASCII payloads, round-11 adversarial sweep; short
+    texts zero-pad in both engines since ascii('') = 0). Floats are
+    summed in doc order in both engines → doubles agree."""
     mm = attach_binary_payload(load_table(spark, sf_dir, "documents"))
     feats = decode_features(mm)
     return feats.select(

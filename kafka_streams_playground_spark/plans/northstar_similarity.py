@@ -1579,7 +1579,11 @@ def _pca_iter_ctes() -> str:
     ),
     m{t} AS (SELECT MAX(ABS(w)) AS ma FROM w{t}),
     v{t} AS (
-      SELECT dim, CAST((w * 1000000) // ma AS BIGINT) AS v
+      -- w*1e6 rides HUGEINT: |w| can reach d*|c6|*1e6 ~ 2.6e14 on coarse
+      -- coordinate grids, and *1e6 passes 2^63 (round-11 adversarial
+      -- sweep found the INT64 overflow); the quotient is <= 1e6 so the
+      -- result cast back to BIGINT is always safe
+      SELECT dim, CAST((CAST(w AS HUGEINT) * 1000000) // ma AS BIGINT) AS v
       FROM w{t} CROSS JOIN m{t}
     )"""
         )
@@ -1616,9 +1620,13 @@ def embedding_pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame
     one-task tail is the right shape because the relation is CONFIG-sized
     — same O(d²)-bounded stance as the IVF/PQ codebook collects, except
     the data never even leaves the cluster). The rescale uses the e6
-    covariance grid (cov_e12 trunc-div 1e6) so d · max|c6| · 1e6 · 1e6
-    stays inside int64 — documented headroom, same stance as the
-    covariance query. Fixed iteration count at plan-build time (the
+    covariance grid (cov_e12 trunc-div 1e6); since round 11 the
+    w·1e6 rescale product rides HUGEINT / Python ints in the two
+    engines (the adversarial embeddings sweep overflowed the INT64 form
+    at coordinate scale ~2 — loud in DuckDB, silent-wrap in numpy), so
+    the remaining int64 headroom is the MATVEC: d · max|c6| · 1e6 <
+    2⁶³ ⇔ |cov| ≲ 1.4e12, i.e. coordinates to ~10³ in magnitude —
+    beyond any normalized-embedding corpus, stated instead of assumed. Fixed iteration count at plan-build time (the
     ``kmeans_ivf_train`` precedent); convergence tracks the eigengap —
     (λ2/λ1)^{PCA_ITERS} — so on a corpus with a real dominant direction
     {PCA_ITERS} rounds recover it (unit-pinned on planted anisotropic
@@ -1659,8 +1667,17 @@ def power_iterate_int(up: pd.DataFrame, d: int, iters: int) -> pd.DataFrame:
     v = np.full(d, 1000000, dtype=np.int64)
     for _ in range(iters):
         w = c6mat @ v
-        ma = np.abs(w).max()
-        v = np.sign(w) * ((np.abs(w) * 1000000) // ma)
+        # rescale in PYTHON ints: |w|*1e6 passes 2^63 once coordinates
+        # leave the unit-ish grid (|w| <= d*|c6|*1e6 ~ 2.6e14 on the
+        # adversarial 1/64-grid fixture) and np.int64 would wrap
+        # SILENTLY where the oracle's HUGEINT stays exact; the d-sized
+        # loop is O(64) per round. Quotient <= 1e6 fits int64 again.
+        wl = [int(x) for x in w]
+        ma = max(abs(x) for x in wl)
+        v = np.array(
+            [(1 if x >= 0 else -1) * ((abs(x) * 1000000) // ma) for x in wl],
+            dtype=np.int64,
+        )
     return pd.DataFrame({"dim": np.arange(d, dtype=np.int64), "v_e6": v})
 
 

@@ -28,7 +28,7 @@ def _events_fixture_dir(spark, tmp_path, rows):
     return str(tmp_path)
 
 
-def _spark_vs_oracle(spark, sf_dir, name):
+def _spark_vs_oracle(spark, sf_dir, name, table="events"):
     """Run a registered query and its DuckDB oracle on the same fixture
     dir and return (normalized_spark_rows, normalized_oracle_rows)."""
     import duckdb
@@ -45,8 +45,8 @@ def _spark_vs_oracle(spark, sf_dir, name):
     # Spark writes a parquet DIRECTORY (the real fixtures are single
     # files); glob the part files for DuckDB
     con.execute(
-        f"CREATE VIEW events AS SELECT * FROM "
-        f"read_parquet('{os.path.join(sf_dir, 'events.parquet', '*.parquet')}')"
+        f"CREATE VIEW {table} AS SELECT * FROM "
+        f"read_parquet('{os.path.join(sf_dir, f'{table}.parquet', '*.parquet')}')"
     )
     ddf = con.execute(spec.oracle).df()
     d = _norm_rows(
@@ -225,4 +225,113 @@ def test_adversarial_tie_fixture_sweep(spark, tmp_path):
             continue
         if got != want:
             mismatches.append((n, f"{len(got)} vs {len(want)} rows / value diff"))
+    assert not mismatches, mismatches
+
+
+def _refs(sql):
+    import re
+
+    TABLES = {
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "documents", "embeddings", "events",
+    }
+    return {
+        m.group(1).lower()
+        for m in __import__("re").finditer(r"\b(?:FROM|JOIN)\s+([a-zA-Z_]\w*)", sql, __import__("re").I)
+    } & TABLES
+
+
+def _sweep(spark, sf_dir, table, min_expected):
+    """Run every non-streaming oracled query whose oracle reads ONLY
+    `table` against the synthetic fixture dir; return mismatches."""
+    import duckdb  # noqa: F401
+
+    from kafka_streams_playground_spark.plans import REGISTRY
+
+    names = sorted(
+        n
+        for n, spec in REGISTRY.items()
+        if not n.startswith("stream_")
+        and spec.oracle is not None
+        and _refs(spec.oracle) == {table}
+    )
+    assert len(names) >= min_expected
+    mismatches = []
+    for n in names:
+        try:
+            got, want = _spark_vs_oracle(spark, sf_dir, n, table=table)
+        except Exception as e:  # noqa: BLE001
+            mismatches.append((n, f"error: {type(e).__name__}: {e}"))
+            continue
+        if got != want:
+            mismatches.append((n, f"{len(got)} vs {len(want)} rows / value diff"))
+    return mismatches
+
+
+def test_adversarial_documents_sweep(spark, tmp_path):
+    """The documents-family twin of the events tie sweep: every
+    documents-only oracled batch query (dedup, text stats, tokenizers,
+    BPE training, sampling, multimodal manifests) must stay
+    oracle-exact on a fixture built of tokenization and tie edge
+    cases — exact duplicate texts under different ids/langs/sources,
+    the empty string, a single token, doubled internal spaces
+    (empty-string tokens), leading/trailing spaces, a prefix pair,
+    a same-multiset permuted pair (fingerprint/MinHash ties), a
+    pathological all-same-token doc, and a non-ASCII doc (char-vs-byte
+    length traps). BPE/WordPiece merge selection hits COUNT TIES on a
+    corpus this small, so their (count, pair) tie-breaks are exercised
+    for real."""
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog", "en", "src0"),
+        (2, "the quick brown fox jumps over the lazy dog", "es", "src1"),  # exact dup
+        (3, "the quick brown fox jumps over the lazy dog", "en", "src0"),  # exact dup
+        (4, "", "en", "src0"),                       # empty text
+        (5, "word", "es", "src2"),                   # single token
+        (6, "a  b", "en", "src1"),                   # double space -> empty token
+        (7, " lead and trail ", "en", "src2"),       # boundary spaces
+        (8, "alpha beta gamma delta", "es", "src0"),
+        (9, "alpha beta", "es", "src3"),             # strict prefix of doc 8
+        (10, "x y z", "en", "src3"),
+        (11, "z y x", "en", "src3"),                 # same multiset, other order
+        (12, "dup dup dup dup dup dup", "en", "src1"),  # one-token pathology
+        (13, "café naïve déjà vu", "fr", "src2"),  # non-ASCII
+        (14, "the lazy dog sat on the quick log", "en", "src0"),
+    ]
+    rows = [(i, t, lang, src, len(t)) for i, t, lang, src in texts]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    mismatches = _sweep(spark, str(tmp_path), "documents", 70)
+    assert not mismatches, mismatches
+
+
+def test_adversarial_embeddings_sweep(spark, tmp_path):
+    """The embeddings-family twin: every embeddings-only oracled query
+    (brute-force/LSH/IVF/PQ similarity, k-means, PCA, recall audits,
+    coreset, MMR) must stay oracle-exact on a fixture with planted
+    DISTANCE TIES — exact duplicate vectors, a pair differing in one
+    coordinate only, mirrored vectors — on a float32-exact 1/64 value
+    grid (100 vectors keep N > the IVF/PQ K constants). Ties force
+    every top-k / assignment / rerank tie-break through its documented
+    (score, id) total order in both engines at once."""
+    import struct
+
+    def grid(x):
+        # float32-exact: multiples of 1/64 in [-2, 2)
+        return (x % 256 - 128) / 64.0
+
+    vecs = []
+    for i in range(100):
+        v = [grid(i * 31 + d * 7 + (i * d) % 13) for d in range(64)]
+        vecs.append(v)
+    vecs[1] = list(vecs[0])            # exact duplicate of vec 0
+    vecs[2] = list(vecs[0])            # second duplicate (3-way top-k tie)
+    vecs[3] = list(vecs[0]); vecs[3][63] = vecs[3][63] + 1.0 / 64  # near-dup
+    vecs[4] = [-x for x in vecs[0]]    # mirrored (cosine -1)
+    vecs[5] = [1.0 / 64] * 64          # constant vector (dim-stat ties)
+    rows = [(i, vecs[i], i % 10) for i in range(100)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    df.coalesce(1).write.parquet(str(tmp_path / "embeddings.parquet"))
+    mismatches = _sweep(spark, str(tmp_path), "embeddings", 25)
     assert not mismatches, mismatches
