@@ -335,3 +335,153 @@ def test_adversarial_embeddings_sweep(spark, tmp_path):
     df.coalesce(1).write.parquet(str(tmp_path / "embeddings.parquet"))
     mismatches = _sweep(spark, str(tmp_path), "embeddings", 25)
     assert not mismatches, mismatches
+
+
+def test_adversarial_tpch_fixture_sweep(spark, tmp_path):
+    """The relational-family sweep: every oracled batch query reading only
+    the TPC-H-shaped tables runs on a 7-table adversarial fixture —
+    o_totalprice EXACTLY at the q1 threshold (and one cent either side),
+    l_shipdate exactly at the interval join's lower and upper bounds
+    (+31 d just outside), duplicate totalprice at the threshold (top-k
+    ties), Jan-1/Dec-31 order dates (quarter/year spines), an order with
+    no lineitems, a customer with no orders, duplicate part names
+    (levenshtein ties), equal account balances, a zero-quantity
+    zero-price line, and a co-purchase TRIANGLE whose nodes all have
+    EQUAL degree (the degree-orientation rank must fall through to the
+    id tie-break). Every query must agree with its oracle under the
+    type-strict compare."""
+    from datetime import datetime, timedelta
+
+    d0 = datetime(1995, 3, 15)
+    day = timedelta(days=1)
+
+    region = [(i, n) for i, n in enumerate(
+        ["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"])]
+    nation = [(i, f"NATION_{i}", i % 5) for i in range(10)]
+    customer = [
+        (1, "Customer#1", 0, 100.0, "BUILDING"),
+        (2, "Customer#2", 1, 100.0, "BUILDING"),     # acctbal+segment tie
+        (3, "Customer#3", 2, 0.0, "AUTOMOBILE"),     # zero balance
+        (4, "Customer#4", 2, -50.0, "MACHINERY"),    # negative balance
+        (5, "Customer#5", 3, 9999.99, "HOUSEHOLD"),  # NO orders
+        (6, "Customer#6", 7, 100.0, "FURNITURE"),
+    ]
+    supplier = [
+        (1, "Supplier#1", 0, 10.0),
+        (2, "Supplier#2", 1, 10.0),   # acctbal tie
+        (3, "Supplier#3", 2, -5.0),
+        (4, "Supplier#4", 7, 20.0),
+    ]
+    part = [
+        (1, "large widget", "Brand#1", "PROMO", 10, 100.0),
+        (2, "large widget", "Brand#2", "SMALL", 10, 100.0),   # exact name dup
+        (3, "large widgets", "Brand#1", "ECONOMY", 20, 100.01),  # edit dist 1
+        (4, "cold bolt", "Brand#13", "STANDARD", 1, 5.0),
+        (5, "small bolt", "Brand#20", "MEDIUM", 50, 499.99),
+        (6, "tiny gear", "Brand#9", "LARGE", 25, 250.0),      # never shipped
+    ]
+    orders = [
+        (100, 1, "F", 250000.0, d0, "1-URGENT"),        # EXACTLY at EXPENSIVE
+        (101, 1, "O", 249999.99, d0, "2-HIGH"),          # one cent below
+        (102, 2, "F", 250000.01, d0 + day, "5-LOW"),     # one cent above
+        (103, 2, "P", 100.0, datetime(1995, 1, 1), "3-MEDIUM"),   # Jan 1
+        (104, 3, "O", 100.0, datetime(1995, 12, 31), "4-NOT SPECIFIED"),
+        (105, 3, "F", 50000.0, datetime(1996, 1, 1), "1-URGENT"),
+        (106, 4, "O", 75000.0, d0, "2-HIGH"),            # NO lineitems
+        (107, 6, "F", 250000.0, d0, "1-URGENT"),         # threshold tie
+    ]
+    li = [
+        # order 100: ship EXACTLY orderdate / EXACTLY +30d / +31d outside
+        (100, 1, 1, 1, 1.0, 100.0, 0.0, 0.0, "N", "F", d0),
+        (100, 2, 2, 2, 2.0, 200.0, 0.05, 0.08, "N", "F", d0 + 30 * day),
+        (100, 3, 1, 3, 3.0, 300.0, 0.10, 0.0, "R", "F", d0 + 31 * day),
+        (101, 1, 1, 1, 1.0, 100.0, 0.05, 0.08, "A", "O", d0 + 15 * day),
+        (101, 4, 3, 2, 1.0, 100.0, 0.05, 0.08, "A", "O", d0 + 15 * day),
+        (102, 2, 2, 1, 10.0, 1000.0, 0.0, 0.0, "R", "F", d0 + 2 * day),
+        (102, 5, 4, 2, 10.0, 1000.0, 0.0, 0.0, "N", "O", d0 + 2 * day),
+        (103, 1, 1, 1, 5.0, 500.0, 0.05, 0.0, "R", "F", datetime(1995, 1, 31)),
+        (104, 2, 2, 1, 5.0, 500.0, 0.05, 0.0, "N", "O", datetime(1996, 1, 30)),
+        # order 105: parts 1,2,3 co-purchased -> with order 100 the pairs
+        # (1,2),(1,3),(2,3) each reach support 2: an equal-degree triangle
+        (105, 1, 1, 1, 7.0, 700.0, 0.07, 0.02, "N", "F", datetime(1996, 1, 1)),
+        (105, 2, 1, 2, 7.0, 700.0, 0.07, 0.02, "N", "F", datetime(1996, 1, 1)),
+        (105, 3, 1, 3, 7.0, 700.0, 0.07, 0.02, "N", "F", datetime(1996, 1, 1)),
+        (107, 1, 1, 1, 50.0, 5000.0, 0.5, 0.0, "R", "F", d0 + 10 * day),
+        (107, 2, 2, 2, 0.0, 0.0, 0.0, 0.0, "A", "F", d0 + 10 * day),  # zero line
+    ]
+    schemas = {
+        "region": (region, "r_regionkey int, r_name string"),
+        "nation": (nation, "n_nationkey int, n_name string, n_regionkey int"),
+        "customer": (
+            customer,
+            "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+            " c_mktsegment string",
+        ),
+        "supplier": (
+            supplier,
+            "s_suppkey long, s_name string, s_nationkey int, s_acctbal double",
+        ),
+        "part": (
+            part,
+            "p_partkey long, p_name string, p_brand string, p_type string,"
+            " p_size int, p_retailprice double",
+        ),
+        "orders": (
+            orders,
+            "o_orderkey long, o_custkey long, o_orderstatus string,"
+            " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+        ),
+        "lineitem": (
+            li,
+            "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+            " l_quantity double, l_extendedprice double, l_discount double,"
+            " l_tax double, l_returnflag string, l_linestatus string,"
+            " l_shipdate timestamp",
+        ),
+    }
+    for t, (rows, schema) in schemas.items():
+        spark.createDataFrame(rows, schema).coalesce(1).write.parquet(
+            str(tmp_path / f"{t}.parquet")
+        )
+
+    import duckdb
+
+    from kafka_streams_playground_spark.plans import REGISTRY
+
+    TPCH = {"region", "nation", "customer", "supplier", "part", "orders", "lineitem"}
+    names = sorted(
+        n
+        for n, spec in REGISTRY.items()
+        if not n.startswith("stream_")
+        and spec.oracle is not None
+        and _refs(spec.oracle)
+        and _refs(spec.oracle) <= TPCH
+    )
+    assert len(names) >= 70
+    con = duckdb.connect()
+    for t in TPCH:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{tmp_path / (t + '.parquet')}/*.parquet')"
+        )
+    mismatches = []
+    for n in names:
+        spec = REGISTRY[n]
+        try:
+            sdf = spec.fn(spark, str(tmp_path))
+            spdf = sdf.toPandas()
+            got = _norm_rows(
+                sorted(sdf.columns),
+                [tuple(t) for t in spdf.itertuples(index=False, name=None)],
+            )
+            ddf = con.execute(spec.oracle).df()
+            want = _norm_rows(
+                sorted(ddf.columns),
+                [tuple(t) for t in ddf.itertuples(index=False, name=None)],
+            )
+        except Exception as e:  # noqa: BLE001
+            mismatches.append((n, f"error: {type(e).__name__}: {str(e)[:200]}"))
+            continue
+        if got != want:
+            mismatches.append((n, f"{len(got)} vs {len(want)} rows / value diff"))
+    assert not mismatches, mismatches
