@@ -485,3 +485,126 @@ def test_adversarial_tpch_fixture_sweep(spark, tmp_path):
         if got != want:
             mismatches.append((n, f"{len(got)} vs {len(want)} rows / value diff"))
     assert not mismatches, mismatches
+
+
+def test_adversarial_mixed_table_sweep(spark, tmp_path):
+    """Covers the six oracled queries whose oracles span MULTIPLE table
+    families (the only ones the per-family sweeps miss): the
+    documents↔embeddings pairing manifest and RRF fusion, the
+    events↔orders KMV cardinality estimate, the cross-table skew report,
+    and the two whole-dataset audits (expectation checks, content
+    version). Adversarial angles: planted FK ORPHANS on both sides
+    (an events user and a lineitem order that exist nowhere, a customer
+    with no orders), a doc with an embedding twin vs a doc with NONE,
+    duplicate embedding vectors among the paired ids (fusion ties),
+    an empty and a non-ASCII text, and duplicate join keys."""
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2024, 7, 1)
+    day = timedelta(days=1)
+    docs = [
+        (1, "the quick brown fox", "en", "src0"),
+        (2, "the quick brown fox", "en", "src1"),   # exact dup text
+        (3, "", "en", "src0"),                       # empty
+        (4, "café naïve déjà", "fr", "src2"),      # non-ASCII
+        (5, "alpha beta gamma", "es", "src1"),
+        (6, "zed", "en", "src3"),
+    ]
+    spark.createDataFrame(
+        [(i, t, l, s, len(t)) for i, t, l, s in docs],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+
+    def grid(x):
+        return (x % 256 - 128) / 64.0
+
+    vecs = {i: [grid(i * 31 + d * 7) for d in range(64)] for i in range(40)}
+    vecs[2] = list(vecs[1])  # docs 1 and 2 (dup texts) get IDENTICAL vectors
+    # doc 6 has NO embedding row (vec_ids skip 6)
+    emb = [(i, vecs[i], i % 10) for i in range(40) if i != 6]
+    spark.createDataFrame(
+        emb, "vec_id long, embedding array<float>, label int"
+    ).coalesce(1).write.parquet(str(tmp_path / "embeddings.parquet"))
+
+    events = [
+        (1, 1, "view", t0, 10.0, '{"k": 1}'),
+        (2, 1, "click", t0, 10.0, '{"k": 2}'),      # same ts as the view
+        (3, 2, "purchase", t0 + day, 5.5, '{"k": 3}'),
+        (4, 99, "view", t0 + day, 1.0, '{"k": 4}'),  # FK-orphan user
+    ]
+    spark.createDataFrame(
+        events,
+        "event_id long, user_id long, event_type string, ts timestamp,"
+        " value double, props string",
+    ).coalesce(1).write.parquet(str(tmp_path / "events.parquet"))
+
+    spark.createDataFrame(
+        [
+            (1, "Customer#1", 0, 100.0, "BUILDING"),
+            (2, "Customer#2", 1, 100.0, "BUILDING"),
+            (3, "Customer#3", 2, 0.0, "AUTOMOBILE"),  # no orders
+        ],
+        "c_custkey long, c_name string, c_nationkey int, c_acctbal double,"
+        " c_mktsegment string",
+    ).coalesce(1).write.parquet(str(tmp_path / "customer.parquet"))
+    spark.createDataFrame(
+        [
+            (10, 1, "F", 1000.0, t0, "1-URGENT"),
+            (11, 1, "O", 1000.0, t0, "2-HIGH"),      # duplicate (custkey, price)
+            (12, 2, "P", 2000.0, t0 + day, "5-LOW"),
+        ],
+        "o_orderkey long, o_custkey long, o_orderstatus string,"
+        " o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    ).coalesce(1).write.parquet(str(tmp_path / "orders.parquet"))
+    spark.createDataFrame(
+        [
+            (10, 1, 1, 1, 1.0, 100.0, 0.0, 0.0, "N", "F", t0),
+            (10, 2, 1, 2, 1.0, 100.0, 0.0, 0.0, "N", "F", t0),
+            (12, 1, 2, 1, 2.0, 200.0, 0.1, 0.0, "R", "O", t0 + 2 * day),
+            (999, 1, 1, 1, 1.0, 50.0, 0.0, 0.0, "A", "F", t0),  # ORPHAN order
+        ],
+        "l_orderkey long, l_partkey long, l_suppkey long, l_linenumber int,"
+        " l_quantity double, l_extendedprice double, l_discount double,"
+        " l_tax double, l_returnflag string, l_linestatus string,"
+        " l_shipdate timestamp",
+    ).coalesce(1).write.parquet(str(tmp_path / "lineitem.parquet"))
+
+    import duckdb
+
+    from kafka_streams_playground_spark.plans import REGISTRY
+
+    mixed = [
+        "mm_paired_modality_manifest",
+        "stats_join_cardinality_kmv",
+        "pipeline_expectation_checks",
+        "pipeline_content_version",
+        "diag_key_skew_report",
+        "retrieval_rrf_fusion",
+    ]
+    con = duckdb.connect()
+    for t in ("documents", "embeddings", "events", "customer", "orders", "lineitem"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM "
+            f"read_parquet('{tmp_path / (t + '.parquet')}/*.parquet')"
+        )
+    mismatches = []
+    for n in mixed:
+        spec = REGISTRY[n]
+        try:
+            sdf = spec.fn(spark, str(tmp_path))
+            spdf = sdf.toPandas()
+            got = _norm_rows(
+                sorted(sdf.columns),
+                [tuple(t) for t in spdf.itertuples(index=False, name=None)],
+            )
+            ddf = con.execute(spec.oracle).df()
+            want = _norm_rows(
+                sorted(ddf.columns),
+                [tuple(t) for t in ddf.itertuples(index=False, name=None)],
+            )
+        except Exception as e:  # noqa: BLE001
+            mismatches.append((n, f"error: {type(e).__name__}: {str(e)[:200]}"))
+            continue
+        if got != want:
+            mismatches.append((n, f"{len(got)} vs {len(want)} rows / value diff"))
+    assert not mismatches, mismatches
