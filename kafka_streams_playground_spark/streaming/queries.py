@@ -3055,12 +3055,20 @@ def _append_session_windows(
             feed = proj
         else:
             mx_epoch = int(mx)
+            # sentinel = max(key) + max(ts)+gap+1 + typed NULLs for every
+            # payload column (ADVICE r11): only key and ts need values for
+            # the watermark to advance; the old max-over-every-column form
+            # silently required each payload column to be orderable (a
+            # map-typed column would crash the aggregate) and hid that the
+            # payload values can never reach the output.
+            payload = [f for f in proj.schema.fields if f.name not in (key, "ts")]
             flush = proj.agg(
-                *[F.max(c).alias(c) for c in proj.columns]
-            ).withColumn(
-                "ts", F.col("ts") + F.expr(f"INTERVAL {gap_s + 1} SECONDS")
+                F.max(key).alias(key),
+                (F.max("ts") + F.expr(f"INTERVAL {gap_s + 1} SECONDS")).alias("ts"),
             )
-            feed = proj.unionByName(flush)
+            for f in payload:
+                flush = flush.withColumn(f.name, F.lit(None).cast(f.dataType))
+            feed = proj.unionByName(flush.select(*proj.columns))
         feed.write.parquet(f"{tmp}/in.parquet")
         schema = spark.read.parquet(f"{tmp}/in.parquet").schema
         sdf = spark.readStream.schema(schema).parquet(f"{tmp}/in.parquet")

@@ -721,9 +721,16 @@ def test_grid_binning_is_complete_and_verifiable(a, b, w):
     is monotone non-decreasing: any common point p of both intervals has
     trunc(lo/w) <= trunc(p/w) <= trunc(hi/w) on each side, and
     ``sequence`` enumerates that range contiguously, so p's bin is shared.
-    Soundness is exercised by evaluating the join's emission set (shared
-    bin AND predicate) and asserting it EQUALS the overlap set — a
-    shared-bin non-overlap pair must be filtered row-locally."""
+    Soundness is checked against the ENGINE's emission rule modeled
+    independently (ADVICE r11): ``_join_emits`` mirrors the row-local
+    filter at plans/temporal.py:2708 (``s_start <= b_end AND b_start <=
+    s_end``) symbol-for-symbol rather than reusing this test's ``overlap``
+    variable, so the assert fails if that mirrored predicate ever drifts
+    from the mathematical overlap condition (e.g. a ``<`` typo or a
+    swapped operand in a future edit that is faithfully copied here). It
+    cannot detect the mirror and the plan diverging — that direction is
+    pinned by the fixture/oracle equality tests on
+    ``join_interval_overlap_bins`` itself."""
     s_start, sl = a
     b_start, bl = b
     s_end, b_end = s_start + sl, b_start + bl
@@ -737,9 +744,16 @@ def test_grid_binning_is_complete_and_verifiable(a, b, w):
     def bins(lo, hi):
         return set(range(trunc_div(lo), trunc_div(hi) + 1))
 
+    def _join_emits(ss, se, bs, be):
+        # symbol-for-symbol mirror of the engine's row-local filter
+        # (plans/temporal.py:2708): keep iff s_start<=b_end AND b_start<=s_end
+        return ss <= be and bs <= se
+
     overlap = s_start <= b_end and b_start <= s_end
     share = bool(bins(s_start, s_end) & bins(b_start, b_end))
-    emitted = share and overlap  # what the binned join outputs (pre-dedup)
+    # what the binned join outputs (pre-dedup): shared bin AND the
+    # engine's predicate, evaluated as the join would
+    emitted = share and _join_emits(s_start, s_end, b_start, b_end)
     if overlap:
         assert share  # completeness: no overlapping pair is missed
-    assert emitted == overlap  # soundness + completeness: exact emission
+    assert emitted == overlap  # mirrored predicate == exact emission

@@ -1130,6 +1130,41 @@ def test_append_session_windows_empty_input(spark):
     assert out.count() == 0
 
 
+def test_append_session_windows_unorderable_payload_column(spark):
+    """The flush sentinel must be buildable when the projection carries a
+    NON-ORDERABLE payload column (ADVICE r11): the old sentinel took
+    F.max over EVERY column, which crashes on a map-typed payload; the
+    fixed sentinel aggregates only (key, ts) and fills payloads with
+    typed NULLs — which also makes explicit that sentinel payload values
+    never reach the output. Pins both the no-crash and the unchanged
+    session result."""
+    from datetime import datetime
+
+    from kafka_streams_playground_spark.plans import REGISTRY  # noqa: F401
+    from kafka_streams_playground_spark.streaming.queries import (
+        _append_session_windows,
+    )
+
+    rows = [
+        (1, datetime(2024, 1, 1, 0, 0, 0), {"k": "a"}),
+        (1, datetime(2024, 1, 1, 0, 5, 0), {"k": "b"}),
+        (1, datetime(2024, 1, 1, 2, 0, 0), {"k": "c"}),  # > 600 s gap: new session
+        (2, datetime(2024, 1, 1, 1, 0, 0), {"k": "d"}),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, attrs map<string,string>"
+    )
+    out = _append_session_windows(
+        spark,
+        df,
+        "user_id",
+        600,
+        [F.count(F.lit(1)).alias("n_events")],
+    )
+    got = sorted((r["user_id"], r["n_events"]) for r in out.collect())
+    assert got == [(1, 1), (1, 2), (2, 1)]
+
+
 def test_day_grid_state_split_independent_across_microbatches(spark):
     """The trend twins' shared substrate under a REAL multi-micro-batch
     split (the fixture replay drains in one batch; maxFilesPerTrigger=1
