@@ -25,8 +25,10 @@ from kafka_streams_playground_spark.sources.parquet import load_table
 from kafka_streams_playground_spark.streaming.ktable import latest_per_key_stream
 from kafka_streams_playground_spark.streaming.replay import (
     latest_update_state,
+    read_split_stream,
     read_stream_table,
     run_to_completion,
+    write_split_feed,
 )
 
 WATERMARK = "24 hours"  # mirrors the reference's default grace (:142)
@@ -3024,7 +3026,12 @@ def _session_window_intervals(
 
 
 def _append_session_windows(
-    spark: SparkSession, proj: DataFrame, key: str, gap_s: int, aggs: list
+    spark: SparkSession,
+    proj: DataFrame,
+    key: str,
+    gap_s: int,
+    aggs: list,
+    split_at: tuple[int, ...] | None = None,
 ) -> DataFrame:
     """The shared APPEND + FLUSH-SENTINEL ``session_window`` drain: append
     one sentinel row at corpus ``max(ts) + gap + 1`` (the punctuation
@@ -3069,9 +3076,18 @@ def _append_session_windows(
             for f in payload:
                 flush = flush.withColumn(f.name, F.lit(None).cast(f.dataType))
             feed = proj.unionByName(flush.select(*proj.columns))
-        feed.write.parquet(f"{tmp}/in.parquet")
-        schema = spark.read.parquet(f"{tmp}/in.parquet").schema
-        sdf = spark.readStream.schema(schema).parquet(f"{tmp}/in.parquet")
+        if split_at:
+            # split-point-adversarial replay (VERDICT r11 item 3): one
+            # micro-batch per (ts, key)-ordered segment — the time-ordered
+            # topic delivery contract with the batch boundary placed by
+            # the caller (e.g. exactly at a session gap or the sentinel)
+            write_split_feed(feed, ["ts", key], tuple(split_at), tmp)
+            schema = spark.read.parquet(f"{tmp}/seg*").schema
+            sdf = read_split_stream(spark, tmp, schema)
+        else:
+            feed.write.parquet(f"{tmp}/in.parquet")
+            schema = spark.read.parquet(f"{tmp}/in.parquet").schema
+            sdf = spark.readStream.schema(schema).parquet(f"{tmp}/in.parquet")
         sess = (
             sdf.withWatermark("ts", "0 seconds")
             .groupBy(F.col(key), F.session_window("ts", f"{gap_s} seconds"))
@@ -3362,8 +3378,18 @@ def _day_grid_update_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     strictly monotone in rows seen, so the max-count row per (type, day)
     is the final state (``latest_update_state`` contract) and the result
     is micro-batch-split-independent — the batch oracles apply
-    unchanged."""
-    e = read_stream_table(spark, sf_dir, "events").select(
+    unchanged (pinned by the split-point-adversarial sweep in
+    tests/test_split_boundaries.py, which drives day_grid_reduce over
+    every split of an out-of-order feed)."""
+    return day_grid_reduce(read_stream_table(spark, sf_dir, "events"))
+
+
+def day_grid_reduce(sdf: DataFrame) -> DataFrame:
+    """The grid substrate proper on ANY streaming events relation
+    (event_type, ts timestamp, value double) — split out so the
+    adversarial replay sweeps can feed it synthetic split streams."""
+    spark = sdf.sparkSession
+    e = sdf.select(
         "event_type",
         F.expr("unix_timestamp(ts) div 86400").alias("day"),
         F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),

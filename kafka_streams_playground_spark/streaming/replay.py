@@ -43,6 +43,66 @@ def read_stream_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return sdf
 
 
+def write_split_feed(
+    df: DataFrame,
+    order_cols: list[str],
+    split_indices: tuple[int, ...],
+    dir_path: str,
+) -> None:
+    """SPLIT-POINT-ADVERSARIAL replay (VERDICT r11 item 3): materialize a
+    finite feed as one parquet file PER micro-batch segment, split at the
+    given row indices of the ``order_cols`` ordering, so
+    ``read_split_stream`` replays segment i as micro-batch i. Lets a test
+    place a micro-batch boundary EXACTLY at a session gap, a watermark
+    edge, an equal-ts tie, or between a window's last event and the flush
+    sentinel — the streaming analogue of tests/test_boundaries.py's value
+    sweeps. ``order_cols`` models the delivery contract (a time-ordered
+    topic when it leads with the event-time column; any other order
+    models out-of-order delivery for watermark-free state).
+
+    Harness-only scale note: segments are carved by a row_number over ONE
+    global sort (single-partition window — fine for the fixture-scale
+    sweeps this exists for, never on the production path). Segment files
+    get strictly increasing mtimes so FileStreamSource's oldest-first
+    order replays them deterministically."""
+    from pyspark.sql import Window as _W
+
+    n = df.count()
+    cuts = sorted(set(split_indices))
+    if any(c <= 0 or c >= n for c in cuts):
+        raise ValueError(f"split indices must be interior (0 < i < {n}): {cuts}")
+    bounds = [0, *cuts, n]
+    rn = F.row_number().over(_W.orderBy(*[F.col(c) for c in order_cols])) - 1
+    numbered = df.withColumn("_rn", rn)
+    for i in range(len(bounds) - 1):
+        seg_dir = os.path.join(dir_path, f"seg{i:04d}")
+        (
+            numbered.filter(
+                (F.col("_rn") >= bounds[i]) & (F.col("_rn") < bounds[i + 1])
+            )
+            .drop("_rn")
+            .coalesce(1)
+            .write.parquet(seg_dir)
+        )
+        # deterministic replay order regardless of write latency: mtimes
+        # strictly increase across segments (FileStreamSource sorts by
+        # mtime, oldest first)
+        for fn in os.listdir(seg_dir):
+            if fn.endswith(".parquet"):
+                os.utime(os.path.join(seg_dir, fn), (1_000_000 + i, 1_000_000 + i))
+
+
+def read_split_stream(spark: SparkSession, dir_path: str, schema) -> DataFrame:
+    """Streaming reader for a ``write_split_feed`` directory: one segment
+    file per trigger, replayed oldest-mtime-first — micro-batch i holds
+    exactly segment i."""
+    return (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(os.path.join(dir_path, "seg*"))
+    )
+
+
 def latest_update_state(drained: DataFrame, key, counter) -> DataFrame:
     """Reduce an update-mode memory-sink drain to the FINAL state row per
     key (a column name or list of names). The sink keeps one row per

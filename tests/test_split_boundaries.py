@@ -1,0 +1,230 @@
+"""Micro-batch SPLIT-POINT adversarial sweeps (VERDICT r11 item 3).
+
+tests/test_boundaries.py probes VALUE thresholds (fixtures sitting on
+exact gap / bin / quantile edges); these sweeps probe the orthogonal
+streaming blind spot: WHERE the replay splits micro-batches relative to a
+session gap, a watermark edge, an equal-ts tie, or the flush sentinel.
+The delivery contract under test:
+
+- Session windows (0-second watermark, APPEND + flush sentinel): the
+  drained result must be invariant under EVERY split of the
+  (ts, key)-ordered feed — a time-ordered topic's possible batchings.
+  The dangerous instants, each given its own fixture row so some split
+  isolates it: a merge partner at EXACTLY last+gap arriving after the
+  watermark has advanced to the session's end (Spark evicts only at
+  wm > end, probed empirically round 12 — pinned here so a regression
+  or a future watermark-delay change trips loudly); equal-ts rows of
+  different keys straddling a split (late-drop is ts < wm, strict);
+  the sentinel alone in the final micro-batch (Kafka punctuation
+  arriving after a quiet period).
+- The day-grid trend substrate (update mode, NO watermark): must be
+  invariant under every split of an ARBITRARY-order feed — out-of-order
+  delivery included — because nothing is ever dropped and
+  latest_update_state picks each cell's max-n_rows (final) emission.
+
+Both sweeps compare against the BATCH twin of the same rows, so the
+equality chains to the DuckDB oracles the batch queries carry.
+"""
+
+from datetime import datetime, timedelta
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_streams_playground_spark.plans import REGISTRY  # noqa: F401  (registration)
+from kafka_streams_playground_spark.plans.temporal import day_grid
+from kafka_streams_playground_spark.streaming.queries import (
+    _append_session_windows,
+    day_grid_reduce,
+)
+from kafka_streams_playground_spark.streaming.replay import (
+    read_split_stream,
+    write_split_feed,
+)
+
+GAP = 600
+
+
+def _session_fixture(spark):
+    """Four real events engineered so the (ts, user_id)-ordered feed
+    (+ sentinel at index 4) has a dangerous instant at every interior
+    split point:
+
+      idx 0  (2, t0)        user 2's session opens
+      idx 1  (1, t1)        equal-ts tie, OTHER key — drives wm to t1,
+                            which is EXACTLY user 2's session end (t0+gap)
+      idx 2  (2, t1)        user 2's merge partner at EXACTLY last+gap,
+                            arriving at ts == wm when split at 2
+      idx 3  (2, t1+2g+1)   strict > gap: user 2's second session
+      idx 4  sentinel       (appended by the engine at max+gap+1)
+
+    Expected sessions: user 1 × (1 event); user 2 × (2 events, the
+    exact-gap merge) and (1 event)."""
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    t1 = t0 + timedelta(seconds=GAP)
+    rows = [
+        (2, t0, 1.25),
+        (1, t1, 2.00),
+        (2, t1, 0.75),
+        (2, t1 + timedelta(seconds=2 * GAP + 1), 10.00),
+    ]
+    return spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+
+
+SESSION_AGGS = lambda: [  # noqa: E731 — fresh Column objects per drain
+    F.min("ts").alias("min_ts"),
+    F.max("ts").alias("max_ts"),
+    F.count(F.lit(1)).alias("n_events"),
+    (F.floor(F.sum("value") * 100 + 0.5) / 100).alias("sum_value"),
+]
+
+
+def _drain_sessions(spark, df, split):
+    out = _append_session_windows(
+        spark, df, "user_id", GAP, SESSION_AGGS(), split_at=split
+    )
+    return sorted(
+        (r["user_id"], r["min_ts"], r["max_ts"], r["n_events"], r["sum_value"])
+        for r in out.collect()
+    )
+
+
+def test_session_split_sweep_every_boundary(spark):
+    """EVERY interior split point of the sentinel-bearing feed (5 rows →
+    splits at 1..4), plus the all-singleton split (one event per
+    micro-batch — the trigger-per-record worst case), must drain to the
+    no-split result, which itself must be the hand-computed session set
+    (exact-gap MERGE per the r11 boundary rule). Split (2,) is the
+    eviction-at-equality probe: wm == user 2's session end when the
+    merge partner arrives. Split (4,) is the sentinel-alone probe."""
+    df = _session_fixture(spark)
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    t1 = t0 + timedelta(seconds=GAP)
+    t2 = t1 + timedelta(seconds=2 * GAP + 1)
+    want = sorted(
+        [
+            (1, t1, t1, 1, 2.00),
+            (2, t0, t1, 2, 2.00),  # exact-gap merge: 1.25 + 0.75
+            (2, t2, t2, 1, 10.00),
+        ]
+    )
+    assert _drain_sessions(spark, df, None) == want
+    for split in [(1,), (2,), (3,), (4,), (1, 2, 3, 4)]:
+        assert _drain_sessions(spark, df, split) == want, f"split={split}"
+
+
+def test_session_split_sweep_on_fixture_events(spark, sf_dir):
+    """The same sweep against REAL fixture data: the sf0.001 events table
+    drained with splits at the quartile row indices must equal the
+    batch gaps-and-islands twin (the oracle-checked plan), closing the
+    loop from adversarial replay to the DuckDB-verified answer."""
+    from kafka_streams_playground_spark.plans.temporal import SESSION_GAP_S
+
+    events = REGISTRY["session_windows_per_user"].fn(spark, sf_dir)
+    want = sorted(
+        tuple(r) for r in events.drop("session_no").collect()
+    )
+    from kafka_streams_playground_spark.sources.parquet import load_table
+
+    proj = load_table(spark, sf_dir, "events").select("user_id", "ts", "value")
+    n = proj.count()
+    quartiles = tuple(sorted({n // 4, n // 2, (3 * n) // 4}))
+    drained = _append_session_windows(
+        spark,
+        proj,
+        "user_id",
+        SESSION_GAP_S,
+        [
+            F.min("ts").alias("min_ts"),
+            F.max("ts").alias("max_ts"),
+            F.count(F.lit(1)).alias("n_events"),
+            (F.floor(F.sum("value") * 100 + 0.5) / 100).alias("sum_value"),
+        ],
+        split_at=quartiles,
+    ).select(
+        "user_id",
+        F.unix_timestamp("min_ts").alias("session_start"),
+        F.unix_timestamp("max_ts").alias("session_end"),
+        "n_events",
+        "sum_value",
+    )
+    got = sorted(tuple(r) for r in drained.collect())
+    assert got == want and len(got) > 0
+
+
+def _day_grid_fixture(spark):
+    """Six events around the day-0/day-1 boundary with an explicit
+    ``arrival`` column modeling OUT-OF-ORDER topic delivery: the day-0
+    cell's final row arrives LAST (after every day-1 row), and two rows
+    sit at exactly the 86400 s edge (first instant of day 1)."""
+    d0 = datetime(1970, 1, 1, 23, 0, 0)  # day 0 (epoch day arithmetic)
+    edge = datetime(1970, 1, 2, 0, 0, 0)  # exactly 86400 s — first of day 1
+    rows = [
+        ("click", d0, 1.25, 0),
+        ("view", d0, 2.00, 1),
+        ("click", edge, 0.75, 2),  # day-1 cell opens at the exact edge
+        ("view", edge, 4.50, 3),
+        ("click", edge + timedelta(hours=5), 0.50, 4),
+        ("click", d0, 10.00, 5),  # day-0 cell continues AFTER day-1 rows
+    ]
+    return spark.createDataFrame(
+        rows, "event_type string, ts timestamp, value double, arrival int"
+    )
+
+
+def test_day_grid_split_sweep_out_of_order(spark, tmp_path):
+    """The trend twins' substrate under EVERY split of an out-of-order
+    feed: for all interior split points (singles) and the all-singleton
+    split of the arrival-ordered feed, day_grid_reduce must equal the
+    batch day_grid of the same rows — nothing dropped (no watermark),
+    max-n_rows reduce picks each cell's final state even when a cell's
+    last update lands in the last micro-batch."""
+    feed = _day_grid_fixture(spark)
+    batch = feed.drop("arrival")
+    want = sorted(
+        (r["event_type"], r["day"], r["v"]) for r in day_grid(batch).collect()
+    )
+    assert len(want) == 4  # 2 types × 2 days, edge rows in day 1
+    n = feed.count()
+    sweeps = [(i,) for i in range(1, n)] + [tuple(range(1, n))]
+    for k, split in enumerate(sweeps):
+        d = str(tmp_path / f"s{k}")
+        write_split_feed(feed, ["arrival"], split, d)
+        sdf = read_split_stream(spark, d, feed.schema).drop("arrival")
+        got = sorted(
+            (r["event_type"], r["day"], r["v"])
+            for r in day_grid_reduce(sdf).collect()
+        )
+        assert got == want, f"split={split}"
+
+
+def test_write_split_feed_rejects_non_interior_indices(spark, tmp_path):
+    df = spark.createDataFrame([(1,), (2,)], "x int")
+    with pytest.raises(ValueError):
+        write_split_feed(df, ["x"], (0,), str(tmp_path / "a"))
+    with pytest.raises(ValueError):
+        write_split_feed(df, ["x"], (2,), str(tmp_path / "b"))
+
+
+def test_write_split_feed_segments_replay_in_order(spark, tmp_path):
+    """Segment i must arrive as micro-batch i (mtime ordering): a
+    changelog-style latest-per-key over a 3-segment feed whose LAST
+    segment holds the final value must end on that value."""
+    from kafka_streams_playground_spark.streaming.replay import (
+        latest_update_state,
+        run_to_completion,
+    )
+
+    df = spark.createDataFrame(
+        [("k", "v1", 1), ("k", "v2", 2), ("k", "v3", 3)], "key string, val string, seq int"
+    )
+    d = str(tmp_path / "ord")
+    write_split_feed(df, ["seq"], (1, 2), d)
+    sdf = read_split_stream(spark, d, df.schema)
+    g = sdf.groupBy("key").agg(
+        F.max_by("val", "seq").alias("val"), F.count(F.lit(1)).alias("n")
+    )
+    drained = run_to_completion(g, output_mode="update", spark=spark)
+    assert drained.count() == 3  # one emission per micro-batch: order held
+    final = latest_update_state(drained, "key", F.col("n")).collect()
+    assert [(r["key"], r["val"]) for r in final] == [("k", "v3")]
