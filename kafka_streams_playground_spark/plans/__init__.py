@@ -45,91 +45,72 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q4_products_per_user_10s",
     "q5_paid_orders",
     "orders_products_array",
-    # ---- ROUND 11 rotation (VERDICT r10 item 1). Policy unchanged:
+    # ---- ROUND 12 rotation (VERDICT r11 item 1). Policy unchanged:
     # changed-this-round > stalest-last-seen; every demoted query is
     # driver-green in a prior round, unchanged since, and re-checked by
     # the full-registry strict replica (CORRECTNESS_LOCAL.json).
-    # -- slots 7-13: changed or new this round. The trend panel gained
-    # its three streaming twins on the shared _day_grid_update_state
-    # substrate (VERDICT item 5); Spearman's batch form re-slots with
-    # them because its Σd² fold widened to DECIMAL(38,0) (ADVICE r10).
-    # The session/interval family re-slots because the EXACT-GAP
-    # BOUNDARY RULE CHANGED IN BOTH ENGINES this round (>= -> > opens a
-    # new island, matching Spark session_window's touching-bounds merge
-    # and Kafka Streams' inclusive gap — found by the new boundary test;
-    # fixture results are provably unchanged, but a both-engines rule
-    # flip is exactly what warrants fresh driver signal). Three MORE
-    # queries changed late in the round when the new ADVERSARIAL
-    # BOUNDARY SWEEPS (tests/test_boundaries.py) exposed latent defects:
-    # mm_decoded_feature_checksum (stub decode switched bytes ->
-    # codepoints — diverged on non-ASCII), sample_weighted_reservoir
-    # (zero-weight guard — ANSI division crash),
-    # embedding_pca_power_iteration (rescale widened to HUGEINT/Python
-    # ints — int64 overflow, silent on the numpy side). Slot efficiency
-    # (VERDICT r10 item 7) funds all the changed-query slots:
-    # ts_mann_kendall_trend, ts_theil_sen_daily_trend, and
-    # ts_spearman_daily_trend cede to their slotted streaming twins
-    # (same oracles, SAME epilogue functions incl. Spearman's widened
-    # fold); stream_join_interval_overlap_bins and
-    # stream_session_window_interval_overlap cede because every piece
-    # that changed in them is carried by a slotted sibling —
-    # join_interval_overlap_bins holds the flipped-boundary oracle and
-    # islands relation, stream_session_windows_per_user holds the
-    # append-sentinel sessionizer — while their own bin-join stage is
-    # unchanged since its r10-green driver row. All demoted queries are
-    # green in the committed full-registry replica at BOTH fixture
-    # scales this round.
-    "stream_ts_mann_kendall_trend",
-    "stream_ts_theil_sen_daily_trend",
-    "stream_ts_spearman_daily_trend",
-    "session_windows_per_user",
-    "join_interval_overlap_bins",
-    "mm_decoded_feature_checksum",
-    "sample_weighted_reservoir",
-    "embedding_pca_power_iteration",
-    # -- slots 14-49: the complete r4 cohort (last driver row round 4 —
-    # exactly at the ~6-round staleness boundary; VERDICT item 1 named
-    # it and tools/rotation_audit.py reproduces it). Includes
-    # stream_session_windows_per_user, ALSO changed this round
-    # (complete-mode drain -> APPEND + flush sentinel, VERDICT item 4).
+    # -- slots 7-11: new or changed this round.
+    # NEW: eval_rater_agreement_kappa + eval_score_calibration_ece (the
+    # annotation-QA/eval family — growth capped at 2 per VERDICT item 6).
+    # CHANGED: stream_session_windows_per_user and
+    # stream_session_window_interval_overlap ride the shared
+    # _append_session_windows stage whose flush sentinel was rebuilt this
+    # round (typed-NULL payload columns, ADVICE r11) and which gained the
+    # split_at adversarial replay seam; stream_ts_mann_kendall_trend
+    # represents the three trend twins whose shared substrate was
+    # extracted to day_grid_reduce (pure code motion, plan-identical —
+    # the other two twins differ only in epilogues UNCHANGED since their
+    # r11-green driver rows, so they cede their slots to the staleness
+    # wall per the established demotion rule: every changed piece is
+    # carried by a slotted sibling).
+    "eval_rater_agreement_kappa",
+    "eval_score_calibration_ece",
     "stream_session_windows_per_user",
-    "join_left_interval_unpaid",
-    "agg_price_percentiles",
-    "q_shipping_priority_top10",
-    "join_salted_skew_above_avg",
-    "join_bloom_prefiltered_urgent_items",
-    "s2_compacted_tombstones",
-    "agg_grouping_sets_mixed",
-    "asof_forward_next_purchase",
-    "scd2_user_event_history",
-    "ts_gapfill_user_daily",
-    "funnel_view_click_purchase",
-    "retention_cohort_weeks",
-    "stream_q5_paid_orders",
-    "stream_dedup_exact",
-    "stream_running_count_per_user",
-    "stream_sliding_window_event_counts",
-    "stream_asof_purchase_last_click",
-    "stream_s2_compacted_tombstones",
-    "stream_join_left_interval_unpaid",
-    "dedup_embedding_cosine",
-    "dedup_fuzzy_part_names",
-    "text_token_stats",
-    "text_langid",
-    "text_vocabulary",
-    "domain_quality_stats",
-    "sim_lsh_bucket_stats",
-    "sim_ivf_topk",
-    "sim_ann_multiprobe_topk",
-    "sim_ivf_multiprobe_topk",
-    "semdedup_embedding_prune",
-    "tokenizer_bpe_pair_counts",
-    "mm_frame_sample",
-    "mm_resize_audit",
-    "mm_audio_chunk_energy",
-    "mm_paired_modality_manifest",
-    # (no r5-head filler this round: the boundary-rule re-slots consumed
-    # the spare slot; the complete r5 cohort rotates in round 12)
+    "stream_session_window_interval_overlap",
+    "stream_ts_mann_kendall_trend",
+    # -- slots 12-50: the COMPLETE r5 cohort (39 queries whose last
+    # driver row is round 5 — exactly at the ~6-round staleness policy
+    # boundary; tools/rotation_audit.py names them, VERDICT r11 item 1
+    # ordered them in verbatim).
+    "topk_customers_by_revenue",
+    "q_local_supplier_volume",
+    "wf_ntile_price_quartiles",
+    "agg_unpivot_status_counts",
+    "asof_nearest_click",
+    "ts_ewma_user_daily",
+    "wf_order_gap_days",
+    "events_value_outliers",
+    "stream_topk_customers_by_revenue",
+    "dedup_minhash_estimate_audit",
+    "dedup_containment_lsh",
+    "dedup_substring_chunks",
+    "decontaminate_corpus",
+    "graph_copurchase_pagerank",
+    "knn_label_vote",
+    "embedding_norm_stats",
+    "kmeans_ivf_train",
+    "sim_ivf_recall_audit",
+    "embedding_dim_stats",
+    "embedding_pq_codes",
+    "sim_pq_adc_recall_audit",
+    "index_inverted_postings",
+    "text_bm25_topk",
+    "embedding_quantize_int8",
+    "text_tfidf_topterms",
+    "text_bigram_lm_score",
+    "text_perplexity_buckets",
+    "quality_classifier_filter",
+    "stream_domain_quality_stats",
+    "stream_text_token_stats",
+    "stream_decontaminate_corpus",
+    "stream_ts_ewma_user_daily",
+    "stream_funnel_view_click_purchase",
+    "text_length_histogram",
+    "sample_hash_split",
+    "pipeline_dataset_card",
+    "sample_quality_weighted",
+    "chunk_documents_overlap",
+    "mm_scene_change_segments",
 )
 
 

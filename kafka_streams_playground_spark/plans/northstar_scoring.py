@@ -1853,3 +1853,275 @@ def tokenizer_unigram_viterbi_score(spark: SparkSession, sf_dir: str) -> DataFra
         yield pd.DataFrame({"word": out_w, "n_occ": out_c, "viterbi_lp6": out_s})
 
     return wc.mapInPandas(score, "word string, n_occ long, viterbi_lp6 long")
+
+
+# ---------------------------------------------------------------------------
+# Evaluation / annotation-QA family (round 12): inter-rater agreement and
+# score calibration — the two audits a labeling pipeline runs before trusting
+# a classifier's keep/drop decisions at corpus scale. Both are exact-integer
+# end to end (ppm grids, sign-safe floors), shared symbol-for-symbol with the
+# DuckDB oracles.
+# ---------------------------------------------------------------------------
+
+# Rater B — the cheap lexical-diversity rule an annotation rubric would
+# hand a human team: keep iff type-token ratio >= 0.72 AND stopword
+# density <= 0.10 (both on the exact ppm grid). Deliberately NOT the
+# classifier's feature weighting, so agreement is informative.
+RATER_B_TTR_E6 = 720_000
+RATER_B_STOP_E6 = 100_000
+
+# Calibration mapping for the classifier score: logit_e6 clamped onto
+# [CAL_LO_E6, CAL_LO_E6 + CAL_SPAN_E6] then scaled to a ppm confidence —
+# a fixed monotone score->probability map (the serving-time calibration
+# table, one row here because the map is affine).
+CAL_LO_E6 = 300_000
+CAL_SPAN_E6 = 1_300_000
+CAL_BIN_W = 100_000  # 10 equal-width confidence bins
+CAL_BIN_MAX = 9
+
+# Shared per-doc feature CTE (mirrors quality_classifier_filter's feature
+# block): n_tokens / n_distinct / n_stop, the classifier logit, and both
+# raters' verdicts on the exact integer grid.
+_RATERS_SQL = f"""
+    t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    f AS (
+      SELECT doc_id,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+             CAST(len([x for x in toks if list_contains([{_STOP_SQL}], x)])
+                  AS BIGINT) AS n_stop
+      FROM t
+    ),
+    r AS (
+      SELECT doc_id,
+             ({QC_W_TTR_E6} * n_distinct) // n_tokens
+               - ({QC_W_STOP_E6} * n_stop) // n_tokens
+               + ({QC_W_LEN_E6} * LEAST(n_tokens, 256)) // 256
+               + {QC_BIAS_E6} AS logit_e6,
+             CASE WHEN ({QC_W_TTR_E6} * n_distinct) // n_tokens
+                    - ({QC_W_STOP_E6} * n_stop) // n_tokens
+                    + ({QC_W_LEN_E6} * LEAST(n_tokens, 256)) // 256
+                    + {QC_BIAS_E6} >= {QC_TH_E6}
+                  THEN 1 ELSE 0 END AS ra,
+             CASE WHEN (1000000 * n_distinct) // n_tokens >= {RATER_B_TTR_E6}
+                   AND (1000000 * n_stop) // n_tokens <= {RATER_B_STOP_E6}
+                  THEN 1 ELSE 0 END AS rb
+      FROM f
+    )
+"""
+
+
+def _rater_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc (logit_e6, ra, rb): the classifier rater (A, the
+    quality_classifier_filter rule verbatim) and the heuristic rater (B)
+    — the Spark twin of the ``_RATERS_SQL`` CTE chain. One projection
+    over the scan, zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), " ")
+    stop_arr = F.lit(list(STOPWORDS)).cast("array<string>")
+    f = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct"),
+        F.size(F.filter(toks, lambda x: F.array_contains(stop_arr, x)))
+        .cast("bigint")
+        .alias("n_stop"),
+    )
+    logit = F.expr(
+        f"({QC_W_TTR_E6} * n_distinct) div n_tokens"
+        f" - ({QC_W_STOP_E6} * n_stop) div n_tokens"
+        f" + ({QC_W_LEN_E6} * least(n_tokens, 256)) div 256"
+        f" + {QC_BIAS_E6}"
+    )
+    return f.select(
+        "doc_id",
+        logit.cast("bigint").alias("logit_e6"),
+        (logit >= QC_TH_E6).cast("int").alias("ra"),
+        (
+            (F.expr("(1000000 * n_distinct) div n_tokens") >= RATER_B_TTR_E6)
+            & (F.expr("(1000000 * n_stop) div n_tokens") <= RATER_B_STOP_E6)
+        )
+        .cast("int")
+        .alias("rb"),
+    )
+
+
+@query(
+    "eval_rater_agreement_kappa",
+    oracle=f"""
+    WITH {_RATERS_SQL},
+    c AS (
+      SELECT CAST(COUNT(*) AS HUGEINT) AS n,
+             CAST(SUM(ra * rb) AS HUGEINT) AS a,
+             CAST(SUM(ra * (1 - rb)) AS HUGEINT) AS b,
+             CAST(SUM((1 - ra) * rb) AS HUGEINT) AS c,
+             CAST(SUM((1 - ra) * (1 - rb)) AS HUGEINT) AS d
+      FROM r
+    ),
+    k AS (
+      SELECT n, a, b, c, d,
+             (a + b) * (a + c) + (c + d) * (b + d) AS pe_num,
+             n * (a + d) AS po_num
+      FROM c
+    )
+    SELECT CAST(n AS BIGINT) AS n_docs,
+           CAST(a AS BIGINT) AS both_keep,
+           CAST(b AS BIGINT) AS only_classifier,
+           CAST(c AS BIGINT) AS only_heuristic,
+           CAST(d AS BIGINT) AS both_drop,
+           CAST(1000000 * po_num // (n * n) AS BIGINT) AS po_ppm,
+           CAST(1000000 * pe_num // (n * n) AS BIGINT) AS pe_ppm,
+           CAST((1000000 * (po_num - pe_num)
+                 - ((1000000 * (po_num - pe_num)) % NULLIF(n * n - pe_num, 0)
+                    + NULLIF(n * n - pe_num, 0))
+                   % NULLIF(n * n - pe_num, 0))
+                // NULLIF(n * n - pe_num, 0) AS BIGINT) AS kappa_ppm
+    FROM k
+    """,
+    tags=("northstar", "scoring", "eval", "stats", "bench"),
+)
+def eval_rater_agreement_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's kappa inter-rater agreement (Cohen 1960) between the learned
+    quality classifier (rater A = ``quality_classifier_filter``'s keep
+    rule, reused verbatim) and an independent heuristic rubric (rater B:
+    TTR >= 0.72 AND stopword density <= 0.10) — the annotation-QA audit
+    run before trusting either gate: kappa corrects raw agreement for the
+    agreement two biased coins would produce by chance. Exact arithmetic:
+    kappa = (n·(a+d) − pe_num) / (n² − pe_num) with
+    pe_num = (a+b)(a+c) + (c+d)(b+d) over the four confusion cells —
+    a ratio of integers, reported as one sign-safe pmod floor division
+    onto the ppm grid (the Theil-Sen convention; kappa is negative when
+    raters disagree beyond chance, so the sign-safe form matters). The
+    cells and n² are DECIMAL(38,0)/HUGEINT so the n² product is exact to
+    n ≈ 1e16 docs; kappa_ppm is NULL in the degenerate pe = 1 case (both
+    raters constant).
+
+    Spark shape: one scan → one projection (array features, no UDF) →
+    ONE all-reduce to four conditional sums — map-side partials carry the
+    whole corpus, the driver sees one row. At 100 TB this is scan-bound,
+    shuffle-free, and embarrassingly parallel; the epilogue is O(1)
+    integer arithmetic on one row."""
+    r = _rater_verdicts(spark, sf_dir)
+    c = r.agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("n"),
+        F.sum(F.col("ra") * F.col("rb")).cast("decimal(38,0)").alias("a"),
+        F.sum(F.col("ra") * (1 - F.col("rb"))).cast("decimal(38,0)").alias("b"),
+        F.sum((1 - F.col("ra")) * F.col("rb")).cast("decimal(38,0)").alias("c"),
+        F.sum((1 - F.col("ra")) * (1 - F.col("rb")))
+        .cast("decimal(38,0)")
+        .alias("d"),
+    )
+    k = c.select(
+        "n",
+        "a",
+        "b",
+        "c",
+        "d",
+        F.expr("(a + b) * (a + c) + (c + d) * (b + d)").alias("pe_num"),
+        F.expr("n * (a + d)").alias("po_num"),
+    )
+    den = "nullif(n * n - pe_num, 0)"
+    num = "1000000 * (po_num - pe_num)"
+    return k.select(
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.col("a").cast("bigint").alias("both_keep"),
+        F.col("b").cast("bigint").alias("only_classifier"),
+        F.col("c").cast("bigint").alias("only_heuristic"),
+        F.col("d").cast("bigint").alias("both_drop"),
+        F.expr("1000000 * po_num div (n * n)").cast("bigint").alias("po_ppm"),
+        F.expr("1000000 * pe_num div (n * n)").cast("bigint").alias("pe_ppm"),
+        F.expr(f"({num} - pmod({num}, {den})) div {den}")
+        .cast("bigint")
+        .alias("kappa_ppm"),
+    )
+
+
+@query(
+    "eval_score_calibration_ece",
+    oracle=f"""
+    WITH {_RATERS_SQL},
+    conf AS (
+      SELECT LEAST(GREATEST(logit_e6 - {CAL_LO_E6}, 0) * 1000000
+                   // {CAL_SPAN_E6}, 1000000) AS conf_ppm,
+             rb AS label
+      FROM r
+    ),
+    binned AS (
+      SELECT LEAST(conf_ppm // {CAL_BIN_W}, {CAL_BIN_MAX}) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(conf_ppm) AS BIGINT) AS sum_conf_ppm,
+             CAST(SUM(label) AS BIGINT) AS n_pos
+      FROM conf GROUP BY 1
+    ),
+    per_bin AS (
+      SELECT bin, n_docs, sum_conf_ppm, n_pos,
+             ABS(sum_conf_ppm - 1000000 * n_pos) // n_docs AS gap_ppm
+      FROM binned
+    )
+    SELECT * FROM per_bin
+    UNION ALL
+    SELECT CAST(-1 AS BIGINT) AS bin,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(sum_conf_ppm) AS BIGINT) AS sum_conf_ppm,
+           CAST(SUM(n_pos) AS BIGINT) AS n_pos,
+           CAST(SUM(ABS(sum_conf_ppm - 1000000 * n_pos)) // SUM(n_docs)
+                AS BIGINT) AS gap_ppm
+    FROM binned
+    """,
+    tags=("northstar", "scoring", "eval", "stats", "bench"),
+)
+def eval_score_calibration_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Expected Calibration Error of the quality classifier's score against
+    the independent heuristic rater's verdicts (Naeini et al. 2015's ECE,
+    the reliability-diagram summary) — the audit that decides whether the
+    cheap score can REPLACE the expensive gate at a chosen threshold: the
+    affine ppm confidence map over logit_e6 is cut into 10 equal-width
+    bins; each bin row reports its population, confidence mass, positive
+    count, and |avg confidence − accuracy| gap; the bin = -1 row is the
+    headline ECE = Σ_b |sum_conf_b − 1e6·pos_b| / N. Every column is an
+    exact BIGINT (nonnegative floors, so truncation == floor in both
+    engines); sums are exact to ~9.2e12 docs (1e6-grid confidence mass
+    vs the int64 cap — the DECIMAL widening recipe applies beyond that).
+
+    Spark shape: one scan → projection → 10-group aggregate with
+    map-side partials; the O(10)-row grid is localCheckpointed (bounded)
+    and the headline row is one aggregate over it — no second corpus
+    scan for the total. Scan-bound at any scale."""
+    r = _rater_verdicts(spark, sf_dir)
+    conf = r.select(
+        F.expr(
+            f"least(greatest(logit_e6 - {CAL_LO_E6}, 0) * 1000000"
+            f" div {CAL_SPAN_E6}, 1000000)"
+        ).alias("conf_ppm"),
+        F.col("rb").alias("label"),
+    )
+    binned = (
+        conf.groupBy(
+            F.expr(f"least(conf_ppm div {CAL_BIN_W}, {CAL_BIN_MAX})").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("conf_ppm").cast("bigint").alias("sum_conf_ppm"),
+            F.sum("label").cast("bigint").alias("n_pos"),
+        )
+        # O(10) rows; checkpoint so the headline row reuses the computed
+        # grid instead of re-scanning the corpus through the union branch
+        .localCheckpoint(eager=True)
+    )
+    per_bin = binned.select(
+        "bin",
+        "n_docs",
+        "sum_conf_ppm",
+        "n_pos",
+        F.expr("abs(sum_conf_ppm - 1000000 * n_pos) div n_docs").alias("gap_ppm"),
+    )
+    total = binned.agg(
+        F.lit(-1).cast("bigint").alias("bin"),
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("sum_conf_ppm").alias("sum_conf_ppm"),
+        F.sum("n_pos").alias("n_pos"),
+        F.expr(
+            "sum(abs(sum_conf_ppm - 1000000 * n_pos)) div sum(n_docs)"
+        ).alias("gap_ppm"),
+    )
+    return per_bin.unionByName(total)

@@ -3089,3 +3089,118 @@ def test_degree_oriented_triangles_match_bruteforce_on_adversarial_graphs(
         for i in range(160)
     ]
     check(rand)
+
+
+def test_kappa_and_ece_match_pure_python(spark, sf_dir):
+    """eval_rater_agreement_kappa + eval_score_calibration_ece recomputed
+    with exact Python ints from the raw documents table: both raters'
+    verdicts, the four confusion cells, the po/pe/kappa ppm floors, the
+    affine confidence map, the 10-bin grid, and the headline ECE row —
+    bit-equality on every column."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+    from kafka_streams_playground_spark.plans.northstar_scoring import (
+        CAL_BIN_MAX,
+        CAL_BIN_W,
+        CAL_LO_E6,
+        CAL_SPAN_E6,
+        QC_BIAS_E6,
+        QC_TH_E6,
+        QC_W_LEN_E6,
+        QC_W_STOP_E6,
+        QC_W_TTR_E6,
+        RATER_B_STOP_E6,
+        RATER_B_TTR_E6,
+    )
+    from kafka_streams_playground_spark.plans.northstar_text import STOPWORDS
+    from kafka_streams_playground_spark.sources.parquet import load_table
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    cells = {"a": 0, "b": 0, "c": 0, "d": 0}
+    bins = {}
+    for r in docs:
+        toks = r["text"].split(" ")
+        nt, nd = len(toks), len(set(toks))
+        ns = sum(1 for x in toks if x in STOPWORDS)
+        logit = (
+            (QC_W_TTR_E6 * nd) // nt
+            - (QC_W_STOP_E6 * ns) // nt
+            + (QC_W_LEN_E6 * min(nt, 256)) // 256
+            + QC_BIAS_E6
+        )
+        ra = int(logit >= QC_TH_E6)
+        rb = int(
+            (1_000_000 * nd) // nt >= RATER_B_TTR_E6
+            and (1_000_000 * ns) // nt <= RATER_B_STOP_E6
+        )
+        cells["a" if ra and rb else "b" if ra else "c" if rb else "d"] += 1
+        conf = min(max(logit - CAL_LO_E6, 0) * 1_000_000 // CAL_SPAN_E6, 1_000_000)
+        bk = min(conf // CAL_BIN_W, CAL_BIN_MAX)
+        n, sc, np_ = bins.get(bk, (0, 0, 0))
+        bins[bk] = (n + 1, sc + conf, np_ + rb)
+
+    a, b, c, d = cells["a"], cells["b"], cells["c"], cells["d"]
+    n = a + b + c + d
+    pe_num = (a + b) * (a + c) + (c + d) * (b + d)
+    po_num = n * (a + d)
+    row = REGISTRY["eval_rater_agreement_kappa"].fn(spark, sf_dir).collect()[0]
+    assert (
+        row["n_docs"],
+        row["both_keep"],
+        row["only_classifier"],
+        row["only_heuristic"],
+        row["both_drop"],
+    ) == (n, a, b, c, d)
+    assert row["po_ppm"] == 1_000_000 * po_num // (n * n)
+    assert row["pe_ppm"] == 1_000_000 * pe_num // (n * n)
+    den = n * n - pe_num
+    assert den > 0  # non-degenerate on the fixture corpus
+    assert row["kappa_ppm"] == 1_000_000 * (po_num - pe_num) // den  # python // floors
+
+    got = {
+        r["bin"]: (r["n_docs"], r["sum_conf_ppm"], r["n_pos"], r["gap_ppm"])
+        for r in REGISTRY["eval_score_calibration_ece"].fn(spark, sf_dir).collect()
+    }
+    for bk, (nb, sc, np_) in bins.items():
+        assert got[bk] == (nb, sc, np_, abs(sc - 1_000_000 * np_) // nb), bk
+    ece_num = sum(abs(sc - 1_000_000 * np_) for nb, sc, np_ in bins.values())
+    assert got[-1] == (
+        n,
+        sum(sc for _, sc, _ in bins.values()),
+        sum(np_ for _, _, np_ in bins.values()),
+        ece_num // n,
+    )
+    assert len(got) == len(bins) + 1
+
+
+def test_kappa_negative_sign_safe(spark, tmp_path):
+    """Worse-than-chance raters must yield a NEGATIVE kappa_ppm with the
+    sign-safe (mathematical) floor in BOTH engines — the case the pmod
+    form exists for. Fixture: rater A keeps long diverse docs with heavy
+    stopword density (rb=0: stop > 0.10); rater B keeps short diverse
+    stopword-free docs below the logit threshold (ra=0) — all mass in
+    the disagreement cells."""
+    from tests.test_boundaries import _spark_vs_oracle
+
+    # b-cell docs (ra=1, rb=0): 200 distinct words + 40 'the' fillers ->
+    # TTR ~0.83, stop ~0.167, lensat 240/256: logit ~ 1.66M-0.25M+0.75M-0.4M
+    b_doc = " ".join([f"w{i}" for i in range(200)] + ["the"] * 40)
+    # c-cell docs (ra=0, rb=1): 25 tokens, 18 distinct (TTR 0.72), no
+    # stopwords: logit = 1.44M + 78k - 400k = 1.118M < 1.2M
+    c_doc = " ".join([f"v{i}" for i in range(18)] + ["v0"] * 7)
+    rows = [(i, b_doc if i % 2 else c_doc, "en", "src0") for i in range(8)]
+    df = spark.createDataFrame(
+        [(i, t, lang, s, len(t)) for i, t, lang, s in rows],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    df.coalesce(1).write.parquet(str(tmp_path / "documents.parquet"))
+    got, want = _spark_vs_oracle(
+        spark, str(tmp_path), "eval_rater_agreement_kappa", table="documents"
+    )
+    assert got == want
+    from kafka_streams_playground_spark.plans import REGISTRY
+
+    r = REGISTRY["eval_rater_agreement_kappa"].fn(spark, str(tmp_path)).collect()[0]
+    assert (r["both_keep"], r["both_drop"]) == (0, 0)
+    assert r["only_classifier"] == 4 and r["only_heuristic"] == 4
+    # pure-python mathematical floor: po=0, pe_num=2*16, n^2=64
+    assert r["kappa_ppm"] == 1_000_000 * (0 - 32) // (64 - 32) == -1_000_000

@@ -1309,3 +1309,16 @@ def test_round11_refactor_plan_shapes(spark, sf_dir):
         day_grid(load_table(spark, sf_dir, "events")).explain("formatted")
     g = buf.getvalue()
     assert "partial_sum" in g and "CartesianProduct" not in g, g
+
+
+def test_kappa_single_reduce_no_join(spark, sf_dir):
+    """eval_rater_agreement_kappa is one scan -> projection -> ONE
+    all-reduce (partial conditional sums, a single-partition exchange of
+    one partial row per task) with no join anywhere: the kappa epilogue
+    is O(1) arithmetic on the reduced row."""
+    plan = _plan(spark, sf_dir, "eval_rater_agreement_kappa")
+    assert "Join" not in plan, plan
+    assert len(re.findall(r"Arguments: SinglePartition", plan)) == 1, plan
+    assert "hashpartitioning" not in plan, plan
+    assert len(re.findall(r"Location: InMemoryFileIndex", plan)) == 1, plan
+    assert "partial_count" in plan, plan  # map-side partials carry the corpus
