@@ -65,13 +65,20 @@ def main() -> None:
 
     names, excluded = bench_names(REGISTRY)
 
+    # Provenance rule (VERDICT r11 item 5): the DRIVER-run map stays
+    # min-of-2 for time; the COMMITTED quiet-machine BENCH_LOCAL.json is
+    # produced with SPARK_GRAFT_BENCH_RUNS=3 (min-of-3) to contain the
+    # documented ±15% same-binary variance span. The run count is recorded
+    # in the JSON so every map states its own provenance.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+
     # Warm the JVM + parquet footers once so timings measure the plans.
     REGISTRY[names[0]].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name in names:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(n_runs):
             # Drop persisted indexes from prior runs/queries: every timed run
             # must execute the full plan, including index builds.
             spark.catalog.clearCache()
@@ -99,7 +106,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": sf_val,
-        "runs": 2,
+        "runs": n_runs,
         "excluded_n": len(excluded),
         "queries_omitted": 0,
         # The registry outgrew the driver's tail-capture window long ago;

@@ -228,3 +228,89 @@ def test_write_split_feed_segments_replay_in_order(spark, tmp_path):
     assert drained.count() == 3  # one emission per micro-batch: order held
     final = latest_update_state(drained, "key", F.col("n")).collect()
     assert [(r["key"], r["val"]) for r in final] == [("k", "v3")]
+
+
+def test_ktable_latest_per_key_split_sweep_out_of_order(spark, tmp_path):
+    """The KTable latest-per-key fold (S2) under EVERY split of an
+    OUT-OF-ORDER changelog: max_by(version) keyed state must converge to
+    the same table whichever micro-batch carries which update — including
+    a stale (lower-version) update arriving AFTER the newest one in a
+    later batch (must NOT override), a key whose final update lands in
+    the last micro-batch, and an equal-ts version tie broken by the seq
+    struct component. No watermark: nothing is ever dropped, so
+    split-invariance must hold for ARBITRARY delivery order."""
+    from kafka_streams_playground_spark.streaming.ktable import latest_per_key_stream
+    from kafka_streams_playground_spark.streaming.replay import (
+        latest_update_state,
+        run_to_completion,
+    )
+
+    # (key, val, ts, seq, arrival): version = struct(ts, seq)
+    rows = [
+        ("u1", "a", 10, 1, 0),
+        ("u2", "x", 10, 2, 1),
+        ("u1", "c", 30, 3, 2),  # u1's newest arrives EARLY...
+        ("u1", "b", 20, 4, 3),  # ...then a stale update (must not override)
+        ("u2", "y", 10, 5, 4),  # equal-ts tie: seq 5 beats seq 2
+        ("u3", "q", 40, 6, 5),  # new key opens in the final segment
+    ]
+    schema = "key string, val string, ts long, seq long, arrival int"
+    feed = spark.createDataFrame(rows, schema)
+    want = [("u1", "c", 30, 3), ("u2", "y", 10, 5), ("u3", "q", 40, 6)]
+    n = len(rows)
+    sweeps = [(i,) for i in range(1, n)] + [tuple(range(1, n))]
+    for k, split in enumerate(sweeps):
+        d = str(tmp_path / f"kt{k}")
+        write_split_feed(feed, ["arrival"], split, d)
+        sdf = read_split_stream(spark, d, feed.schema).drop("arrival")
+        table = latest_per_key_stream(
+            sdf, ["key"], ["val", "ts", "seq"], F.struct("ts", "seq")
+        )
+        drained = run_to_completion(table, output_mode="update", spark=spark)
+        # state's version only grows, so the max-seq emission per key IS
+        # the final state (the latest_update_state contract)
+        got = sorted(
+            (r["key"], r["val"], r["ts"], r["seq"])
+            for r in latest_update_state(drained, "key", F.col("seq")).collect()
+        )
+        assert got == want, f"split={split}"
+
+
+def test_tumbling_append_split_sweep_window_edges(spark, tmp_path):
+    """Epoch-aligned tumbling windows (A4) in APPEND mode under every
+    split of a ts-ordered feed whose events SIT on window boundaries:
+    an event at exactly t=10 (first instant of the second window), an
+    equal-ts pair straddling a split, and a window whose last event is a
+    batch's last row (watermark lands exactly on the NEXT window's
+    start). A sentinel event two windows past the end flushes the tail
+    (the session sweep's pattern); real windows must drain exactly once
+    and equal the batch tumbling counts."""
+    from datetime import datetime, timedelta
+
+    from kafka_streams_playground_spark.operators.aggregations import tumbling_count
+    from kafka_streams_playground_spark.streaming.replay import run_to_completion
+
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+
+    def at(s):
+        return t0 + timedelta(seconds=s)
+
+    real = [(1, at(0)), (2, at(9)), (1, at(10)), (2, at(10)), (1, at(19)), (1, at(25))]
+    # windows [0,10): u1=1 u2=1; [10,20): u1=2 u2=1; [20,30): u1=1
+    want = sorted([(0, 1, 1), (0, 2, 1), (10, 1, 2), (10, 2, 1), (20, 1, 1)])
+    sentinel = [(99, at(45))]  # two windows past the last event: flushes all
+    feed = spark.createDataFrame(real + sentinel, "user_id long, ts timestamp")
+    n = len(real) + 1
+    sweeps = [(i,) for i in range(1, n)] + [tuple(range(1, n))]
+    for k, split in enumerate(sweeps):
+        d = str(tmp_path / f"tw{k}")
+        write_split_feed(feed, ["ts", "user_id"], split, d)
+        sdf = read_split_stream(spark, d, feed.schema).withWatermark("ts", "0 seconds")
+        counts = tumbling_count(sdf, "ts", "10 seconds", F.col("user_id"))
+        drained = run_to_completion(counts, output_mode="append", spark=spark)
+        got = sorted(
+            (r["window"].start.second + 60 * r["window"].start.minute, r["user_id"], r["cnt"])
+            for r in drained.collect()
+            if r["user_id"] != 99
+        )
+        assert got == want, f"split={split}"
