@@ -56,7 +56,14 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # stream_session_window_interval_overlap ride the shared
     # _append_session_windows stage whose flush sentinel was rebuilt this
     # round (typed-NULL payload columns, ADVICE r11) and which gained the
-    # split_at adversarial replay seam; stream_ts_mann_kendall_trend
+    # split_at adversarial replay seam; the latter ALSO carries the
+    # round's one real defect fix — the stream-stream bin join promoted
+    # bin 0 to EPOCH 0, Spark's initial watermark value, silently
+    # dropping origin-bin pairs (found by the split sweep; bin_ts is now
+    # (bin+1)*width) — so stream_join_interval_overlap_bins, whose only
+    # change is that same shared _replay_interval_bin_join stage, cedes
+    # its slot to the slotted sibling per the established demotion rule;
+    # stream_ts_mann_kendall_trend
     # represents the three trend twins whose shared substrate was
     # extracted to day_grid_reduce (pure code motion, plan-identical —
     # the other two twins differ only in epilogues UNCHANGED since their

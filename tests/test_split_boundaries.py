@@ -314,3 +314,89 @@ def test_tumbling_append_split_sweep_window_edges(spark, tmp_path):
             if r["user_id"] != 99
         )
         assert got == want, f"split={split}"
+
+
+def test_stream_stream_bin_join_split_sweep_eviction_edges(spark):
+    """The watermarked stream-stream bin join (J3 ext.) under ALIGNED
+    ts-ordered splits of BOTH interval feeds with a 0-SECOND watermark —
+    the harshest eviction schedule: after each micro-batch the global
+    watermark (min across both sides) lands EXACTLY on the latest bin
+    timestamp, so a pair whose two halves straddle a split only survives
+    because state eviction and late-drop are both STRICT (< wm, not <=).
+    The fixture plants the dangerous instants: intervals in the EPOCH-0
+    bin (this sweep's round-12 catch: bin_ts = bin*width put bin 0 on
+    epoch 0 — Spark's INITIAL watermark value — and the join silently
+    dropped every pair whose only shared bin was bin 0 while the batch
+    twin kept them; the engine now promotes (bin+1)*width), an interval
+    ending exactly on a bin edge, a point interval exactly on the edge,
+    a burst straddling the edge by ±1 s, and same-bin halves split into
+    different batches. Every aligned split combination must drain to the
+    batch binned-join pair set (all 16 combinations probed when the fix
+    landed; a representative 6 run here for time). Sides lagging each
+    other by more than the watermark delay drop pairs BY DESIGN —
+    Spark's documented stream-stream join contract; the delivery
+    contract under test is interleaved time-ordered topics."""
+    from kafka_streams_playground_spark.plans.temporal import explode_to_bins
+    from kafka_streams_playground_spark.streaming.queries import (
+        _replay_interval_bin_join,
+    )
+
+    B = 21600  # OVERLAP_BIN_S
+    sessions = spark.createDataFrame(
+        [
+            (1, 1, 0, B),          # ends exactly on the bin edge (bins 0,1)
+            (2, 1, B, B),          # point interval exactly on the edge (bin 1)
+            (1, 2, 2 * B, 2 * B + 5000),
+        ],
+        "user_id long, session_no int, s_start long, s_end long",
+    )
+    bursts = spark.createDataFrame(
+        [
+            ("view", 1, 0, 100),            # bin 0 only
+            ("click", 1, B - 1, B + 1),     # straddles the edge (bins 0,1)
+            ("click", 2, 2 * B + 1, 3 * B),
+        ],
+        "event_type string, burst_no int, b_start long, b_end long",
+    )
+    # batch twin: same binning contract, same predicate, same dedup
+    sb = explode_to_bins(sessions, "s_start", "s_end", "bin")
+    bb = explode_to_bins(bursts, "b_start", "b_end", "bin")
+    want = sorted(
+        tuple(r)
+        for r in sb.join(bb, "bin")
+        .filter(
+            (F.col("s_start") <= F.col("b_end"))
+            & (F.col("b_start") <= F.col("s_end"))
+        )
+        .select(
+            "user_id", "session_no", "event_type", "burst_no",
+            "s_start", "s_end", "b_start", "b_end",
+            (
+                F.least(F.col("s_end"), F.col("b_end"))
+                - F.greatest(F.col("s_start"), F.col("b_start"))
+            ).alias("overlap_s"),
+        )
+        .dropDuplicates(["user_id", "session_no", "event_type", "burst_no"])
+        .collect()
+    )
+    assert len(want) >= 3  # edge pairs actually overlap
+    combos = [
+        ((), ()),          # single batch per side — the epoch-0 repro itself
+        ((1,), (1,)),      # aligned early split: same-bin halves straddle
+        ((2,), (1,)),      # skewed split points within the delay
+        ((2,), ()),        # one side split, the other whole
+        ((), (2,)),
+        ((1, 2), (1, 2)),  # all-singleton: trigger-per-interval worst case
+    ]
+    for s_split, b_split in combos:
+        got = sorted(
+            tuple(r)
+            for r in _replay_interval_bin_join(
+                spark,
+                sessions,
+                bursts,
+                split_at={"sessions": s_split, "bursts": b_split},
+                watermark="0 seconds",
+            ).collect()
+        )
+        assert got == want, f"splits={s_split}/{b_split}"
