@@ -17,12 +17,20 @@ The delivery contract under test:
   different keys straddling a split (late-drop is ts < wm, strict);
   the sentinel alone in the final micro-batch (Kafka punctuation
   arriving after a quiet period).
-- The day-grid trend substrate (update mode, NO watermark): must be
-  invariant under every split of an ARBITRARY-order feed — out-of-order
-  delivery included — because nothing is ever dropped and
-  latest_update_state picks each cell's max-n_rows (final) emission.
+- The day-grid trend substrate and the KTable latest-per-key fold
+  (update mode, NO watermark): must be invariant under every split of an
+  ARBITRARY-order feed — out-of-order delivery included — because
+  nothing is ever dropped and the final-state reduce picks each key's
+  last emission (max-n_rows / max-version).
+- Append-mode tumbling windows: boundary-exact events (first instant of
+  a window, equal-ts straddles, a batch ending exactly on a window
+  edge) drain exactly once.
+- The watermarked stream-stream bin join under ALIGNED splits at a
+  0-second delay — the sweep that caught this round's real defect (bin
+  0 promoted to epoch 0, Spark's initial watermark value: origin-bin
+  pairs silently dropped; fixed to (bin+1)*width).
 
-Both sweeps compare against the BATCH twin of the same rows, so the
+Every sweep compares against the BATCH twin of the same rows, so the
 equality chains to the DuckDB oracles the batch queries carry.
 """
 
