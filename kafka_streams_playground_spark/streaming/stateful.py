@@ -76,15 +76,22 @@ def _asof_last_click(key: tuple, pdfs: Iterator[pd.DataFrame], state) -> Iterato
     (ts, event_id); merge_asof picks the last qualifying row), matching the
     batch oracle's tiebreak. State = one (ts_ns, click_id) pair per key.
 
-    PRECONDITION (ADVICE r4): input must be replayed in event-time order
-    across micro-batches. The state keeps only the single max-(ts, id)
-    click per key, so a purchase arriving in a LATER batch than a
-    newer-but-out-of-order click would pair with the wrong click and
-    silently diverge from the batch oracle. The replay harness
-    (streaming/replay.py) feeds batches in ts order, satisfying this; a
-    production deployment facing late data needs the buffered variant
-    (keep clicks within the watermark horizon, evict on timeout) at the
-    cost of O(horizon) state per key instead of O(1)."""
+    PRECONDITION (ADVICE r4; sharpened round 12): input must be replayed
+    in (ts, side) order across micro-batches — no qualifying click may
+    land in a LATER micro-batch than a same-key purchase it qualifies
+    for. Plain event-time order gives this for c.ts < p.ts, but at
+    c.ts == p.ts (the batch oracle's inclusive tiebreak) an equal-ts
+    click split into the batch AFTER its purchase cannot retro-pair
+    under append emission, and the purchase silently pairs with the
+    previous click — probed by the round-12 split sweep, which pins
+    BOTH directions (contract-satisfying splits equal the batch oracle;
+    the violating straddle's divergent pairing is asserted explicitly as
+    the boundary of the O(1)-state contract). Causal production order —
+    the click is produced before the purchase it precedes — satisfies
+    the sharpened contract, as does any single-batch replay. A
+    production deployment facing genuinely late/reordered data needs the
+    buffered variant (keep clicks within the watermark horizon, evict on
+    timeout) at the cost of O(horizon) state per key instead of O(1)."""
     chunks = [pdf for pdf in pdfs if len(pdf)]
     if not chunks:
         return

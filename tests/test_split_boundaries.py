@@ -408,3 +408,73 @@ def test_stream_stream_bin_join_split_sweep_eviction_edges(spark):
             ).collect()
         )
         assert got == want, f"splits={s_split}/{b_split}"
+
+
+def _asof_fixture(spark):
+    """user 1's history with an EQUAL-TS click/purchase collision (the
+    instant the fixtures never produce — checked: zero same-user same-ts
+    click/purchase pairs at every SF): click 1 @ t0, purchase 2 @ t1,
+    click 3 @ t1 (same instant, larger id), purchase 4 @ t2. The batch
+    oracle pairs BOTH purchases with click 3 (c.ts <= p.ts, max (ts, id)
+    wins)."""
+    t0 = datetime(2024, 1, 1, 0, 0, 0)
+    t1 = t0 + timedelta(seconds=60)
+    t2 = t0 + timedelta(seconds=120)
+    rows = [
+        (1, 1, "click", t0, 0),
+        (2, 1, "purchase", t1, 2),  # contract order: same-ts click FIRST
+        (3, 1, "click", t1, 1),
+        (4, 1, "purchase", t2, 3),
+    ]
+    return spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp, arrival int"
+    )
+
+
+def _drain_asof(spark, feed, order_cols, split, tmp):
+    from kafka_streams_playground_spark.streaming.replay import run_to_completion
+    from kafka_streams_playground_spark.streaming.stateful import asof_join_per_key
+
+    write_split_feed(feed, order_cols, split, tmp)
+    sdf = read_split_stream(spark, tmp, feed.schema).drop("arrival")
+    out = run_to_completion(asof_join_per_key(sdf), output_mode="append", spark=spark)
+    return sorted((r["event_id"], r["last_click_id"]) for r in out.collect())
+
+
+def test_asof_stream_split_sweep_contract_order(spark, tmp_path):
+    """Under the operator's sharpened delivery contract — (ts, side)
+    order, equal-ts clicks BEFORE the purchases they qualify for — every
+    split of the feed (including the one isolating each event) must
+    reproduce the batch oracle's pairing: both purchases pair with the
+    equal-ts click 3."""
+    feed = _asof_fixture(spark)
+    want = [(2, 3), (4, 3)]
+    n = 4
+    sweeps = [()] + [(i,) for i in range(1, n)] + [tuple(range(1, n))]
+    for k, split in enumerate(sweeps):
+        got = _drain_asof(
+            spark, feed, ["arrival"], split, str(tmp_path / f"a{k}")
+        )
+        assert got == want, f"split={split}"
+
+
+def test_asof_stream_equal_ts_straddle_is_the_contract_boundary(spark, tmp_path):
+    """The OTHER side of the boundary, asserted explicitly: replayed in
+    plain (ts, event_id) order — purchase 2 BEFORE its equal-ts click 3
+    — a split exactly between them forces the purchase to pair with the
+    older click 1 (append emission cannot retro-pair), diverging from
+    the batch oracle's (2, 3). This is the documented edge of the
+    O(1)-state contract (streaming/stateful.py::_asof_last_click), not a
+    fixable defect: pinning the exact divergent pairing makes the
+    semantic loud if the operator's behavior ever shifts. The same feed
+    UNSPLIT stays batch-equal (within one micro-batch the join is
+    set-based)."""
+    feed = _asof_fixture(spark)
+    # (ts, event_id) order = arrival order with purchase 2 before click 3
+    order = ["ts", "event_id"]
+    assert _drain_asof(spark, feed, order, (), str(tmp_path / "whole")) == [
+        (2, 3),
+        (4, 3),
+    ]
+    got = _drain_asof(spark, feed, order, (2,), str(tmp_path / "straddle"))
+    assert got == [(2, 1), (4, 3)]  # the divergent pairing, pinned
