@@ -167,10 +167,17 @@ def _ewma_taps(key: tuple, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.D
     beat (and a Kafka Streams aggregate store would hold).
 
     PRECONDITION (the stream_asof stance): input replayed in event-time
-    order across micro-batches, with no day split across batches — a late
-    event for an already-emitted day would need an update-mode correction.
-    The replay harness's single availableNow batch satisfies both, making
-    the drained output equal the batch twin row-for-row."""
+    order across micro-batches, with no day split across batches, makes
+    the drained output equal the batch twin row-for-row (the replay
+    harness's single availableNow batch satisfies both). A day that DOES
+    straddle batches is handled by CORRECTION RE-EMISSION: the fold
+    merges the continuation into its last tap and emits the day again
+    with the full cents and corrected ewma, so the drain carries both
+    the partial and the final row — and because cents only grows within
+    a day, the max-cents row per (user, day) recovers the batch fold
+    exactly (split-sweep-pinned in tests/test_split_boundaries.py; a
+    production consumer treats the stream as upsert-by-(user, day), the
+    standard changelog-topic reading)."""
     chunks = [pdf for pdf in pdfs if len(pdf)]
     if not chunks:
         return

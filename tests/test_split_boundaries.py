@@ -478,3 +478,108 @@ def test_asof_stream_equal_ts_straddle_is_the_contract_boundary(spark, tmp_path)
     ]
     got = _drain_asof(spark, feed, order, (2,), str(tmp_path / "straddle"))
     assert got == [(2, 1), (4, 3)]  # the divergent pairing, pinned
+
+
+def test_ewma_split_sweep_day_boundaries_and_midday_correction(spark, tmp_path):
+    """The O(taps)-state streaming EWMA under splits: (a) splits at DAY
+    boundaries (the documented contract) drain to exactly the pure-python
+    q8 fold per observed day; (b) a MID-DAY split emits the partial-day
+    row and then a same-day CORRECTION row (the fold merges the
+    continuation into its last tap), so the raw drain has duplicate
+    (user, day) rows — pinned — and the max-cents reduce (cents only
+    grows within a day) recovers the batch answer exactly. The reduce is
+    the documented recovery for day-straddling replays; the single-batch
+    fixture replay never needs it."""
+    from kafka_streams_playground_spark.streaming.replay import (
+        latest_update_state,
+        run_to_completion,
+    )
+    from kafka_streams_playground_spark.streaming.stateful import ewma_per_key
+
+    D = 86400
+    t = lambda e: datetime.utcfromtimestamp(e)  # noqa: E731
+    rows = [  # (event_id, user_id, ts, value): two days, multi-event days
+        (1, 1, t(10 * D + 100), 1.00),
+        (2, 1, t(10 * D + 200), 2.00),
+        (3, 1, t(11 * D + 50), 4.00),
+        (4, 1, t(11 * D + 60), 0.50),
+    ]
+    feed = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp, value double"
+    )
+
+    # pure-python q8 fold over the full days
+    def q8(series):
+        hist, out = [], {}
+        for day, cents in series:
+            hist.append((day, cents))
+            hist = hist[-8:]
+            out[day] = (cents, sum(cv << (7 - k) for k, (_, cv) in enumerate(reversed(hist))))
+        return out
+
+    want_full = q8([(10, 300), (11, 450)])
+    want_rows = sorted(
+        (1, d * D, c, e) for d, (c, e) in want_full.items()
+    )
+
+    def drain(split):
+        dirp = str(tmp_path / f"e{split}")
+        write_split_feed(feed, ["ts", "event_id"], split, dirp)
+        sdf = read_split_stream(spark, dirp, feed.schema)
+        return run_to_completion(ewma_per_key(sdf), output_mode="append", spark=spark)
+
+    # (a) day-boundary split (after row 2) and no split: exact batch rows
+    for split in [(), (2,)]:
+        got = sorted(
+            (r["user_id"], r["day_epoch"], r["cents"], r["ewma_cents_q8"])
+            for r in drain(split).collect()
+        )
+        assert got == want_rows, f"split={split}"
+    # (b) mid-day splits: raw drain re-emits the straddled day...
+    for split in [(1,), (3,), (1, 2, 3)]:
+        drained = drain(split)
+        raw = drained.collect()
+        assert len(raw) > 2, f"split={split} expected a correction re-emission"
+        got = sorted(
+            (r["user_id"], r["day_epoch"], r["cents"], r["ewma_cents_q8"])
+            for r in latest_update_state(
+                drained, ["user_id", "day_epoch"], F.col("cents")
+            ).collect()
+        )
+        # ...and the max-cents reduce recovers the batch fold exactly
+        assert got == want_rows, f"split={split}"
+
+
+def test_running_count_split_sweep_equal_ts_straddle(spark, tmp_path):
+    """The per-record changelog counter (the reference's fold, A3/A5)
+    under every split of the (ts, event_id)-ordered feed, including an
+    equal-ts pair straddling a split: the emitted changelog must be
+    exactly the batch row_number assignment — per-batch sorting plus
+    carried state composes to the global (ts, event_id) order when the
+    delivery order is the sort order, whichever side of a boundary the
+    tied rows land on."""
+    from kafka_streams_playground_spark.streaming.replay import run_to_completion
+    from kafka_streams_playground_spark.streaming.stateful import running_count_per_key
+
+    t0 = datetime(2024, 1, 1)
+    rows = [
+        (1, 10, t0),
+        (1, 11, t0 + timedelta(seconds=5)),  # equal-ts pair: ids 11, 12
+        (1, 12, t0 + timedelta(seconds=5)),
+        (2, 13, t0 + timedelta(seconds=5)),
+        (1, 14, t0 + timedelta(seconds=9)),
+    ]
+    feed = spark.createDataFrame(rows, "user_id long, event_id long, ts timestamp")
+    want = sorted([(1, 10, 1), (1, 11, 2), (1, 12, 3), (1, 14, 4), (2, 13, 1)])
+    n = len(rows)
+    for split in [()] + [(i,) for i in range(1, n)] + [tuple(range(1, n))]:
+        dirp = str(tmp_path / f"rc{split}")
+        write_split_feed(feed, ["ts", "event_id"], split, dirp)
+        sdf = read_split_stream(spark, dirp, feed.schema)
+        out = run_to_completion(
+            running_count_per_key(sdf), output_mode="append", spark=spark
+        )
+        got = sorted(
+            (r["user_id"], r["event_id"], r["running_cnt"]) for r in out.collect()
+        )
+        assert got == want, f"split={split}"
