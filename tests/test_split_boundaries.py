@@ -583,3 +583,68 @@ def test_running_count_split_sweep_equal_ts_straddle(spark, tmp_path):
             (r["user_id"], r["event_id"], r["running_cnt"]) for r in out.collect()
         )
         assert got == want, f"split={split}"
+
+
+def test_funnel_split_sweep_and_equal_ts_boundary(spark, tmp_path):
+    """The O(1)-state streaming funnel under splits. (a) Under the
+    sharpened delivery contract (ts-ordered, equal-ts stage pairs not
+    split with the LATER stage first), every split drains to per-batch
+    funnel rows whose max-reached_stage row per user equals the batch
+    min-chain — reached_stage is monotone across batches and each stage
+    timestamp is stable once set under ts-ordered delivery, so the
+    reduce is exact. (b) The violating straddle — a click tying the
+    first view's timestamp but replayed into the EARLIER batch — is
+    discarded before the view arrives (no retro-qualification under
+    append emission) and the funnel stalls at the view stage: pinned
+    explicitly as the same O(1)-contract boundary the as-of operator
+    documents."""
+    from kafka_streams_playground_spark.streaming.replay import (
+        latest_update_state,
+        run_to_completion,
+    )
+    from kafka_streams_playground_spark.streaming.stateful import funnel_per_key
+
+    t0 = datetime(2024, 1, 1)
+    rows = [  # (event_id, user_id, event_type, ts): click 4 TIES view 9's ts
+        (4, 1, "click", t0 + timedelta(seconds=5)),
+        (9, 1, "view", t0 + timedelta(seconds=5)),
+        (12, 1, "purchase", t0 + timedelta(seconds=8)),
+        (13, 2, "view", t0 + timedelta(seconds=6)),
+    ]
+    feed = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    e5 = int((t0 + timedelta(seconds=5)).timestamp())
+    e6 = int((t0 + timedelta(seconds=6)).timestamp())
+    e8 = int((t0 + timedelta(seconds=8)).timestamp())
+    want = sorted([(1, e5, e5, e8, 3), (2, e6, None, None, 1)])
+
+    def drain(order, split, tag):
+        d = str(tmp_path / tag)
+        write_split_feed(feed, order, split, d)
+        sdf = read_split_stream(spark, d, feed.schema)
+        out = run_to_completion(funnel_per_key(sdf), output_mode="append", spark=spark)
+        final = latest_update_state(out, "user_id", F.col("reached_stage"))
+        return sorted(
+            (r["user_id"], r["view_epoch"], r["click_epoch"], r["purchase_epoch"], r["reached_stage"])
+            for r in final.collect()
+        )
+
+    # (a) contract order: the equal-ts pair replays view-first (the
+    # causal stage order), expressed as an explicit rank column:
+    # view=0, click=1, purchase=2
+    feed = feed.withColumn(
+        "stage_rank",
+        F.when(F.col("event_type") == "view", 0)
+        .when(F.col("event_type") == "click", 1)
+        .otherwise(2),
+    )
+    n = 4
+    for split in [()] + [(i,) for i in range(1, n)] + [tuple(range(1, n))]:
+        got = drain(["ts", "stage_rank"], split, f"f{split}")
+        assert got == want, f"split={split}"
+    # (b) violating order: click-before-view at the tied instant, split
+    # exactly between them — the click is gone, the funnel stalls at the
+    # view stage (no qualifying click remains)
+    got = drain(["ts", "event_id"], (1,), "fviol")
+    assert got == sorted([(1, e5, None, None, 1), (2, e6, None, None, 1)])
