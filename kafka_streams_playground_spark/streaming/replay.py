@@ -73,7 +73,12 @@ def write_split_feed(
         raise ValueError(f"split indices must be interior (0 < i < {n}): {cuts}")
     bounds = [0, *cuts, n]
     rn = F.row_number().over(_W.orderBy(*[F.col(c) for c in order_cols])) - 1
-    numbered = df.withColumn("_rn", rn)
+    # checkpoint the numbering ONCE: the per-segment writes below are
+    # separate executions, and if order_cols has TIES a re-evaluated
+    # row_number could assign tied rows differently per write (a row in
+    # two segments, or in none). Materializing pins one assignment, so
+    # every row lands in exactly one segment whatever the tie-break.
+    numbered = df.withColumn("_rn", rn).localCheckpoint(eager=True)
     for i in range(len(bounds) - 1):
         seg_dir = os.path.join(dir_path, f"seg{i:04d}")
         (

@@ -648,3 +648,22 @@ def test_funnel_split_sweep_and_equal_ts_boundary(spark, tmp_path):
     # view stage (no qualifying click remains)
     got = drain(["ts", "event_id"], (1,), "fviol")
     assert got == sorted([(1, e5, None, None, 1), (2, e6, None, None, 1)])
+
+
+def test_write_split_feed_partitions_exactly_under_ties(spark, tmp_path):
+    """order_cols with TIES (here: every row the same key) must still
+    partition the feed exactly — each row in exactly one segment — even
+    though the per-segment writes are separate executions: the helper
+    checkpoints the row numbering once, so an arbitrary tie-break cannot
+    drift between writes."""
+    rows = [("k", i) for i in range(8)]
+    df = spark.createDataFrame(rows, "key string, payload int")
+    d = str(tmp_path / "ties")
+    write_split_feed(df, ["key"], (3, 5), d)  # ties on every row
+    back = spark.read.parquet(f"{d}/seg*")
+    got = sorted(r["payload"] for r in back.collect())
+    assert got == list(range(8))  # no row lost, no row duplicated
+    sizes = sorted(
+        spark.read.parquet(f"{d}/seg{i:04d}").count() for i in range(3)
+    )
+    assert sizes == [2, 3, 3]
