@@ -141,11 +141,17 @@ AUDIO_SCHEMA = StructType(
 
 
 def audio_chunk_energy(mm: DataFrame) -> DataFrame:
-    """Arrow-batched audio analysis: treat the payload as a PCM-style sample
-    stream (STUB: one byte = one unsigned sample — stands in for an ffmpeg/
-    soundfile decode), window it into AUDIO_CHUNK-sample chunks, emit one
+    """Arrow-batched audio analysis: DECODE the payload (STUB: UTF-8 decode,
+    one CODEPOINT = one unsigned sample — stands in for an ffmpeg/soundfile
+    decode; the round-11 checksum lesson applies here too: the byte-indexed
+    form silently diverged from the codepoint oracle once a non-ASCII
+    payload spanned a whole chunk, found by the round-12 casing-trap
+    sweep), window it into AUDIO_CHUNK-sample chunks, emit one
     (doc_id, chunk_idx, energy) row per complete chunk where energy is the
-    mean sample amplitude in [0,1]. The exploding transform runs inside
+    mean sample amplitude (in [0,1] for byte-range samples; exotic
+    codepoints exceed the 8-bit stub scale — both engines compute the
+    identical value, which is the contract; a real decode swap restores
+    genuine PCM ranges). The exploding transform runs inside
     ``mapInPandas`` — the blob is cut into chunks in the scan stage and only
     the narrow numeric frame ever shuffles (same contract as
     :func:`decode_features`); numpy does the chunking as one reshape per
@@ -156,13 +162,17 @@ def audio_chunk_energy(mm: DataFrame) -> DataFrame:
         for pdf in batches:
             ids, cidx, energy = [], [], []
             for doc_id, buf in zip(pdf["doc_id"], pdf["content"]):
-                n = len(buf) // AUDIO_CHUNK
+                # stub decode: codepoint array via UTF-32-LE round trip
+                # (vectorized; no per-sample Python loop)
+                cp = np.frombuffer(
+                    bytes(buf).decode("utf-8").encode("utf-32-le"), dtype=np.uint32
+                )
+                n = len(cp) // AUDIO_CHUNK
                 if n == 0:
                     continue
-                a = np.frombuffer(buf[: n * AUDIO_CHUNK], dtype=np.uint8)
                 # dim-ordered mean: sum in sample order, then scale (matches
                 # the oracle's literal 32-term sum over doubles)
-                e = a.reshape(n, AUDIO_CHUNK).astype(np.float64)
+                e = cp[: n * AUDIO_CHUNK].reshape(n, AUDIO_CHUNK).astype(np.float64)
                 acc = np.zeros(n)
                 for j in range(AUDIO_CHUNK):
                     acc = acc + e[:, j]

@@ -679,6 +679,27 @@ C4_MIN_WORDS = 3
 C4_MIN_KEPT_LINES = 2
 _C4_SEG_RE = r"((?:\S+ ){%d}\S+) " % (C4_LINE_TOKENS - 1)
 
+# ASCII-exact casefold for the C4 policy-phrase gates (round 12): the
+# needles ('lorem ipsum', 'javascript') are ASCII, but full-Unicode
+# lower() is NOT engine-portable — Java lowercases 'İ' (U+0130) to
+# 'i' + COMBINING DOT (two codepoints) and applies final-form sigma
+# ('Σ' → 'ς' at word end), while DuckDB's utf8proc maps 'İ' → 'i' and
+# 'Σ' → 'σ' unconditionally — so a doc containing 'LOREM İPSUM' tripped
+# the gate in DuckDB but not in Spark (probed, round 12). translate()
+# over [A-Z] is the same pure table lookup in both engines and is the
+# faithful reading of C4's rule (case-insensitive ENGLISH phrase match).
+_ASCII_UP = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+_ASCII_LO = "abcdefghijklmnopqrstuvwxyz"
+
+
+def ascii_lower(col) -> "F.Column":
+    """Engine-portable ASCII-only lowercase (see the casefold note above)."""
+    return F.translate(col, _ASCII_UP, _ASCII_LO)
+
+
+def _ascii_lower_sql(x: str) -> str:
+    return f"translate({x}, '{_ASCII_UP}', '{_ASCII_LO}')"
+
 
 @query(
     "text_line_filter",
@@ -688,7 +709,8 @@ _C4_SEG_RE = r"((?:\S+ ){%d}\S+) " % (C4_LINE_TOKENS - 1)
              string_split(regexp_replace(text, '{_C4_SEG_RE}',
                                          '\\1' || chr(10), 'g'),
                           chr(10)) AS lines,
-             CAST(contains(lower(text), 'lorem ipsum') OR contains(text, '{{')
+             CAST(contains({_ascii_lower_sql('text')}, 'lorem ipsum')
+                  OR contains(text, '{{')
                   AS INT) AS doc_flag
       FROM documents
     ),
@@ -700,7 +722,7 @@ _C4_SEG_RE = r"((?:\S+ ){%d}\S+) " % (C4_LINE_TOKENS - 1)
     r AS (
       SELECT doc_id, doc_flag, line, i,
              len(string_split(line, ' ')) >= {C4_MIN_WORDS} AS words_ok,
-             NOT contains(lower(line), 'javascript') AS policy_ok,
+             NOT contains({_ascii_lower_sql('line')}, 'javascript') AS policy_ok,
              (line LIKE '%.' OR line LIKE '%!' OR line LIKE '%?'
               OR line LIKE '%"') AS punct_ok
       FROM l
@@ -751,7 +773,7 @@ def text_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regexp_replace("text", _C4_SEG_RE, "$1\n"), "\n"
         ).alias("lines"),
         (
-            F.contains(F.lower("text"), F.lit("lorem ipsum"))
+            F.contains(ascii_lower("text"), F.lit("lorem ipsum"))
             | F.contains("text", F.lit("{"))
         )
         .cast("int")
@@ -761,7 +783,7 @@ def text_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "doc_flag", F.posexplode("lines").alias("i", "line")
     )
     words_ok = F.size(F.split("line", " ")) >= C4_MIN_WORDS
-    policy_ok = ~F.contains(F.lower("line"), F.lit("javascript"))
+    policy_ok = ~F.contains(ascii_lower("line"), F.lit("javascript"))
     punct_ok = (
         F.endswith("line", F.lit("."))
         | F.endswith("line", F.lit("!"))

@@ -153,7 +153,7 @@ _CHUNK_SUM = " + ".join(
     oracle=f"""
     WITH a AS (
       SELECT doc_id, text,
-             CAST(octet_length(encode(text)) // 32 AS BIGINT) AS n_chunks
+             CAST(length(text) // 32 AS BIGINT) AS n_chunks
       FROM documents
     ),
     c AS (
@@ -346,7 +346,7 @@ VAD_THR_E4 = 3600  # active chunk: energy >= 0.3600 on the exact 1e-4 grid
     oracle=f"""
     WITH a AS (
       SELECT doc_id, text,
-             CAST(octet_length(encode(text)) // 32 AS BIGINT) AS n_chunks
+             CAST(length(text) // 32 AS BIGINT) AS n_chunks
       FROM documents
     ),
     c AS (

@@ -1185,6 +1185,9 @@ def stream_text_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         C4_MIN_WORDS,
         _C4_SEG_RE,
     )
+    from kafka_streams_playground_spark.plans.northstar_curation import (
+        ascii_lower as _c4_ascii_lower,
+    )
 
     docs = read_stream_table(spark, sf_dir, "documents").select("doc_id", "text")
     seg = docs.select(
@@ -1194,7 +1197,7 @@ def stream_text_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     l = seg.select("doc_id", F.posexplode("lines").alias("i", "line"))
     out = l.filter(
         (F.size(F.split("line", " ")) >= C4_MIN_WORDS)
-        & ~F.contains(F.lower("line"), F.lit("javascript"))
+        & ~F.contains(_c4_ascii_lower("line"), F.lit("javascript"))
     ).select("doc_id", F.col("i").cast("bigint").alias("line_idx"), "line")
     return run_to_completion(out, output_mode="append", spark=spark)
 
@@ -1205,6 +1208,7 @@ def _set_line_filter_oracle() -> None:
     from kafka_streams_playground_spark.plans.northstar_curation import (
         C4_MIN_WORDS,
         _C4_SEG_RE,
+        _ascii_lower_sql,
     )
 
     REGISTRY["stream_text_line_filter"] = replace(
@@ -1225,7 +1229,7 @@ def _set_line_filter_oracle() -> None:
         SELECT doc_id, CAST(line_idx AS BIGINT) AS line_idx, line
         FROM l
         WHERE len(string_split(line, ' ')) >= {C4_MIN_WORDS}
-          AND NOT contains(lower(line), 'javascript')
+          AND NOT contains({_ascii_lower_sql('line')}, 'javascript')
         """,
     )
 

@@ -296,6 +296,16 @@ def test_adversarial_documents_sweep(spark, tmp_path):
         (12, "dup dup dup dup dup dup", "en", "src1"),  # one-token pathology
         (13, "café naïve déjà vu", "fr", "src2"),  # non-ASCII
         (14, "the lazy dog sat on the quick log", "en", "src0"),
+        # casing traps (round 12): full-Unicode lower() is NOT
+        # engine-portable (Java: 'İ' -> 'i'+combining dot, final-form
+        # sigma; DuckDB utf8proc: 'İ' -> 'i', 'Σ' -> 'σ' always) — the C4
+        # gates now ASCII-translate-fold, so these docs must behave
+        # identically in both engines: 15 fires the lorem gate (ASCII
+        # caps), 16 must NOT fire any gate ('İPSUM'/'JAVASCRİPT' stay
+        # unfolded in both), 17 fires the per-line policy rule.
+        (15, "LOREM IPSUM dolor sit amet boilerplate page", "en", "src1"),
+        (16, "Grüße aus İstanbul ΣΟΦΙΑ ΛΟΓΟΣ JAVASCRİPT LOREM İPSUM", "de", "src2"),
+        (17, "please enable JavaScript and cookies to view this page banner properly today friend thanks", "en", "src3"),
     ]
     rows = [(i, t, lang, src, len(t)) for i, t, lang, src in texts]
     df = spark.createDataFrame(
