@@ -170,9 +170,11 @@ def mm_audio_chunk_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Audio-shaped payload analysis: PCM-style chunking (32 samples/window)
     + per-chunk mean amplitude, all inside one Arrow-batched ``mapInPandas``
     pass (functions/multimodal.py::audio_chunk_energy — stub decode, real
-    plumbing). Chunk sums are exact integer arithmetic in float64 (≤ 8160),
-    so both engines divide identical numerators — no accumulation-order
-    hazard; the cent-floor is belt-and-braces."""
+    plumbing). Chunk sums are exact integer arithmetic in float64: since
+    the r12 byte→codepoint decode a chunk sum is bounded by
+    32 · 0x10FFFF ≈ 3.6e7 — far below 2^53 — so both engines divide
+    identical numerators; no accumulation-order hazard, and the
+    cent-floor is belt-and-braces."""
     from kafka_streams_playground_spark.functions.multimodal import audio_chunk_energy
 
     mm = attach_binary_payload(load_table(spark, sf_dir, "documents"))

@@ -67,6 +67,11 @@ def write_split_feed(
     order replays them deterministically."""
     from pyspark.sql import Window as _W
 
+    if "_rn" in df.columns:
+        # the numbering column below would silently overwrite (and then
+        # drop) a real input column of the same name, corrupting the
+        # replayed segments (ADVICE r12)
+        raise ValueError("input already has a '_rn' column; rename it first")
     n = df.count()
     cuts = sorted(set(split_indices))
     if any(c <= 0 or c >= n for c in cuts):

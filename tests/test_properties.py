@@ -723,7 +723,8 @@ def test_grid_binning_is_complete_and_verifiable(a, b, w):
     ``sequence`` enumerates that range contiguously, so p's bin is shared.
     Soundness is checked against the ENGINE's emission rule modeled
     independently (ADVICE r11): ``_join_emits`` mirrors the row-local
-    filter at plans/temporal.py:2708 (``s_start <= b_end AND b_start <=
+    post-bin-join filter inside ``join_interval_overlap_bins``
+    (plans/temporal.py; ``s_start <= b_end AND b_start <=
     s_end``) symbol-for-symbol rather than reusing this test's ``overlap``
     variable, so the assert fails if that mirrored predicate ever drifts
     from the mathematical overlap condition (e.g. a ``<`` typo or a
