@@ -2409,14 +2409,34 @@ def stream_ivm_incremental_join_view(spark: SparkSession, sf_dir: str) -> DataFr
     delta_b = b_cols(read_stream_table(spark, sf_dir, "lineitem")).filter(
         F.col("l_linenumber") % 3 == 0
     )
+    return ivm_merge_views(v_old, ivm_delta_fold(spark, a, delta_b))
+
+
+def ivm_delta_fold(spark: SparkSession, a: DataFrame, delta_b: DataFrame) -> DataFrame:
+    """The streaming half of the IVM join view: Δv = A ⋈ ΔB as a keyed
+    update-mode aggregate, drained and reduced to the FINAL state row per
+    group. The ``latest_update_state`` reduce is load-bearing (round-13
+    split sweep): the memory sink keeps one CUMULATIVE row per (group,
+    emitting micro-batch), so when one group's delta rows straddle a
+    micro-batch boundary the raw drain holds superseded partials and a
+    direct sum double-counts them — the single-file fixture replay (one
+    micro-batch) masked exactly that. ``n_rows`` is strictly monotone in
+    rows seen per group, so the max-n_rows row is the last emission."""
     d_view = (
         delta_b.join(a, delta_b.b_orderkey == a.o_orderkey)
         .groupBy("o_orderstatus", "l_returnflag")
         .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("cents").alias("sum_cents"))
     )
     drained = run_to_completion(d_view, output_mode="update", spark=spark)
+    return latest_update_state(
+        drained, ["o_orderstatus", "l_returnflag"], F.col("n_rows")
+    )
+
+
+def ivm_merge_views(v_old: DataFrame, d_final: DataFrame) -> DataFrame:
+    """v_old + Δv: a groupBy-sum over dashboard-sized aggregate rows."""
     return (
-        v_old.unionByName(drained)
+        v_old.unionByName(d_final)
         .groupBy("o_orderstatus", "l_returnflag")
         .agg(
             F.sum("n_rows").alias("n_rows"),

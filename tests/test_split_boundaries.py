@@ -667,3 +667,163 @@ def test_write_split_feed_partitions_exactly_under_ties(spark, tmp_path):
         spark.read.parquet(f"{d}/seg{i:04d}").count() for i in range(3)
     )
     assert sizes == [2, 3, 3]
+
+
+# ---------------------------------------------------------------------------
+# Round-13 sweeps (VERDICT r12 item 4): the two stateful SINKS whose
+# micro-batch-boundary behavior was previously asserted only at the
+# fixture's single-file (= single micro-batch) granularity.
+# ---------------------------------------------------------------------------
+
+
+def test_ivm_delta_fold_split_sweep_group_straddles_batches(spark, tmp_path):
+    """``stream_ivm_incremental_join_view``'s streaming fold under a
+    micro-batch boundary BETWEEN the delta rows of one group (VERDICT r12
+    item 4). This sweep is the reason ``ivm_delta_fold`` carries a
+    ``latest_update_state`` reduce: the update-mode memory sink keeps one
+    CUMULATIVE row per (group, emitting micro-batch), so the pre-r13 code
+    (a direct sum over the raw drain) double-counted any group whose
+    delta rows straddle a split — masked until now by the single-file
+    fixture replay. The raw-drain multiplicity is asserted below so the
+    sweep can never silently degrade back to one micro-batch."""
+    from kafka_streams_playground_spark.streaming.queries import (
+        ivm_delta_fold,
+        ivm_merge_views,
+    )
+    from kafka_streams_playground_spark.streaming.replay import run_to_completion
+
+    a = spark.createDataFrame(
+        [(1, "O"), (2, "F")], "o_orderkey long, o_orderstatus string"
+    )
+    # group ("O","N") gets three delta rows; ("F","R") one. arrival is the
+    # delivery order; splits (1,) and (2,) land INSIDE the ("O","N") run.
+    rows = [
+        (0, 1, "N", 3, 100),
+        (1, 1, "N", 6, 250),
+        (2, 1, "N", 9, 50),
+        (3, 2, "R", 3, 700),
+    ]
+    feed = spark.createDataFrame(
+        rows,
+        "arrival long, b_orderkey long, l_returnflag string, "
+        "l_linenumber int, cents long",
+    )
+    v_old = spark.createDataFrame(
+        [("O", "N", 2, 30), ("F", "R", 1, 20)],
+        "o_orderstatus string, l_returnflag string, n_rows long, sum_cents long",
+    )
+    want = sorted([("F", "R", 2, 720), ("O", "N", 5, 430)])
+    for i, split in enumerate([(), (1,), (2,), (3,), (1, 2, 3)]):
+        d = str(tmp_path / f"ivm{i}")
+        write_split_feed(feed, ["arrival"], split, d)
+        sdf = read_split_stream(spark, d, feed.schema).drop("arrival")
+        got = ivm_merge_views(v_old, ivm_delta_fold(spark, a, sdf))
+        assert (
+            sorted(tuple(r) for r in got.collect()) == want
+        ), f"split={split}"
+    # teeth: under split (2,) the straddled group really does emit twice —
+    # the hazard the final-state reduce exists to absorb.
+    d = str(tmp_path / "ivm_raw")
+    write_split_feed(feed, ["arrival"], (2,), d)
+    sdf = read_split_stream(spark, d, feed.schema).drop("arrival")
+    raw = run_to_completion(
+        sdf.join(a, sdf.b_orderkey == a.o_orderkey)
+        .groupBy("o_orderstatus", "l_returnflag")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("cents").alias("sum_cents")),
+        output_mode="update",
+        spark=spark,
+    )
+    emissions = raw.filter(
+        (F.col("o_orderstatus") == "O") & (F.col("l_returnflag") == "N")
+    ).count()
+    assert emissions == 2
+
+
+def _drain_upsert_sink(spark, feed, split, tmp, order_cols=("seq", "k")):
+    """Seed the stored snapshot, replay ``feed`` (split per ``split`` in
+    ``order_cols`` delivery order) through the foreachBatch upsert sink,
+    return the final pointed-at table as {key: cents} — the
+    stream_cdc_merge_upsert machinery with a controllable micro-batch
+    boundary."""
+    import tempfile
+
+    from kafka_streams_playground_spark.sources.sinks import (
+        read_table_version,
+        upsert_foreach_batch_writer,
+    )
+
+    target = tempfile.mkdtemp(prefix="ksp_cdc_", dir=tmp)
+    feed_dir = tempfile.mkdtemp(prefix="ksp_feed_", dir=tmp)
+    ckpt = tempfile.mkdtemp(prefix="ksp_ck_", dir=tmp)
+    writer = upsert_foreach_batch_writer(target, ["k"], "seq", tombstone_col="cents")
+    base = spark.createDataFrame(
+        [("k1", 10, 0), ("k2", 20, 0), ("k3", 30, 0)],
+        "k string, cents long, seq long",
+    )
+    writer(base, 10**9)
+    write_split_feed(feed, list(order_cols), split, feed_dir)
+    q = (
+        read_split_stream(spark, feed_dir, feed.schema)
+        # the delivery-order column (if any) is harness-only; the sink
+        # sees the CDC triple exactly as stream_cdc_merge_upsert ships it
+        .select("k", "cents", "seq")
+        .writeStream.foreachBatch(writer)
+        .trigger(availableNow=True)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    q.awaitTermination()
+    return {r["k"]: r["cents"] for r in read_table_version(spark, target).collect()}
+
+
+def test_cdc_upsert_sink_split_sweep_tombstone_boundaries(spark, tmp_path):
+    """``stream_cdc_merge_upsert``'s sink under a micro-batch boundary at
+    every interior point of a seq-ordered CDC feed (VERDICT r12 item 4) —
+    in particular BETWEEN a key's upsert and its tombstone (k2: update
+    then delete), and between a tombstone and the key's re-insert (k3:
+    delete then resurrect). Delivery contract: a CDC topic is ordered, so
+    arrival order == seq order; under that contract the final pointed-at
+    table must equal latest-seq-per-key resolution (tombstone = absent)
+    whatever the batching — the version-pointer commit order holds."""
+    rows = [
+        ("k2", 21, 1),  # update seeded k2
+        ("k4", 40, 1),  # fresh insert
+        ("k2", None, 2),  # tombstone k2 AFTER its update
+        ("k3", None, 2),  # tombstone seeded k3
+        ("k3", 31, 3),  # resurrect k3 AFTER its tombstone
+        ("k4", 41, 3),  # second update of k4
+    ]
+    feed = spark.createDataFrame(rows, "k string, cents long, seq long")
+    want = {"k1": 10, "k3": 31, "k4": 41}  # k2 deleted, k3 resurrected
+    n = len(rows)
+    splits = [()] + [(i,) for i in range(1, n)] + [tuple(range(1, n))]
+    for split in splits:
+        got = _drain_upsert_sink(spark, feed, split, str(tmp_path))
+        assert got == want, f"split={split}"
+
+
+def test_cdc_upsert_sink_cross_batch_order_is_the_authority(spark, tmp_path):
+    """Pin the documented ACROSS-batch contract: the incoming batch wins
+    over the stored row regardless of seq (Kafka compacted-topic
+    semantics — arrival/offset order is the authority; seq only breaks
+    ties WITHIN a batch). The same two rows therefore resolve differently
+    depending on whether a split separates them: one batch → greatest
+    seq wins; split between them → the later BATCH (older seq) wins.
+    A producer that emits out of order across batches is violating the
+    CDC delivery contract; this pins what the sink does if one does."""
+    # arrival models the topic offset: the seq-2 row arrives FIRST
+    feed = spark.createDataFrame(
+        [(0, "k9", 50, 2), (1, "k9", 49, 1)],
+        "arrival long, k string, cents long, seq long",
+    )
+    # unsplit: both rows land in one micro-batch — seq resolves, 50 wins
+    got = _drain_upsert_sink(
+        spark, feed, (), str(tmp_path), order_cols=("arrival",)
+    )
+    assert got["k9"] == 50
+    # split between them: the second BATCH's seq-1 row overwrites the
+    # stored seq-2 row — arrival order is the cross-batch authority
+    got = _drain_upsert_sink(
+        spark, feed, (1,), str(tmp_path), order_cols=("arrival",)
+    )
+    assert got["k9"] == 49
