@@ -8,8 +8,8 @@ broadcast discount GlobalKTable, ``lineitem`` the payments stream
 (``l_shipdate`` gives the join-window time axis, ``l_linestatus = 'F'`` plays
 ``status == "PAID"``), ``events`` the timestamped product stream.
 
-Streaming twins of Q4/Q5 live in :mod:`..streaming.queries` (rows-only
-checks); these batch forms are the oracle-checked semantics.
+Streaming twins of Q4/Q5 live in :mod:`..streaming.queries` (sharing
+these batch oracles); these batch forms define the semantics.
 """
 
 from __future__ import annotations

@@ -539,24 +539,62 @@ def stream_join_left_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "stream_join_full_outer_interval",
-    oracle=None,  # rows-only BY DESIGN: the right side's null-pad eviction
-    # instant is Spark-internal (rows whose key can never match may bypass
-    # state entirely, so no closed-form watermark predicate reproduces the
-    # emitted set in SQL — established dead end, VERDICT r4/r5); the
-    # semantics are unit-pinned instead by tests/test_streaming.py::
-    # test_stream_stream_full_outer_join_emits_both_sides, and the
-    # left-outer twin above carries the value-exact eviction oracle.
-    tags=("extension", "streaming", "J3", "outer", "interval", "rows_only"),
+    # Round 13: the long-standing rows-only entry gains a FULL value-exact
+    # oracle. The old dead end ("the right side's eviction instant is
+    # Spark-internal", VERDICT r4/r5) dissolves once the emission rule is
+    # decomposed by WHY a right row can never match:
+    #   (a) rows failing the one-sided non-time predicate (linestatus≠'F')
+    #       never enter join state at all — StreamingSymmetricHashJoinExec's
+    #       pre-join filter — and in full-outer mode null-pad IMMEDIATELY,
+    #       unconditionally (watermark-independent);
+    #   (b) predicate-passing rows that found no in-window order null-pad
+    #       iff the final global watermark strictly passes their shipdate
+    #       (a future order could only match while o_orderdate ≤ shipdate).
+    # The left half is exactly the left-outer twin's eviction oracle.
+    # Verified multiset-exact at sf0.001 AND sf0.01 (probe, round 13);
+    # strictness of both comparisons pinned by the boundary rows.
+    oracle="""
+    WITH wm AS (
+      SELECT least((SELECT max(o_orderdate::TIMESTAMP) FROM orders),
+                   (SELECT max(l_shipdate::TIMESTAMP) FROM lineitem))
+             - INTERVAL '24 hours' AS w
+    )
+    SELECT o.o_orderkey, o.o_custkey,
+           CAST(floor(epoch(o.o_orderdate::TIMESTAMP)) AS BIGINT) AS order_epoch,
+           l.l_orderkey, l.l_linenumber,
+           CAST(floor(epoch(l.l_shipdate::TIMESTAMP)) AS BIGINT) AS paid_epoch
+    FROM orders o
+    LEFT JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+       AND l.l_shipdate::TIMESTAMP
+           BETWEEN o.o_orderdate::TIMESTAMP
+               AND o.o_orderdate::TIMESTAMP + INTERVAL '30 days'
+       AND l.l_linestatus = 'F'
+    WHERE l.l_orderkey IS NOT NULL
+       OR o.o_orderdate::TIMESTAMP + INTERVAL '30 days' < (SELECT w FROM wm)
+    UNION ALL
+    SELECT NULL, NULL, NULL, l.l_orderkey, l.l_linenumber,
+           CAST(floor(epoch(l.l_shipdate::TIMESTAMP)) AS BIGINT) AS paid_epoch
+    FROM lineitem l
+    WHERE l.l_linestatus <> 'F'
+       OR (NOT EXISTS (SELECT 1 FROM orders o
+            WHERE o.o_orderkey = l.l_orderkey
+            AND l.l_shipdate::TIMESTAMP
+                BETWEEN o.o_orderdate::TIMESTAMP
+                    AND o.o_orderdate::TIMESTAMP + INTERVAL '30 days')
+          AND l.l_shipdate::TIMESTAMP < (SELECT w FROM wm))
+    """,
+    tags=("extension", "streaming", "J3", "outer", "interval"),
 )
 def stream_join_full_outer_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full-OUTER windowed stream-stream join — the last member of the §2.3
     outer-join matrix (inner/left are value-exact-oracled above): matched
     order/payment pairs emit immediately; an unmatched ORDER null-pads once
     the watermark passes its 30-day horizon; an unmatched PAYMENT null-pads
-    on its own state eviction. Registered rows-only so the driver executes
-    the full plan (source → watermark → StreamingSymmetricHashJoinExec with
-    both-side state → append drain) and checks row production/stability
-    even though the right side's eviction instant admits no SQL oracle.
+    either immediately (it fails the one-sided join predicate and bypasses
+    state — Spark's pre-join filter) or at state eviction (final watermark
+    strictly past its shipdate). Round 13: that decomposition turned out to
+    be a closed form, so the registry's last rows-only entry now carries a
+    full value-exact DuckDB oracle (see the registration comment).
 
     Scale stance is the left-outer twin's: state is bounded by watermark ×
     arrival rate per side, keys co-partition on the join key, and the
