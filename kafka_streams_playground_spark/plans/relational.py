@@ -227,6 +227,85 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "json_roundtrip_events",
+    oracle="""
+    SELECT event_id, user_id, event_type,
+           CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+           CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT) AS ts_epoch,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k
+    FROM events
+    WHERE event_id % 97 <> 0
+    """,
+    tags=("extension", "json", "serde", "S6", "S7"),
+)
+def json_roundtrip_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The S6/S7 wire-format pair exercised END-TO-END with an identity
+    oracle (round 13 — upgrades both serde operators from plumbing-only
+    units to oracle-passing): typed events serialize to the reference's
+    schemaless JSON (``asJson.noSpaces``, KafkaStreamsApp.scala:61 → S7
+    ``to_json``), a deterministic ~1 % slice (event_id % 97 == 0) is then
+    CORRUPTED on the wire, and S6 ``deserialize_json`` must decode the
+    rest and drop exactly the malformed slice (the reference's
+    log-and-drop ``decode[A]``, :64-70). The embedded ``props`` JSON
+    string survives the round trip inside the envelope and is re-parsed
+    at the end, so escaping/nesting is covered too. The oracle is the
+    identity SELECT minus the corrupted slice — any serde asymmetry
+    (type mangling, escaping, wrong drop set) breaks the value hash.
+
+    Everything is Catalyst expressions (``to_json``/``from_json``/
+    ``get_json_object`` — codegen'd, no Python): one map-only pass, no
+    shuffle; at 100 TB this is scan-bound, exactly what a wire-format
+    stage should be. Integers only cross the wire (cents/epoch grids) —
+    float repr round-trips are an engine-portability hazard the registry
+    convention already bans."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from kafka_streams_playground_spark.sources.json_serde import (
+        deserialize_json,
+        serialize_json,
+    )
+
+    typed = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.floor(F.col("value") * 100 + 0.5).cast("long").alias("cents"),
+        F.unix_timestamp("ts").alias("ts_epoch"),
+        "props",
+    )
+    wire = serialize_json(
+        typed, "event_id", "user_id", "event_type", "cents", "ts_epoch", "props"
+    ).select(
+        # corrupt the deterministic slice AFTER serialization: a truncated
+        # brace-open prefix makes the record unparseable, not just lossy
+        F.when(
+            F.col("event_id") % 97 == 0, F.concat(F.lit("{oops"), F.col("value"))
+        )
+        .otherwise(F.col("value"))
+        .alias("value")
+    )
+    schema = StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("cents", LongType()),
+            StructField("ts_epoch", LongType()),
+            StructField("props", StringType()),
+        ]
+    )
+    decoded = deserialize_json(wire, schema)
+    return decoded.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "cents",
+        "ts_epoch",
+        F.get_json_object(F.col("props"), "$.k").cast("bigint").alias("prop_k"),
+    )
+
+
+@query(
     "join_semi_urgent_customers",
     oracle="""
     SELECT c_custkey, c_name, c_mktsegment
