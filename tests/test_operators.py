@@ -134,6 +134,37 @@ def test_s6_s7_json_serde_roundtrip_and_drop(spark):
     assert out[0]["value"] == '{"orderId":"o1","amount":5.0}'
 
 
+def test_s6_s7_serde_identity_on_adversarial_strings(spark):
+    """Escaping pin for the serde pair (r13, the json_roundtrip_events
+    substrate): serialize → deserialize must be the IDENTITY on string
+    payloads containing every escaping hazard class — quotes,
+    backslashes, newlines/tabs, embedded JSON, unicode incl. the Turkish
+    İ and astral-plane emoji, and the empty string. The oracle-checked
+    round-trip query only sees the fixture's tame props values; this
+    unit pins the codec on the inputs that actually break serdes."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    nasty = [
+        'quote " inside',
+        "back\\slash and \\\" both",
+        "newline\nand\ttab",
+        '{"embedded": "json", "n": [1, 2]}',
+        "unicode İstanbul ς σ ß 💾  ",
+        "",
+        "trailing backslash \\",
+        "null byte-ish \\u0000 literal",
+    ]
+    df = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(nasty)], "id long, payload string"
+    )
+    schema = StructType(
+        [StructField("id", LongType()), StructField("payload", StringType())]
+    )
+    back = deserialize_json(serialize_json(df, "id", "payload"), schema)
+    got = {r["id"]: r["payload"] for r in back.collect()}
+    assert got == {i: s for i, s in enumerate(nasty)}
+
+
 def test_sql_front_door(spark, sf_dir):
     """register_views exposes the fixtures to raw Spark SQL with the same
     normalized schemas the DataFrame loaders produce."""
