@@ -45,60 +45,89 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q4_products_per_user_10s",
     "q5_paid_orders",
     "orders_products_array",
-    # ---- ROUND 13 rotation (VERDICT r12 item 1). Policy unchanged:
-    # changed-this-round > stalest-last-seen; every demoted query is
-    # driver-green in a prior round, unchanged since, and re-checked by
-    # the full-registry strict replica (CORRECTNESS_LOCAL.json).
-    # -- slots 7-9: new or changed this round.
-    # NEW: json_roundtrip_events (upgrades the S6/S7 JSON serde pair
-    # from plumbing-only units to oracle-passing — serialize → corrupt a
-    # deterministic slice → decode-and-drop, identity oracle; registry
-    # growth capped at 1 this round).
-    # CHANGED: stream_join_full_outer_interval gained a FULL value-exact
-    # oracle (the r4 rows-only dead end dissolved: pre-join-filter
-    # bypass rows null-pad unconditionally, in-state unmatched rows at
-    # strict watermark eviction) — its driver row carries hash signal
-    # for the first time ever, so VERDICT item 1's planned zero-loss
-    # deferral of it is superseded by its own upgrade;
-    # stream_ivm_incremental_join_view carries the round's wrong-answer
-    # fix (the update-mode drain was summed raw, double-counting any
-    # group whose delta rows straddle a micro-batch boundary — found by
-    # the r13 split sweep; now reduced via latest_update_state).
+    # ---- ROUND 13 rotation (VERDICT r12 item 1, re-planned mid-round
+    # after the split-replay audit). Policy unchanged: changed-this-round
+    # > stalest-last-seen; every demoted query is driver-green in a prior
+    # round, unchanged since, and re-checked by the full-registry strict
+    # replica (CORRECTNESS_LOCAL.json).
+    # -- slots 7-25: new or changed this round.
+    # NEW: json_roundtrip_events (S6/S7 serde end-to-end — serialize →
+    # corrupt a deterministic slice → decode-and-drop, identity oracle;
+    # registry growth capped at 1 this round).
+    # CHANGED (oracle upgrade): stream_join_full_outer_interval gained a
+    # FULL value-exact oracle (the r4 rows-only dead end dissolved) —
+    # its driver row carries hash signal for the first time ever.
+    # CHANGED (wrong-answer fixes — the round's headline): the
+    # split-replay audit (tools/split_replay_audit.py: every stream_*
+    # query re-executed across THREE real micro-batches and compared to
+    # its own oracle) found that sixteen update/append-mode drains kept
+    # superseded per-batch emissions, exact only under the driver's
+    # single-file single-batch replay. Each now compacts its drain to
+    # the final state/snapshot per key (latest_update_state /
+    # latest_update_snapshot, driven by a strictly-monotone n_seen
+    # emission marker added to the custom stateful operators); the
+    # tombstone KTable additionally moved its filter from the emission
+    # side to the post-compaction read (Kafka's consumer-compacts
+    # model), and the covariance twin's gram partials now carry cnt on
+    # every row so the off-diagonal reduce is well-founded. All sixteen
+    # re-audited green under the 3-batch replay AND unchanged against
+    # their oracles under the driver's single-batch shape.
     "json_roundtrip_events",
     "stream_join_full_outer_interval",
     "stream_ivm_incremental_join_view",
-    # -- slots 10-13: the four r5-cohort queries demoted late in round 12
+    "stream_s2_latest_event_per_user",
+    "stream_s2_compacted_tombstones",
+    "stream_q3_products_by_first_letter",
+    "stream_domain_quality_stats",
+    "stream_ts_ewma_user_daily",
+    "stream_funnel_view_click_purchase",
+    "stream_kmv_distinct_by_type",
+    "stream_hll_distinct_by_type",
+    "stream_curation_source_cap",
+    "stream_sample_weighted_reservoir",
+    "stream_stats_source_overlap_kmv",
+    "stream_stats_benford_first_digit",
+    "stream_stats_countmin_user_traffic",
+    "stream_privacy_k_anonymity",
+    "stream_embedding_covariance",
+    "embedding_covariance_matrix",  # r6-stale AND changed (gram partials)
+    # stream_ts_rollup_hll_hour is changed too but cedes its slot to
+    # stream_hll_distinct_by_type per the plan-identical-twin rule: both
+    # are the SAME hll_sketch_per_key operator + identical n_seen reduce,
+    # keyed by hour bucket vs event type; the demoted twin is green in
+    # this round's 3-batch replay audit and the dual-scale strict replica,
+    # and leads the r14 rotation.
+    # -- slots 26-29: the four r5-cohort queries demoted late in round 12
     # (7 rounds driver-stale — past policy; VERDICT r12 item 1: no
-    # further deferral, they lead this rotation).
+    # further deferral).
     "topk_customers_by_revenue",
     "q_local_supplier_volume",
     "wf_ntile_price_quartiles",
     "embedding_pq_codes",
-    # -- slots 14-50: the r6 staleness cohort (41 queries at the 6-round
-    # boundary per tools/rotation_audit.py). stream_join_full_outer_
-    # interval is slotted above as changed; the three demoted to fit are
-    # funded by the established plan-identical-twin rule, each unchanged
-    # since its r6-green driver row and green in this round's committed
-    # full-registry strict replica:
-    #   tokenizer_bpe_merge_step — its single merge iteration IS
-    #     iteration 1 of slotted tokenizer_bpe_train3's loop (same
-    #     top-pair/merge/recount stages ×3), and the merge table is
-    #     invariant-tied to the slotted compression-curve family;
-    #   stream_chunk_documents_overlap — stateless append twin of
-    #     chunk_documents_overlap (r12 driver green): identical row-local
-    #     fan-out, shared batch oracle, no state store or watermark to
-    #     diverge;
-    #   stream_events_value_outliers — stateless stream-static ingest
-    #     twin of events_value_outliers (r12 driver green): moments
-    #     computed batch-side, row-local flagging, shared batch oracle.
+    # -- slots 30-50: the r6 staleness cohort, as many as fit after the
+    # fixes claimed their slots (changed > stalest is the policy order).
+    # Three demotions carry the round's original twin rationales
+    # (tokenizer_bpe_merge_step — iteration 1 of slotted
+    # tokenizer_bpe_train3; stream_chunk_documents_overlap and
+    # stream_events_value_outliers — stateless twins of r12-green batch
+    # forms). Fifteen more are DISPLACED by the sixteen correctness
+    # fixes: the fifteen plain TPC-H-shape relational queries below the
+    # keep-line (q_late_shipment_priority, q_supplier_cnt_by_part,
+    # q_dormant_rich_customers, q_min_cost_supplier,
+    # q_order_priority_checking, q_forecast_revenue, q_important_stock,
+    # q_cust_order_distribution, q_promo_revenue, q_top_supplier,
+    # q_small_qty_revenue, q_large_volume_customers,
+    # q_disjunctive_revenue, q_dominant_part_suppliers,
+    # q_waiting_suppliers) — chosen as the lowest-regression-risk class
+    # (static relational plans over code untouched since r6, all green in
+    # this round's dual-scale strict replica). They lead the r14 rotation
+    # together with the r7 cohort and the hll rollup twin; r14 must hold
+    # registry growth at zero and plan a two-round catch-up.
     "agg_kmv_distinct_sketch",
     "q_market_share_promo_asia",
     "q_returned_item_top_customers",
     "q_volume_shipping_pair",
     "q_product_type_profit",
-    "q_late_shipment_priority",
-    "q_supplier_cnt_by_part",
-    "q_dormant_rich_customers",
     "events_value_winsorized",
     "funnel_conversion_summary",
     "ts_cusum_drift_per_type",
@@ -110,24 +139,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "text_rolling_hash",
     "text_token_entropy",
     "sim_matryoshka_recall_audit",
-    "embedding_covariance_matrix",
     "tokenizer_vocab_coverage",
     "tokenizer_bpe_train3",
     "pipeline_epoch_mixture_plan",
     "dedup_lines_global",
     "stream_ts_cusum_drift_per_type",
-    "q_min_cost_supplier",
-    "q_order_priority_checking",
-    "q_forecast_revenue",
-    "q_important_stock",
-    "q_cust_order_distribution",
-    "q_promo_revenue",
-    "q_top_supplier",
-    "q_small_qty_revenue",
-    "q_large_volume_customers",
-    "q_disjunctive_revenue",
-    "q_dominant_part_suppliers",
-    "q_waiting_suppliers",
 )
 
 

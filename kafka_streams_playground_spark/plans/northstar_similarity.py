@@ -1498,12 +1498,18 @@ def gram_partials(emb: DataFrame) -> DataFrame:
             xv = np.stack(pdf["v"].to_numpy())  # (b, d) float64
             xi = np.floor(xv * 1e6 + 0.5).astype(np.int64)
             g = xi.T @ xi  # (d, d) int64 Gram block
+            # cnt rides EVERY row (round 13): the aggregated cnt is then a
+            # strictly-monotone emission marker for every (i, j) cell, so
+            # the streaming twin's max-cnt reduce is well-founded off the
+            # diagonal too (cnt=0 there made the pick arbitrary under
+            # multi-batch replay — the split-replay audit caught it). The
+            # batch assembly reads n from the diagonal rows only, where
+            # the value is unchanged.
             out = pd.DataFrame(
-                {"i": iu, "j": ju, "sxy": g[iu, ju], "sx": 0, "cnt": 0}
+                {"i": iu, "j": ju, "sxy": g[iu, ju], "sx": 0, "cnt": len(pdf)}
             )
             diag = out["i"] == out["j"]
             out.loc[diag, "sx"] = xi.sum(axis=0)
-            out.loc[diag, "cnt"] = len(pdf)
             yield out
 
     return emb.mapInPandas(

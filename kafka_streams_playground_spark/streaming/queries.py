@@ -24,6 +24,7 @@ from kafka_streams_playground_spark.plans.registry import REGISTRY, query
 from kafka_streams_playground_spark.sources.parquet import load_table
 from kafka_streams_playground_spark.streaming.ktable import latest_per_key_stream
 from kafka_streams_playground_spark.streaming.replay import (
+    latest_update_snapshot,
     latest_update_state,
     read_split_stream,
     read_stream_table,
@@ -58,7 +59,10 @@ def stream_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2 KTable as live streaming state (``builder.table`` ``:156-157``):
     max_by keyed state holds exactly one row per user; update mode emits the
     changelog. State size = #keys — the same bound as the reference's
-    compacted-topic store."""
+    compacted-topic store. The drain compacts the changelog back to the
+    final row per key (max version — the compacted-topic read; round 13:
+    the raw drain kept superseded emissions whenever a key updated in
+    more than one micro-batch, exact only under single-batch replay)."""
     events = read_stream_table(spark, sf_dir, "events")
     latest = latest_per_key_stream(
         events,
@@ -69,7 +73,10 @@ def stream_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = latest.select(
         "user_id", "event_id", "event_type", "value", F.unix_timestamp("ts").alias("ts_epoch")
     )
-    return run_to_completion(out, output_mode="update", spark=spark)
+    drained = run_to_completion(out, output_mode="update", spark=spark)
+    return latest_update_state(
+        drained, "user_id", F.struct("ts_epoch", "event_id")
+    )
 
 
 @query(
@@ -200,7 +207,11 @@ def stream_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted = joined.groupBy(ops.first_letter_key("c_name").alias("letter")).agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    return run_to_completion(counted, output_mode="update", spark=spark)
+    drained = run_to_completion(counted, output_mode="update", spark=spark)
+    # compact the running-count changelog to final state (cnt is strictly
+    # monotone per letter; round 13 — the raw drain kept superseded counts
+    # whenever a letter updated in more than one micro-batch)
+    return latest_update_state(drained, "letter", F.col("cnt"))
 
 
 @query(
@@ -397,21 +408,39 @@ def stream_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_s2_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tombstone-aware KTable as live streaming state: max_by keyed state
     per user, with tombstoned keys (latest record = the ``error`` class)
-    suppressed at emission — the streaming form of the reference's
-    compacted-topic delete semantics (cleanup.policy=compact,
+    suppressed at the COMPACTED READ — the streaming form of the
+    reference's compacted-topic delete semantics (cleanup.policy=compact,
     KafkaStreamsApp.scala:31-41). State stays one row per key regardless
-    of tombstones (the store overwrite IS the delete)."""
+    of tombstones (the store overwrite IS the delete).
+
+    Round 13: the tombstone filter moved from the emission side to the
+    post-compaction read. Filtering emissions BEFORE the drain left a
+    user's earlier non-error row in the sink when a later micro-batch
+    tombstoned the key (the error emission was dropped, so nothing
+    superseded the stale row) — exactly Kafka's model resolved the other
+    way: a table filter emits tombstones downstream and the CONSUMER
+    compacts latest-then-drop. Single-batch replay masked it."""
     events = read_stream_table(spark, sf_dir, "events")
     latest = latest_per_key_stream(
         events,
         keys=["user_id"],
-        value_cols=["event_id", "event_type", "value"],
+        value_cols=["event_id", "event_type", "value", "ts"],
         version_col=F.struct("ts", "event_id"),
     )
-    out = latest.filter(F.col("event_type") != "error").select(
+    out = latest.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "value",
+        F.unix_timestamp("ts").alias("ts_epoch"),
+    )
+    drained = run_to_completion(out, output_mode="update", spark=spark)
+    compacted = latest_update_state(
+        drained, "user_id", F.struct("ts_epoch", "event_id")
+    )
+    return compacted.filter(F.col("event_type") != "error").select(
         "user_id", "event_id", "event_type", "value"
     )
-    return run_to_completion(out, output_mode="update", spark=spark)
 
 
 def _share_oracles() -> None:
@@ -459,7 +488,13 @@ def stream_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame
     single-file fixture the drain is one micro-batch (watermark never
     advances mid-stream), so the emitted set equals DISTINCT keys — the
     cross-micro-batch suppression + state-expiry behavior is separately
-    pinned by ``tests/test_streaming.py::test_dedup_within_watermark_bounds_state``."""
+    pinned by ``tests/test_streaming.py::test_dedup_within_watermark_bounds_state``.
+    Under MULTI-batch replay the emitted set is a superset of DISTINCT
+    (state expiry re-admits a key once the watermark passes — the
+    bounded-state contract itself), which is why this is the one
+    streaming query carried as an expected divergence in
+    ``tools/split_replay_audit.py`` rather than given a final-state
+    reduce: deduping the drain would nullify the operator under test."""
     events = read_stream_table(spark, sf_dir, "events").withWatermark("ts", WATERMARK)
     deduped = events.dropDuplicatesWithinWatermark(["user_id", "event_type"]).select(
         "user_id", "event_type"
@@ -893,7 +928,9 @@ def stream_domain_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_quality"
         ),
     )
-    return run_to_completion(out, output_mode="update", spark=spark)
+    drained = run_to_completion(out, output_mode="update", spark=spark)
+    # compact to final state per source (n_docs strictly monotone; round 13)
+    return latest_update_state(drained, "source", F.col("n_docs"))
 
 
 @query(
@@ -1032,12 +1069,20 @@ def stream_ts_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     every day emits its q8 fixed-point decay on arrival. This is the
     operator shape for serving features at ingest latency: O(taps) state
     per key (the batch window's sort never happens), exact BIGINT
-    arithmetic, and the drained single-batch replay equals the batch twin
-    bit-for-bit (ordered-replay precondition documented on the fold)."""
+    arithmetic, and the drain compacted to the last emission per
+    (user, day) equals the batch twin bit-for-bit under ANY ordered-replay
+    batching (round 13: the raw drain kept a straddled day's partial row
+    next to its correction — the upsert-by-(user, day) changelog read is
+    now applied here, not left to the consumer)."""
     from kafka_streams_playground_spark.streaming.stateful import ewma_per_key
 
     events = read_stream_table(spark, sf_dir, "events")
-    return run_to_completion(ewma_per_key(events), output_mode="append", spark=spark)
+    drained = run_to_completion(
+        ewma_per_key(events), output_mode="append", spark=spark
+    )
+    return latest_update_state(
+        drained, ["user_id", "day_epoch"], F.col("n_seen")
+    ).drop("n_seen")
 
 
 def _share_ewma_oracle() -> None:
@@ -1066,13 +1111,17 @@ def stream_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     and each batch advances the min-chain and emits the user's current
     funnel row. This is how product analytics actually watches funnels —
     at ingest latency with O(1) state per user — where the batch twin
-    re-scans the event history; the drained single-batch replay equals the
-    batch twin row-for-row (ordered-replay precondition documented on the
-    fold)."""
+    re-scans the event history; the drain compacted to the last emission
+    per user equals the batch twin row-for-row under ANY ordered-replay
+    batching (round 13: every micro-batch re-emits a user's current
+    funnel row, so the raw drain kept superseded stage snapshots)."""
     from kafka_streams_playground_spark.streaming.stateful import funnel_per_key
 
     events = read_stream_table(spark, sf_dir, "events")
-    return run_to_completion(funnel_per_key(events), output_mode="append", spark=spark)
+    drained = run_to_completion(
+        funnel_per_key(events), output_mode="append", spark=spark
+    )
+    return latest_update_state(drained, "user_id", F.col("n_seen")).drop("n_seen")
 
 
 def _share_funnel_oracle() -> None:
@@ -1364,12 +1413,13 @@ def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     and emits the updated estimate — exactly how a production ingest
     monitor keeps per-source cardinalities without holding the key sets
     (state is K longs per source forever, vs an exact-distinct state that
-    grows with the stream). The update-mode drain keeps each key's LAST
-    emission, which after the single-batch replay is the full-stream
-    sketch — bit-equal to the batch bottom-K, so the estimate is
-    oracle-exact (impossible for the built-in HLL; see
-    ``agg_kmv_distinct_sketch`` and the hand-rolled, oracle-exact
-    ``stream_hll_distinct_by_type``)."""
+    grows with the stream). The update-mode drain is compacted to each
+    key's LAST emission via the operator's strictly-monotone ``n_seen``
+    marker (round 13 — the raw drain kept superseded sketch states under
+    multi-batch replay), giving the full-stream sketch — bit-equal to the
+    batch bottom-K, so the estimate is oracle-exact (impossible for the
+    built-in HLL; see ``agg_kmv_distinct_sketch`` and the hand-rolled,
+    oracle-exact ``stream_hll_distinct_by_type``)."""
     from kafka_streams_playground_spark.plans.relational import KMV_K
     from kafka_streams_playground_spark.streaming.stateful import kmv_sketch_per_key
 
@@ -1379,9 +1429,10 @@ def stream_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("hv"),
     )
-    out = run_to_completion(
+    drained = run_to_completion(
         kmv_sketch_per_key(stream), output_mode="update", spark=spark
     )
+    out = latest_update_state(drained, "event_type", F.col("n_seen")).drop("n_seen")
     est = (
         F.when(F.col("k_n") < KMV_K, F.col("k_n").cast("long"))
         .otherwise(F.floor((KMV_K - 1) * float(2**32) / F.col("kth")).cast("long"))
@@ -2029,7 +2080,10 @@ def stream_curation_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "doc_id", logit.cast("bigint").alias("logit_e6")
     )
     out = source_cap_per_key(scored)
-    return run_to_completion(out, output_mode="update", spark=spark)
+    drained = run_to_completion(out, output_mode="update", spark=spark)
+    # keep only each source's LAST kept-set snapshot (n_seen monotone;
+    # round 13 — earlier per-batch snapshots otherwise survive the drain)
+    return latest_update_snapshot(drained, "source", F.col("n_seen")).drop("n_seen")
 
 
 def _share_source_cap_oracle() -> None:
@@ -2129,9 +2183,13 @@ def stream_hll_distinct_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rho"),
         )
     )
-    return run_to_completion(
+    drained = run_to_completion(
         hll_sketch_per_key(stream), output_mode="update", spark=spark
     )
+    # compact to the last emission per type via the operator's monotone
+    # n_seen marker (round 13 — superseded register summaries otherwise
+    # survive the drain under multi-batch replay)
+    return latest_update_state(drained, "event_type", F.col("n_seen")).drop("n_seen")
 
 
 def _stream_hll_hour_oracle() -> str:
@@ -2218,11 +2276,15 @@ def stream_ts_rollup_hll_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("rho"),
         )
     )
-    return run_to_completion(
+    drained = run_to_completion(
         hll_sketch_per_key(stream, key_col="bucket_epoch", key_type="BIGINT"),
         output_mode="update",
         spark=spark,
     )
+    # compact to the last emission per hour bucket (n_seen monotone; a
+    # bucket straddling a micro-batch boundary otherwise leaves its
+    # partial register summary in the drain — round 13)
+    return latest_update_state(drained, "bucket_epoch", F.col("n_seen")).drop("n_seen")
 
 
 @query(
@@ -2258,7 +2320,10 @@ def stream_stats_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFr
         .groupBy("digit")
         .agg(F.count(F.lit(1)).alias("n"))
     )
-    counts = run_to_completion(d, output_mode="update", spark=spark)
+    drained = run_to_completion(d, output_mode="update", spark=spark)
+    # compact to final state per digit (n strictly monotone; round 13 —
+    # the raw drain's superseded counters double-counted in the total)
+    counts = latest_update_state(drained, "digit", F.col("n"))
     spine = spark.range(1, 10).select(F.col("id").alias("digit"))
     t = counts.agg(F.sum("n").alias("total"))
     return (
@@ -2706,7 +2771,10 @@ def stream_sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFr
     drained = run_to_completion(
         weighted_reservoir_per_key(scored), output_mode="update", spark=spark
     )
-    return drained.select("doc_id", "lang", "n_chars", "clock9", "rank")
+    # keep only each stratum's LAST reservoir snapshot (n_seen monotone;
+    # round 13 — earlier per-batch snapshots otherwise survive the drain)
+    final = latest_update_snapshot(drained, "lang", F.col("n_seen"))
+    return final.select("doc_id", "lang", "n_chars", "clock9", "rank")
 
 
 def _share_reservoir_oracle() -> None:
@@ -2763,10 +2831,17 @@ def stream_stats_countmin_user_traffic(spark: SparkSession, sf_dir: str) -> Data
     inc = ev_s.select(
         F.posexplode(F.array(*[bucket(r) for r in range(CM_DEPTH)])).alias("r", "b")
     )
-    sketch = run_to_completion(
-        inc.groupBy("r", "b").agg(F.count(F.lit(1)).alias("sc")),
-        output_mode="update",
-        spark=spark,
+    sketch = latest_update_state(
+        # compact to final state per cell (sc strictly monotone; round 13 —
+        # the raw drain's superseded partials made min-over-rows read a
+        # too-early counter value)
+        run_to_completion(
+            inc.groupBy("r", "b").agg(F.count(F.lit(1)).alias("sc")),
+            output_mode="update",
+            spark=spark,
+        ),
+        ["r", "b"],
+        F.col("sc"),
     )
     # batch epilogue: exact top-10 readback against the drained counters
     ev = load_table(spark, sf_dir, "events").select("user_id")
@@ -2831,10 +2906,17 @@ def stream_privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("high"))
         .alias("sens"),
     )
-    cells = run_to_completion(
-        c.groupBy("nation", "segment", "sens").agg(F.count(F.lit(1)).alias("n")),
-        output_mode="update",
-        spark=spark,
+    cells = latest_update_state(
+        # compact to final state per (class, band) cell (n monotone;
+        # round 13 — superseded partials otherwise inflate class_size
+        # and n_sensitive in the rollup)
+        run_to_completion(
+            c.groupBy("nation", "segment", "sens").agg(F.count(F.lit(1)).alias("n")),
+            output_mode="update",
+            spark=spark,
+        ),
+        ["nation", "segment", "sens"],
+        F.col("n"),
     )
     cls = cells.groupBy("nation", "segment").agg(
         F.sum("n").alias("class_size"),
@@ -2896,9 +2978,13 @@ def stream_stats_source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFra
         "source",
         F.explode(T.shingle_hashes(T.shingles(T.tokens("text")))).alias("hv"),
     )
-    sks = run_to_completion(
+    drained = run_to_completion(
         kmv_sketch_rows_per_source(stream), output_mode="update", spark=spark
     )
+    # keep only each source's LAST sketch snapshot (n_seen monotone;
+    # round 13 — earlier per-batch sketch contents otherwise survive the
+    # drain and pollute the pairwise union sketches)
+    sks = latest_update_snapshot(drained, "src", F.col("n_seen")).drop("n_seen")
     # The epilogue self-joins the sketch relation through derived
     # aggregates — a memory-sink plan cannot dedup its own attributes
     # (Catalyst "conflicting references"); localCheckpoint breaks the

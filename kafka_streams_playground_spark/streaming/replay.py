@@ -133,6 +133,27 @@ def latest_update_state(drained: DataFrame, key, counter) -> DataFrame:
     )
 
 
+def latest_update_snapshot(drained: DataFrame, key, counter) -> DataFrame:
+    """Reduce an update-mode memory-sink drain to the final SNAPSHOT per
+    key — the multi-row analogue of :func:`latest_update_state` for
+    operators that re-emit a key's whole current set each micro-batch
+    (top-K stores, sketch-content changelogs, reservoirs): keep every row
+    whose ``counter`` equals the key's maximum. ``counter`` must be
+    strictly monotone in rows folded per key (the stateful operators emit
+    ``n_seen`` for exactly this), so the kept rows are precisely the last
+    emission. Bounded: operates on the |keys| × micro-batches × snapshot
+    drain relation only."""
+    from pyspark.sql import Window
+
+    keys = [key] if isinstance(key, str) else list(key)
+    w = Window.partitionBy(*keys)
+    return (
+        drained.withColumn("_mx", F.max(counter).over(w))
+        .filter(counter == F.col("_mx"))
+        .drop("_mx")
+    )
+
+
 def run_to_completion(
     sdf: DataFrame,
     output_mode: str = "update",

@@ -173,24 +173,25 @@ def _ewma_taps(key: tuple, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.D
     straddle batches is handled by CORRECTION RE-EMISSION: the fold
     merges the continuation into its last tap and emits the day again
     with the full cents and corrected ewma, so the drain carries both
-    the partial and the final row — and because cents only grows within
-    a day, the max-cents row per (user, day) recovers the batch fold
-    exactly (split-sweep-pinned in tests/test_split_boundaries.py; a
-    production consumer treats the stream as upsert-by-(user, day), the
-    standard changelog-topic reading)."""
+    the partial and the final row — and the strictly-monotone ``n_seen``
+    emission marker (rows folded for the user so far, round 13) lets the
+    registered query keep exactly the last emission per (user, day)
+    whatever the value signs (the older max-cents reduce remains valid
+    for nonnegative feeds and stays split-sweep-pinned; a production
+    consumer treats the stream as upsert-by-(user, day), the standard
+    changelog-topic reading)."""
     chunks = [pdf for pdf in pdfs if len(pdf)]
     if not chunks:
         return
-    pdf = (
-        pd.concat(chunks, ignore_index=True)
-        .groupby("day", as_index=False)["c"]
-        .sum()
-        .sort_values("day")
-    )
+    raw = pd.concat(chunks, ignore_index=True)
+    pdf = raw.groupby("day", as_index=False)["c"].sum().sort_values("day")
     hist: list[tuple[int, int]] = []
+    n_seen = 0
     if state.exists:
-        days, cents = state.get
+        days, cents, n_seen = state.get
         hist = [(int(d), int(c)) for d, c in zip(days, cents)]
+        n_seen = int(n_seen)
+    n_seen += len(raw)
     out_day, out_cents, out_ewma = [], [], []
     for day, c in zip(pdf["day"], pdf["c"]):
         day, c = int(day), int(c)
@@ -203,13 +204,14 @@ def _ewma_taps(key: tuple, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.D
         out_day.append(day)
         out_cents.append(hist[-1][1])
         out_ewma.append(e)
-    state.update(([d for d, _ in hist], [c for _, c in hist]))
+    state.update(([d for d, _ in hist], [c for _, c in hist], n_seen))
     yield pd.DataFrame(
         {
             "user_id": key[0],
             "day_epoch": [d * 86400 for d in out_day],
             "cents": out_cents,
             "ewma_cents_q8": out_ewma,
+            "n_seen": [n_seen] * len(out_day),
         }
     )
 
@@ -229,9 +231,10 @@ def ewma_per_key(sdf: DataFrame) -> DataFrame:
     return ev.groupBy("user_id").applyInPandasWithState(
         _ewma_taps,
         outputStructType=(
-            "user_id BIGINT, day_epoch BIGINT, cents BIGINT, ewma_cents_q8 BIGINT"
+            "user_id BIGINT, day_epoch BIGINT, cents BIGINT, ewma_cents_q8 BIGINT,"
+            " n_seen BIGINT"
         ),
-        stateStructType="days ARRAY<BIGINT>, cents ARRAY<BIGINT>",
+        stateStructType="days ARRAY<BIGINT>, cents ARRAY<BIGINT>, n_seen BIGINT",
         outputMode="append",
         timeoutConf="NoTimeout",
     )
@@ -262,7 +265,8 @@ def _funnel_stages(key: tuple, pdfs: Iterator[pd.DataFrame], state) -> Iterator[
         return
     pdf = pd.concat(chunks, ignore_index=True)
     ns = pdf["ts"].astype("int64")
-    t1, t2, t3 = (state.get if state.exists else (None, None, None))
+    t1, t2, t3, n_seen = (state.get if state.exists else (None, None, None, 0))
+    n_seen = int(n_seen or 0) + len(pdf)
 
     def _min(cur, cand):
         if len(cand) == 0:
@@ -275,7 +279,7 @@ def _funnel_stages(key: tuple, pdfs: Iterator[pd.DataFrame], state) -> Iterator[
         t2 = _min(t2, ns[(pdf["event_type"] == "click") & (ns >= t1)])
     if t2 is not None:
         t3 = _min(t3, ns[(pdf["event_type"] == "purchase") & (ns >= t2)])
-    state.update((t1, t2, t3))
+    state.update((t1, t2, t3, n_seen))
     stage = 3 if t3 is not None else 2 if t2 is not None else 1 if t1 is not None else 0
     yield pd.DataFrame(
         {
@@ -286,6 +290,7 @@ def _funnel_stages(key: tuple, pdfs: Iterator[pd.DataFrame], state) -> Iterator[
                 [None if t3 is None else t3 // 10**9], dtype="Int64"
             ),
             "reached_stage": [stage],
+            "n_seen": [n_seen],
         }
     )
 
@@ -300,9 +305,9 @@ def funnel_per_key(sdf: DataFrame) -> DataFrame:
         _funnel_stages,
         outputStructType=(
             "user_id BIGINT, view_epoch BIGINT, click_epoch BIGINT, "
-            "purchase_epoch BIGINT, reached_stage INT"
+            "purchase_epoch BIGINT, reached_stage INT, n_seen BIGINT"
         ),
-        stateStructType="t1 BIGINT, t2 BIGINT, t3 BIGINT",
+        stateStructType="t1 BIGINT, t2 BIGINT, t3 BIGINT, n_seen BIGINT",
         outputMode="append",
         timeoutConf="NoTimeout",
     )
@@ -382,17 +387,21 @@ def _kmv_bottom_k(key: tuple, pdfs: Iterator[pd.DataFrame], state) -> Iterator[p
     if not chunks:
         return
     batch = pd.concat(chunks, ignore_index=True)["hv"].to_numpy(dtype="int64")
-    prev = (
-        np.array(state.get[0], dtype="int64") if state.exists else
-        np.array([], dtype="int64")
-    )
+    prev = np.array([], dtype="int64")
+    n_seen = 0
+    if state.exists:
+        stored, n_seen = state.get
+        prev = np.array(stored, dtype="int64")
+        n_seen = int(n_seen)
+    n_seen += len(batch)
     sk = np.unique(np.concatenate([prev, batch]))[:KMV_K]  # unique() sorts
-    state.update((sk.tolist(),))
+    state.update((sk.tolist(), n_seen))
     yield pd.DataFrame(
         {
             "event_type": [key[0]],
             "k_n": [int(len(sk))],
             "kth": [int(sk[-1])],
+            "n_seen": [n_seen],
         }
     )
 
@@ -405,8 +414,8 @@ def kmv_sketch_per_key(sdf: DataFrame) -> DataFrame:
     sketch property itself."""
     return sdf.groupBy("event_type").applyInPandasWithState(
         _kmv_bottom_k,
-        outputStructType="event_type STRING, k_n BIGINT, kth BIGINT",
-        stateStructType="sk ARRAY<BIGINT>",
+        outputStructType="event_type STRING, k_n BIGINT, kth BIGINT, n_seen BIGINT",
+        stateStructType="sk ARRAY<BIGINT>, n_seen BIGINT",
         outputMode="update",
         timeoutConf="NoTimeout",
     )
@@ -437,18 +446,22 @@ def _source_cap_topk(key: tuple, pdfs: Iterator[pd.DataFrame], state) -> Iterato
         return
     batch = pd.concat(chunks, ignore_index=True)
     pairs = list(zip(batch["logit_e6"].astype("int64"), batch["doc_id"].astype("int64")))
+    n_seen = 0
     if state.exists:
-        logits, ids = state.get
+        logits, ids, n_seen = state.get
         pairs.extend((int(l), int(d)) for l, d in zip(logits, ids))
+        n_seen = int(n_seen)
+    n_seen += len(batch)
     pairs.sort(key=lambda p: (-p[0], p[1]))
     pairs = pairs[:CAP_PER_SOURCE]
-    state.update(([l for l, _ in pairs], [d for _, d in pairs]))
+    state.update(([l for l, _ in pairs], [d for _, d in pairs], n_seen))
     yield pd.DataFrame(
         {
             "source": key[0],
             "doc_id": [d for _, d in pairs],
             "logit_e6": [l for l, _ in pairs],
             "quality_rank": list(range(1, len(pairs) + 1)),
+            "n_seen": [n_seen] * len(pairs),
         }
     )
 
@@ -461,9 +474,10 @@ def source_cap_per_key(sdf: DataFrame) -> DataFrame:
     return sdf.groupBy("source").applyInPandasWithState(
         _source_cap_topk,
         outputStructType=(
-            "source STRING, doc_id BIGINT, logit_e6 BIGINT, quality_rank BIGINT"
+            "source STRING, doc_id BIGINT, logit_e6 BIGINT, quality_rank BIGINT,"
+            " n_seen BIGINT"
         ),
-        stateStructType="logits ARRAY<BIGINT>, doc_ids ARRAY<BIGINT>",
+        stateStructType="logits ARRAY<BIGINT>, doc_ids ARRAY<BIGINT>, n_seen BIGINT",
         outputMode="update",
         timeoutConf="NoTimeout",
     )
@@ -491,17 +505,20 @@ def _hll_registers_fn(key_field: str):
         )
 
         regs = [0] * HLL_M
+        n_seen = 0
         if state.exists:
-            (stored,) = state.get
+            stored, n_seen = state.get
             regs = list(stored)
+            n_seen = int(n_seen)
         for pdf in pdfs:
             if not len(pdf):
                 continue
+            n_seen += len(pdf)
             for r, m in pdf.groupby("reg")["rho"].max().items():
                 i = int(r)
                 if int(m) > regs[i]:
                     regs[i] = int(m)
-        state.update((regs,))
+        state.update((regs, n_seen))
         mmax = max(regs)
         s_scaled = sum(1 << (mmax - m) for m in regs)
         yield pd.DataFrame(
@@ -513,6 +530,7 @@ def _hll_registers_fn(key_field: str):
                 "est_distinct": [
                     (HLL_ALPHA_M2_E6 * (1 << mmax)) // (s_scaled * 1000000)
                 ],
+                "n_seen": [n_seen],
             }
         )
 
@@ -531,9 +549,9 @@ def hll_sketch_per_key(
         _hll_registers_fn(key_col),
         outputStructType=(
             f"{key_col} {key_type}, mmax BIGINT, s_scaled BIGINT,"
-            " n_zero_regs BIGINT, est_distinct BIGINT"
+            " n_zero_regs BIGINT, est_distinct BIGINT, n_seen BIGINT"
         ),
-        stateStructType="regs ARRAY<BIGINT>",
+        stateStructType="regs ARRAY<BIGINT>, n_seen BIGINT",
         outputMode="update",
         timeoutConf="NoTimeout",
     )
@@ -562,11 +580,14 @@ def _weighted_reservoir_topk(key: tuple, pdfs: Iterator[pd.DataFrame], state) ->
             batch["n_chars"].astype("int64"),
         )
     )
+    n_seen = 0
     if state.exists:
-        clocks, ids, chars = state.get
+        clocks, ids, chars, n_seen = state.get
         triples.extend(
             (int(c), int(d), int(n)) for c, d, n in zip(clocks, ids, chars)
         )
+        n_seen = int(n_seen)
+    n_seen += len(batch)
     triples.sort(key=lambda t: (-t[0], t[1]))
     triples = triples[:AES_K]
     state.update(
@@ -574,6 +595,7 @@ def _weighted_reservoir_topk(key: tuple, pdfs: Iterator[pd.DataFrame], state) ->
             [c for c, _, _ in triples],
             [d for _, d, _ in triples],
             [n for _, _, n in triples],
+            n_seen,
         )
     )
     yield pd.DataFrame(
@@ -583,6 +605,7 @@ def _weighted_reservoir_topk(key: tuple, pdfs: Iterator[pd.DataFrame], state) ->
             "n_chars": [n for _, _, n in triples],
             "clock9": [c for c, _, _ in triples],
             "rank": list(range(1, len(triples) + 1)),
+            "n_seen": [n_seen] * len(triples),
         }
     )
 
@@ -596,10 +619,11 @@ def weighted_reservoir_per_key(sdf: DataFrame) -> DataFrame:
         _weighted_reservoir_topk,
         outputStructType=(
             "lang STRING, doc_id BIGINT, n_chars BIGINT, clock9 BIGINT,"
-            " rank BIGINT"
+            " rank BIGINT, n_seen BIGINT"
         ),
         stateStructType=(
-            "clocks ARRAY<BIGINT>, doc_ids ARRAY<BIGINT>, chars ARRAY<BIGINT>"
+            "clocks ARRAY<BIGINT>, doc_ids ARRAY<BIGINT>, chars ARRAY<BIGINT>,"
+            " n_seen BIGINT"
         ),
         outputMode="update",
         timeoutConf="NoTimeout",
@@ -621,13 +645,16 @@ def _kmv_bottom_k_rows(key: tuple, pdfs: Iterator[pd.DataFrame], state) -> Itera
     if not chunks:
         return
     batch = pd.concat(chunks, ignore_index=True)["hv"].to_numpy(dtype="int64")
-    prev = (
-        np.array(state.get[0], dtype="int64") if state.exists else
-        np.array([], dtype="int64")
-    )
+    prev = np.array([], dtype="int64")
+    n_seen = 0
+    if state.exists:
+        stored, n_seen = state.get
+        prev = np.array(stored, dtype="int64")
+        n_seen = int(n_seen)
+    n_seen += len(batch)
     sk = np.unique(np.concatenate([prev, batch]))[:SRC_KMV_K]  # unique() sorts
-    state.update((sk.tolist(),))
-    yield pd.DataFrame({"src": key[0], "hv": sk})
+    state.update((sk.tolist(), n_seen))
+    yield pd.DataFrame({"src": key[0], "hv": sk, "n_seen": n_seen})
 
 
 def kmv_sketch_rows_per_source(sdf: DataFrame) -> DataFrame:
@@ -637,8 +664,8 @@ def kmv_sketch_rows_per_source(sdf: DataFrame) -> DataFrame:
     int64 hashes — fixed regardless of how many documents a source ships."""
     return sdf.groupBy("source").applyInPandasWithState(
         _kmv_bottom_k_rows,
-        outputStructType="src STRING, hv BIGINT",
-        stateStructType="sk ARRAY<BIGINT>",
+        outputStructType="src STRING, hv BIGINT, n_seen BIGINT",
+        stateStructType="sk ARRAY<BIGINT>, n_seen BIGINT",
         outputMode="update",
         timeoutConf="NoTimeout",
     )

@@ -1,0 +1,172 @@
+"""Multi-batch replay audit of EVERY registered streaming query (round 13).
+
+The driver and the local replica both replay each fixture table as ONE
+parquet file, so every `stream_*` query executes as a single micro-batch —
+which is exactly the blind spot that hid the `stream_ivm_incremental_
+join_view` double count (an update-mode drain was summed raw; one batch ⇒
+one emission per group ⇒ the bug never fired). The targeted split sweeps
+in tests/test_split_boundaries.py probe hand-picked shapes; this tool
+generalizes the method to the WHOLE streaming surface:
+
+  * `read_stream_table` is monkeypatched to serve each fixture table as a
+    3-segment `write_split_feed` directory ordered by the table's event-
+    time contract (a time-ordered topic) — so every registered stream
+    query executes across three real micro-batches with two interior
+    watermark advances;
+  * each query then runs unchanged and is compared against its OWN DuckDB
+    oracle with the same type-strict canonicalizer the replica uses.
+
+A query that is exact only under single-batch replay fails here; a pass
+means its drain post-processing (final-state reduce, changelog contract,
+sketch merge) genuinely commutes with micro-batching under ordered
+delivery.
+
+Usage: python tools/split_replay_audit.py [sf_dir] [query ...]
+Exit 1 on any failure. Not part of the per-round artifacts; run on
+demand (it re-executes all ~56 streaming queries, ~10-20 min at sf0.001).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+import tempfile
+import time
+import uuid
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from tools.check_correctness import _norm_rows  # noqa: E402
+
+# Delivery contract per table: a topic ordered by event time, ties broken
+# by key so the split assignment is deterministic. Tables without an event
+# time replay in key order (watermark-free state must accept any order).
+ORDER_COLS: dict[str, list[str]] = {
+    "events": ["ts", "event_id"],
+    "orders": ["o_orderdate", "o_orderkey"],
+    "lineitem": ["l_shipdate", "l_orderkey", "l_linenumber"],
+    "documents": ["doc_id"],
+    "embeddings": ["vec_id"],  # raw column name; queries rename downstream
+    "customer": ["c_custkey"],
+    "supplier": ["s_suppkey"],
+    "part": ["p_partkey"],
+    "nation": ["n_nationkey"],
+    "region": ["r_regionkey"],
+}
+N_SEGMENTS = 3
+
+# Documented expected divergences: the oracle is only claimed for the
+# single-batch replay, because the operator's multi-batch behavior is
+# ITSELF the contract under test elsewhere.
+EXPECTED_DIVERGENT: dict[str, str] = {
+    "stream_dedup_within_watermark": (
+        "dropDuplicatesWithinWatermark is at-most-once per key PER WATERMARK "
+        "HORIZON by contract — state expiry re-admits a key once the "
+        "watermark passes, so under multi-batch replay with mid-stream "
+        "watermark advances the emitted set is a SUPERSET of DISTINCT keys "
+        "(bounded-state dedup is the operator's whole point; global "
+        "distinctness would need unbounded state). The DISTINCT oracle is "
+        "claimed only for the single-batch replay; the expiry behavior is "
+        "pinned by test_dedup_within_watermark_bounds_state."
+    ),
+}
+
+
+def make_split_reader(tmp_root: str):
+    """A read_stream_table replacement serving 3-segment split feeds."""
+    from kafka_streams_playground_spark.sources.parquet import load_table
+    from kafka_streams_playground_spark.streaming.replay import (
+        read_split_stream,
+        write_split_feed,
+    )
+
+    def split_read_stream_table(spark, sf_dir: str, name: str):
+        df = load_table(spark, sf_dir, name)  # ts already normalized
+        n = df.count()
+        d = os.path.join(tmp_root, f"{name}_{uuid.uuid4().hex[:8]}")
+        cuts = tuple(sorted({n // 3, 2 * n // 3} - {0, n}))
+        write_split_feed(df, ORDER_COLS[name], cuts, d)
+        return read_split_stream(spark, d, df.schema)
+
+    return split_read_stream_table
+
+
+def main() -> int:
+    import duckdb
+
+    from kafka_streams_playground_spark import streaming
+    from kafka_streams_playground_spark.plans import REGISTRY
+    from kafka_streams_playground_spark.session import get_spark
+    from kafka_streams_playground_spark.sources.parquet import TABLES
+
+    args = sys.argv[1:]
+    sf_dir = args[0] if args else "/root/testdata/sf0.001"
+    only = set(args[1:])
+
+    spark = get_spark("split-replay-audit")
+    con = duckdb.connect()
+    for t in TABLES:
+        p = os.path.join(sf_dir, f"{t}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    tmp_root = tempfile.mkdtemp(prefix="ksp_splitaudit_")
+    streaming.queries.read_stream_table = make_split_reader(tmp_root)
+
+    failures = []
+    names = [n for n in REGISTRY if n.startswith("stream_")]
+    if only:
+        names = [n for n in names if n in only]
+    for name in names:
+        spec = REGISTRY[name]
+        if name in EXPECTED_DIVERGENT:
+            print(f"skip  {name}: expected divergence — {EXPECTED_DIVERGENT[name][:80]}…")
+            continue
+        spark.catalog.clearCache()
+        t0 = time.time()
+        try:
+            sdf = spec.fn(spark, sf_dir)
+            s_cols = sorted(sdf.columns)
+            spdf = sdf.toPandas()
+            s_rows = [tuple(t) for t in spdf.itertuples(index=False, name=None)]
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL  {name}: spark error under split replay: {e}")
+            failures.append(name)
+            continue
+        if spec.oracle is None:
+            print(f"rows  {name}: {len(s_rows)} rows (no oracle) [{time.time()-t0:.1f}s]")
+            continue
+        ddf = con.execute(spec.oracle).df()
+        d_rows = [tuple(t) for t in ddf.itertuples(index=False, name=None)]
+        ok = s_cols == sorted(ddf.columns) and len(s_rows) == len(d_rows)
+        if ok:
+            # ORIGINAL column order on both sides: _norm_rows permutes each
+            # into sorted-name order, so the two reorderings align (passing
+            # an already-sorted list would leave that side unpermuted)
+            ns = _norm_rows(list(sdf.columns), s_rows)
+            nd = _norm_rows(list(ddf.columns), d_rows)
+            ok = ns == nd
+            if not ok:
+                diff = [i for i, (a, b) in enumerate(zip(ns, nd)) if a != b][:2]
+                print(f"FAIL  {name}: value mismatch under split replay at {diff}")
+                for i in diff:
+                    print(f"      spark : {ns[i]}")
+                    print(f"      duckdb: {nd[i]}")
+        else:
+            print(
+                f"FAIL  {name}: shape spark=({len(s_rows)} rows, {s_cols}) "
+                f"duckdb=({len(d_rows)} rows, {sorted(ddf.columns)})"
+            )
+        if ok:
+            print(f"OK    {name}: {len(s_rows)} rows [{time.time()-t0:.1f}s]")
+        else:
+            failures.append(name)
+
+    shutil.rmtree(tmp_root, ignore_errors=True)
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
