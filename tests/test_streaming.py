@@ -1348,3 +1348,33 @@ def test_stream_simpson_matches_batch(spark, sf_dir):
         for r in REGISTRY["stats_simpson_user_concentration"].fn(spark, sf_dir).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_latest_update_snapshot_keeps_whole_last_emission(spark):
+    """latest_update_snapshot (round 13) keeps EVERY row of each key's
+    max-counter emission — the multi-row analogue of latest_update_state
+    for snapshot-emitting operators (top-K stores, reservoirs, sketch
+    contents): superseded snapshots drop, the final snapshot survives
+    whole, and keys with a single emission pass through untouched."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_playground_spark.streaming.replay import (
+        latest_update_snapshot,
+    )
+
+    rows = [
+        # key "a": first snapshot (n_seen=2, two rows), then final (n_seen=5)
+        ("a", 1, 2),
+        ("a", 2, 2),
+        ("a", 1, 5),
+        ("a", 3, 5),
+        ("a", 9, 5),
+        # key "b": single emission
+        ("b", 7, 1),
+    ]
+    drained = spark.createDataFrame(rows, "k string, item long, n_seen long")
+    got = sorted(
+        (r["k"], r["item"])
+        for r in latest_update_snapshot(drained, "k", F.col("n_seen")).collect()
+    )
+    assert got == [("a", 1), ("a", 3), ("a", 9), ("b", 7)]
