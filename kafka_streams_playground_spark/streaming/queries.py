@@ -37,7 +37,9 @@ WATERMARK = "24 hours"  # mirrors the reference's default grace (:142)
 
 @query(
     "stream_q4_products_per_user_10s",
-    oracle=None,  # set below: shares q4's oracle (single-batch drain ⇒ final state)
+    oracle=None,  # set below: shares q4's oracle (append-mode windows emit
+    # once at watermark close, so the drain IS the final state — audited
+    # under 3-batch replay)
     tags=("reference", "streaming", "A4", "A5", "S1"),
 )
 def stream_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1338,8 +1340,9 @@ def stream_ts_cusum_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     where the batch twin re-sorts history. Per-type baselines (n, Σcents)
     come from a batch pre-pass broadcast onto the stream (the calibrated
     two-pass shape of ``stream_events_value_outliers``); increments are
-    n-scaled exact integers, so the drained single-batch replay equals
-    the batch twin bit-for-bit."""
+    n-scaled exact integers, so the drained ordered replay equals the
+    batch twin bit-for-bit whatever the micro-batch boundaries (each
+    event emits exactly once, append mode — 3-batch-replay audited)."""
     from kafka_streams_playground_spark.plans.temporal import CUSUM_K_CENTS
     from kafka_streams_playground_spark.streaming.stateful import cusum_per_key
 
@@ -1478,8 +1481,10 @@ def stream_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         gram_agg(gram_partials(emb)), output_mode="update", spark=spark
     )
     # update-mode memory sink keeps every emission; the LAST row per (i, j)
-    # is the final state (single-file replay = one batch, so this is exact
-    # and also guards a multi-batch replay)
+    # is the final state — well-founded under multi-batch replay since
+    # round 13, when gram_partials started carrying cnt on EVERY row (the
+    # old diagonal-only cnt made this pick arbitrary off the diagonal;
+    # found by the split-replay audit)
     from pyspark.sql import Window as _W
 
     last = (
@@ -2042,9 +2047,10 @@ def stream_curation_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
     ever needs the top-K — O(cap) per source however many documents a
     hot domain ships, the same economics as the streaming KMV sketch.
 
-    Drained via the single availableNow replay batch, the final emission
-    per source IS the batch twin's kept prefix, so the oracle is the
-    batch oracle restricted to kept = 1."""
+    The drain compacts to each source's LAST kept-set snapshot via the
+    operator's monotone ``n_seen`` marker (round 13), so the result IS
+    the batch twin's kept prefix under any micro-batch boundaries and
+    the oracle is the batch oracle restricted to kept = 1."""
     from kafka_streams_playground_spark.plans.northstar_scoring import (
         QC_BIAS_E6,
         QC_W_LEN_E6,
@@ -2736,10 +2742,11 @@ def stream_sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFr
     row-locally (codegen'd, stateless), and a per-language keyed store
     (``streaming/stateful.py::weighted_reservoir_per_key``) keeps only
     the k largest clocks — O(k) state per stratum forever, re-emitting
-    the stratum's current sample as an update-mode changelog. Drained
-    via the single availableNow replay batch, the final emission per
-    stratum equals the batch window's k-prefix, so the batch oracle
-    applies unchanged."""
+    the stratum's current sample as an update-mode changelog. The drain
+    compacts to each stratum's LAST reservoir snapshot via the
+    operator's monotone ``n_seen`` marker (round 13), which equals the
+    batch window's k-prefix under any micro-batch boundaries, so the
+    batch oracle applies unchanged."""
     from kafka_streams_playground_spark.plans.northstar_curation import (
         AES_U_DEN,
     )

@@ -434,9 +434,10 @@ def _source_cap_topk(key: tuple, pdfs: Iterator[pd.DataFrame], state) -> Iterato
     offer.
 
     Emission matches the funnel/EWMA stance: every batch re-emits the
-    key's current kept set (update-mode changelog of the top-K store);
-    the replay harness's single availableNow batch therefore drains
-    exactly the batch twin's kept rows."""
+    key's current kept set (update-mode changelog of the top-K store)
+    stamped with the strictly-monotone ``n_seen`` marker (round 13), so
+    a drain compacted to the max-n_seen snapshot per key is exactly the
+    batch twin's kept rows under any micro-batch boundaries."""
     from kafka_streams_playground_spark.plans.northstar_curation import (
         CAP_PER_SOURCE,
     )
@@ -634,9 +635,11 @@ def _kmv_bottom_k_rows(key: tuple, pdfs: Iterator[pd.DataFrame], state) -> Itera
     """Per-source streaming KMV sketch emitting the sketch CONTENT: keyed
     state is the K smallest distinct hashes (same associative bottom-K
     merge as _kmv_bottom_k); each micro-batch re-emits the source's current
-    sketch as (source, hv) rows — the update-mode changelog of the sketch
-    store, so the single-batch replay drains exactly the final sketch
-    relation the pairwise overlap epilogue consumes."""
+    sketch as (source, hv) rows stamped with the strictly-monotone
+    ``n_seen`` marker (round 13) — the update-mode changelog of the
+    sketch store, so a drain compacted to the max-n_seen snapshot per
+    source is exactly the final sketch relation the pairwise overlap
+    epilogue consumes, under any micro-batch boundaries."""
     import numpy as np
 
     from kafka_streams_playground_spark.plans.northstar_stats import SRC_KMV_K
