@@ -94,3 +94,24 @@ def test_bench_exclusions_all_have_reasons():
     for n in REGISTRY:
         if n.startswith("stream_"):
             assert n in excluded
+
+
+def test_split_replay_audit_config_tracks_registry():
+    """Rot guards for tools/split_replay_audit.py: the delivery-contract
+    map covers every fixture table (a new table without an order contract
+    would crash the audit mid-run), and the ORDER_FREE / expected-
+    divergence lists name only registered streaming queries (a renamed
+    query must not silently drop out of the scrambled-order pass)."""
+    from kafka_streams_playground_spark.plans import REGISTRY
+    from kafka_streams_playground_spark.sources.parquet import TABLES
+    from tools.split_replay_audit import (
+        EXPECTED_DIVERGENT,
+        ORDER_COLS,
+        ORDER_FREE,
+    )
+
+    assert set(TABLES) <= set(ORDER_COLS)
+    stream_names = {n for n in REGISTRY if n.startswith("stream_")}
+    assert set(ORDER_FREE) <= stream_names
+    assert set(EXPECTED_DIVERGENT) <= stream_names
+    assert len(set(ORDER_FREE)) == len(ORDER_FREE)  # no duplicates

@@ -56,6 +56,48 @@ ORDER_COLS: dict[str, list[str]] = {
 }
 N_SEGMENTS = 3
 
+# Queries whose state folds are ORDER-FREE (commutative merges: sketches,
+# counters, max_by changelogs keyed by an explicit version, order-free
+# reservoir clocks): with --scramble they replay in md5-scrambled order
+# across the 3 segments — out-of-order delivery must not change the
+# result. Watermarked / sequence-dependent queries (sessions, joins,
+# EWMA, funnel, as-of, CUSUM) are excluded: ordered delivery is their
+# documented contract and late-row dropping is semantics, not a bug.
+ORDER_FREE: tuple[str, ...] = (
+    "stream_s2_latest_event_per_user",
+    "stream_s2_compacted_tombstones",
+    "stream_q3_products_by_first_letter",
+    "stream_q1_expensive_orders",
+    "stream_q2_order_projection",
+    "stream_domain_quality_stats",
+    "stream_kmv_distinct_by_type",
+    "stream_hll_distinct_by_type",
+    "stream_ts_rollup_hll_hour",
+    "stream_curation_source_cap",
+    "stream_sample_weighted_reservoir",
+    "stream_stats_source_overlap_kmv",
+    "stream_stats_benford_first_digit",
+    "stream_stats_countmin_user_traffic",
+    "stream_privacy_k_anonymity",
+    "stream_embedding_covariance",
+    "stream_stats_ols_by_nation",
+    "stream_stats_welch_ttest_halves",
+    "stream_drift_chi2_event_type_halves",
+    "stream_stats_simpson_user_concentration",
+    "stream_drift_ks_value_halves",
+    "stream_stats_bootstrap_ci_mean",
+    "stream_stats_histogram_quantiles",
+    "stream_ivm_incremental_join_view",
+    "stream_text_token_stats",
+    "stream_decontaminate_corpus",
+    "stream_chunk_documents_overlap",
+    "stream_events_value_outliers",
+    "stream_pipeline_quality_filter",
+    "stream_text_line_filter",
+    "stream_retrieval_rrf_fusion",
+    "stream_dsir_importance_weights",
+)
+
 # Documented expected divergences: the oracle is only claimed for the
 # single-batch replay, because the operator's multi-batch behavior is
 # ITSELF the contract under test elsewhere.
@@ -73,8 +115,14 @@ EXPECTED_DIVERGENT: dict[str, str] = {
 }
 
 
-def make_split_reader(tmp_root: str):
-    """A read_stream_table replacement serving 3-segment split feeds."""
+def make_split_reader(tmp_root: str, scramble: bool = False):
+    """A read_stream_table replacement serving 3-segment split feeds.
+
+    With ``scramble``, delivery order is an md5 hash of the whole row —
+    an adversarial out-of-order topic — instead of the table's event-time
+    contract; only ORDER_FREE queries are expected to survive it."""
+    from pyspark.sql import functions as F
+
     from kafka_streams_playground_spark.sources.parquet import load_table
     from kafka_streams_playground_spark.streaming.replay import (
         read_split_stream,
@@ -86,6 +134,12 @@ def make_split_reader(tmp_root: str):
         n = df.count()
         d = os.path.join(tmp_root, f"{name}_{uuid.uuid4().hex[:8]}")
         cuts = tuple(sorted({n // 3, 2 * n // 3} - {0, n}))
+        if scramble:
+            feed = df.withColumn(
+                "_scr", F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in df.columns]))
+            )
+            write_split_feed(feed, ["_scr"], cuts, d)
+            return read_split_stream(spark, d, feed.schema).drop("_scr")
         write_split_feed(df, ORDER_COLS[name], cuts, d)
         return read_split_stream(spark, d, df.schema)
 
@@ -101,6 +155,9 @@ def main() -> int:
     from kafka_streams_playground_spark.sources.parquet import TABLES
 
     args = sys.argv[1:]
+    scramble = "--scramble" in args
+    if scramble:
+        args.remove("--scramble")
     sf_dir = args[0] if args else "/root/testdata/sf0.001"
     only = set(args[1:])
 
@@ -112,10 +169,12 @@ def main() -> int:
             con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     tmp_root = tempfile.mkdtemp(prefix="ksp_splitaudit_")
-    streaming.queries.read_stream_table = make_split_reader(tmp_root)
+    streaming.queries.read_stream_table = make_split_reader(tmp_root, scramble)
 
     failures = []
     names = [n for n in REGISTRY if n.startswith("stream_")]
+    if scramble:
+        names = [n for n in names if n in ORDER_FREE]
     if only:
         names = [n for n in names if n in only]
     for name in names:
