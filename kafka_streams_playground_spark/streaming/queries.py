@@ -64,7 +64,13 @@ def stream_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
     compacted-topic store. The drain compacts the changelog back to the
     final row per key (max version — the compacted-topic read; round 13:
     the raw drain kept superseded emissions whenever a key updated in
-    more than one micro-batch, exact only under single-batch replay)."""
+    more than one micro-batch, exact only under single-batch replay;
+    round 14: the compaction key is the TRUE version (full-microsecond
+    ts, event_id) — the same ordering the in-stream max_by state and the
+    oracle use — not the second-truncated ts_epoch, which could keep a
+    superseded emission when a user has two same-wall-clock-second events
+    whose event_id order disagrees with microsecond order across a batch
+    boundary; ts_epoch is projected only after the reduce)."""
     events = read_stream_table(spark, sf_dir, "events")
     latest = latest_per_key_stream(
         events,
@@ -72,12 +78,12 @@ def stream_s2(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_cols=["event_id", "event_type", "value", "ts"],
         version_col=F.struct("ts", "event_id"),
     )
-    out = latest.select(
-        "user_id", "event_id", "event_type", "value", F.unix_timestamp("ts").alias("ts_epoch")
-    )
+    out = latest.select("user_id", "event_id", "event_type", "value", "ts")
     drained = run_to_completion(out, output_mode="update", spark=spark)
     return latest_update_state(
-        drained, "user_id", F.struct("ts_epoch", "event_id")
+        drained, "user_id", F.struct("ts", "event_id")
+    ).select(
+        "user_id", "event_id", "event_type", "value", F.unix_timestamp("ts").alias("ts_epoch")
     )
 
 
@@ -429,16 +435,14 @@ def stream_s2_tombstones(spark: SparkSession, sf_dir: str) -> DataFrame:
         value_cols=["event_id", "event_type", "value", "ts"],
         version_col=F.struct("ts", "event_id"),
     )
-    out = latest.select(
-        "user_id",
-        "event_id",
-        "event_type",
-        "value",
-        F.unix_timestamp("ts").alias("ts_epoch"),
-    )
+    out = latest.select("user_id", "event_id", "event_type", "value", "ts")
     drained = run_to_completion(out, output_mode="update", spark=spark)
+    # Compact on the true version (full-microsecond ts, event_id) — the
+    # ordering the in-stream max_by state and the oracle use; a
+    # second-truncated epoch key could keep a superseded emission (r14,
+    # ADVICE r13).
     compacted = latest_update_state(
-        drained, "user_id", F.struct("ts_epoch", "event_id")
+        drained, "user_id", F.struct("ts", "event_id")
     )
     return compacted.filter(F.col("event_type") != "error").select(
         "user_id", "event_id", "event_type", "value"

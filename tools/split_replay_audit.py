@@ -28,7 +28,11 @@ event-time contract. Exit 1 on any failure. Not part of the per-round
 artifacts; run on demand whenever a streaming query changes (all ~56
 queries take ~10-20 min at sf0.001). Round-13 baseline: ordered 55 OK +
 1 documented skip; scrambled 32/32 OK; the 17 queries changed that
-round also re-audited green at sf0.01.
+round also re-audited green at sf0.01. Round 14: the documented
+divergence is no longer skipped — it runs under the weaker contract
+(columns match, DISTINCT(emitted) == oracle set, emitted ⊇ oracle) so a
+crash or schema regression is still caught; the scramble hash carries a
+NULL sentinel per column (both ADVICE r13).
 """
 
 from __future__ import annotations
@@ -103,9 +107,11 @@ ORDER_FREE: tuple[str, ...] = (
     "stream_dsir_importance_weights",
 )
 
-# Documented expected divergences: the oracle is only claimed for the
-# single-batch replay, because the operator's multi-batch behavior is
-# ITSELF the contract under test elsewhere.
+# Documented expected divergences: the exact oracle is only claimed for
+# the single-batch replay, because the operator's multi-batch behavior is
+# ITSELF the contract under test elsewhere. These still EXECUTE under
+# split replay and are held to the weaker documented contract (columns
+# match, DISTINCT(emitted) == oracle set, emitted ⊇ oracle) — r14.
 EXPECTED_DIVERGENT: dict[str, str] = {
     "stream_dedup_within_watermark": (
         "dropDuplicatesWithinWatermark is at-most-once per key PER WATERMARK "
@@ -140,8 +146,17 @@ def make_split_reader(tmp_root: str, scramble: bool = False):
         d = os.path.join(tmp_root, f"{name}_{uuid.uuid4().hex[:8]}")
         cuts = tuple(sorted({n // 3, 2 * n // 3} - {0, n}))
         if scramble:
+            # NULL sentinel per column: concat_ws silently skips NULLs, so
+            # rows differing only in NULL placement would hash identically
+            # and make segment assignment nondeterministic (ADVICE r13).
             feed = df.withColumn(
-                "_scr", F.md5(F.concat_ws("\x1f", *[F.col(c).cast("string") for c in df.columns]))
+                "_scr",
+                F.md5(
+                    F.concat_ws(
+                        "\x1f",
+                        *[F.coalesce(F.col(c).cast("string"), F.lit("\x00")) for c in df.columns],
+                    )
+                ),
             )
             write_split_feed(feed, ["_scr"], cuts, d)
             return read_split_stream(spark, d, feed.schema).drop("_scr")
@@ -184,9 +199,6 @@ def main() -> int:
         names = [n for n in names if n in only]
     for name in names:
         spec = REGISTRY[name]
-        if name in EXPECTED_DIVERGENT:
-            print(f"skip  {name}: expected divergence — {EXPECTED_DIVERGENT[name][:80]}…")
-            continue
         spark.catalog.clearCache()
         t0 = time.time()
         try:
@@ -197,6 +209,31 @@ def main() -> int:
         except Exception as e:  # noqa: BLE001
             print(f"FAIL  {name}: spark error under split replay: {e}")
             failures.append(name)
+            continue
+        if name in EXPECTED_DIVERGENT:
+            # Still execute and assert the WEAKER documented contract
+            # (ADVICE r13): runs without error (above), columns match the
+            # oracle's, emitted rows ⊇ oracle rows, and DISTINCT(emitted)
+            # == oracle set — divergence is extra re-admissions only,
+            # never a missing or novel key.
+            ddf = con.execute(spec.oracle).df()
+            d_rows = [tuple(t) for t in ddf.itertuples(index=False, name=None)]
+            ns = set(_norm_rows(list(sdf.columns), s_rows))
+            nd = set(_norm_rows(list(ddf.columns), d_rows))
+            ok = s_cols == sorted(ddf.columns) and ns == nd and len(s_rows) >= len(d_rows)
+            if ok:
+                print(
+                    f"weak  {name}: {len(s_rows)} rows ⊇ {len(d_rows)} oracle keys, "
+                    f"DISTINCT equal — {EXPECTED_DIVERGENT[name][:60]}… "
+                    f"[{time.time()-t0:.1f}s]"
+                )
+            else:
+                print(
+                    f"FAIL  {name}: weak contract violated — cols_ok="
+                    f"{s_cols == sorted(ddf.columns)} distinct_equal={ns == nd} "
+                    f"rows {len(s_rows)} vs oracle {len(d_rows)}"
+                )
+                failures.append(name)
             continue
         if spec.oracle is None:
             print(f"rows  {name}: {len(s_rows)} rows (no oracle) [{time.time()-t0:.1f}s]")
