@@ -45,106 +45,85 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q4_products_per_user_10s",
     "q5_paid_orders",
     "orders_products_array",
-    # ---- ROUND 13 rotation (VERDICT r12 item 1, re-planned mid-round
-    # after the split-replay audit). Policy unchanged: changed-this-round
-    # > stalest-last-seen; every demoted query is driver-green in a prior
-    # round, unchanged since, and re-checked by the full-registry strict
-    # replica (CORRECTNESS_LOCAL.json).
-    # -- slots 7-25: new or changed this round.
-    # NEW: json_roundtrip_events (S6/S7 serde end-to-end — serialize →
-    # corrupt a deterministic slice → decode-and-drop, identity oracle;
-    # registry growth capped at 1 this round).
-    # CHANGED (oracle upgrade): stream_join_full_outer_interval gained a
-    # FULL value-exact oracle (the r4 rows-only dead end dissolved) —
-    # its driver row carries hash signal for the first time ever.
-    # CHANGED (wrong-answer fixes — the round's headline): the
-    # split-replay audit (tools/split_replay_audit.py: every stream_*
-    # query re-executed across THREE real micro-batches and compared to
-    # its own oracle) found that sixteen update/append-mode drains kept
-    # superseded per-batch emissions, exact only under the driver's
-    # single-file single-batch replay. Each now compacts its drain to
-    # the final state/snapshot per key (latest_update_state /
-    # latest_update_snapshot, driven by a strictly-monotone n_seen
-    # emission marker added to the custom stateful operators); the
-    # tombstone KTable additionally moved its filter from the emission
-    # side to the post-compaction read (Kafka's consumer-compacts
-    # model), and the covariance twin's gram partials now carry cnt on
-    # every row so the off-diagonal reduce is well-founded. All sixteen
-    # re-audited green under the 3-batch replay AND unchanged against
-    # their oracles under the driver's single-batch shape.
-    "json_roundtrip_events",
-    "stream_join_full_outer_interval",
-    "stream_ivm_incremental_join_view",
+    # ---- ROUND 14 rotation (VERDICT r13 items 1/5/6: staleness catch-up
+    # part 1 of 2, ZERO new queries — registry frozen at 298). Policy
+    # unchanged: changed-this-round > stalest-last-seen; every demoted
+    # query is driver-green in a prior round, unchanged since, and
+    # re-checked by the full-registry strict replica
+    # (CORRECTNESS_LOCAL.json).
+    # -- slots 7-8: CHANGED this round (genuine fix, ADVICE r13 medium):
+    # the s2 streaming drains now compact on the full-microsecond
+    # (ts, event_id) version — the ordering the in-stream max_by state
+    # and the oracle use — instead of the second-truncated ts_epoch,
+    # which could keep a superseded emission for a user with two
+    # same-wall-clock-second events straddling a micro-batch boundary.
+    # Re-audited green on both split-replay axes + sf0.01 oracle.
     "stream_s2_latest_event_per_user",
     "stream_s2_compacted_tombstones",
-    "stream_q3_products_by_first_letter",
-    "stream_domain_quality_stats",
-    "stream_ts_ewma_user_daily",
-    "stream_funnel_view_click_purchase",
-    "stream_kmv_distinct_by_type",
-    "stream_hll_distinct_by_type",
-    "stream_curation_source_cap",
-    "stream_sample_weighted_reservoir",
-    "stream_stats_source_overlap_kmv",
-    "stream_stats_benford_first_digit",
-    "stream_stats_countmin_user_traffic",
-    "stream_privacy_k_anonymity",
-    "stream_embedding_covariance",
-    "embedding_covariance_matrix",  # r6-stale AND changed (gram partials)
-    # stream_ts_rollup_hll_hour is changed too but cedes its slot to
-    # stream_hll_distinct_by_type per the plan-identical-twin rule: both
-    # are the SAME hll_sketch_per_key operator + identical n_seen reduce,
-    # keyed by hour bucket vs event type; the demoted twin is green in
-    # this round's 3-batch replay audit and the dual-scale strict replica,
-    # and leads the r14 rotation.
-    # -- slots 26-29: the four r5-cohort queries demoted late in round 12
-    # (7 rounds driver-stale — past policy; VERDICT r12 item 1: no
-    # further deferral).
-    "topk_customers_by_revenue",
-    "q_local_supplier_volume",
-    "wf_ntile_price_quartiles",
-    "embedding_pq_codes",
-    # -- slots 30-50: the r6 staleness cohort, as many as fit after the
-    # fixes claimed their slots (changed > stalest is the policy order).
-    # Three demotions carry the round's original twin rationales
-    # (tokenizer_bpe_merge_step — iteration 1 of slotted
-    # tokenizer_bpe_train3; stream_chunk_documents_overlap and
-    # stream_events_value_outliers — stateless twins of r12-green batch
-    # forms). Fifteen more are DISPLACED by the sixteen correctness
-    # fixes: the fifteen plain TPC-H-shape relational queries below the
-    # keep-line (q_late_shipment_priority, q_supplier_cnt_by_part,
-    # q_dormant_rich_customers, q_min_cost_supplier,
-    # q_order_priority_checking, q_forecast_revenue, q_important_stock,
-    # q_cust_order_distribution, q_promo_revenue, q_top_supplier,
-    # q_small_qty_revenue, q_large_volume_customers,
-    # q_disjunctive_revenue, q_dominant_part_suppliers,
-    # q_waiting_suppliers) — chosen as the lowest-regression-risk class
-    # (static relational plans over code untouched since r6, all green in
-    # this round's dual-scale strict replica). They lead the r14 rotation
-    # together with the r7 cohort and the hll rollup twin; r14 must hold
-    # registry growth at zero and plan a two-round catch-up.
-    "agg_kmv_distinct_sketch",
-    "q_market_share_promo_asia",
-    "q_returned_item_top_customers",
-    "q_volume_shipping_pair",
-    "q_product_type_profit",
-    "events_value_winsorized",
-    "funnel_conversion_summary",
-    "ts_cusum_drift_per_type",
-    "dedup_simhash_banded",
-    "dedup_lsh_band_tuning",
-    "dedup_cluster_components",
-    "text_zipf_fit",
-    "text_langid_confusion",
-    "text_rolling_hash",
-    "text_token_entropy",
-    "sim_matryoshka_recall_audit",
-    "tokenizer_vocab_coverage",
-    "tokenizer_bpe_train3",
-    "pipeline_epoch_mixture_plan",
-    "dedup_lines_global",
-    "stream_ts_cusum_drift_per_type",
+    # -- slot 9: changed in r13 (n_seen drain fix) but ceded its slot to
+    # its plan-identical twin under the twin rule; owed first claim here
+    # per the r13 plan.
+    "stream_ts_rollup_hll_hour",
+    # -- slots 10-27: the ENTIRE r6 cohort (7 rounds driver-stale — past
+    # the ~6-round policy; VERDICT r13 item 1: fill these first).
+    "q_late_shipment_priority",
+    "q_supplier_cnt_by_part",
+    "q_dormant_rich_customers",
+    "tokenizer_bpe_merge_step",
+    "stream_chunk_documents_overlap",
+    "stream_events_value_outliers",
+    "q_min_cost_supplier",
+    "q_order_priority_checking",
+    "q_forecast_revenue",
+    "q_important_stock",
+    "q_cust_order_distribution",
+    "q_promo_revenue",
+    "q_top_supplier",
+    "q_small_qty_revenue",
+    "q_large_volume_customers",
+    "q_disjunctive_revenue",
+    "q_dominant_part_suppliers",
+    "q_waiting_suppliers",
+    # -- slots 28-50: the oldest 23 of the 39-query r7 cohort (crossing
+    # the 6-round staleness boundary this round), in registry order.
+    "agg_kmv_merge_by_type",
+    "wf_rank_family_order_totals",
+    "wf_moving_avg_user_value",
+    "cdc_snapshot_diff",
+    "stats_join_cardinality_kmv",
+    "cdc_merge_upsert",
+    "ivm_incremental_user_agg",
+    "drift_psi_value_halves",
+    "dedup_incremental_new_vs_base",
+    "pipeline_expectation_checks",
+    "graph_personalized_pagerank",
+    "graph_kcore_peel",
+    "text_ngram_novelty",
+    "embedding_random_projection",
+    "sim_ivfpq_adc_topk",
+    "tokenizer_bpe_compression_curve",
+    "tokenizer_bpe_train3_delta",
+    "text_stupid_backoff_trigram",
+    "tokenizer_wordpiece_encode",
+    "tokenizer_unigram_viterbi_score",
+    "pipeline_pretrain_e2e_manifest",
+    "text_span_corruption_manifest",
+    "dsir_importance_weights",
 )
+
+# ROUND 15 rotation plan (catch-up part 2 — pin now so the plan survives
+# the round boundary, VERDICT r13 item 5): after r14's fill, these 16 r7
+# queries remain driver-stale and MUST head the r15 DRIVER_PRIORITY
+# (registry growth ≤2 in r15):
+#   pipeline_content_version, stream_stats_ols_by_nation,
+#   agg_heavy_hitters_twopass, graph_bfs_hops,
+#   stats_ols_qty_price_by_nation, diag_key_skew_report,
+#   layout_zorder_pruning_audit, stats_countmin_user_traffic,
+#   stats_histogram_quantiles, layout_compaction_bins, diag_table_profile,
+#   stream_dedup_incremental_new_vs_base, retrieval_rrf_fusion,
+#   sim_hard_negative_mining, retrieval_mmr_rerank, mm_phash_neardup.
+# The remaining ~28 free r15 slots go to the oldest r8-cohort entries
+# (tools/rotation_audit.py lists 39), keeping every query ≤6 rounds stale.
 
 
 def _reorder_registry() -> None:
