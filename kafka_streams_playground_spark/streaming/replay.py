@@ -102,6 +102,46 @@ def write_split_feed(
                 os.utime(os.path.join(seg_dir, fn), (1_000_000 + i, 1_000_000 + i))
 
 
+def write_split_feed_late(
+    df: DataFrame,
+    order_cols: list[str],
+    split_indices: tuple[int, ...],
+    late_pred,
+    dir_path: str,
+) -> None:
+    """LATENESS-ADVERSARIAL replay (VERDICT r13 item 4): like
+    :func:`write_split_feed`, but rows matching ``late_pred`` (a boolean
+    Column) are WITHHELD from their natural position and delivered as one
+    FINAL extra segment — i.e. after every on-time segment has been
+    processed and the watermark has advanced off the on-time maximum.
+    This models a late-data burst: if the late rows' event times sit
+    below ``max(on-time event time) - watermark delay``, every
+    watermarked stateful operator must drop them (the documented Spark
+    contract); if they sit inside the horizon, they must be folded as if
+    on time. ``split_indices`` carve the ON-TIME rows (indices are
+    positions within the on-time subset's ``order_cols`` ordering).
+
+    Raises if ``late_pred`` selects no rows (the test would silently
+    assert nothing) or selects everything (no on-time segment would
+    advance the watermark)."""
+    on_time = df.filter(~late_pred)
+    late = df.filter(late_pred)
+    n_late, n_on = late.count(), on_time.count()
+    if n_late == 0:
+        raise ValueError("late_pred selects no rows; the lateness axis is vacuous")
+    if n_on == 0:
+        raise ValueError("late_pred selects every row; no on-time segment remains")
+    write_split_feed(on_time, order_cols, split_indices, dir_path)
+    nxt = len([d for d in os.listdir(dir_path) if d.startswith("seg")])
+    seg_dir = os.path.join(dir_path, f"seg{nxt:04d}")
+    late.coalesce(1).write.parquet(seg_dir)
+    # continue the strictly-increasing mtime series write_split_feed
+    # started, so FileStreamSource replays the late burst LAST
+    for fn in os.listdir(seg_dir):
+        if fn.endswith(".parquet"):
+            os.utime(os.path.join(seg_dir, fn), (1_000_000 + nxt, 1_000_000 + nxt))
+
+
 def read_split_stream(spark: SparkSession, dir_path: str, schema) -> DataFrame:
     """Streaming reader for a ``write_split_feed`` directory: one segment
     file per trigger, replayed oldest-mtime-first — micro-batch i holds
