@@ -667,15 +667,25 @@ PR_DAMP_NUM, PR_DAMP_DEN = 85, 100  # damping 0.85 as an exact rational
 PPR_SEED_MOD = 50  # personalized teleport set: part_id % 50 == 0
 
 
-def _copurchase_degreed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _copurchase_degreed_edges(
+    spark: SparkSession, sf_dir: str
+) -> tuple[DataFrame, DataFrame]:
     """Persisted degreed edge table (src, dst, d) of the part co-purchase
-    graph — shared by the PageRank family. Edge build: ONE scan + ONE
-    orderkey shuffle into per-order part sets (collect_set dedups within
-    the order), pairs expanded by chained explodes — measurably cheaper
-    than the orderkey self-join (which scans lineitem twice and sorts both
-    sides); per-order set size is bounded by order width (≤7 in TPC-H), so
-    no explode blowup. The |nodes|-row degree table attaches by broadcast
-    (no edge re-shuffle; same >10^8-node flip as the rank vector)."""
+    graph PLUS the persisted |nodes|-row degree table (src, d) — shared by
+    the PageRank family. Edge build: ONE scan + ONE orderkey shuffle into
+    per-order part sets (collect_set dedups within the order), pairs
+    expanded by chained explodes — measurably cheaper than the orderkey
+    self-join (which scans lineitem twice and sorts both sides); per-order
+    set size is bounded by order width (≤7 in TPC-H), so no explode blowup.
+    The degree table attaches by broadcast (no edge re-shuffle; same
+    >10^8-node flip as the rank vector).
+
+    Returning ``deg`` lets callers derive their node/seed sets from the
+    |nodes|-row aggregate instead of re-running DISTINCT over the |E|-row
+    edge list (r14: one full exchange removed from each of pagerank/PPR).
+    Only the small tables are persisted; the degreed join is a map-side
+    broadcast probe over the cached edge list, so materializing it bought
+    nothing but a second |E|-row cache write (r14 measurement)."""
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     e = (
         li.groupBy("l_orderkey")
@@ -686,8 +696,8 @@ def _copurchase_degreed_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .persist()
     )
-    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    return e.join(F.broadcast(deg), "src").persist()
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d")).persist()
+    return e.join(F.broadcast(deg), "src"), deg
 
 _PR_ITER_SQL = """
     {out} AS (
@@ -754,9 +764,12 @@ def graph_copurchase_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     max co-purchase degree (salt hot nodes with the agg_salted_skew recipe
     if a product goes viral). Isolated parts (never co-purchased) carry no
     edges and are excluded — document-level choice matching the oracle."""
-    ed = _copurchase_degreed_edges(spark, sf_dir)
-    pr = ed.select(F.col("src").alias("node")).distinct().select(
-        "node", F.lit(PR_SCALE).cast("bigint").alias("pr")
+    ed, deg = _copurchase_degreed_edges(spark, sf_dir)
+    # pr0 = every node with an out-edge — exactly deg's key set, already
+    # aggregated and persisted; the former DISTINCT over the |E|-row edge
+    # list paid a full exchange for the same relation (guide §2.4).
+    pr = deg.select(
+        F.col("src").alias("node"), F.lit(PR_SCALE).cast("bigint").alias("pr")
     )
     base = PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
     for _ in range(PAGERANK_ITERS):
@@ -1100,74 +1113,108 @@ def pipeline_expectation_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
     every ingest BEFORE any curation operator consumes the batch; the
     dedup/quality/mixture stages above all assume these invariants.
 
-    Spark shape: each FK check is a left-anti join on its key (broadcast
-    when the dimension fits, shuffled co-partitioned otherwise — exactly
-    the join the downstream queries run, so the check costs what the
-    pipeline pays anyway); uniqueness is a partial-aggregated key count;
-    domain rules are map-side conditional sums. The six one-row results
-    union into the report — at 100 TB each check is one scan-bound pass,
-    and the report shape (name, checked, violations) is what lands in the
-    run's quality dashboard."""
+    Spark shape (r14 rewrite): ONE scan per checked table, fully lazy. The
+    former form ran 13 sequential driver actions (a .count()/.first() pair
+    per expectation — 33 Spark jobs, every one a blocking driver round
+    trip, guide §5/§2.6); now each fact table contributes a single
+    conditional aggregate — the FK checks ride the same pass as their
+    table's domain rules via a left join against the DISTINCT broadcast
+    key set (distinct guarantees the join cannot duplicate fact rows, so
+    n_checked stays COUNT(*); a missing match IS the violation, same set
+    the left-anti counted) — and the six one-row aggregates union into one
+    deferred plan whose independent stages the scheduler overlaps. At
+    100 TB each check is still one scan-bound pass; the dimension key sets
+    broadcast (co-partitioned join above broadcast budget), and the report
+    shape (name, checked, violations) is what lands in the run's quality
+    dashboard."""
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     li = load_table(spark, sf_dir, "lineitem")
     docs = load_table(spark, sf_dir, "documents")
     events = load_table(spark, sf_dir, "events")
 
-    def one(name, n_checked_df, viol_df):
-        n = n_checked_df.agg(F.count(F.lit(1)).alias("n")).first()["n"]
-        v = viol_df.agg(F.count(F.lit(1)).alias("n")).first()["n"]
-        return (name, n, v)
+    def report(name, n_checked, n_violations):
+        return [
+            F.lit(name).alias("check_name"),
+            n_checked.cast("bigint").alias("n_checked"),
+            n_violations.cast("bigint").alias("n_violations"),
+        ]
 
-    rows = [
-        one(
+    orders_fk = orders.join(
+        F.broadcast(cust.select("c_custkey").distinct()),
+        orders["o_custkey"] == F.col("c_custkey"),
+        "left",
+    ).agg(
+        *report(
             "orders_custkey_fk",
-            orders,
-            orders.join(
-                cust.select("c_custkey"),
-                orders["o_custkey"] == F.col("c_custkey"),
-                "left_anti",
-            ),
-        ),
-        one(
-            "lineitem_orderkey_fk",
-            li,
-            li.join(
-                orders.select("o_orderkey"),
-                li["l_orderkey"] == F.col("o_orderkey"),
-                "left_anti",
-            ),
-        ),
-        one(
-            "lineitem_price_nonneg",
-            li,
-            li.filter(
-                (F.col("l_extendedprice") < 0) | F.col("l_extendedprice").isNull()
-            ),
-        ),
-    ]
-    dup = (
-        cust.groupBy("c_custkey")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") > 1)
-        .agg(F.coalesce(F.sum(F.col("c") - 1), F.lit(0)).alias("n"))
-        .first()["n"]
-    )
-    rows.append(
-        ("customer_custkey_unique", cust.count(), int(dup))
-    )
-    rows.append(
-        one(
-            "documents_text_nonempty",
-            docs,
-            docs.filter(F.col("text").isNull() | (F.length("text") == 0)),
+            F.count(F.lit(1)),
+            F.sum(F.col("c_custkey").isNull().cast("long")),
         )
     )
-    rows.append(
-        one("events_value_present", events, events.filter(F.col("value").isNull()))
+    # lineitem: FK orphan check and the price domain rule share one pass.
+    li_joined = li.join(
+        F.broadcast(orders.select("o_orderkey").distinct()),
+        li["l_orderkey"] == F.col("o_orderkey"),
+        "left",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("o_orderkey").isNull().cast("long")).alias("fk_viol"),
+        F.sum(
+            ((F.col("l_extendedprice") < 0) | F.col("l_extendedprice").isNull())
+            .cast("long")
+        ).alias("price_viol"),
     )
-    return spark.createDataFrame(
-        rows, "check_name string, n_checked bigint, n_violations bigint"
+    # Both lineitem report rows explode out of the ONE single-row aggregate
+    # (rather than two selects over it, which would leave the scan's
+    # re-execution to exchange-reuse luck).
+    li_checks = li_joined.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("lineitem_orderkey_fk").alias("check_name"),
+                    F.col("n").cast("bigint").alias("n_checked"),
+                    F.col("fk_viol").cast("bigint").alias("n_violations"),
+                ),
+                F.struct(
+                    F.lit("lineitem_price_nonneg").alias("check_name"),
+                    F.col("n").cast("bigint").alias("n_checked"),
+                    F.col("price_viol").cast("bigint").alias("n_violations"),
+                ),
+            )
+        ).alias("r")
+    ).select("r.*")
+    cust_unique = (
+        cust.groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            *report(
+                "customer_custkey_unique",
+                F.sum("c"),
+                F.coalesce(
+                    F.sum(F.when(F.col("c") > 1, F.col("c") - 1)), F.lit(0)
+                ),
+            )
+        )
+    )
+    docs_nonempty = docs.agg(
+        *report(
+            "documents_text_nonempty",
+            F.count(F.lit(1)),
+            F.sum((F.col("text").isNull() | (F.length("text") == 0)).cast("long")),
+        )
+    )
+    events_present = events.agg(
+        *report(
+            "events_value_present",
+            F.count(F.lit(1)),
+            F.sum(F.col("value").isNull().cast("long")),
+        )
+    )
+    return (
+        orders_fk.unionByName(li_checks)
+        .unionByName(cust_unique)
+        .unionByName(docs_nonempty)
+        .unionByName(events_present)
     )
 
 
@@ -1239,13 +1286,13 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     only grows with the reached neighborhood, not |V|. At 10^8+ nodes the
     broadcast flips to a co-partitioned join exactly as documented on the
     global variant."""
-    ed = _copurchase_degreed_edges(spark, sf_dir)
+    ed, deg = _copurchase_degreed_edges(spark, sf_dir)
     base = PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
+    # Seed set from the persisted |nodes|-row degree table — the former
+    # DISTINCT over the |E|-row edge list paid a full exchange (guide §2.4).
     seeds = (
-        ed.select(F.col("src").alias("node"))
-        .distinct()
-        .filter(F.col("node") % PPR_SEED_MOD == 0)
-        .select("node", F.lit(base).cast("bigint").alias("b"))
+        deg.filter(F.col("src") % PPR_SEED_MOD == 0)
+        .select(F.col("src").alias("node"), F.lit(base).cast("bigint").alias("b"))
         .persist()  # bounded: |seeds| rows, read every iteration
     )
     pr = seeds.select("node", F.lit(PR_SCALE).cast("bigint").alias("pr"))
@@ -1260,14 +1307,18 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("m")
             )
         )
+        # Merge diffused mass with the seed teleports as UNION ALL + one
+        # hash aggregate. The former full-outer join could NOT honor its
+        # broadcast hint (Spark never broadcasts a full-outer side), so
+        # every iteration ran a SortMergeJoin FullOuter — two exchanges and
+        # two sorts over the rank vector (r14 plan audit: 3 SMJs in the
+        # before-plan). Both sides are unique-keyed, so summing the union
+        # is exactly COALESCE(m,0)+COALESCE(b,0) per node (guide §3.1/§2.4).
         pr = (
-            contrib.join(F.broadcast(seeds), contrib["dst"] == seeds["node"], "full_outer")
-            .select(
-                F.coalesce("dst", "node").alias("node"),
-                (F.coalesce("m", F.lit(0)) + F.coalesce("b", F.lit(0)))
-                .cast("bigint")
-                .alias("pr"),
-            )
+            contrib.select(F.col("dst").alias("node"), F.col("m").alias("v"))
+            .unionByName(seeds.select("node", F.col("b").alias("v")))
+            .groupBy("node")
+            .agg(F.sum("v").cast("bigint").alias("pr"))
         )
     return pr.filter(F.col("pr") > 0).select(
         F.col("node").alias("part_id"), F.col("pr").alias("ppr_e6")
@@ -1453,17 +1504,25 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = half.select(F.col("s").alias("u"), F.col("t").alias("v")).unionByName(
         half.select(F.col("t").alias("u"), F.col("s").alias("v"))
     )
-    nodes = e.select("u").distinct()
+    # The initial node set is exactly round 1's degree-table key set (every
+    # node of e has an edge), so the former DISTINCT over the doubled edge
+    # list paid a full exchange for a relation the first peel round
+    # aggregates anyway (guide §2.4). nodes is None until round 1 sets it.
+    nodes = None
     out = None
     cached = []
     for r in range(1, KCORE_ROUNDS + 1):
         deg = e.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-        rm = (
-            nodes.join(deg, "u", "left")
-            .filter(F.coalesce("deg", F.lit(0)) < KCORE_K)
-            .select("u")
-            .persist()
-        )
+        if nodes is None:
+            nodes = deg.select("u")
+            rm = deg.filter(F.col("deg") < KCORE_K).select("u").persist()
+        else:
+            rm = (
+                nodes.join(deg, "u", "left")
+                .filter(F.coalesce("deg", F.lit(0)) < KCORE_K)
+                .select("u")
+                .persist()
+            )
         cached.append(rm)
         lab = rm.select(
             F.col("u").alias("part_id"), F.lit(r).alias("peeled_round")
