@@ -370,9 +370,14 @@ def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     labels, _rounds = min_label_propagation(edges)
     edges.unpersist()
     docs = load_table(spark, sf_dir, "documents").select("doc_id")
-    comp = docs.join(labels, docs["doc_id"] == labels["node"], "left").select(
-        "doc_id", F.coalesce("comp", "doc_id").alias("component")
-    )
+    # labels is the near-dup node set — bounded by duplicate density, tiny
+    # next to the corpus. Broadcast it: the un-hinted join ran a
+    # SortMergeJoin that shuffled AND sorted the whole corpus projection to
+    # meet it (r14 final-plan audit; AQE does not rescue checkpoint-derived
+    # estimates). Above broadcast budget flip back to the doc_id co-shuffle.
+    comp = docs.join(
+        F.broadcast(labels), docs["doc_id"] == labels["node"], "left"
+    ).select("doc_id", F.coalesce("comp", "doc_id").alias("component"))
     w = Window.partitionBy("component")
     return comp.select(
         "doc_id",
@@ -459,9 +464,11 @@ def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     Composition is the point: the dup set comes from the same
     ``minhash_verified_pairs`` pipeline as the dedup queries, the quality
     formula is ``text_quality_score``'s (identical literals), and the
-    gates run as one Catalyst projection + one left join on doc_id. At
-    100 TB the dup-id set joins hash-to-hash (no broadcast assumption —
-    dup lists grow with the corpus); everything else stays map-side."""
+    gates run as one Catalyst projection + one left join on doc_id. The
+    dup-id set is dup-density-bounded, so it BROADCASTS (r14: the un-hinted
+    join sort-merged the whole corpus projection against it); when dup
+    lists grow past broadcast budget with the corpus, drop the hint and
+    the join flips back to hash-to-hash — everything else stays map-side."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     dupset = (
         minhash_verified_pairs(spark, sf_dir)
@@ -485,7 +492,7 @@ def pipeline_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         + 0.2 * F.least(F.col("n_tokens") / 256.0, F.lit(1.0)),
         4,
     )
-    merged = feat.join(dupset, "doc_id", "left")
+    merged = feat.join(F.broadcast(dupset), "doc_id", "left")
     return merged.select(
         "doc_id",
         F.when(F.col("is_dup").isNotNull(), "near_duplicate")

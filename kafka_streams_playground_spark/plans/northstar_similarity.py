@@ -1895,7 +1895,11 @@ def sim_ivfpq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "code_2",
         "code_3",
     )
-    cand = q.join(c, q.q_cent == c.cent_id).filter(
+    # The probe side is request-sized (PQ_NQ queries) — broadcast it; the
+    # un-hinted join sort-merged the corpus code table against it (r14
+    # final-plan audit: SMJ on q_cent survived AQE). Flip to cent_id
+    # co-shuffle only if the query batch ever outgrows broadcast.
+    cand = F.broadcast(q).join(c, q.q_cent == c.cent_id).filter(
         F.col("neighbor_id") != F.col("query_id")
     )
 
@@ -2012,7 +2016,11 @@ def sim_ivfpq_refine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         "code_2",
         "code_3",
     )
-    cand = q.join(c, q.q_cent == c.cent_id).filter(
+    # The probe side is request-sized (PQ_NQ queries) — broadcast it; the
+    # un-hinted join sort-merged the corpus code table against it (r14
+    # final-plan audit: SMJ on q_cent survived AQE). Flip to cent_id
+    # co-shuffle only if the query batch ever outgrows broadcast.
+    cand = F.broadcast(q).join(c, q.q_cent == c.cent_id).filter(
         F.col("neighbor_id") != F.col("query_id")
     )
 

@@ -1389,7 +1389,15 @@ def q_market_share_promo_asia(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
         .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
         .join(F.broadcast(supp_nat), li["l_suppkey"] == F.col("s_suppkey"))
-        .join(cust_region, orders["o_custkey"] == F.col("c_custkey"), "inner")
+        # Explicit hint: cust_region is a two-join derived relation, so both
+        # the planner's estimate and AQE's runtime rewrite leave it on a
+        # SortMergeJoin (r14 final-plan audit: SMJ on o_custkey survived AQE;
+        # the hint removes two exchanges + two sorts, −0.4 s at sf0.1). The
+        # region slice of customer is dimension-sized until customer itself
+        # outgrows broadcast — then drop the hint and this flips to the
+        # shuffled join documented below (same flip note as PageRank's rank
+        # vector).
+        .join(F.broadcast(cust_region), orders["o_custkey"] == F.col("c_custkey"), "inner")
         .select(
             F.year("o_orderdate").cast("bigint").alias("o_year"),
             rev_cents.alias("rev_cents"),
