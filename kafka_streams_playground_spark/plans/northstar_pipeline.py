@@ -1303,29 +1303,31 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()  # bounded: |seeds| rows, read every iteration
     )
     pr = seeds.select("node", F.lit(PR_SCALE).cast("bigint").alias("pr"))
+    zero = F.lit(0).cast("bigint")
     for _ in range(PAGERANK_ITERS):
-        contrib = (
-            ed.join(F.broadcast(pr), ed["src"] == pr["node"])
-            .select("dst", F.expr("pr div d").alias("c"))
-            .groupBy("dst")
+        # Merge the seed teleports INTO the contribution aggregate: union
+        # the per-edge contributions (c, b=0) with the seed rows (c=0, b)
+        # and fold both columns in ONE hash aggregate per iteration —
+        # pr(node) = (Σc · 85) div 100 + Σb, exactly the former
+        # COALESCE(m,0)+COALESCE(b,0) since seeds contribute nothing to Σc
+        # and are unique per node (Σb = b). The r13 form was a full-outer
+        # join whose broadcast hint Spark silently ignored (full-outer
+        # sides cannot broadcast), costing a SortMergeJoin FullOuter — two
+        # exchanges + two sorts — per iteration; a first r14 cut as a
+        # post-aggregate UNION still paid a second exchange per iteration.
+        # This form matches global PageRank's one-exchange-per-iteration
+        # schedule (guide §2.4/§3.1).
+        contrib = ed.join(F.broadcast(pr), ed["src"] == pr["node"]).select(
+            F.col("dst").alias("node"), F.expr("pr div d").alias("c"), zero.alias("b")
+        )
+        pr = (
+            contrib.unionByName(seeds.select("node", zero.alias("c"), "b"))
+            .groupBy("node")
             .agg(
                 F.expr(
-                    f"cast((sum(c) * {PR_DAMP_NUM}) div {PR_DAMP_DEN} as bigint)"
-                ).alias("m")
+                    f"cast((sum(c) * {PR_DAMP_NUM}) div {PR_DAMP_DEN} + sum(b) as bigint)"
+                ).alias("pr")
             )
-        )
-        # Merge diffused mass with the seed teleports as UNION ALL + one
-        # hash aggregate. The former full-outer join could NOT honor its
-        # broadcast hint (Spark never broadcasts a full-outer side), so
-        # every iteration ran a SortMergeJoin FullOuter — two exchanges and
-        # two sorts over the rank vector (r14 plan audit: 3 SMJs in the
-        # before-plan). Both sides are unique-keyed, so summing the union
-        # is exactly COALESCE(m,0)+COALESCE(b,0) per node (guide §3.1/§2.4).
-        pr = (
-            contrib.select(F.col("dst").alias("node"), F.col("m").alias("v"))
-            .unionByName(seeds.select("node", F.col("b").alias("v")))
-            .groupBy("node")
-            .agg(F.sum("v").cast("bigint").alias("pr"))
         )
     return pr.filter(F.col("pr") > 0).select(
         F.col("node").alias("part_id"), F.col("pr").alias("ppr_e6")
