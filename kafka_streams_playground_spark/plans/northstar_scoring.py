@@ -150,12 +150,12 @@ def domain_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     literals) quantized to an integer 1e-4 grid per doc so the per-domain
     mean is an exact-integer fold; the dup set is the shared
     ``minhash_verified_pairs`` edge list (doc_b side = the copies a dedup
-    pass would drop). Scale shape: one narrow feature projection (map-side),
-    the dup set is bounded by near-dup density so it BROADCASTS into the
-    left join (r14: the un-hinted join ran a SortMergeJoin that shuffled
-    and sorted the whole corpus projection to meet the small derived side —
-    AQE leaves derived-side estimates alone; co-shuffle on doc_id is the
-    documented flip above broadcast budget), and the final rollup
+    pass would drop). Scale shape: one narrow feature projection (map-side);
+    the dup set is bounded only by near-dup density — a fraction of the
+    corpus that grows linearly with data — so it carries NO broadcast hint
+    (a hint has no fallback and would OOM at scale, VERDICT r14 item 1):
+    AQE broadcasts it from measured runtime stats when genuinely small and
+    keeps the doc_id co-shuffle otherwise; and the final rollup
     aggregates to |domains| rows with map-side partials — nothing carries
     text past the first projection."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
@@ -183,7 +183,7 @@ def domain_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("is_dup", F.lit(1))
     )
-    j = feat.join(F.broadcast(dupset), "doc_id", "left")
+    j = feat.join(dupset, "doc_id", "left")
     return j.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("n_tokens"),
@@ -263,12 +263,13 @@ def semdedup_embedding_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("b.vec_id").alias("vec_b"))
         .agg(F.max("cos").alias("mx"))
     )
-    # pruned is the near-dup (pruned-vector) set — dup-density-bounded, so
-    # broadcast; the un-hinted join sort-merged the full members relation
-    # against it (r14 final-plan audit). Flip to vec_id co-shuffle above
-    # broadcast budget.
+    # pruned is the near-dup (pruned-vector) set — bounded only by dup
+    # density, i.e. a fraction of the corpus that grows linearly with
+    # data, so NO broadcast hint (a hint has no fallback and would OOM at
+    # scale, VERDICT r14 item 1): AQE broadcasts from measured runtime
+    # stats when genuinely small, else the vec_id co-shuffle stands.
     return members.join(
-        F.broadcast(pruned), members["vec_id"] == pruned["vec_b"], "left"
+        pruned, members["vec_id"] == pruned["vec_b"], "left"
     ).select(
         "vec_id",
         F.col("cent_id").alias("cluster"),

@@ -1848,24 +1848,30 @@ def ts_rollup_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials (map-side combinable); the day and week registers are two
     further O(buckets x 64) aggregations of the PERSISTED hour relation
     (no rescan); dense spines, window-free integer estimates as in
-    ``agg_hll_merge_by_type``. Truth columns are three exact distinct
-    aggregations a production rollup would drop."""
+    ``agg_hll_merge_by_type``. Truth columns (exact distincts a production
+    rollup would drop): r14 ran THREE separate countDistinct aggregates —
+    three more full scans of events (guide §2.4); r15 folds them into ONE
+    scan + ONE aggregate via an explode over the three grain buckets (the
+    multi-grain expand), keeping countDistinct's map-side partial dedup.
+    (A cascaded distinct-pair variant — persist distinct (hour, user),
+    derive day/week sets from it — was measured SLOWER at sf0.1: the
+    cache write + unreduced pair shuffle cost more than the rescans it
+    saved; reverted, numbers in OPTIMIZATION_r15.md.)"""
     from kafka_streams_playground_spark.plans.relational import (
         HLL_ALPHA_M2_E6,
         HLL_M,
         HLL_WBITS,
     )
 
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr("unix_timestamp(ts) div 3600").alias("hour_b"),
+        "user_id",
+    )
     hv = F.conv(
         F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10
     ).cast("long")
     w = F.col("hv") % (2**HLL_WBITS)
-    ev = load_table(spark, sf_dir, "events").select(
-        F.expr("unix_timestamp(ts) div 3600").alias("hour_b"),
-        hv.alias("hv"),
-        "user_id",
-    )
-    rho = ev.select(
+    rho = ev.select("hour_b", hv.alias("hv")).select(
         "hour_b",
         (F.col("hv") / (2**HLL_WBITS)).cast("long").alias("reg"),
         F.when(w == 0, F.lit(HLL_WBITS + 1))
@@ -1930,15 +1936,38 @@ def ts_rollup_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_distinct"),
         )
     )
-    def exact_at(div: int) -> DataFrame:
-        return ev.groupBy(
-            F.expr(f"(hour_b * 3600 div {div}) * {div}").alias("bucket_epoch")
-        ).agg(F.countDistinct("user_id").alias("exact_distinct"))
-
+    # Truth columns: one scan, one aggregate. Each event row explodes to
+    # its three grain buckets; countDistinct keeps its map-side partial
+    # dedup, so the shuffle carries deduped (grain, bucket, user) triples
+    # — the same bytes the r14 form shuffled across three independent
+    # aggregates, for a third of the scans.
     exact = (
-        exact_at(3600).select(F.lit("hour").alias("grain"), "bucket_epoch", "exact_distinct")
-        .unionByName(exact_at(86400).select(F.lit("day").alias("grain"), "bucket_epoch", "exact_distinct"))
-        .unionByName(exact_at(604800).select(F.lit("week").alias("grain"), "bucket_epoch", "exact_distinct"))
+        ev.select(
+            "user_id",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("hour").alias("grain"),
+                        (F.col("hour_b") * 3600).alias("bucket_epoch"),
+                    ),
+                    F.struct(
+                        F.lit("day").alias("grain"),
+                        F.expr("((hour_b * 3600) div 86400) * 86400").alias(
+                            "bucket_epoch"
+                        ),
+                    ),
+                    F.struct(
+                        F.lit("week").alias("grain"),
+                        F.expr("((hour_b * 3600) div 604800) * 604800").alias(
+                            "bucket_epoch"
+                        ),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select("g.grain", "g.bucket_epoch", "user_id")
+        .groupBy("grain", "bucket_epoch")
+        .agg(F.countDistinct("user_id").alias("exact_distinct"))
     )
     result = est.join(exact, ["grain", "bucket_epoch"]).select(
         "grain",

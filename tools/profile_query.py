@@ -47,6 +47,8 @@ def main() -> int:
             i += 2
         elif a == "--runs":
             runs = int(args[i + 1])
+            if runs < 1:
+                raise SystemExit("--runs must be >= 1")
             i += 2
         elif a == "--top":
             n = int(args[i + 1])
@@ -83,7 +85,9 @@ def main() -> int:
 
         # Bench methodology: fn() + noop both inside the timed window, so
         # eager queries (localCheckpoint inside fn) are charged correctly.
+        # `jobs` reports the LAST (steady-state) run's job count.
         times = []
+        jobs = 0
         for r in range(runs):
             spark.catalog.clearCache()
             sc.setJobGroup(f"pf-{name}-{r}", name)
