@@ -45,85 +45,72 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "q4_products_per_user_10s",
     "q5_paid_orders",
     "orders_products_array",
-    # ---- ROUND 14 rotation (VERDICT r13 items 1/5/6: staleness catch-up
-    # part 1 of 2, ZERO new queries — registry frozen at 298). Policy
-    # unchanged: changed-this-round > stalest-last-seen; every demoted
-    # query is driver-green in a prior round, unchanged since, and
-    # re-checked by the full-registry strict replica
-    # (CORRECTNESS_LOCAL.json).
-    # -- slots 7-8: CHANGED this round (genuine fix, ADVICE r13 medium):
-    # the s2 streaming drains now compact on the full-microsecond
-    # (ts, event_id) version — the ordering the in-stream max_by state
-    # and the oracle use — instead of the second-truncated ts_epoch,
-    # which could keep a superseded emission for a user with two
-    # same-wall-clock-second events straddling a micro-batch boundary.
-    # Re-audited green on both split-replay axes + sf0.01 oracle.
-    "stream_s2_latest_event_per_user",
-    "stream_s2_compacted_tombstones",
-    # -- slot 9: changed in r13 (n_seen drain fix) but ceded its slot to
-    # its plan-identical twin under the twin rule; owed first claim here
-    # per the r13 plan.
-    "stream_ts_rollup_hll_hour",
-    # -- slots 10-27: the ENTIRE r6 cohort (7 rounds driver-stale — past
-    # the ~6-round policy; VERDICT r13 item 1: fill these first).
-    "q_late_shipment_priority",
-    "q_supplier_cnt_by_part",
-    "q_dormant_rich_customers",
-    "tokenizer_bpe_merge_step",
-    "stream_chunk_documents_overlap",
-    "stream_events_value_outliers",
-    "q_min_cost_supplier",
-    "q_order_priority_checking",
-    "q_forecast_revenue",
-    "q_important_stock",
-    "q_cust_order_distribution",
-    "q_promo_revenue",
-    "q_top_supplier",
-    "q_small_qty_revenue",
-    "q_large_volume_customers",
-    "q_disjunctive_revenue",
-    "q_dominant_part_suppliers",
-    "q_waiting_suppliers",
-    # -- slots 28-50: the oldest 23 of the 39-query r7 cohort (crossing
-    # the 6-round staleness boundary this round), in registry order.
-    "agg_kmv_merge_by_type",
-    "wf_rank_family_order_totals",
-    "wf_moving_avg_user_value",
-    "cdc_snapshot_diff",
-    "stats_join_cardinality_kmv",
-    "cdc_merge_upsert",
-    "ivm_incremental_user_agg",
-    "drift_psi_value_halves",
-    "dedup_incremental_new_vs_base",
+    # ---- ROUND 15 rotation (staleness catch-up part 2 — the plan pinned
+    # here in r14, now executed; VERDICT r14 item 7). Policy unchanged:
+    # changed-this-round > stalest-last-seen; every demoted query is
+    # driver-green in a prior round, unchanged since, and re-checked by
+    # the full-registry strict replica (CORRECTNESS_LOCAL.json).
+    # -- slots 7-14: CHANGED this optimization round (hint removals /
+    # plan restructurings — results proven oracle-identical locally, but
+    # changed plans get the hard driver signal first):
+    "pipeline_quality_filter",
+    "domain_quality_stats",
+    "dedup_cluster_components",
+    "semdedup_embedding_prune",
     "pipeline_expectation_checks",
-    "graph_personalized_pagerank",
-    "graph_kcore_peel",
-    "text_ngram_novelty",
-    "embedding_random_projection",
-    "sim_ivfpq_adc_topk",
-    "tokenizer_bpe_compression_curve",
-    "tokenizer_bpe_train3_delta",
-    "text_stupid_backoff_trigram",
-    "tokenizer_wordpiece_encode",
-    "tokenizer_unigram_viterbi_score",
-    "pipeline_pretrain_e2e_manifest",
-    "text_span_corruption_manifest",
-    "dsir_importance_weights",
+    "ts_rollup_distinct_hll",
+    "graph_hits_hubs_authorities",
+    "stats_source_overlap_kmv",
+    # -- slots 15-30: the 16 pinned r7-stale queries (the MUST list from
+    # the r14 rotation plan below this tuple in the r14 tree).
+    "pipeline_content_version",
+    "stream_stats_ols_by_nation",
+    "agg_heavy_hitters_twopass",
+    "graph_bfs_hops",
+    "stats_ols_qty_price_by_nation",
+    "diag_key_skew_report",
+    "layout_zorder_pruning_audit",
+    "stats_countmin_user_traffic",
+    "stats_histogram_quantiles",
+    "layout_compaction_bins",
+    "diag_table_profile",
+    "stream_dedup_incremental_new_vs_base",
+    "retrieval_rrf_fusion",
+    "sim_hard_negative_mining",
+    "retrieval_mmr_rerank",
+    "mm_phash_neardup",
+    # -- slots 31-50: the oldest 20 of the r8 cohort
+    # (tools/rotation_audit.py), in registry order.
+    "agg_salted_skew",
+    "join_ktable_ktable_latest",
+    "ivm_incremental_join_view",
+    "agg_hll_merge_by_type",
+    "events_value_mad_outliers",
+    "ts_multi_granularity_rollup",
+    "drift_ks_value_halves",
+    "ts_seasonal_decompose_how",
+    "ts_cumulative_new_users",
+    "ts_seasonal_residual_outliers",
+    "wf_quarterly_revenue_growth",
+    "ts_changepoint_binary_seg",
+    "dedup_prefix_filter_jaccard",
+    "dedup_method_agreement",
+    "cogroup_order_reconciliation",
+    "graph_lpa_communities",
+    "text_quality_score",
+    "text_fingerprint",
+    "text_unigram_lm_score",
+    "sim_ivfpq_refine_topk",
 )
 
-# ROUND 15 rotation plan (catch-up part 2 — pin now so the plan survives
-# the round boundary, VERDICT r13 item 5): after r14's fill, these 16 r7
-# queries remain driver-stale and MUST head the r15 DRIVER_PRIORITY
-# (registry growth ≤2 in r15):
-#   pipeline_content_version, stream_stats_ols_by_nation,
-#   agg_heavy_hitters_twopass, graph_bfs_hops,
-#   stats_ols_qty_price_by_nation, diag_key_skew_report,
-#   layout_zorder_pruning_audit, stats_countmin_user_traffic,
-#   stats_histogram_quantiles, layout_compaction_bins, diag_table_profile,
-#   stream_dedup_incremental_new_vs_base, retrieval_rrf_fusion,
-#   sim_hard_negative_mining, retrieval_mmr_rerank, mm_phash_neardup.
-# The remaining ~28 free r15 slots go to the oldest r8-cohort entries
-# (tools/rotation_audit.py lists 39), keeping every query ≤6 rounds stale.
+# ROUND 16 rotation plan: the remaining r8-cohort entries
+# (gdpr_delete_cascade_plan, curation_source_cap, curation_pareto_frontier,
+# ids_dense_global_rownum, stats_bootstrap_ci_mean, stats_chi2_nation_segment,
+# layout_bloom_skipping_audit, stats_benford_first_digit,
+# stats_markov_sequence_score, sample_kcenter_coreset,
+# graph_lpa_modularity_audit, and the stream_* r8 twins) are next-stalest
+# and should head the r16 DRIVER_PRIORITY, followed by the r9 cohort
+# (tools/rotation_audit.py lists both).
 
 
 def _reorder_registry() -> None:

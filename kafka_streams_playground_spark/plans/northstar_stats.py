@@ -2248,18 +2248,24 @@ def stats_source_overlap_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     # md5 == DuckDB md5; the interpreted higher-order md5 is ~2× slower,
     # the dedup_minhash_lsh precedent).
     sh = F.pandas_udf(T.shingle_hash_fn(), "array<bigint>")
-    hv = (
-        docs.select(
-            F.col("source").alias("src"),
-            F.explode(sh("text")).alias("hv"),
-        )
-        .distinct()
+    hv = docs.select(
+        F.col("source").alias("src"),
+        F.explode(sh("text")).alias("hv"),
     )
+    # Bottom-K DISTINCT values per source WITHOUT a corpus-scale distinct
+    # exchange (r15, §2.3/§2.4): dense_rank ≤ K over the raw exploded
+    # relation is trimmed MAP-SIDE by Spark's partial WindowGroupLimit
+    # (only each partition's bottom-K values — plus their local
+    # duplicates — ever reach the exchange), and the post-window distinct
+    # dedups the K-value survivor set. The former distinct→row_number
+    # form shuffled every distinct (src, hash) pair in the corpus first.
+    # Bit-identical sketches (bottom-K of a set is partition-invariant).
     sk_w = Window.partitionBy("src").orderBy("hv")
     sks = (
-        hv.withColumn("rn", F.row_number().over(sk_w))
-        .filter(F.col("rn") <= SRC_KMV_K)
-        .drop("rn")
+        hv.withColumn("dr", F.dense_rank().over(sk_w))
+        .filter(F.col("dr") <= SRC_KMV_K)
+        .select("src", "hv")
+        .distinct()
         .persist()
     )
     return source_overlap_from_sketches(sks)

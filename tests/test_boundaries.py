@@ -148,6 +148,7 @@ def test_asof_forward_equal_ts_inclusive(spark, tmp_path):
     assert s_rows == d_rows and len(s_rows) == 2
 
 
+@pytest.mark.slowaudit  # fixture-edge audit sweep, opt-in (pytest.ini)
 def test_adversarial_tie_fixture_sweep(spark, tmp_path):
     """Shotgun boundary sweep: every events-only oracled BATCH query runs
     on a tie-heavy adversarial fixture — exact timestamp collisions
@@ -268,6 +269,7 @@ def _sweep(spark, sf_dir, table, min_expected):
     return mismatches
 
 
+@pytest.mark.slowaudit  # fixture-edge audit sweep, opt-in (pytest.ini)
 def test_adversarial_documents_sweep(spark, tmp_path):
     """The documents-family twin of the events tie sweep: every
     documents-only oracled batch query (dedup, text stats, tokenizers,
@@ -316,6 +318,7 @@ def test_adversarial_documents_sweep(spark, tmp_path):
     assert not mismatches, mismatches
 
 
+@pytest.mark.slowaudit  # fixture-edge audit sweep, opt-in (pytest.ini)
 def test_adversarial_embeddings_sweep(spark, tmp_path):
     """The embeddings-family twin: every embeddings-only oracled query
     (brute-force/LSH/IVF/PQ similarity, k-means, PCA, recall audits,
@@ -347,6 +350,7 @@ def test_adversarial_embeddings_sweep(spark, tmp_path):
     assert not mismatches, mismatches
 
 
+@pytest.mark.slowaudit  # fixture-edge audit sweep, opt-in (pytest.ini)
 def test_adversarial_tpch_fixture_sweep(spark, tmp_path):
     """The relational-family sweep: every oracled batch query reading only
     the TPC-H-shaped tables runs on a 7-table adversarial fixture —
@@ -497,6 +501,7 @@ def test_adversarial_tpch_fixture_sweep(spark, tmp_path):
     assert not mismatches, mismatches
 
 
+@pytest.mark.slowaudit  # fixture-edge audit sweep, opt-in (pytest.ini)
 def test_adversarial_mixed_table_sweep(spark, tmp_path):
     """Covers the six oracled queries whose oracles span MULTIPLE table
     families (the only ones the per-family sweeps miss): the

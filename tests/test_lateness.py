@@ -25,6 +25,11 @@ from datetime import datetime, timedelta
 import pytest
 from pyspark.sql import functions as F
 
+# Opt-in audit sweep (see pytest.ini): the split/lateness replays are
+# the round-close adversarial axes, not part of the default (driver-
+# window-sized) verification run.
+pytestmark = pytest.mark.slowaudit
+
 from kafka_streams_playground_spark.streaming.replay import (
     read_split_stream,
     run_to_completion,

@@ -7,6 +7,8 @@ from __future__ import annotations
 
 import io
 import re
+
+import pytest
 from contextlib import redirect_stdout
 
 from pyspark.sql import functions as F
@@ -544,6 +546,7 @@ def test_kmv_merge_equals_direct_sketch(spark, sf_dir):
     assert specs and all(s.startswith("event_type") for s in specs), specs
 
 
+@pytest.mark.slowaudit  # full-registry plan lint (~75 s each), opt-in (pytest.ini)
 def test_plan_lint_no_cartesian_no_row_python(spark, sf_dir):
     """Registry-wide physical-plan lint: NO batch query may plan a
     CartesianProduct (a non-broadcast cartesian is never acceptable — the
@@ -592,6 +595,7 @@ UNPARTITIONED_WINDOW_WHITELIST = {
 }
 
 
+@pytest.mark.slowaudit  # full-registry plan lint (~75 s each), opt-in (pytest.ini)
 def test_plan_lint_unpartitioned_windows_whitelisted(spark, sf_dir):
     """Registry-wide sweep: the set of batch queries whose plans contain an
     unpartitioned window must EQUAL the documented whitelist — a global

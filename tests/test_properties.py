@@ -5,6 +5,8 @@ from __future__ import annotations
 
 import hashlib
 
+import pytest
+
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
@@ -39,6 +41,7 @@ def _py_signature(text: str, k: int) -> list[int]:
 
 @settings(max_examples=30, deadline=None, suppress_health_check=[HealthCheck.too_slow])
 @given(docs=st.lists(_doc, min_size=1, max_size=8))
+@pytest.mark.slowaudit  # pure-python cross-model audit (10-30 s), opt-in (pytest.ini)
 def test_minhash_signature_matches_pure_python(spark, docs):
     """The Spark MinHash signature pipeline equals an independent pure-Python
     recomputation on arbitrary token soups (shingle fallback included)."""
@@ -77,6 +80,7 @@ def test_simhash_band_bounds_partition_the_bits(n_bands):
         st.tuples(st.integers(0, 3), st.integers(-1000, 1000)), min_size=1, max_size=30
     )
 )
+@pytest.mark.slowaudit  # pure-python cross-model audit (10-30 s), opt-in (pytest.ini)
 def test_salted_agg_property(spark, vals):
     """salted_agg == plain groupBy on arbitrary keyed integer data."""
     from pyspark.sql import functions as F
@@ -111,6 +115,7 @@ def test_salted_agg_property(spark, vals):
     small=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=30),
     big=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=60),
 )
+@pytest.mark.slowaudit  # pure-python cross-model audit (10-30 s), opt-in (pytest.ini)
 def test_bloom_prefilter_never_false_negative(spark, small, big):
     """Property: bloom_prefilter passes EVERY big-side row whose key is in
     the small side (no false negatives), for arbitrary long keys."""
@@ -299,6 +304,7 @@ def test_waiting_charges_match_literal_quantifiers(spark, lines):
     ),
     nparts=st.integers(min_value=1, max_value=4),
 )
+@pytest.mark.slowaudit  # pure-python cross-model audit (10-30 s), opt-in (pytest.ini)
 def test_covariance_partials_are_partition_invariant(spark, rows, nparts):
     """The single-pass Gram accumulation must give the same covariance for
     ANY partitioning of the rows (the property that makes the per-batch
@@ -409,6 +415,7 @@ def test_misra_gries_union_never_misses_a_heavy_hitter(items, cuts, cap):
     seeds=st.sets(st.integers(0, 9), min_size=1, max_size=3),
     k=st.integers(min_value=1, max_value=4),
 )
+@pytest.mark.slowaudit  # pure-python cross-model audit (10-30 s), opt-in (pytest.ini)
 def test_relax_hops_matches_python_bfs(spark, edges, seeds, k):
     """graph_bfs_hops' relaxation loop equals a pure-Python BFS truncated at
     k hops, on arbitrary directed graphs — pins that k relaxation rounds
@@ -458,6 +465,7 @@ def test_relax_hops_matches_python_bfs(spark, edges, seeds, k):
         max_size=3,
     )
 )
+@pytest.mark.slowaudit  # pure-python cross-model audit (10-30 s), opt-in (pytest.ini)
 def test_upsert_tombstone_sink_matches_dict_model(spark, tmp_path_factory, batches):
     """Model-based check of the MERGE sink's full I/U/D semantics: applying
     arbitrary batches of (key, seq, value|tombstone) rows through

@@ -7,6 +7,8 @@ from __future__ import annotations
 import os
 import tempfile
 
+import pytest
+
 from pyspark.sql import functions as F
 
 from kafka_streams_playground_spark.streaming.ktable import latest_per_key_stream
@@ -57,6 +59,7 @@ def test_ktable_state_across_microbatches(spark):
     assert final == {"u1": "v2", "u2": "x1"}
 
 
+@pytest.mark.slowaudit  # engine-semantics probe (20-50 s), opt-in (pytest.ini)
 def test_watermark_finalizes_windows_exactly_once(spark):
     """Append-mode windowed agg: once the watermark finalizes a window it is
     emitted exactly once, and later-arriving rows for it are dropped, not
@@ -134,6 +137,7 @@ def test_running_count_state_across_microbatches(spark):
     assert got == {1: 1, 2: 1, 3: 2, 4: 3}
 
 
+@pytest.mark.slowaudit  # engine-semantics probe (20-50 s), opt-in (pytest.ini)
 def test_stream_stream_left_outer_join_emits_unmatched(spark):
     """Watermarked stream-stream LEFT OUTER join: matched rows emit
     immediately; an unmatched left row is held in state and emitted with
@@ -306,6 +310,7 @@ def test_ewma_state_across_microbatches(spark):
     assert (400, 400 * 128 + 250 * 64 + 100 * 32) in got
 
 
+@pytest.mark.slowaudit  # engine-semantics probe (20-50 s), opt-in (pytest.ini)
 def test_stream_stream_full_outer_join_emits_both_sides(spark):
     """Watermarked stream-stream FULL OUTER join (the remaining member of
     the §2.3 outer-join matrix; interval_join exposes it via how=
@@ -912,6 +917,7 @@ def test_stream_welch_matches_batch(spark, sf_dir):
     assert got == want and len(got) > 0
 
 
+@pytest.mark.slowaudit  # engine-semantics probe (20-50 s), opt-in (pytest.ini)
 def test_stream_interval_join_state_across_microbatches(spark):
     """The bin-keyed stream-stream interval join must pair intervals that
     arrive in DIFFERENT micro-batches on the two sides — the keyed join
@@ -1262,6 +1268,7 @@ def test_stream_session_windows_append_emits_each_session_once(spark, sf_dir):
     assert got == want and len(got) > 0
 
 
+@pytest.mark.slowaudit  # engine-semantics probe (20-50 s), opt-in (pytest.ini)
 def test_session_window_intervals_merge_across_microbatches(spark):
     """The semantics stream_session_window_interval_overlap's stage 1
     claims, pinned under a REAL multi-micro-batch split (the helper's own
